@@ -1,0 +1,34 @@
+"""Shared column functions — all pure Catalyst (no Python UDFs).
+
+``content_sha256`` is the per-row correctness invariant of the north rule
+(sha256(content) equality vs the oracle final state); ``row_digest`` /
+``table_digest_agg`` are the aggregate digests of FIXTURES.md F6."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def content_sha256(col: str = "content") -> Column:
+    return F.sha2(F.col(col), 256)
+
+
+def row_digest(cols: list[str]) -> Column:
+    """sha256 over a canonical pipe-joined row rendering (F6 secondary
+    invariant)."""
+    return F.sha2(F.concat_ws("|", *[F.col(c) for c in cols]), 256)
+
+
+def table_digest_agg(cols: list[str]) -> Column:
+    """Order-insensitive whole-table digest: xor-free commutative digest via
+    sum of the first 15 hex chars of each row digest (exact in decimal)."""
+    piece = F.conv(F.substring(row_digest(cols), 1, 15), 16, 10).cast("decimal(38,0)")
+    return F.sum(piece)
+
+
+def salted_key(key_cols: list[str], salt_factor: int) -> Column:
+    """Salt companion for hot-key repartition (north rule): spreads a hot
+    (repo, path) across ``salt_factor`` shuffle partitions; safe wherever the
+    downstream op re-groups by the true key or is key-agnostic (writes)."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x5A17)), F.lit(salt_factor))

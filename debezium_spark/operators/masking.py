@@ -1,0 +1,40 @@
+"""Column maskers — the reference's ColumnMappers
+(``relational/mapping/MaskStrings.java`` — constant mask or salted SHA-256 —
+and ``relational/mapping/TruncateStrings.java``), as nested-field
+transformations on both payloads. Pure Catalyst (F.sha2 / F.substring):
+no Python on the hot path."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _map_payload_field(env: DataFrame, field: str, fn) -> DataFrame:
+    out = env
+    for side in ("after", "before"):
+        out = out.withColumn(
+            side,
+            F.when(
+                F.col(side).isNotNull(),
+                F.col(side).withField(field, fn(F.col(f"{side}.{field}"))),
+            ),
+        )
+    return out
+
+
+def mask_column(env: DataFrame, field: str, mask: str = "***") -> DataFrame:
+    """MaskStrings constant-mask mode."""
+    return _map_payload_field(env, field, lambda c: F.when(c.isNotNull(), F.lit(mask)))
+
+
+def hash_mask_column(env: DataFrame, field: str, salt: str) -> DataFrame:
+    """MaskStrings hash mode: salted SHA-256 (MaskStrings.java HashValueConverter)."""
+    return _map_payload_field(
+        env, field, lambda c: F.when(c.isNotNull(), F.sha2(F.concat(F.lit(salt), c), 256))
+    )
+
+
+def truncate_column(env: DataFrame, field: str, length: int) -> DataFrame:
+    """TruncateStrings: truncate to n chars."""
+    return _map_payload_field(env, field, lambda c: F.substring(c, 1, length))

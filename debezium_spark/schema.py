@@ -1,0 +1,84 @@
+"""Envelope schema — the central record type of the engine.
+
+Re-creates the shape of Debezium's change-event envelope
+(``debezium-core/src/main/java/io/debezium/data/Envelope.java:103-157`` in
+the reference: fields before/after/op/source/transaction/ts_ms, built at
+``Envelope.java:243-302``) as a fixed Spark ``StructType`` parameterized by
+the payload schema.
+
+Operation codes (``Envelope.java:34-98``):
+  r=READ(snapshot) c=CREATE u=UPDATE d=DELETE t=TRUNCATE, plus the
+  openGauss-fork 'l' (DDL) used for structured schema-change events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Operation codes — Envelope.java:34-98
+OP_READ = "r"
+OP_CREATE = "c"
+OP_UPDATE = "u"
+OP_DELETE = "d"
+OP_TRUNCATE = "t"
+OP_DDL = "l"  # openGauss-fork addition (Envelope.java:76, 'l' DDL)
+
+# The north-star payload: a row of the source-code-repository table
+# (BASELINE.json input_hint). Primary key = (repo, path).
+REPO_PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("repo", StringType(), True),
+        StructField("path", StringType(), True),
+        StructField("commit", StringType(), True),
+        StructField("lang", StringType(), True),
+        StructField("content", StringType(), True),
+    ]
+)
+REPO_KEY_COLS = ["repo", "path"]
+
+# source block — mirrors the offset-bearing fields Debezium stores per event
+# (MySqlOffsetContext keys file/pos/gtid; AbstractSourceInfo db/table/ts_ms).
+# (file, pos) strictly increasing defines the total replay order.
+SOURCE_SCHEMA = StructType(
+    [
+        StructField("file", StringType(), False),
+        StructField("pos", LongType(), False),
+        StructField("gtid", StringType(), True),
+        StructField("snapshot", StringType(), True),
+        StructField("db", StringType(), True),
+        StructField("table", StringType(), True),
+        StructField("ts_ms", LongType(), True),
+    ]
+)
+
+# transaction block — TransactionMonitor.java:59-63
+TRANSACTION_SCHEMA = StructType(
+    [
+        StructField("id", StringType(), True),
+        StructField("total_order", LongType(), True),
+        StructField("data_collection_order", LongType(), True),
+    ]
+)
+
+
+def envelope_schema(payload: StructType = REPO_PAYLOAD_SCHEMA) -> StructType:
+    """Envelope StructType for a given payload schema (Envelope.java:243-302)."""
+    return StructType(
+        [
+            StructField("before", payload, True),
+            StructField("after", payload, True),
+            StructField("op", StringType(), False),
+            StructField("ts_ms", LongType(), True),
+            StructField("source", SOURCE_SCHEMA, False),
+            StructField("transaction", TRANSACTION_SCHEMA, True),
+        ]
+    )
+
+
+def payload_cols(payload: StructType = REPO_PAYLOAD_SCHEMA) -> list[str]:
+    return [f.name for f in payload.fields]

@@ -1,0 +1,134 @@
+"""CdcEngine — the micro-batch replay loop.
+
+Plays the role of the reference's coordinator + embedded engine run loop
+(``pipeline/ChangeEventSourceCoordinator.java:96-165`` snapshot→stream
+handoff; ``debezium-embedded/.../EmbeddedEngine.java:770-860`` poll →
+transform → handle → offset-commit loop) and of the fork's sink replay task
+(``sink/replay/table/TableReplayTask.java``), collapsed into one driver loop:
+
+    for each ordered batch beyond the fence:
+        SMT chain (Catalyst projections)
+        DDL barrier segmentation (op='l')
+        PK-change split  →  last-writer-wins dedupe  →  MERGE commit
+        (fence + per-bucket lineage ride the same commit)
+
+Exactly-once: the fence check in ``merge_changes`` skips any batch whose max
+offset <= the committed fence, and the commit is atomic, so re-running any
+prefix after a crash is a no-op (FIXTURES.md F4 idempotency).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_spark.operators.apply import compute_changes, split_pk_changes
+from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl
+from debezium_spark.plans.merge import merge_changes
+from debezium_spark.plans.table import LakeTable
+from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA
+from debezium_spark.sources.batches import list_batches, read_batch
+
+Smt = Callable[[DataFrame], DataFrame]
+
+
+class CdcEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table: LakeTable,
+        smt_chain: list[Smt] | None = None,
+        salt_factor: int = 4,
+    ) -> None:
+        self.spark = spark
+        self.table = table
+        self.smt_chain = smt_chain or []
+        self.salt_factor = salt_factor
+        if not table.exists():
+            table.create(REPO_PAYLOAD_SCHEMA)
+
+    # ---- snapshot-then-stream handoff (SURVEY §2.2 / §3) -----------------
+
+    def bootstrap(self, snapshot_env: DataFrame, fence: tuple[str, int]) -> int | None:
+        """Apply the initial snapshot (op='r' events) pinned at ``fence``.
+
+        The reference needs global read locks + SHOW MASTER STATUS to pin
+        the handoff point (MySqlSnapshotChangeEventSource.java:167-222);
+        here the snapshot rows and their fence commit atomically, giving the
+        same consistent handoff lock-free."""
+        return self.apply_envelope_batch(snapshot_env, batch_id="snapshot", fence=fence)
+
+    # ---- one micro-batch --------------------------------------------------
+
+    def apply_envelope_batch(
+        self, env: DataFrame, batch_id: str, fence: tuple[str, int] | None = None
+    ) -> int | None:
+        for smt in self.smt_chain:
+            env = smt(env)
+
+        # DDL barrier: collect (tiny) DDL rows, segment DML around them.
+        # One filtered scan with op-predicate pushdown; DDL rows are rare.
+        ddls = (
+            env.filter(F.col("op") == DDL_OP)
+            .select("source.file", "source.pos", "after.content")
+            .orderBy("pos")
+            .collect()
+        )
+        dml = env.filter(F.col("op") != DDL_OP)
+
+        if fence is None:
+            mm = env.select(
+                F.max("source.pos").alias("p"), F.max("source.file").alias("f")
+            ).first()
+            if mm["p"] is None:
+                return None
+            fence = (mm["f"], mm["p"])
+
+        cur = self.table.fence()
+        if cur is not None and fence[1] <= cur[1]:
+            return None  # whole batch already applied (resume skip)
+
+        version = None
+        seg_start = -(1 << 62)
+        for i, d in enumerate(list(ddls) + [None]):
+            seg_end = d["pos"] if d is not None else (1 << 62)
+            seg = dml.filter(
+                (F.col("source.pos") > seg_start) & (F.col("source.pos") < seg_end)
+            )
+            seg_fence = (fence[0], d["pos"] - 1) if d is not None else fence
+            version = self._merge_segment(seg, f"{batch_id}/s{i}", seg_fence) or version
+            if d is not None:
+                cur = self.table.fence()
+                if cur is None or d["pos"] > cur[1]:
+                    apply_ddl(self.table, d["content"], (d["file"], d["pos"]))
+            seg_start = seg_end
+        return version
+
+    def _merge_segment(self, env: DataFrame, batch_id: str, fence: tuple[str, int]) -> int | None:
+        split = split_pk_changes(env, self.table.key_cols)
+        changes = compute_changes(split, self.table.key_cols)
+        return merge_changes(
+            self.table, changes, fence, batch_id, salt_factor=self.salt_factor
+        )
+
+    # ---- replay loop -------------------------------------------------------
+
+    def replay(self, batch_dir: str) -> list[int]:
+        """Replay all batches beyond the committed fence, in order.
+
+        Cheap skip: per-batch max offset from a parquet min/max agg (column
+        stats only) before touching the data — the analog of the breakpoint
+        filter at TableReplayTask.java:132-144."""
+        versions = []
+        for i, path in enumerate(list_batches(batch_dir)):
+            env = read_batch(self.spark, path)
+            mm = env.select(F.max("source.pos").alias("p"), F.max("source.file").alias("f")).first()
+            cur = self.table.fence()
+            if mm["p"] is None or (cur is not None and mm["p"] <= cur[1]):
+                continue
+            v = self.apply_envelope_batch(env, batch_id=f"batch_{i:05d}", fence=(mm["f"], mm["p"]))
+            if v is not None:
+                versions.append(v)
+        return versions

@@ -1,0 +1,108 @@
+"""End-to-end replay: generator → engine → LakeTable final state must equal
+the pure-Python sequential oracle with 100% per-row sha256(content) equality
+(the north-rule invariant), including PK-change splits, same-key c→u→d→c
+chains, multi-batch replay, and crash/resume idempotency."""
+
+from __future__ import annotations
+
+import hashlib
+
+from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+from tests.conftest import sequential_oracle
+
+N_EVENTS = 4000
+
+
+def _final_state_rows(table):
+    return {
+        (r["repo"], r["path"]): hashlib.sha256(r["content"].encode()).hexdigest()
+        for r in table.read().collect()
+    }
+
+
+def _oracle_state(env_df):
+    events = [r.asDict(recursive=True) for r in env_df.collect()]
+    state = sequential_oracle(events)
+    return {
+        k: hashlib.sha256(v["content"].encode()).hexdigest() for k, v in state.items()
+    }
+
+
+def test_full_replay_matches_oracle(spark, tmp_path):
+    gen = ChangeLogGenerator(spark, seed=42, n_repos=20)
+    batch_dir = str(tmp_path / "batches")
+    gen.write_batches(batch_dir, N_EVENTS, n_batches=4)
+
+    table = LakeTable(spark, str(tmp_path / "table"), ["repo", "path"], n_buckets=8)
+    engine = CdcEngine(spark, table)
+    versions = engine.replay(batch_dir)
+    assert len(versions) == 4
+
+    got = _final_state_rows(table)
+    want = _oracle_state(gen.events(N_EVENTS))
+    assert got == want  # 100% sha256 row equality, both directions
+
+
+def test_replay_is_idempotent_after_resume(spark, tmp_path):
+    gen = ChangeLogGenerator(spark, seed=7, n_repos=10)
+    batch_dir = str(tmp_path / "batches")
+    gen.write_batches(batch_dir, 2000, n_batches=4)
+
+    table = LakeTable(spark, str(tmp_path / "table"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    # crash simulation: replay only the first 2 batches, then resume from scratch
+    from debezium_spark.sources.batches import list_batches, read_batch
+
+    for i, p in enumerate(list_batches(batch_dir)[:2]):
+        engine.apply_envelope_batch(read_batch(spark, p), batch_id=f"b{i}")
+    fence_mid = table.fence()
+    assert fence_mid is not None
+
+    engine2 = CdcEngine(spark, table)  # fresh engine on the same table = restart
+    versions = engine2.replay(batch_dir)  # batches 0-1 must be skipped
+    assert len(versions) == 2
+    # replaying everything again changes nothing (exactly-once)
+    v3 = engine2.replay(batch_dir)
+    assert v3 == []
+
+    got = _final_state_rows(table)
+    want = _oracle_state(gen.events(2000))
+    assert got == want
+
+
+def test_snapshot_then_stream_handoff(spark, tmp_path):
+    """FIXTURES.md F4: bootstrap op='r' snapshot pinned at a fence, then
+    stream batches strictly after it, including updates to snapshot rows."""
+    gen = ChangeLogGenerator(spark, seed=11, n_repos=10)
+    table = LakeTable(spark, str(tmp_path / "table"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+
+    snap = gen.snapshot(500)
+    engine.bootstrap(snap, fence=("binlog.000001", -1))
+    stream = gen.events(1500)  # pos 0.. > -1
+    batch_dir = str(tmp_path / "batches")
+    gen.write_batches(batch_dir, 1500, n_batches=3)
+    engine.replay(batch_dir)
+
+    snap_events = [r.asDict(recursive=True) for r in snap.collect()]
+    stream_events = [r.asDict(recursive=True) for r in stream.collect()]
+    # oracle: snapshot rows first (pos=-1), then the stream
+    state = sequential_oracle(snap_events + stream_events)
+    want = {
+        k: hashlib.sha256(v["content"].encode()).hexdigest() for k, v in state.items()
+    }
+    assert _final_state_rows(table) == want
+
+
+def test_lineage_and_fence_committed_atomically(spark, tmp_path):
+    gen = ChangeLogGenerator(spark, seed=3, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "table"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    batch_dir = str(tmp_path / "batches")
+    gen.write_batches(batch_dir, 1000, n_batches=2)
+    engine.replay(batch_dir)
+
+    lin = table.lineage()
+    assert lin, "lineage rows must ride the commit"
+    assert {"batch", "bucket", "events", "deletes", "upserts", "fence_pos"} <= set(lin[0])
+    assert table.fence() == ("binlog.000001", 999)
