@@ -1,38 +1,930 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry is an implemented operator from SURVEY.md §2 (CDC
+core) or a training-data-pipeline operator (dedup / similarity / text),
+expressed through the ``debezium_spark`` package; each ``oracle_sql()`` entry
+is the equivalent ANSI SQL for DuckDB over the same parquet views.
+
+Determinism rules shared by both sides (so value-hashes match):
+- money compared as integer cents (per-row ROUND(x*100) before any SUM);
+- float scores rounded at emission; thresholds in integer arithmetic;
+- every hash is sha256 over explicit strings; int division via floor;
+- all counts cast to BIGINT.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from debezium_spark.dataops.dedup import (
+    _NIBBLE_BIT,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from debezium_spark.dataops.similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+    embedding_near_duplicates,
+)
+from debezium_spark.dataops.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC so NTZ→LTZ casts are tz-independent (parquet ts is naive µs;
+    # DuckDB's epoch_ms is naive too — UTC makes both agree).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _epoch_ms(col) -> "F.Column":
+    return F.unix_millis(col.cast("timestamp"))
+
+
+# --------------------------------------------------------------------------
+# Derived CDC envelope over the `events` table (shared Spark/SQL derivation):
+# pos=event_id (total order), op from event_type, key=(repo,path) from
+# user_id, content = event_type:cents.
+# --------------------------------------------------------------------------
+
+ENV_SQL = """
+env AS (
+  SELECT event_id AS pos,
+         CASE WHEN event_type='signup' THEN 'c'
+              WHEN event_type='error' THEN 'd'
+              ELSE 'u' END AS op,
+         user_id,
+         'repo_' || CAST(user_id % 7 AS VARCHAR) AS repo,
+         'f' || CAST(user_id AS VARCHAR) AS path,
+         event_type || ':' || CAST(CAST(ROUND(value*100) AS BIGINT) AS VARCHAR) AS content,
+         'app' AS db,
+         't' || CAST(user_id % 5 AS VARCHAR) AS tbl,
+         epoch_ms(ts) AS ts_ms,
+         event_id // 10 AS tx_id,
+         value, props
+  FROM events
+)
+"""
+
+
+def _env(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return ev.select(
+        F.col("event_id").alias("pos"),
+        F.when(F.col("event_type") == "signup", "c")
+        .when(F.col("event_type") == "error", "d")
+        .otherwise("u")
+        .alias("op"),
+        F.col("user_id"),
+        F.concat(F.lit("repo_"), F.pmod(F.col("user_id"), F.lit(7)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("user_id").cast("string")).alias("path"),
+        F.concat(F.col("event_type"), F.lit(":"), cents.cast("string")).alias("content"),
+        F.lit("app").alias("db"),
+        F.concat(F.lit("t"), F.pmod(F.col("user_id"), F.lit(5)).cast("string")).alias("tbl"),
+        _epoch_ms(F.col("ts")).alias("ts_ms"),
+        F.floor(F.col("event_id") / 10).cast("long").alias("tx_id"),
+        F.col("value"),
+        F.col("props"),
+    )
+
+
+_PAYLOAD_DDL = "struct<repo:string,path:string,content:string>"
+
+
+def _env_struct(spark: SparkSession, sf_dir: str, pkc_expr=None) -> DataFrame:
+    """Flat derived env → real envelope-struct DataFrame (before/after/op/
+    ts_ms/source/transaction), for running the package operators."""
+    e = _env(spark, sf_dir)
+    payload = F.struct(F.col("repo"), F.col("path"), F.col("content"))
+    if pkc_expr is None:
+        before_payload = payload
+        after_payload = payload
+    else:
+        after_payload = F.when(
+            pkc_expr,
+            F.struct(
+                F.col("repo"), F.concat(F.col("path"), F.lit("_r")).alias("path"), F.col("content")
+            ),
+        ).otherwise(payload)
+        before_payload = payload
+    return e.select(
+        F.when(F.col("op") != "c", before_payload).alias("before"),
+        F.when(F.col("op") != "d", after_payload).alias("after"),
+        F.col("op"),
+        F.col("ts_ms"),
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.col("pos").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.col("db").alias("db"),
+            F.col("tbl").alias("table"),
+            F.col("ts_ms").alias("ts_ms"),
+        ).alias("source"),
+        F.struct(
+            F.concat(F.lit("tx-"), F.col("tx_id").cast("string")).alias("id"),
+            F.pmod(F.col("pos"), F.lit(10)).alias("total_order"),
+            F.pmod(F.col("pos"), F.lit(10)).alias("data_collection_order"),
+        ).alias("transaction"),
+    )
+
+
+# --------------------------------------------------------------------------
+# CDC queries
+# --------------------------------------------------------------------------
+
+
+def q_envelope_build(spark, sf_dir):
+    """RelationalChangeRecordEmitter (§2.3): rows → envelope fields."""
+    return _env(spark, sf_dir).select("pos", "op", "repo", "path", "content", "db", "tbl", "ts_ms")
+
+
+SQL_envelope_build = f"""WITH {ENV_SQL}
+SELECT pos, op, repo, path, content, db, tbl, ts_ms FROM env"""
+
+
+def q_extract_new_record_state(spark, sf_dir):
+    """ExtractNewRecordState SMT (§2.6), rewrite mode — flatten + __deleted."""
+    from debezium_spark.operators.flatten import extract_new_record_state
+
+    env = _env_struct(spark, sf_dir)
+    flat = extract_new_record_state(env, delete_mode="rewrite", add_source_fields=["pos"])
+    return flat.select(
+        F.col("__source_pos").alias("pos"),
+        "repo",
+        "path",
+        "content",
+        F.col("__deleted"),
+    )
+
+
+SQL_extract_new_record_state = f"""WITH {ENV_SQL}
+SELECT pos, repo, path, content,
+       CASE WHEN op='d' THEN 'true' ELSE 'false' END AS __deleted
+FROM env"""
+
+
+def q_pk_change_split(spark, sf_dir):
+    """PK-change split (§2.3, RecordMakers.java:282-312): u with key change →
+    delete(old)+create(new), via the real split operator."""
+    from debezium_spark.operators.apply import split_pk_changes
+
+    pkc = (F.col("op") == "u") & (F.pmod(F.col("user_id"), F.lit(7)) == 3)
+    env = _env_struct(spark, sf_dir, pkc_expr=pkc)
+    split = split_pk_changes(env, ["repo", "path"])
+    return split.select(
+        F.col("source.pos").alias("pos"),
+        F.col("_sub").cast("long").alias("sub_order"),
+        "op",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        F.col("after.content").alias("content"),
+    )
+
+
+SQL_pk_change_split = f"""WITH {ENV_SQL},
+base AS (SELECT pos, op, repo, path, content,
+                (op='u' AND user_id % 7 = 3) AS pkc FROM env)
+SELECT pos, CAST(0 AS BIGINT) AS sub_order,
+       CASE WHEN pkc THEN 'd' ELSE op END AS op,
+       repo, path,
+       CASE WHEN pkc OR op='d' THEN NULL ELSE content END AS content
+FROM base
+UNION ALL
+SELECT pos, CAST(1 AS BIGINT), 'c', repo, path || '_r', content FROM base WHERE pkc"""
+
+
+def q_tombstone_emission(spark, sf_dir):
+    """Tombstones after deletes (§2.3, EventDispatcher.java:474-486)."""
+    from debezium_spark.operators.tombstones import with_tombstones
+
+    env = _env_struct(spark, sf_dir)
+    t = with_tombstones(env).filter(F.col("op") == "d")
+    return t.select(
+        F.col("source.pos").alias("pos"),
+        F.col("_sub").cast("long").alias("sub_order"),
+        F.when(F.col("_tombstone"), "tombstone").otherwise("delete").alias("kind"),
+        F.col("before.repo").alias("repo"),
+        F.col("before.path").alias("path"),
+    )
+
+
+SQL_tombstone_emission = f"""WITH {ENV_SQL}
+SELECT pos, CAST(0 AS BIGINT) AS sub_order, 'delete' AS kind, repo, path FROM env WHERE op='d'
+UNION ALL
+SELECT pos, CAST(1 AS BIGINT), 'tombstone', repo, path FROM env WHERE op='d'"""
+
+
+def q_cdc_last_wins(spark, sf_dir):
+    """Last-writer-wins per key (§2.7 dedupe; the sequential-apply equivalence)."""
+    e = _env(spark, sf_dir)
+    row = F.struct(F.col("pos"), F.col("op"), F.col("content"))
+    out = (
+        e.groupBy("repo", "path")
+        .agg(F.max_by(row, F.col("pos")).alias("r"))
+        .select("repo", "path", F.col("r.pos").alias("pos"), F.col("r.op").alias("op"), F.col("r.content").alias("content"))
+    )
+    return out
+
+
+SQL_cdc_last_wins = f"""WITH {ENV_SQL},
+r AS (SELECT repo, path, pos, op, content,
+             ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY pos DESC) AS rn FROM env)
+SELECT repo, path, pos, op, content FROM r WHERE rn = 1"""
+
+
+def q_cdc_merge_final_state(spark, sf_dir):
+    """THE FLAGSHIP: full engine replay — envelope batches → PK-split →
+    last-wins dedupe → bucketed CoW MERGE with offset-fenced commits — then
+    read back the final table state. Oracle = sequential-apply final state."""
+    from debezium_spark.plans.table import LakeTable
+    from debezium_spark.streaming.engine import CdcEngine
+    from pyspark.sql.types import StructType
+
+    env = _env_struct(spark, sf_dir)
+    max_pos = env.select(F.max("source.pos")).first()[0] or 0
+    payload_schema = StructType.fromDDL("repo string, path string, content string")
+
+    tmp = tempfile.mkdtemp(prefix="cdc_final_")
+    table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8)
+    table.create(payload_schema)
+    engine = CdcEngine(spark, table)
+    n_batches = 4
+    step = (max_pos + n_batches) // n_batches
+    for b in range(n_batches):
+        lo, hi = b * step, (b + 1) * step
+        batch = env.filter((F.col("source.pos") >= lo) & (F.col("source.pos") < hi))
+        engine.apply_envelope_batch(batch, batch_id=f"b{b}")
+    return table.read().select(
+        "repo", "path", "content", F.sha2(F.col("content"), 256).alias("content_sha")
+    )
+
+
+SQL_cdc_merge_final_state = f"""WITH {ENV_SQL},
+r AS (SELECT repo, path, content, op,
+             ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY pos DESC) AS rn FROM env)
+SELECT repo, path, content, sha256(content) AS content_sha
+FROM r WHERE rn = 1 AND op <> 'd'"""
+
+
+def q_skipped_operations(spark, sf_dir):
+    """skipped.operations filter (§2.4)."""
+    e = _env(spark, sf_dir)
+    return e.filter(~F.col("op").isin(["d"])).select("pos", "op", "repo", "path")
+
+
+SQL_skipped_operations = f"""WITH {ENV_SQL}
+SELECT pos, op, repo, path FROM env WHERE op NOT IN ('d')"""
+
+
+def q_table_include_filter(spark, sf_dir):
+    """Table include regex (§2.4, Selectors)."""
+    e = _env(spark, sf_dir)
+    fq = F.concat_ws(".", F.col("db"), F.col("tbl"))
+    return e.withColumn("fq", fq).filter(F.col("fq").rlike("^app\\.t[0-2]$")).select("pos", "fq")
+
+
+SQL_table_include_filter = f"""WITH {ENV_SQL}
+SELECT pos, db || '.' || tbl AS fq FROM env
+WHERE regexp_matches(db || '.' || tbl, '^app\\.t[0-2]$')"""
+
+
+def q_column_mask_sha256(spark, sf_dir):
+    """MaskStrings hash mode (§2.4): salted SHA-256."""
+    e = _env(spark, sf_dir)
+    return e.select(
+        "pos", "repo", F.sha2(F.concat(F.lit("salt:"), F.col("content")), 256).alias("content_masked")
+    )
+
+
+SQL_column_mask_sha256 = f"""WITH {ENV_SQL}
+SELECT pos, repo, sha256('salt:' || content) AS content_masked FROM env"""
+
+
+def q_column_truncate(spark, sf_dir):
+    """TruncateStrings (§2.4)."""
+    e = _env(spark, sf_dir)
+    return e.select("pos", F.substring(F.col("content"), 1, 8).alias("content_trunc"))
+
+
+SQL_column_truncate = f"""WITH {ENV_SQL}
+SELECT pos, substr(content, 1, 8) AS content_trunc FROM env"""
+
+
+def q_logical_table_router(spark, sf_dir):
+    """ByLogicalTableRouter (§2.5): regex shard-merge."""
+    e = _env(spark, sf_dir)
+    return e.select(
+        "pos",
+        F.col("tbl").alias("physical_table"),
+        F.regexp_replace(F.col("tbl"), "^t[0-9]+$", "t_all").alias("logical_table"),
+    )
+
+
+SQL_logical_table_router = f"""WITH {ENV_SQL}
+SELECT pos, tbl AS physical_table,
+       regexp_replace(tbl, '^t[0-9]+$', 't_all') AS logical_table FROM env"""
+
+
+def q_content_based_router(spark, sf_dir):
+    """ContentBasedRouter (§2.5): route by expression over the record."""
+    e = _env(spark, sf_dir)
+    route = (
+        F.when(F.col("value") >= 100, "high").when(F.col("value") >= 50, "mid").otherwise("low")
+    )
+    return e.select("pos", route.alias("route"))
+
+
+SQL_content_based_router = f"""WITH {ENV_SQL}
+SELECT pos, CASE WHEN value >= 100 THEN 'high'
+                 WHEN value >= 50 THEN 'mid'
+                 ELSE 'low' END AS route FROM env"""
+
+
+def q_transaction_metadata(spark, sf_dir):
+    """TransactionMonitor (§2.7): per-tx END summary."""
+    e = _env(spark, sf_dir)
+    return e.groupBy("tx_id").agg(
+        F.count("*").alias("event_count"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+        F.countDistinct("tbl").cast("long").alias("data_collections"),
+    )
+
+
+SQL_transaction_metadata = f"""WITH {ENV_SQL}
+SELECT tx_id, CAST(COUNT(*) AS BIGINT) AS event_count,
+       MIN(pos) AS first_pos, MAX(pos) AS last_pos,
+       CAST(COUNT(DISTINCT tbl) AS BIGINT) AS data_collections
+FROM env GROUP BY tx_id"""
+
+
+def q_heartbeat_lineage(spark, sf_dir):
+    """Heartbeat / lineage metrics (§2.7, §2.9): per-batch apply counters."""
+    e = _env(spark, sf_dir)
+    b = F.floor(F.col("pos") / 250).cast("long")
+    return (
+        e.groupBy(b.alias("batch_id"))
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.when(F.col("op") == "d", 1).otherwise(0)).cast("long").alias("deletes"),
+            F.sum(F.when(F.col("op") != "d", 1).otherwise(0)).cast("long").alias("upserts"),
+            F.max("pos").alias("fence_pos"),
+        )
+    )
+
+
+SQL_heartbeat_lineage = f"""WITH {ENV_SQL}
+SELECT pos // 250 AS batch_id, CAST(COUNT(*) AS BIGINT) AS events,
+       CAST(SUM(CASE WHEN op='d' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+       CAST(SUM(CASE WHEN op<>'d' THEN 1 ELSE 0 END) AS BIGINT) AS upserts,
+       MAX(pos) AS fence_pos
+FROM env GROUP BY pos // 250"""
+
+
+def q_snapshot_read(spark, sf_dir):
+    """Initial snapshot read (§2.2): table rows as op='r' envelopes."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        F.lit("r").alias("op"),
+        F.concat(F.lit("repo_"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        F.sha2(F.col("text"), 256).alias("content_sha"),
+        F.lit("true").alias("snapshot"),
+        F.lit(-1).cast("long").alias("pos"),
+    )
+
+
+SQL_snapshot_read = """SELECT 'r' AS op,
+       'repo_' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+       'f' || CAST(doc_id AS VARCHAR) AS path,
+       sha256(text) AS content_sha,
+       'true' AS snapshot, CAST(-1 AS BIGINT) AS pos
+FROM documents"""
+
+
+def q_snapshot_stream_handoff(spark, sf_dir):
+    """Snapshot-then-stream handoff (§2.2/§3): bootstrap r-events at fence
+    -1, stream after; final state = last-wins over the union."""
+    snap = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("repo_"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        F.col("text").alias("content"),
+        F.lit("r").alias("op"),
+        F.lit(-1).cast("long").alias("pos"),
+    )
+    strm = _env(spark, sf_dir).select("repo", "path", "content", "op", "pos")
+    u = snap.unionByName(strm)
+    row = F.struct(F.col("pos"), F.col("op"), F.col("content"))
+    latest = (
+        u.groupBy("repo", "path")
+        .agg(F.max_by(row, F.col("pos")).alias("r"))
+        .filter(F.col("r.op") != "d")
+    )
+    return latest.select("repo", "path", F.sha2(F.col("r.content"), 256).alias("content_sha"))
+
+
+SQL_snapshot_stream_handoff = f"""WITH {ENV_SQL},
+snap AS (SELECT 'repo_' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+                'f' || CAST(doc_id AS VARCHAR) AS path,
+                text AS content, 'r' AS op, CAST(-1 AS BIGINT) AS pos
+         FROM documents),
+u AS (SELECT repo, path, content, op, pos FROM snap
+      UNION ALL SELECT repo, path, content, op, pos FROM env),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY pos DESC) AS rn FROM u)
+SELECT repo, path, sha256(content) AS content_sha FROM r WHERE rn=1 AND op <> 'd'"""
+
+
+def q_incremental_snapshot_dedupe(spark, sf_dir):
+    """Incremental-snapshot window dedupe (§2.2, DBLog): streamed event for a
+    key evicts the buffered snapshot row."""
+    snap = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        F.concat(F.lit("repo_"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit(0).cast("long").alias("priority"),
+        F.lit(-1).cast("long").alias("pos"),
+        F.lit("snapshot").alias("origin"),
+    )
+    strm = _env(spark, sf_dir).select(
+        "repo", "path", F.lit(1).cast("long").alias("priority"), "pos", F.lit("stream").alias("origin")
+    )
+    u = snap.unionByName(strm)
+    row = F.struct(F.col("priority"), F.col("pos"), F.col("origin"))
+    return (
+        u.groupBy("repo", "path")
+        .agg(F.max_by(row, F.struct(F.col("priority"), F.col("pos"))).alias("r"))
+        .select("repo", "path", F.col("r.origin").alias("origin"), F.col("r.pos").alias("pos"))
+    )
+
+
+SQL_incremental_snapshot_dedupe = f"""WITH {ENV_SQL},
+snap AS (SELECT 'repo_' || CAST(doc_id % 7 AS VARCHAR) AS repo,
+                'f' || CAST(doc_id AS VARCHAR) AS path,
+                CAST(0 AS BIGINT) AS priority, CAST(-1 AS BIGINT) AS pos,
+                'snapshot' AS origin
+         FROM documents WHERE doc_id < 100),
+u AS (SELECT * FROM snap UNION ALL
+      SELECT repo, path, CAST(1 AS BIGINT), pos, 'stream' FROM env),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY repo, path
+                ORDER BY priority DESC, pos DESC) AS rn FROM u)
+SELECT repo, path, origin, pos FROM r WHERE rn=1"""
+
+
+def q_schema_change_ledger(spark, sf_dir):
+    """Schema-change events → history ledger (§2.8)."""
+    from pyspark.sql.window import Window
+
+    e = _env(spark, sf_dir).filter((F.col("op") == "c") & (F.pmod(F.col("user_id"), F.lit(10)) == 0))
+    ddl = F.concat(
+        F.lit("ALTER TABLE app."), F.col("tbl"), F.lit(" ADD COLUMN c"),
+        F.col("user_id").cast("string"), F.lit(" string"),
+    )
+    w = Window.orderBy("pos")
+    return e.select(
+        F.col("pos").alias("offset_pos"),
+        ddl.alias("ddl"),
+        F.row_number().over(w).cast("long").alias("schema_version"),
+    )
+
+
+SQL_schema_change_ledger = f"""WITH {ENV_SQL},
+d AS (SELECT pos, 'ALTER TABLE app.' || tbl || ' ADD COLUMN c' || CAST(user_id AS VARCHAR) || ' string' AS ddl
+      FROM env WHERE op='c' AND user_id % 10 = 0)
+SELECT pos AS offset_pos, ddl,
+       CAST(ROW_NUMBER() OVER (ORDER BY pos) AS BIGINT) AS schema_version
+FROM d"""
+
+
+def q_outbox_router(spark, sf_dir):
+    """Outbox EventRouter (§2.6): route by aggregate type, extract payload
+    (props JSON), key by aggregate id."""
+    e = _env(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.select(
+        F.col("pos"),
+        F.col("tbl").alias("aggregatetype"),
+        F.col("user_id").alias("aggregateid"),
+        k.alias("payload_k"),
+    )
+
+
+SQL_outbox_router = f"""WITH {ENV_SQL}
+SELECT pos, tbl AS aggregatetype, user_id AS aggregateid,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k
+FROM env"""
+
+
+# --------------------------------------------------------------------------
+# Training-data-pipeline queries (documents / embeddings)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+SQL_dedup_exact = """SELECT sha256(text) AS content_sha,
+       MIN(doc_id) AS survivor_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+FROM documents GROUP BY sha256(text)"""
+
+_SHINGLE_SQL = """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
+       FROM toks, unnest(generate_series(1, greatest(1, len(t)-7))) AS u(i))"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return minhash_lsh_candidates(_read(spark, sf_dir, "documents"), k=8, n_hashes=8, band_size=4)
+
+
+SQL_dedup_minhash_lsh = f"""WITH {_SHINGLE_SQL},
+sig AS (SELECT doc_id,
+        {', '.join(f"min(sha256('{i}:' || s)) AS mh{i}" for i in range(8))}
+        FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, 0 AS band, mh0||mh1||mh2||mh3 AS bval FROM sig
+          UNION ALL
+          SELECT doc_id, 1, mh4||mh5||mh6||mh7 FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band=b.band AND a.bval=b.bval AND a.doc_id < b.doc_id"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), k=8)
+
+
+SQL_dedup_ngram_jaccard = f"""WITH {_SHINGLE_SQL},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+FROM inter JOIN sizes sa ON sa.doc_id=doc_a JOIN sizes sb ON sb.doc_id=doc_b
+WHERE 5*inter >= 4*(sa.n + sb.n - inter)"""
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return simhash_signatures(_read(spark, sf_dir, "documents")).select(
+        F.col("did").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_sql() -> str:
+    sums, bits = [], []
+    for b in range(16):
+        p = b // 4 + 1
+        cls = _NIBBLE_BIT[3 - (b % 4)]
+        inlist = ", ".join(f"'{c}'" for c in cls)
+        sums.append(
+            f"SUM(CASE WHEN substr(hh,{p},1) IN ({inlist}) THEN 1 ELSE -1 END) AS v{b}"
+        )
+        bits.append(f"CASE WHEN v{b} >= 0 THEN '1' ELSE '0' END")
+    return f"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk FROM documents),
+h AS (SELECT doc_id, sha256(tk) AS hh FROM tok),
+v AS (SELECT doc_id, {', '.join(sums)} FROM h GROUP BY doc_id)
+SELECT doc_id, {' || '.join(bits)} AS simhash FROM v"""
+
+
+SQL_dedup_simhash = _simhash_sql()
+
+_COS_SQL = "list_dot_product({a},{b})/(sqrt(list_dot_product({a},{a}))*sqrt(list_dot_product({b},{b})))"
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return embedding_near_duplicates(emb)
+
+
+SQL_embedding_near_dup = f"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings WHERE vec_id < 1000)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_COS_SQL.format(a='a.v', b='b.v')}, 2) + 0.0 AS cos2
+FROM e a JOIN e b ON a.label=b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_COS_SQL.format(a='a.v', b='b.v')}, 2) >= 0.0"""
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    out = brute_force_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_ann_cosine_topk = f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q_id, e.vec_id AS n_id,
+             ROUND({_COS_SQL.format(a='qv', b='v')}, 6) AS cos_sim
+      FROM q, e WHERE e.vec_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank FROM s)
+SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    out = bucketed_ann_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_ann_ivf_topk = f"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS q_id, label AS ql, v AS qv FROM e WHERE vec_id < 5),
+s AS (SELECT q_id, e.vec_id AS n_id,
+             ROUND({_COS_SQL.format(a='qv', b='v')}, 6) AS cos_sim
+      FROM q JOIN e ON e.label = q.ql AND e.vec_id <> q.q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank FROM s)
+SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10"""
+
+
+def q_lang_id(spark, sf_dir):
+    out = language_id(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        *[F.col(f"score_{l}").cast("long").alias(f"score_{l}") for l in ("en", "de", "es", "fr")],
+        "predicted_lang",
+    )
+
+
+SQL_lang_id = """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+s AS (SELECT doc_id,
+  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS score_en,
+  CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS score_de,
+  CAST(len(list_filter(toks, x -> x IN ('el','la','de','que','y'))) AS BIGINT) AS score_es,
+  CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
+  FROM t)
+SELECT doc_id, score_en, score_de, score_es, score_fr,
+  CASE WHEN score_en > score_de AND score_en > score_es AND score_en > score_fr THEN 'en'
+       WHEN score_de > score_es AND score_de > score_fr THEN 'de'
+       WHEN score_es > score_fr THEN 'es'
+       ELSE 'fr' END AS predicted_lang
+FROM s"""
+
+
+def q_quality_score(spark, sf_dir):
+    return quality_score(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "mean_token_len",
+        "stopword_ratio",
+        "alnum_ratio",
+        "quality",
+    )
+
+
+SQL_quality_score = """WITH t AS (
+  SELECT doc_id, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS toks,
+         length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS alnum
+  FROM documents),
+s AS (SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        len(toks) AS nt, length(text) AS nc, alnum,
+        len(list_filter(toks, x -> x IN ('the','a','of','and','to','is','in'))) AS stop
+      FROM t)
+SELECT doc_id, n_tokens, n_chars,
+  CASE WHEN nt > 0 THEN ROUND(alnum/nt, 4) ELSE 0.0 END AS mean_token_len,
+  CASE WHEN nt > 0 THEN ROUND(stop/nt, 4) ELSE 0.0 END AS stopword_ratio,
+  CASE WHEN nc > 0 THEN ROUND(alnum/nc, 4) ELSE 0.0 END AS alnum_ratio,
+  ROUND(LEAST(nt/64.0, 1.0)*0.4
+        + (CASE WHEN nt > 0 THEN ROUND(stop/nt, 4) ELSE 0.0 END)*0.2
+        + (CASE WHEN nc > 0 THEN ROUND(alnum/nc, 4) ELSE 0.0 END)*0.4, 4) AS quality
+FROM s"""
+
+
+def q_token_stats(spark, sf_dir):
+    return token_stats(_read(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("word_tokens").cast("long").alias("word_tokens"),
+        "bpe_est_tokens",
+    )
+
+
+SQL_token_stats = """SELECT doc_id,
+  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+  CAST(CEIL(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))/4.0) AS BIGINT) AS bpe_est_tokens
+FROM documents"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return doc_fingerprint(_read(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint", F.col("n_grams").cast("long").alias("n_grams")
+    )
+
+
+SQL_doc_fingerprint = """WITH g AS (
+  SELECT doc_id, sha256(substr(text, i, 16)) AS h
+  FROM documents, unnest(generate_series(1, greatest(1, length(text)-15))) AS u(i))
+SELECT doc_id, MIN(h) AS fingerprint, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_grams
+FROM g GROUP BY doc_id"""
+
+
+# --------------------------------------------------------------------------
+# General analytics (bench breadth): TPC-H-style over the star schema.
+# Money compared as integer cents (per-row round before sum → exact).
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    c = lambda col: F.round(col * 100, 0).cast("long")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(c(F.col("l_quantity"))).alias("sum_qty_c"),
+            F.sum(c(F.col("l_extendedprice"))).alias("sum_base_c"),
+            F.sum(c(disc)).alias("sum_disc_c"),
+            F.sum(c(charge)).alias("sum_charge_c"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_tpch_q1 = """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    out = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_c"))
+        .select(
+            "o_orderkey",
+            _epoch_ms(F.col("o_orderdate")).alias("o_orderdate_ms"),
+            "revenue_c",
+        )
+        .orderBy(F.desc("revenue_c"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+    return out
+
+
+SQL_tpch_q3 = """SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1998-03-15' AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 10"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast("long")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("revenue_c"), F.count("*").alias("n"))
+    )
+
+
+SQL_tpch_q6 = """SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+
+def q_windowed_event_agg(spark, sf_dir):
+    """Tumbling-window aggregation over the event stream (Structured-
+    Streaming-shaped; batch-equivalent here)."""
+    ev = _read(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    hour = _epoch_ms(F.date_trunc("hour", F.col("ts").cast("timestamp")))
+    return (
+        ev.groupBy(F.col("user_id"), hour.alias("hour_ms"))
+        .agg(F.count("*").alias("n"), F.sum(cents).alias("sum_cents"))
+    )
+
+
+SQL_windowed_event_agg = """SELECT user_id, epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY user_id, date_trunc('hour', ts)"""
+
+
+def q_event_topn_per_type(spark, sf_dir):
+    """Top-3 events by value per type (window rank with deterministic ties)."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "event_id", "value", "rnk")
+    )
+
+
+SQL_event_topn_per_type = """SELECT event_type, event_id, value,
+  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id ASC) AS BIGINT) AS rnk
+FROM events QUALIFY rnk <= 3"""
+
+
+def q_broadcast_dim_join(spark, sf_dir):
+    """Broadcast hash join of the event stream against a small dim (nation):
+    the shape every enrich step should take at 100 TB."""
+    ev = _read(spark, sf_dir, "events")
+    nat = _read(spark, sf_dir, "nation")
+    keyed = ev.withColumn("nk", F.pmod(F.col("user_id"), F.lit(25)))
+    return (
+        keyed.join(F.broadcast(nat), keyed.nk == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+SQL_broadcast_dim_join = """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events JOIN nation ON (user_id % 25) = n_nationkey
+GROUP BY n_name"""
+
+
+# --------------------------------------------------------------------------
+# Registry + driver contract
+# --------------------------------------------------------------------------
+
+_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "envelope_build": (q_envelope_build, SQL_envelope_build),
+    "extract_new_record_state": (q_extract_new_record_state, SQL_extract_new_record_state),
+    "pk_change_split": (q_pk_change_split, SQL_pk_change_split),
+    "tombstone_emission": (q_tombstone_emission, SQL_tombstone_emission),
+    "cdc_last_wins": (q_cdc_last_wins, SQL_cdc_last_wins),
+    "cdc_merge_final_state": (q_cdc_merge_final_state, SQL_cdc_merge_final_state),
+    "skipped_operations": (q_skipped_operations, SQL_skipped_operations),
+    "table_include_filter": (q_table_include_filter, SQL_table_include_filter),
+    "column_mask_sha256": (q_column_mask_sha256, SQL_column_mask_sha256),
+    "column_truncate": (q_column_truncate, SQL_column_truncate),
+    "logical_table_router": (q_logical_table_router, SQL_logical_table_router),
+    "content_based_router": (q_content_based_router, SQL_content_based_router),
+    "transaction_metadata": (q_transaction_metadata, SQL_transaction_metadata),
+    "heartbeat_lineage": (q_heartbeat_lineage, SQL_heartbeat_lineage),
+    "snapshot_read": (q_snapshot_read, SQL_snapshot_read),
+    "snapshot_stream_handoff": (q_snapshot_stream_handoff, SQL_snapshot_stream_handoff),
+    "incremental_snapshot_dedupe": (q_incremental_snapshot_dedupe, SQL_incremental_snapshot_dedupe),
+    "schema_change_ledger": (q_schema_change_ledger, SQL_schema_change_ledger),
+    "outbox_router": (q_outbox_router, SQL_outbox_router),
+    "dedup_exact": (q_dedup_exact, SQL_dedup_exact),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_dedup_minhash_lsh),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_dedup_ngram_jaccard),
+    "dedup_simhash": (q_dedup_simhash, SQL_dedup_simhash),
+    "embedding_near_dup": (q_embedding_near_dup, SQL_embedding_near_dup),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ann_cosine_topk),
+    "ann_ivf_topk": (q_ann_ivf_topk, SQL_ann_ivf_topk),
+    "lang_id": (q_lang_id, SQL_lang_id),
+    "quality_score": (q_quality_score, SQL_quality_score),
+    "token_stats": (q_token_stats, SQL_token_stats),
+    "doc_fingerprint": (q_doc_fingerprint, SQL_doc_fingerprint),
+    "tpch_q1": (q_tpch_q1, SQL_tpch_q1),
+    "tpch_q3": (q_tpch_q3, SQL_tpch_q3),
+    "tpch_q6": (q_tpch_q6, SQL_tpch_q6),
+    "windowed_event_agg": (q_windowed_event_agg, SQL_windowed_event_agg),
+    "event_topn_per_type": (q_event_topn_per_type, SQL_event_topn_per_type),
+    "broadcast_dim_join": (q_broadcast_dim_join, SQL_broadcast_dim_join),
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC engine replay at sf0.001 (envelope → PK split →
+    last-wins dedupe → bucketed CoW MERGE → final state)."""
+    return q_cdc_merge_final_state(spark, SF_DEFAULT)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (fn, sql) in _REGISTRY.items() if sql is not None}

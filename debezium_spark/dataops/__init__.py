@@ -1,0 +1,40 @@
+"""Training-data-pipeline operators over the documents/embeddings tables.
+
+These extend the CDC engine with the operations a large-scale
+training-data pipeline needs (dedup, similarity search, text analysis,
+multimodal plumbing). All hot paths are Catalyst expressions (array/lambda
+higher-order functions, sha2, regexp) — no per-row Python; the only Python
+is the clearly-stubbed multimodal decode behind mapInPandas.
+"""
+
+from debezium_spark.dataops.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from debezium_spark.dataops.similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+    embedding_near_duplicates,
+)
+from debezium_spark.dataops.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "simhash_signatures",
+    "brute_force_topk",
+    "bucketed_ann_topk",
+    "embedding_near_duplicates",
+    "doc_fingerprint",
+    "language_id",
+    "quality_score",
+    "token_stats",
+]

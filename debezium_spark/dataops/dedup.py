@@ -1,0 +1,159 @@
+"""Document deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard. All pure Catalyst (higher-order array functions + sha2); built to
+scale: shingling is a per-row map, candidate generation goes through
+equi-joins on hash buckets (shuffle on short keys), and verification only
+touches candidate pairs — never the full n² cross product.
+
+Determinism: every hash is sha256 over explicit strings, so results are
+identical across runs, partitionings, and engines (the DuckDB oracle
+replicates them byte-for-byte).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens_col(text_col: str = "text") -> "F.Column":
+    """Lowercased word tokens."""
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0)
+
+
+def shingles_col(k: int, text_col: str = "text") -> "F.Column":
+    """Distinct k-word shingles (space-joined); short docs yield one
+    (possibly shorter) shingle."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(k) + 1))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by sha256(text): the survivor per content hash is the
+    smallest id. Hash-groupBy: map-side combinable, one shuffle on the
+    digest."""
+    h = F.sha2(F.col(text_col), 256)
+    return (
+        docs.select(F.col(id_col), h.alias("content_sha"))
+        .groupBy("content_sha")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    k: int = 8,
+    n_hashes: int = 8,
+    band_size: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding.
+
+    MinHash trick that needs no integer hash family: for seed i, the
+    signature element is the *lexicographic min* of sha256(i || ':' ||
+    shingle) — a uniformly random permutation of shingle space per seed,
+    hence a valid min-hash. Bands of ``band_size`` signature elements are
+    concatenated; documents sharing any band bucket become candidate pairs
+    (the classic banding join). Scale: explode-to-shingles → groupBy(doc)
+    partial-aggregated mins → short-key equi-join on (band_idx, band_val);
+    no cross product.
+    """
+    sh = docs.select(F.col(id_col).alias("did"), F.explode(shingles_col(k, text_col)).alias("s"))
+    mins = [
+        F.min(F.sha2(F.concat(F.lit(f"{i}:"), F.col("s")), 256)).alias(f"mh{i}")
+        for i in range(n_hashes)
+    ]
+    sig = sh.groupBy("did").agg(*mins)
+    n_bands = n_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{i}") for i in range(b * band_size, (b + 1) * band_size)]
+        bands.append(
+            sig.select("did", F.lit(b).alias("band"), F.concat(*cols).alias("bval"))
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    a, b2 = allb.alias("a"), allb.alias("b")
+    pairs = (
+        a.join(b2, on=["band", "bval"])
+        .filter(F.col("a.did") < F.col("b.did"))
+        .select(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    k: int = 8,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs with an exact rational threshold
+    (default 4/5 = 0.8): den*|A∩B| >= num*|A∪B| in integer arithmetic — no
+    floating point, so the oracle matches bit-for-bit. Candidate generation
+    = self-join on shared shingles (inverted index), verification on
+    integer counts."""
+    sh = docs.select(
+        F.col(id_col).alias("did"), F.explode(shingles_col(k, text_col)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("did").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="s")
+        .filter(F.col("a.did") < F.col("b.did"))
+        .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("did").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("did").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b", "inter", "na", "nb")
+    )
+
+
+# SimHash bit extraction from hex chars: bit j of a hex nibble c is set iff
+# c is in the j-th character class below (pure string ops — engine-agnostic).
+_NIBBLE_BIT = {
+    3: list("89abcdef"),
+    2: list("4567cdef"),
+    1: list("2367abef"),
+    0: list("13579bdf"),
+}
+
+
+def simhash_signatures(
+    docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """SimHash over word tokens: each token votes ±1 per bit of
+    sha256(token); signature bit = 1 iff the vote sum >= 0. Emitted as a
+    16-char '0'/'1' string. Near-dups share signatures (or low Hamming
+    distance — grouping by exact signature here)."""
+    tok = docs.select(F.col(id_col).alias("did"), F.explode(tokens_col(text_col)).alias("t"))
+    h = F.sha2(F.col("t"), 256)
+    votes = []
+    for b in range(bits):
+        p = b // 4 + 1  # hex char position (1-based)
+        cls = _NIBBLE_BIT[3 - (b % 4)]
+        bit_set = F.substring(h, p, 1).isin(cls)
+        votes.append(
+            F.sum(F.when(bit_set, 1).otherwise(-1)).alias(f"v{b}")
+        )
+    agg = tok.groupBy("did").agg(*votes)
+    sig = F.concat(
+        *[F.when(F.col(f"v{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
+    )
+    return agg.select("did", sig.alias("simhash"))

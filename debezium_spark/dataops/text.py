@@ -1,0 +1,104 @@
+"""Text-analysis operators: language ID, quality scoring, token stats,
+document fingerprinting. Pure Catalyst; float ratios come from
+int/int double division (IEEE-deterministic) rounded at emission."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from debezium_spark.dataops.dedup import tokens_col
+
+# Marker-word lists for the n-gram language heuristic. Tiny on purpose —
+# a real deployment swaps in per-language frequency tables; the operator
+# shape (score per language → argmax with fixed tie order) is what scales.
+_LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language heuristic: score per language = number of token
+    hits against its marker list; argmax with deterministic tie order
+    (en > de > es > fr by list order, ties to the earlier language)."""
+    toks = tokens_col(text_col)
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        hits = F.size(F.filter(toks, lambda t: t.isin(words)))
+        scores.append((lang, hits))
+    pred = F.lit("unknown")
+    best = F.lit(-1)
+    # fold right-to-left so earlier languages win ties
+    for lang, s in reversed(scores):
+        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, s)
+    out = docs.select(F.col(id_col), *[s.alias(f"score_{l}") for l, s in scores])
+    # recompute argmax over the materialized score columns (clearer plan)
+    pred2 = F.lit("unknown")
+    best2 = F.lit(-1)
+    for lang, _ in reversed(scores):
+        c = F.col(f"score_{lang}")
+        pred2 = F.when(c > best2, F.lit(lang)).otherwise(pred2)
+        best2 = F.greatest(best2, c)
+    return out.withColumn("predicted_lang", pred2)
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + composite score:
+    token count, mean token length, stopword ratio, non-alnum ratio."""
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks)
+    n_char = F.length(F.col(text_col))
+    alnum_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    stop = F.size(F.filter(toks, lambda t: t.isin(["the", "a", "of", "and", "to", "is", "in"])))
+    mean_tok_len = F.when(n_tok > 0, F.round(alnum_chars / n_tok, 4)).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, F.round(stop / n_tok, 4)).otherwise(F.lit(0.0))
+    alnum_ratio = F.when(n_char > 0, F.round(alnum_chars / n_char, 4)).otherwise(F.lit(0.0))
+    score = F.round(
+        F.least(n_tok / F.lit(64.0), F.lit(1.0)) * 0.4 + stop_ratio * 0.2 + alnum_ratio * 0.4, 4
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_char.alias("n_chars"),
+        mean_tok_len.alias("mean_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        alnum_ratio.alias("alnum_ratio"),
+        score.alias("quality"),
+    )
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting three ways: whitespace split, word-regex count, and a
+    BPE-ish subword proxy (ceil of alnum chars / 4 — the classic chars/4
+    token estimate)."""
+    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    words = F.size(tokens_col(text_col))
+    alnum_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    bpe_est = F.ceil(alnum_chars / F.lit(4.0)).cast("long")
+    return docs.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        words.alias("word_tokens"),
+        bpe_est.alias("bpe_est_tokens"),
+    )
+
+
+def doc_fingerprint(
+    docs: DataFrame, k: int = 16, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Winnowing-style fingerprint over character k-grams: the document
+    fingerprint is the lexicographic-min sha256 of its k-grams plus the
+    distinct k-gram count (rolling-hash analog with an engine-agnostic
+    hash)."""
+    n = F.length(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(k) + 1))
+    grams = F.transform(idx, lambda i: F.sha2(F.col(text_col).substr(i, F.lit(k)), 256))
+    return docs.select(
+        F.col(id_col),
+        F.array_min(grams).alias("fingerprint"),
+        F.size(F.array_distinct(grams)).alias("n_grams"),
+    )
