@@ -58,6 +58,7 @@ class ChangeLogGenerator:
         files_per_dir: int = 50,
         tx_size: int = 10,
         events_per_file: int = 500_000,
+        content_words: int = 16,
     ) -> None:
         self.spark = spark
         self.seed = seed
@@ -66,6 +67,7 @@ class ChangeLogGenerator:
         self.files_per_dir = files_per_dir
         self.tx_size = tx_size
         self.events_per_file = events_per_file
+        self.content_words = content_words
 
     # ---- column builders -------------------------------------------------
 
@@ -91,14 +93,17 @@ class ChangeLogGenerator:
         return F.element_at(arr, (F.pmod(_h(self.seed, F.lit("lang"), id_col), F.lit(len(_LANGS))) + 1).cast("int"))
 
     def _content(self, id_col) -> "F.Column":
-        """Deterministic pseudo-source text (~120 chars), pure Catalyst."""
+        """Deterministic pseudo-source text (~7.5 chars/word), pure Catalyst.
+
+        ``content_words`` sizes the payload: 16 ≈ a 120-char snippet (unit
+        tests), 64+ ≈ realistic source-file bodies for throughput benches."""
         arr = F.array(*[F.lit(w) for w in _WORDS])
         words = [
             F.element_at(
                 arr,
                 (F.pmod(_h(self.seed, F.lit(f"w{i}"), id_col), F.lit(len(_WORDS))) + 1).cast("int"),
             )
-            for i in range(16)
+            for i in range(self.content_words)
         ]
         body = F.concat_ws(" ", *words)
         # embed the event index so every version of a row is unique

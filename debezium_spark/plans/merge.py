@@ -59,15 +59,13 @@ def merge_changes(
     out_cols = [f.name for f in schema.fields]
 
     b = bucket_expr(keys, table.n_buckets)
-    changes = changes.withColumn("_bucket", b)
-
-    touched = sorted(r["_bucket"] for r in changes.select("_bucket").distinct().collect())
-    if not touched:
-        table.commit_buckets({}, [], fence, [])
-        return table.manifest()["version"]
+    # cache the deduped change-set: it feeds the lineage agg, the anti-join
+    # and the upsert union — without this the dedupe shuffle reruns 3×
+    changes = changes.withColumn("_bucket", b).persist()
 
     # lineage: per-bucket apply metrics, committed with the data
-    # (reference analog: BaseSinkProcessInfo extract/replay counters)
+    # (reference analog: BaseSinkProcessInfo extract/replay counters);
+    # the same one aggregation also yields the touched-bucket set
     lin = (
         changes.groupBy("_bucket")
         .agg(
@@ -77,6 +75,12 @@ def merge_changes(
         )
         .collect()
     )
+    touched = sorted(int(r["_bucket"]) for r in lin)
+    if not touched:
+        changes.unpersist()
+        table.commit_buckets({}, [], fence, [])
+        return table.manifest()["version"]
+
     lineage = [
         {
             "batch": batch_id,
@@ -109,6 +113,8 @@ def merge_changes(
         .mode("overwrite")
         .parquet(out_dir)
     )
+
+    changes.unpersist()
 
     new_dirs: dict[int, list[str]] = {}
     if os.path.exists(out_dir):

@@ -63,20 +63,34 @@ class CdcEngine:
     # ---- one micro-batch --------------------------------------------------
 
     def apply_envelope_batch(
-        self, env: DataFrame, batch_id: str, fence: tuple[str, int] | None = None
+        self,
+        env: DataFrame,
+        batch_id: str,
+        fence: tuple[str, int] | None = None,
+        has_ddl: bool | None = None,
     ) -> int | None:
         for smt in self.smt_chain:
             env = smt(env)
 
-        # DDL barrier: collect (tiny) DDL rows, segment DML around them.
-        # One filtered scan with op-predicate pushdown; DDL rows are rare.
-        ddls = (
-            env.filter(F.col("op") == DDL_OP)
-            .select("source.file", "source.pos", "after.content")
-            .orderBy("pos")
-            .collect()
-        )
-        dml = env.filter(F.col("op") != DDL_OP)
+        # DDL barrier: segment DML around DDL rows. DDL is rare, but its
+        # detection scan must not decode the (wide) content column for the
+        # whole batch — so first a cheap op-column-only count (or the hint
+        # the replay loop computed in its offset aggregate), and only if
+        # non-zero the content collect (parquet column pruning makes the
+        # count read just `op`).
+        if has_ddl is None:
+            has_ddl = env.filter(F.col("op") == DDL_OP).limit(1).count() > 0
+        if has_ddl:
+            ddls = (
+                env.filter(F.col("op") == DDL_OP)
+                .select("source.file", "source.pos", "after.content")
+                .orderBy("pos")
+                .collect()
+            )
+            dml = env.filter(F.col("op") != DDL_OP)
+        else:
+            ddls = []
+            dml = env
 
         if fence is None:
             mm = env.select(
@@ -124,11 +138,21 @@ class CdcEngine:
         versions = []
         for i, path in enumerate(list_batches(batch_dir)):
             env = read_batch(self.spark, path)
-            mm = env.select(F.max("source.pos").alias("p"), F.max("source.file").alias("f")).first()
+            # one narrow-column pass: offset fence + DDL presence together
+            mm = env.select(
+                F.max("source.pos").alias("p"),
+                F.max("source.file").alias("f"),
+                F.max((F.col("op") == DDL_OP).cast("int")).alias("nd"),
+            ).first()
             cur = self.table.fence()
             if mm["p"] is None or (cur is not None and mm["p"] <= cur[1]):
                 continue
-            v = self.apply_envelope_batch(env, batch_id=f"batch_{i:05d}", fence=(mm["f"], mm["p"]))
+            v = self.apply_envelope_batch(
+                env,
+                batch_id=f"batch_{i:05d}",
+                fence=(mm["f"], mm["p"]),
+                has_ddl=bool(mm["nd"]),
+            )
             if v is not None:
                 versions.append(v)
         return versions
