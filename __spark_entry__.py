@@ -513,6 +513,113 @@ SELECT pos AS offset_pos, ddl,
 FROM d"""
 
 
+def q_serde_json_roundtrip(spark, sf_dir):
+    """JSON envelope serde (§2.6 Serde, DebeziumSerdes): envelope → to_json
+    wire format → from_json back to typed rows; projection must be lossless."""
+    from debezium_spark.functions.serde import envelope_from_json, envelope_to_json
+    from pyspark.sql.types import StructType
+
+    env = _env_struct(spark, sf_dir)
+    wire = envelope_to_json(env)
+    payload = StructType.fromDDL("repo string, path string, content string")
+    back = envelope_from_json(wire, payload=payload)
+    return back.select(
+        F.col("source.pos").alias("pos"),
+        "op",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        F.col("after.content").alias("content"),
+    )
+
+
+SQL_serde_json_roundtrip = f"""WITH {ENV_SQL}
+SELECT pos, op, repo, path,
+       CASE WHEN op='d' THEN NULL ELSE content END AS content
+FROM env"""
+
+
+def q_cloudevents_convert(spark, sf_dir):
+    """CloudEventsConverter (§2.6): envelope → CE 1.0 attributes + JSON data;
+    content re-extracted from the data JSON to prove the payload survives."""
+    from debezium_spark.functions.serde import to_cloudevents
+
+    env = _env_struct(spark, sf_dir)
+    ce = to_cloudevents(env)
+    return ce.select(
+        "ce_id",
+        "ce_specversion",
+        "ce_source",
+        "ce_type",
+        "ce_time_ms",
+        F.get_json_object(F.col("data"), "$.after.content").alias("data_content"),
+    )
+
+
+SQL_cloudevents_convert = f"""WITH {ENV_SQL}
+SELECT 'binlog.000001:' || CAST(pos AS VARCHAR) AS ce_id,
+       '1.0' AS ce_specversion,
+       '/debezium_spark/inventory' AS ce_source,
+       'io.debezium.op.' || op AS ce_type,
+       ts_ms AS ce_time_ms,
+       CASE WHEN op='d' THEN NULL ELSE content END AS data_content
+FROM env"""
+
+
+def q_ens_drop_deletes(spark, sf_dir):
+    """ExtractNewRecordState delete.handling.mode=drop (§2.6,
+    ExtractNewRecordState.java:150-171)."""
+    from debezium_spark.operators.flatten import extract_new_record_state
+
+    env = _env_struct(spark, sf_dir)
+    flat = extract_new_record_state(env, delete_mode="drop")
+    return flat.select("repo", "path", "content", "op")
+
+
+SQL_ens_drop_deletes = f"""WITH {ENV_SQL}
+SELECT repo, path, content, op FROM env WHERE op <> 'd'"""
+
+
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal decode plumbing: binary payload column → Arrow-batched
+    mapInPandas feature extraction (decode itself stubbed; sha-derived
+    features). feat ints re-rendered as hex to compare against the sha."""
+    from debezium_spark.dataops.multimodal import decode_image_features, synth_media
+
+    media = synth_media(spark, 500)
+    feats = decode_image_features(media)
+    hex8 = lambda c: F.lpad(F.lower(F.conv(F.col(c).cast("string"), 10, 16)), 8, "0")
+    return feats.select(
+        "media_id", "n_bytes", "payload_sha",
+        hex8("feat0").alias("feat0_hex"),
+        hex8("feat1").alias("feat1_hex"),
+    )
+
+
+SQL_multimodal_decode = """WITH m AS (
+  SELECT i AS media_id, sha256('42:' || CAST(i AS VARCHAR)) AS payload_str
+  FROM generate_series(0, 499) AS t(i))
+SELECT media_id, CAST(64 AS BIGINT) AS n_bytes,
+       sha256(payload_str) AS payload_sha,
+       substr(sha256(payload_str), 1, 8) AS feat0_hex,
+       substr(sha256(payload_str), 9, 8) AS feat1_hex
+FROM m"""
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: every video row → frame timestamps
+    (Catalyst sequence+explode; per-frame decode would be a second
+    mapInPandas)."""
+    from debezium_spark.dataops.multimodal import frame_sample, synth_media
+
+    media = synth_media(spark, 500)
+    return frame_sample(media, every_ms=1000)
+
+
+SQL_multimodal_frame_sample = """SELECT i AS media_id,
+       unnest(generate_series(0, greatest(i*10 - 1, 0), 1000)) AS frame_ts
+FROM generate_series(0, 499) AS t(i) WHERE i % 3 = 2"""
+
+
 def q_outbox_router(spark, sf_dir):
     """Outbox EventRouter (§2.6): route by aggregate type, extract payload
     (props JSON), key by aggregate id."""
@@ -896,6 +1003,11 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "incremental_snapshot_dedupe": (q_incremental_snapshot_dedupe, SQL_incremental_snapshot_dedupe),
     "schema_change_ledger": (q_schema_change_ledger, SQL_schema_change_ledger),
     "outbox_router": (q_outbox_router, SQL_outbox_router),
+    "serde_json_roundtrip": (q_serde_json_roundtrip, SQL_serde_json_roundtrip),
+    "cloudevents_convert": (q_cloudevents_convert, SQL_cloudevents_convert),
+    "ens_drop_deletes": (q_ens_drop_deletes, SQL_ens_drop_deletes),
+    "multimodal_decode": (q_multimodal_decode, SQL_multimodal_decode),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_multimodal_frame_sample),
     "dedup_exact": (q_dedup_exact, SQL_dedup_exact),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_dedup_minhash_lsh),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_dedup_ngram_jaccard),

@@ -151,8 +151,17 @@ def worker_main(cpus: int, batch_dir: str, n_events: int) -> None:
 
 
 def run_worker_subprocess(cpus: int, batch_dir: str, n_events: int) -> dict:
+    cmd = [
+        sys.executable, os.path.abspath(__file__), "--worker", str(cpus), batch_dir, str(n_events)
+    ]
+    # Pin the process to exactly `cpus` CPUs: local[N] only bounds task
+    # slots — GC/JIT/shuffle-IO threads would otherwise borrow idle cores,
+    # inflating the low-parallelism side and understating scaling. Pinning
+    # models N dedicated executor cores the way a real cluster allocates.
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus), batch_dir, str(n_events)],
+        cmd,
         capture_output=True,
         text=True,
         timeout=3600,

@@ -150,6 +150,27 @@ class LakeTable:
         self._publish(new_man)
         return new_man["version"]
 
+    def truncate(self, fence: tuple[str, int] | None = None, batch_id: str = "truncate") -> int:
+        """TRUNCATE barrier (Envelope op 't', reference Envelope.java:498-505;
+        sink-side replay analog in the fork's DML path): publish a version
+        with every bucket empty. O(1) — no data files touched; old versions
+        remain time-travelable until expired."""
+        man = self.manifest()
+        new_man = {
+            "version": man["version"] + 1,
+            "schema": man["schema"],
+            "buckets": {},
+            "fence": {"file": fence[0], "pos": fence[1]} if fence else man["fence"],
+            "lineage": [
+                {"batch": batch_id, "bucket": -1, "events": 1, "deletes": 0,
+                 "upserts": 0, "truncate": True,
+                 "fence_pos": fence[1] if fence else None}
+            ],
+            "parent": man["version"],
+        }
+        self._publish(new_man)
+        return new_man["version"]
+
     def alter_add_columns(self, cols: list[tuple[str, str]]) -> None:
         """Schema evolution barrier — Iceberg ``ALTER TABLE ADD COLUMN``
         equivalent (SURVEY §2.8). Idempotent: re-adding an existing column is

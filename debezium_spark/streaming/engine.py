@@ -26,6 +26,9 @@ from pyspark.sql import functions as F
 
 from debezium_spark.operators.apply import compute_changes, split_pk_changes
 from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl
+from debezium_spark.schema import OP_TRUNCATE as TRUNCATE_OP
+
+BARRIER_OPS = [DDL_OP, TRUNCATE_OP]
 from debezium_spark.plans.merge import merge_changes
 from debezium_spark.plans.table import LakeTable
 from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA
@@ -72,22 +75,23 @@ class CdcEngine:
         for smt in self.smt_chain:
             env = smt(env)
 
-        # DDL barrier: segment DML around DDL rows. DDL is rare, but its
-        # detection scan must not decode the (wide) content column for the
-        # whole batch — so first a cheap op-column-only count (or the hint
-        # the replay loop computed in its offset aggregate), and only if
-        # non-zero the content collect (parquet column pruning makes the
-        # count read just `op`).
+        # Barrier segmentation: DDL ('l') and TRUNCATE ('t') rows split the
+        # batch — events before a barrier merge under the old table state,
+        # events after under the new. Barriers are rare, so detection must
+        # not decode the (wide) content column for the whole batch: first a
+        # cheap op-column-only probe (or the hint the replay loop computed in
+        # its offset aggregate), and only if non-zero the content collect
+        # (parquet column pruning makes the probe read just `op`).
         if has_ddl is None:
-            has_ddl = env.filter(F.col("op") == DDL_OP).limit(1).count() > 0
+            has_ddl = env.filter(F.col("op").isin(BARRIER_OPS)).limit(1).count() > 0
         if has_ddl:
             ddls = (
-                env.filter(F.col("op") == DDL_OP)
-                .select("source.file", "source.pos", "after.content")
+                env.filter(F.col("op").isin(BARRIER_OPS))
+                .select("source.file", "source.pos", "op", "after.content")
                 .orderBy("pos")
                 .collect()
             )
-            dml = env.filter(F.col("op") != DDL_OP)
+            dml = env.filter(~F.col("op").isin(BARRIER_OPS))
         else:
             ddls = []
             dml = env
@@ -116,7 +120,12 @@ class CdcEngine:
             if d is not None:
                 cur = self.table.fence()
                 if cur is None or d["pos"] > cur[1]:
-                    apply_ddl(self.table, d["content"], (d["file"], d["pos"]))
+                    if d["op"] == TRUNCATE_OP:
+                        version = self.table.truncate(
+                            (d["file"], d["pos"]), batch_id=f"{batch_id}/t{i}"
+                        )
+                    else:
+                        apply_ddl(self.table, d["content"], (d["file"], d["pos"]))
             seg_start = seg_end
         return version
 
@@ -142,7 +151,7 @@ class CdcEngine:
             mm = env.select(
                 F.max("source.pos").alias("p"),
                 F.max("source.file").alias("f"),
-                F.max((F.col("op") == DDL_OP).cast("int")).alias("nd"),
+                F.max(F.col("op").isin(BARRIER_OPS).cast("int")).alias("nd"),
             ).first()
             cur = self.table.fence()
             if mm["p"] is None or (cur is not None and mm["p"] <= cur[1]):

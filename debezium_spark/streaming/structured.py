@@ -1,0 +1,81 @@
+"""Structured Streaming ingestion mode.
+
+The micro-batch driver loop in ``streaming.engine`` is the deterministic
+replay path (batch boundaries fixed at write time). This module is the
+always-on tail path: ``spark.readStream`` over the ordered event-batch
+directory → ``foreachBatch`` → the same fenced merge. It plays the role of
+the reference's continuously running streaming sources + sink task
+(``MySqlStreamingChangeEventSource.java:330-343`` dispatch loop;
+``sink/task/MysqlSinkConnectorTask.java:66-81`` put →
+``TableReplayTask.batchWrite``), with Spark supplying what the reference
+hand-builds:
+
+- the bounded queue + backpressure (``ChangeEventQueue.java:194-216``) →
+  ``maxFilesPerTrigger`` / trigger pacing;
+- the Kafka offset store (``EmbeddedEngine.java:105-149``) → the streaming
+  checkpointLocation, *plus* our table-side fence — so exactly-once holds
+  even if the checkpoint is lost: a replayed micro-batch whose max offset is
+  behind the fence is a no-op (the fence rides the Iceberg-style commit).
+
+Two independent exactly-once layers (checkpoint dedupe at the source, fence
+at the sink) mirror the reference's breakpoint ledger + isExistSql read-back
+(``TableReplayTask.java:351-399``) but need no read-back because the fence
+commit is atomic with the data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from debezium_spark.schema import envelope_schema
+from debezium_spark.streaming.engine import CdcEngine
+
+
+def stream_replay(
+    spark: SparkSession,
+    engine: CdcEngine,
+    batch_dir: str,
+    checkpoint_dir: str,
+    payload_schema=None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Tail ``batch_dir`` as a file stream and apply each micro-batch through
+    the engine's fenced merge. Returns the StreamingQuery.
+
+    ``available_now=True`` drains everything currently in the directory and
+    stops (the batch-replay-as-stream mode used in tests and backfills);
+    ``False`` runs until ``query.stop()`` — the production tail.
+
+    Ordering contract: each ``batch_NNNNN.parquet`` directory must appear
+    atomically (write elsewhere, rename in) and in offset order — then every
+    trigger sees only whole batches and epochs are offset-monotone, which is
+    what makes the engine's last-wins dedupe + fence equivalent to
+    sequential apply (SURVEY §7.4 deterministic batch boundaries). Do NOT
+    set ``max_files_per_trigger`` below the part-file count of one batch:
+    a split batch breaks whole-batch atomicity (the per-key pos ordering
+    inside the engine still protects upsert ordering, but a replayed prefix
+    after a crash would commit a fence mid-batch).
+    """
+    schema = payload_schema or envelope_schema()
+
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # backpressure: bounds events-in-flight per micro-batch, the
+        # ChangeEventQueue max.batch.size analog
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # batch "files" are parquet directories — glob into their part files
+    stream = reader.parquet(f"{batch_dir}/batch_*")
+
+    def apply_batch(df, epoch_id: int) -> None:
+        # foreachBatch may redeliver an epoch after restart; the engine's
+        # fence check turns the redelivery into a no-op
+        engine.apply_envelope_batch(df, batch_id=f"epoch_{epoch_id:05d}")
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    return query

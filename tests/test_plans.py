@@ -1,0 +1,103 @@
+"""Physical-plan quality gates. These assert the *shape* of the plans, not
+their results: filters reach the parquet scan, small dims broadcast, the hot
+path stays in whole-stage codegen, and no row-at-a-time Python UDF appears
+anywhere (Arrow/pandas evals are the only sanctioned Python, and only in the
+multimodal ops)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    df = entry.q_tpch_q6(spark, SF)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan
+    # at least the shipdate range must be pushed into the scan
+    assert "IsNotNull(l_shipdate)" in plan or "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_on_wide_scan(spark):
+    df = entry.q_tpch_q6(spark, SF)
+    plan = plan_of(df)
+    # lineitem has 16 columns; the scan must read only the 4 needed
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read and "l_orderkey" not in read
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in read
+
+
+def test_small_dim_joins_broadcast(spark):
+    for q in (entry.q_tpch_q3, entry.q_broadcast_dim_join):
+        assert "BroadcastHashJoin" in plan_of(q(spark, SF))
+
+
+def test_no_row_python_udfs_in_registry(spark):
+    """North rule: vectorized pandas/Arrow UDFs only, no per-row Python.
+    BatchEvalPython = row-at-a-time Python UDF — must appear nowhere."""
+    for name, fn in entry.queries().items():
+        if name == "cdc_merge_final_state":
+            continue  # runs a full engine replay; covered by the engine test below
+        plan = plan_of(fn(spark, SF))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_multimodal_uses_arrow_not_row_python(spark):
+    df = entry.q_multimodal_decode(spark, SF)
+    plan = plan_of(df)
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_engine_merge_plan_is_jvm_only(spark, tmp_path):
+    """The apply hot path (split → dedupe) must be pure JVM with a
+    map-side combine: zero Python evals, no Window sort, and the last-wins
+    dedupe must show a *partial* max_by (each hot key collapses to one row
+    per map task before the exchange). max_by carries a struct buffer so it
+    plans as SortAggregate, not HashAggregate — that's fine: the partial
+    phase is what bounds the shuffle under key skew."""
+    from debezium_spark import ChangeLogGenerator
+    from debezium_spark.operators.apply import compute_changes, split_pk_changes
+
+    gen = ChangeLogGenerator(spark, seed=1, n_repos=5)
+    env = gen.events(1000)
+    changes = compute_changes(split_pk_changes(env, ["repo", "path"]), ["repo", "path"])
+    plan = plan_of(changes)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan
+    assert "partial_max_by" in plan  # map-side combine before the exchange
+    assert plan.count("Exchange") == 1  # exactly one shuffle in the dedupe
+
+
+def test_bucket_pruned_read(spark, tmp_path):
+    """Key-lookup reads must scan only the key's bucket files."""
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=2, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=8)
+    engine = CdcEngine(spark, table)
+    batch_dir = str(tmp_path / "b")
+    gen.write_batches(batch_dir, 2000, 1)
+    engine.replay(batch_dir)
+
+    full = table.read().count()
+    one_bucket = table.read(buckets=[3]).count()
+    assert 0 < one_bucket < full
