@@ -63,6 +63,32 @@ class CdcEngine:
         same consistent handoff lock-free."""
         return self.apply_envelope_batch(snapshot_env, batch_id="snapshot", fence=fence)
 
+    def backfill(self, chunk_env: DataFrame, batch_id: str = "backfill") -> int | None:
+        """Incremental-snapshot backfill (DBLog, SURVEY §2.2): re-read a
+        chunk of the source mid-stream without stopping the stream.
+
+        The reference interleaves chunk reads with streaming via
+        open/close-window signals and a key-dedupe buffer
+        (``AbstractIncrementalSnapshotChangeEventSource.java:73,136-146``).
+        Under ordered micro-batches the same semantics need no signals: the
+        chunk is stamped at ``fence+1`` — logically *after* everything
+        already applied (the chunk was read at least that late) and *before*
+        any future stream event (whose pos is greater) — so the engine's
+        existing last-wins dedupe and MERGE give exactly the DBLog outcome:
+        chunk rows overwrite stale state, later stream events overwrite
+        chunk rows."""
+        cur = self.table.fence()
+        file = cur[0] if cur else "binlog.000000"
+        pos = (cur[1] + 1) if cur else 0
+        chunk = chunk_env.withColumn(
+            "source",
+            F.col("source")
+            .withField("pos", F.lit(pos).cast("long"))
+            .withField("file", F.lit(file))
+            .withField("snapshot", F.lit("incremental")),
+        )
+        return self.apply_envelope_batch(chunk, batch_id=batch_id, fence=(file, pos))
+
     # ---- one micro-batch --------------------------------------------------
 
     def apply_envelope_batch(
