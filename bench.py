@@ -99,7 +99,12 @@ def gen_binlog(spark, out_dir: str, n_events: int, n_batches: int) -> None:
 
 
 def run_replay(
-    spark, batch_dir: str, table_root: str, n_buckets: int = 32, warmup: bool = True
+    spark,
+    batch_dir: str,
+    table_root: str,
+    n_buckets: int = 32,
+    warmup: bool = True,
+    mode: str = "cow",
 ) -> float:
     """Replay all batches into a fresh LakeTable; returns wall seconds.
 
@@ -126,7 +131,7 @@ def run_replay(
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 
-    table = LakeTable(spark, table_root, list(REPO_KEY_COLS), n_buckets=n_buckets)
+    table = LakeTable(spark, table_root, list(REPO_KEY_COLS), n_buckets=n_buckets, mode=mode)
     table.create(REPO_PAYLOAD_SCHEMA)
     engine = CdcEngine(spark, table)
     t0 = time.perf_counter()
@@ -274,13 +279,19 @@ def main() -> None:
 
         # --- 3. CDC replay throughput at local[CPUS] (headline) -----------
         sec = run_replay(spark, binlog_dir, os.path.join(work, "table"))
+        sec_mor = run_replay(
+            spark, binlog_dir, os.path.join(work, "table_mor"), warmup=False, mode="mor"
+        )
         replay_info = {
             "events": N_EVENTS,
             "sec": round(sec, 3),
             "events_per_sec": round(N_EVENTS / sec, 1),
+            "mor_sec": round(sec_mor, 3),
+            "mor_events_per_sec": round(N_EVENTS / sec_mor, 1),
         }
         timings["cdc_replay"] = round(sec, 3)
-        total += sec
+        timings["cdc_replay_mor"] = round(sec_mor, 3)
+        total += sec + sec_mor
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

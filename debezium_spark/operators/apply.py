@@ -96,4 +96,5 @@ def compute_changes(env: DataFrame, key_cols: list[str]) -> DataFrame:
         *key_cols,
         *[F.col(f"_row.after.{c}").alias(c) for c in non_key],
         F.when(F.col("_row.op") == "d", F.lit("d")).otherwise(F.lit("u")).alias(OP_COL),
+        F.col("_row.pos").alias("_pos"),  # resolution order for MoR deltas
     )

@@ -49,11 +49,91 @@ def merge_changes(
 ) -> int | None:
     """Apply one deduped change-set atomically; returns new version or None
     if the batch is behind the fence (idempotent resume — replaces the
-    reference's breakpoint skip, ``TableReplayTask.java:132-144``)."""
+    reference's breakpoint skip, ``TableReplayTask.java:132-144``).
+
+    Dispatches on the table's write mode: copy-on-write (rewrite touched
+    buckets) or merge-on-read (append delta files, O(batch))."""
     cur = table.fence()
     if cur is not None and fence[1] <= cur[1]:
         return None  # already applied — exactly-once on replay
+    if table.mode == "mor":
+        return _merge_mor(table, changes, fence, batch_id, salt_factor)
+    return _merge_cow(table, changes, fence, batch_id, salt_factor)
 
+
+def _merge_mor(
+    table: LakeTable,
+    changes: DataFrame,
+    fence: tuple[str, int],
+    batch_id: str,
+    salt_factor: int = 4,
+) -> int | None:
+    """Merge-on-read apply: the deduped change-set (payload + _op + _pos)
+    IS the delta file — one shuffle (bucket+salt), one write, no base read.
+    Read-time resolution (LakeTable._resolve) and compaction do the rest.
+    This is the 10^10-event apply path: cost is O(batch) however big the
+    table has grown."""
+    keys = table.key_cols
+    payload_cols = [f.name for f in table.schema().fields]
+
+    changes = changes.withColumn("_bucket", bucket_expr(keys, table.n_buckets)).persist()
+    lin = (
+        changes.groupBy("_bucket")
+        .agg(
+            F.count("*").alias("events"),
+            F.sum(F.when(F.col(OP_COL) == "d", 1).otherwise(0)).alias("deletes"),
+            F.sum(F.when(F.col(OP_COL) != "d", 1).otherwise(0)).alias("upserts"),
+        )
+        .collect()
+    )
+    touched = sorted(int(r["_bucket"]) for r in lin)
+    if not touched:
+        changes.unpersist()
+        table.commit_buckets({}, [], fence, [])
+        return table.manifest()["version"]
+    lineage = [
+        {
+            "batch": batch_id,
+            "bucket": int(r["_bucket"]),
+            "events": r["events"],
+            "deletes": r["deletes"],
+            "upserts": r["upserts"],
+            "fence_pos": fence[1],
+        }
+        for r in lin
+    ]
+
+    out = changes
+    for name in payload_cols:
+        if name not in out.columns:
+            out = out.withColumn(name, F.lit(None).cast(table.schema()[name].dataType))
+    out = out.select(*payload_cols, F.col(OP_COL).alias("_op"), F.col("_pos"), F.col("_bucket"))
+
+    out_dir = os.path.join(table.root, "data", f"d-{uuid.uuid4().hex}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in keys], F.lit(1)), F.lit(salt_factor))
+    out.repartition(F.col("_bucket"), salt).write.partitionBy("_bucket").mode(
+        "overwrite"
+    ).parquet(out_dir)
+    changes.unpersist()
+
+    man = table.manifest()
+    new_vals: dict[int, dict] = {}
+    if os.path.exists(out_dir):
+        for sub in os.listdir(out_dir):
+            if sub.startswith("_bucket="):
+                b = int(sub.split("=")[1])
+                base, delta = table._bucket_dirs(man["buckets"].get(str(b), []))
+                new_vals[b] = {"base": base, "delta": delta + [os.path.join(out_dir, sub)]}
+    return table.commit_buckets(new_vals, touched, fence, lineage)
+
+
+def _merge_cow(
+    table: LakeTable,
+    changes: DataFrame,
+    fence: tuple[str, int],
+    batch_id: str,
+    salt_factor: int = 4,
+) -> int | None:
     keys = table.key_cols
     schema = table.schema()
     out_cols = [f.name for f in schema.fields]

@@ -49,13 +49,35 @@ def bucket_expr(key_cols: list[str], n_buckets: int) -> "F.Column":
 
 
 class LakeTable:
-    """A versioned CoW parquet table keyed by ``key_cols``."""
+    """A versioned parquet table keyed by ``key_cols``.
 
-    def __init__(self, spark: SparkSession, root: str, key_cols: list[str], n_buckets: int = 16):
+    Two write modes (the Iceberg copy-on-write vs merge-on-read trade):
+
+    - ``mode="cow"`` (default): each merge rewrites the touched buckets —
+      reads are plain scans, merge cost is O(batch ∪ touched-bucket data).
+    - ``mode="mor"``: each merge appends the deduped change-set as *delta*
+      files (payload + ``_op`` + ``_pos``) — merge cost is **O(batch)**
+      regardless of table size; reads resolve base ∪ deltas with a last-wins
+      per-key aggregate; ``compact()`` folds deltas back into the base.
+      At 10^10 events / 100 TB where table ≫ batch, MoR is the apply path
+      and compaction is the amortized background job (Iceberg's
+      positional-delete compaction analog).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_cols: list[str],
+        n_buckets: int = 16,
+        mode: str = "cow",
+    ):
+        assert mode in ("cow", "mor")
         self.spark = spark
         self.root = root.rstrip("/")
         self.key_cols = key_cols
         self.n_buckets = n_buckets
+        self.mode = mode
         self._mdir = os.path.join(self.root, "_manifests")
 
     # ---- manifest bookkeeping -------------------------------------------
@@ -107,21 +129,64 @@ class LakeTable:
 
     # ---- reads -----------------------------------------------------------
 
+    @staticmethod
+    def _bucket_dirs(val) -> tuple[list[str], list[str]]:
+        """Normalize a manifest bucket value → (base_dirs, delta_dirs).
+        CoW stores a plain list; MoR stores {"base": [...], "delta": [...]}."""
+        if isinstance(val, dict):
+            return list(val.get("base", [])), list(val.get("delta", []))
+        return list(val), []
+
+    def _delta_schema(self, payload: StructType) -> StructType:
+        from pyspark.sql.types import LongType, StringType
+
+        s = StructType(list(payload.fields))
+        s = s.add("_op", StringType(), True)
+        s = s.add("_pos", LongType(), True)
+        return s
+
     def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current snapshot; optionally pruned to a bucket subset.
+        """Current table state; optionally pruned to a bucket subset.
 
         Reads with the manifest schema so files written before an
         ALTER ADD COLUMN surface the new column as null (schema evolution,
-        same contract as Iceberg's name-based projection)."""
+        same contract as Iceberg's name-based projection).
+
+        MoR: base ∪ delta files resolve at read time — last writer per key
+        by ``_pos`` (a partial-aggregatable max_by, one shuffle), deletes
+        filtered. The resolve is exactly the engine's last-wins dedupe
+        applied at read instead of write."""
         man = self.manifest()
-        schema = StructType.fromJson(json.loads(man["schema"]))
+        payload = StructType.fromJson(json.loads(man["schema"]))
         dirs: list[str] = []
-        for b, paths in man["buckets"].items():
+        any_delta = False
+        for b, val in man["buckets"].items():
             if buckets is None or int(b) in buckets:
-                dirs.extend(paths)
+                base, delta = self._bucket_dirs(val)
+                dirs.extend(base)
+                dirs.extend(delta)
+                any_delta = any_delta or bool(delta)
+        if self.mode == "cow":
+            if not dirs:
+                return self.spark.createDataFrame([], payload)
+            return self.spark.read.schema(payload).parquet(*dirs)
+
         if not dirs:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*dirs)
+            return self.spark.createDataFrame([], payload)
+        raw = self.spark.read.schema(self._delta_schema(payload)).parquet(*dirs)
+        return self._resolve(raw, payload)
+
+    def _resolve(self, raw: DataFrame, payload: StructType) -> DataFrame:
+        """Last-wins per key over base+delta rows; drop deletes."""
+        cols = [f.name for f in payload.fields]
+        row = F.struct(*[F.col(c) for c in cols], F.col("_op"))
+        latest = (
+            raw.groupBy(*self.key_cols)
+            .agg(F.max_by(row, F.col("_pos")).alias("_r"))
+            .filter(F.col("_r._op") != "d")
+        )
+        non_key = [c for c in cols if c not in self.key_cols]
+        return latest.select(*self.key_cols, *[F.col(f"_r.{c}").alias(c) for c in non_key])
 
     # ---- commit (called by plans.merge) ----------------------------------
 
@@ -149,6 +214,76 @@ class LakeTable:
         }
         self._publish(new_man)
         return new_man["version"]
+
+    def delta_depth(self, bucket: int | None = None) -> int:
+        """Max number of delta dirs on any (or one) bucket — the compaction
+        trigger metric (read cost grows with it)."""
+        man = self.manifest()
+        depths = []
+        for b, val in man["buckets"].items():
+            if bucket is None or int(b) == bucket:
+                depths.append(len(self._bucket_dirs(val)[1]))
+        return max(depths, default=0)
+
+    def compact(self, buckets: list[int] | None = None, batch_id: str = "compact") -> int | None:
+        """MoR compaction: fold each bucket's deltas into a new base
+        (resolved last-wins, deletes dropped, winners keep their ``_pos``
+        so future deltas still order correctly). A maintenance commit — the
+        fence is untouched, so it can run any time, including between a
+        crash and a resume. Iceberg analog: rewrite_data_files +
+        positional-delete compaction."""
+        import uuid as _uuid
+
+        if self.mode != "mor":
+            return None
+        man = self.manifest()
+        payload = StructType.fromJson(json.loads(man["schema"]))
+        todo: dict[int, tuple[list[str], list[str]]] = {}
+        for b, val in man["buckets"].items():
+            bi = int(b)
+            if buckets is not None and bi not in buckets:
+                continue
+            base, delta = self._bucket_dirs(val)
+            if delta:
+                todo[bi] = (base, delta)
+        if not todo:
+            return None
+
+        dirs = [d for base, delta in todo.values() for d in base + delta]
+        raw = self.spark.read.schema(self._delta_schema(payload)).parquet(*dirs)
+        cols = [f.name for f in payload.fields]
+        row = F.struct(*[F.col(c) for c in cols], F.col("_op"), F.col("_pos"))
+        resolved = (
+            raw.groupBy(*self.key_cols)
+            .agg(F.max_by(row, F.col("_pos")).alias("_r"))
+            .filter(F.col("_r._op") != "d")
+            .select(
+                *[F.col(f"_r.{c}").alias(c) for c in cols],
+                F.lit("u").alias("_op"),
+                F.col("_r._pos").alias("_pos"),
+            )
+            .withColumn("_bucket", bucket_expr(self.key_cols, self.n_buckets))
+            .filter(F.col("_bucket").isin(list(todo)))
+        )
+        out_dir = os.path.join(self.root, "data", f"compact-{_uuid.uuid4().hex}")
+        resolved.repartition(F.col("_bucket")).write.partitionBy("_bucket").mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+        new_vals: dict[int, dict] = {b: {"base": [], "delta": []} for b in todo}
+        if os.path.exists(out_dir):
+            for sub in os.listdir(out_dir):
+                if sub.startswith("_bucket="):
+                    new_vals[int(sub.split("=")[1])] = {
+                        "base": [os.path.join(out_dir, sub)],
+                        "delta": [],
+                    }
+        lineage = [
+            {"batch": batch_id, "bucket": b, "events": 0, "deletes": 0,
+             "upserts": 0, "compacted_deltas": len(todo[b][1])}
+            for b in todo
+        ]
+        return self.commit_buckets(new_vals, list(todo), None, lineage)
 
     def truncate(self, fence: tuple[str, int] | None = None, batch_id: str = "truncate") -> int:
         """TRUNCATE barrier (Envelope op 't', reference Envelope.java:498-505;
@@ -219,8 +354,10 @@ class LakeTable:
         referenced: set[str] = set()
         for fn in keep:
             with open(os.path.join(self._mdir, fn)) as f:
-                for paths in json.load(f)["buckets"].values():
-                    referenced.update(paths)
+                for val in json.load(f)["buckets"].values():
+                    base, delta = self._bucket_dirs(val)
+                    referenced.update(base)
+                    referenced.update(delta)
         data_root = os.path.join(self.root, "data")
         for vdir in os.listdir(data_root):
             full = os.path.join(data_root, vdir)

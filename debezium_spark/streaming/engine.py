@@ -44,11 +44,16 @@ class CdcEngine:
         table: LakeTable,
         smt_chain: list[Smt] | None = None,
         salt_factor: int = 4,
+        compact_depth: int = 8,
     ) -> None:
+        """``compact_depth``: in MoR mode, fold deltas into the base once any
+        bucket accumulates this many delta files (read cost grows with delta
+        depth; compaction restores it). 0 disables auto-compaction."""
         self.spark = spark
         self.table = table
         self.smt_chain = smt_chain or []
         self.salt_factor = salt_factor
+        self.compact_depth = compact_depth
         if not table.exists():
             table.create(REPO_PAYLOAD_SCHEMA)
 
@@ -158,9 +163,16 @@ class CdcEngine:
     def _merge_segment(self, env: DataFrame, batch_id: str, fence: tuple[str, int]) -> int | None:
         split = split_pk_changes(env, self.table.key_cols)
         changes = compute_changes(split, self.table.key_cols)
-        return merge_changes(
+        v = merge_changes(
             self.table, changes, fence, batch_id, salt_factor=self.salt_factor
         )
+        if (
+            self.table.mode == "mor"
+            and self.compact_depth
+            and self.table.delta_depth() >= self.compact_depth
+        ):
+            v = self.table.compact(batch_id=f"{batch_id}/compact") or v
+        return v
 
     # ---- replay loop -------------------------------------------------------
 

@@ -1,0 +1,86 @@
+"""Merge-on-read mode: delta-append apply + read-time resolution +
+compaction must produce byte-identical final state to CoW and to the
+sequential oracle, across resume and compaction at any point."""
+
+from __future__ import annotations
+
+import hashlib
+
+from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+from tests.conftest import sequential_oracle
+
+N_EVENTS = 4000
+
+
+def _state(table):
+    return {
+        (r["repo"], r["path"]): hashlib.sha256(r["content"].encode()).hexdigest()
+        for r in table.read().collect()
+    }
+
+
+def _oracle(gen, n):
+    events = [r.asDict(recursive=True) for r in gen.events(n).collect()]
+    return {
+        k: hashlib.sha256(v["content"].encode()).hexdigest()
+        for k, v in sequential_oracle(events).items()
+    }
+
+
+def test_mor_replay_matches_oracle_and_cow(spark, tmp_path):
+    gen = ChangeLogGenerator(spark, seed=42, n_repos=20)
+    batch_dir = str(tmp_path / "b")
+    gen.write_batches(batch_dir, N_EVENTS, n_batches=4)
+    want = _oracle(gen, N_EVENTS)
+
+    mor = LakeTable(spark, str(tmp_path / "mor"), ["repo", "path"], n_buckets=8, mode="mor")
+    CdcEngine(spark, mor, compact_depth=0).replay(batch_dir)
+    assert _state(mor) == want
+
+    cow = LakeTable(spark, str(tmp_path / "cow"), ["repo", "path"], n_buckets=8)
+    CdcEngine(spark, cow).replay(batch_dir)
+    assert _state(cow) == want
+
+    # MoR wrote 4 delta layers, no base
+    assert mor.delta_depth() == 4
+
+
+def test_mor_compaction_preserves_state_and_fence(spark, tmp_path):
+    gen = ChangeLogGenerator(spark, seed=7, n_repos=10)
+    batch_dir = str(tmp_path / "b")
+    gen.write_batches(batch_dir, 2000, n_batches=4)
+
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4, mode="mor")
+    engine = CdcEngine(spark, table, compact_depth=0)
+    engine.replay(batch_dir)
+    before = _state(table)
+    fence = table.fence()
+
+    v = table.compact()
+    assert v is not None
+    assert table.delta_depth() == 0
+    assert table.fence() == fence  # maintenance commit, fence untouched
+    assert _state(table) == before
+    # deltas after compaction still resolve correctly
+    engine2 = CdcEngine(spark, table, compact_depth=0)
+    more = str(tmp_path / "b2")
+    gen.write_batches(more, 1000, n_batches=1, start_pos=2000)
+    engine2.replay(more)
+    want = _oracle(gen, 3000)
+    assert _state(table) == want
+
+
+def test_mor_auto_compaction_and_resume(spark, tmp_path):
+    gen = ChangeLogGenerator(spark, seed=3, n_repos=8)
+    batch_dir = str(tmp_path / "b")
+    gen.write_batches(batch_dir, 3000, n_batches=6)
+
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4, mode="mor")
+    engine = CdcEngine(spark, table, compact_depth=3)
+    engine.replay(batch_dir)
+    assert table.delta_depth() < 3  # auto-compaction kicked in
+
+    # exactly-once across restart, compaction notwithstanding
+    engine2 = CdcEngine(spark, table, compact_depth=3)
+    assert engine2.replay(batch_dir) == []
+    assert _state(table) == _oracle(gen, 3000)
