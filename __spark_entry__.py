@@ -285,6 +285,36 @@ SELECT repo, path, content, sha256(content) AS content_sha
 FROM r WHERE rn = 1 AND op <> 'd'"""
 
 
+def q_cdc_mor_final_state(spark, sf_dir):
+    """Merge-on-read replay: same engine pipeline as the flagship, but the
+    apply appends delta files resolved at read time (compaction mid-replay).
+    Must match the identical sequential-apply oracle byte-for-byte."""
+    from debezium_spark.plans.table import LakeTable
+    from debezium_spark.streaming.engine import CdcEngine
+    from pyspark.sql.types import StructType
+
+    env = _env_struct(spark, sf_dir)
+    max_pos = env.select(F.max("source.pos")).first()[0] or 0
+    payload_schema = StructType.fromDDL("repo string, path string, content string")
+
+    tmp = tempfile.mkdtemp(prefix="cdc_mor_")
+    table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
+    table.create(payload_schema)
+    engine = CdcEngine(spark, table, compact_depth=2)
+    n_batches = 4
+    step = (max_pos + n_batches) // n_batches
+    for b in range(n_batches):
+        lo, hi = b * step, (b + 1) * step
+        batch = env.filter((F.col("source.pos") >= lo) & (F.col("source.pos") < hi))
+        engine.apply_envelope_batch(batch, batch_id=f"b{b}")
+    return table.read().select(
+        "repo", "path", "content", F.sha2(F.col("content"), 256).alias("content_sha")
+    )
+
+
+SQL_cdc_mor_final_state = SQL_cdc_merge_final_state
+
+
 def q_skipped_operations(spark, sf_dir):
     """skipped.operations filter (§2.4)."""
     e = _env(spark, sf_dir)
@@ -990,6 +1020,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tombstone_emission": (q_tombstone_emission, SQL_tombstone_emission),
     "cdc_last_wins": (q_cdc_last_wins, SQL_cdc_last_wins),
     "cdc_merge_final_state": (q_cdc_merge_final_state, SQL_cdc_merge_final_state),
+    "cdc_mor_final_state": (q_cdc_mor_final_state, SQL_cdc_mor_final_state),
     "skipped_operations": (q_skipped_operations, SQL_skipped_operations),
     "table_include_filter": (q_table_include_filter, SQL_table_include_filter),
     "column_mask_sha256": (q_column_mask_sha256, SQL_column_mask_sha256),

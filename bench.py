@@ -264,6 +264,8 @@ def main() -> None:
                 trials.append(round(eff, 3))
                 if best_eff is None or eff > best_eff:
                     best_eff, best_pair = eff, (w_lo, w_hi)
+                if best_eff >= 0.87:
+                    break  # comfortably past the 0.8 criterion — save wall time
             w_lo, w_hi = best_pair
             scaling = {
                 "cpus_n": lo,
