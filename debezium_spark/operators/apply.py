@@ -71,6 +71,21 @@ def split_pk_changes(env: DataFrame, key_cols: list[str]) -> DataFrame:
     return exploded.select("_e.*", "_sub")
 
 
+def resolution_pos() -> "F.Column":
+    """Cross-batch resolution order, encoded into one long:
+    ``pos*2 + (1 if incremental-snapshot chunk row else 0)``.
+
+    The sub-bit settles the DBLog tie (reference
+    ``AbstractIncrementalSnapshotChangeEventSource.java:136-146``, where the
+    window buffer lets stream events evict chunk rows): a chunk row stamped
+    at the fence position beats every real event at pos <= fence (the state
+    it re-read already includes them) and strictly loses to the first
+    not-yet-applied real event at pos = fence+1 — no nondeterministic max_by
+    tie, no fence advance past an unapplied offset."""
+    incr = (F.col("source.snapshot") == "incremental").cast("long")
+    return F.col("source.pos") * 2 + F.coalesce(incr, F.lit(0))
+
+
 def compute_changes(env: DataFrame, key_cols: list[str]) -> DataFrame:
     """Envelope batch → one change row per key: key cols + payload + _op.
 
@@ -83,8 +98,9 @@ def compute_changes(env: DataFrame, key_cols: list[str]) -> DataFrame:
     key_exprs = [
         F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c) for c in key_cols
     ]
-    ord_struct = F.struct(F.col("source.pos"), F.col("_sub"))
-    row_struct = F.struct(F.col("op"), F.col("after"), F.col("source.pos").alias("pos"))
+    rpos = resolution_pos()
+    ord_struct = F.struct(rpos.alias("rpos"), F.col("_sub"))
+    row_struct = F.struct(F.col("op"), F.col("after"), rpos.alias("pos"))
 
     latest = (
         env.select(*key_exprs, ord_struct.alias("_ord"), row_struct.alias("_row"))
@@ -96,5 +112,5 @@ def compute_changes(env: DataFrame, key_cols: list[str]) -> DataFrame:
         *key_cols,
         *[F.col(f"_row.after.{c}").alias(c) for c in non_key],
         F.when(F.col("_row.op") == "d", F.lit("d")).otherwise(F.lit("u")).alias(OP_COL),
-        F.col("_row.pos").alias("_pos"),  # resolution order for MoR deltas
+        F.col("_row.pos").alias("_pos"),  # encoded resolution order for MoR deltas
     )

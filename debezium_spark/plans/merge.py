@@ -35,9 +35,17 @@ import uuid
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from debezium_spark.functions.core import salted_key
 from debezium_spark.plans.table import LakeTable, bucket_expr
 
 OP_COL = "_op"  # change-row operation: 'd' delete, anything else upsert
+
+
+def _heartbeat_lineage(batch_id: str, fence: tuple[str, int]) -> list[dict]:
+    """Lineage row for a fence-only (empty) commit — the offset-bearing
+    heartbeat record (reference ``heartbeat/Heartbeat.java:27-79``)."""
+    return [{"batch": batch_id, "bucket": -1, "events": 0, "deletes": 0,
+             "upserts": 0, "heartbeat": True, "fence_pos": fence[1]}]
 
 
 def merge_changes(
@@ -46,15 +54,21 @@ def merge_changes(
     fence: tuple[str, int],
     batch_id: str,
     salt_factor: int = 4,
+    fence_check: bool = True,
 ) -> int | None:
     """Apply one deduped change-set atomically; returns new version or None
     if the batch is behind the fence (idempotent resume — replaces the
     reference's breakpoint skip, ``TableReplayTask.java:132-144``).
 
+    ``fence_check=False`` is the incremental-snapshot path: the commit is
+    applied even at fence-equality (chunk rows are sub-positioned below the
+    next real event, so re-application is idempotent — see
+    ``CdcEngine.backfill``).
+
     Dispatches on the table's write mode: copy-on-write (rewrite touched
     buckets) or merge-on-read (append delta files, O(batch))."""
     cur = table.fence()
-    if cur is not None and fence[1] <= cur[1]:
+    if fence_check and cur is not None and fence[1] <= cur[1]:
         return None  # already applied — exactly-once on replay
     if table.mode == "mor":
         return _merge_mor(table, changes, fence, batch_id, salt_factor)
@@ -89,7 +103,7 @@ def _merge_mor(
     touched = sorted(int(r["_bucket"]) for r in lin)
     if not touched:
         changes.unpersist()
-        table.commit_buckets({}, [], fence, [])
+        table.commit_buckets({}, [], fence, _heartbeat_lineage(batch_id, fence))
         return table.manifest()["version"]
     lineage = [
         {
@@ -110,10 +124,9 @@ def _merge_mor(
     out = out.select(*payload_cols, F.col(OP_COL).alias("_op"), F.col("_pos"), F.col("_bucket"))
 
     out_dir = os.path.join(table.root, "data", f"d-{uuid.uuid4().hex}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in keys], F.lit(1)), F.lit(salt_factor))
-    out.repartition(F.col("_bucket"), salt).write.partitionBy("_bucket").mode(
-        "overwrite"
-    ).parquet(out_dir)
+    out.repartition(F.col("_bucket"), salted_key(keys, salt_factor)).write.partitionBy(
+        "_bucket"
+    ).mode("overwrite").parquet(out_dir)
     changes.unpersist()
 
     man = table.manifest()
@@ -158,7 +171,7 @@ def _merge_cow(
     touched = sorted(int(r["_bucket"]) for r in lin)
     if not touched:
         changes.unpersist()
-        table.commit_buckets({}, [], fence, [])
+        table.commit_buckets({}, [], fence, _heartbeat_lineage(batch_id, fence))
         return table.manifest()["version"]
 
     lineage = [
@@ -186,9 +199,8 @@ def _merge_cow(
     new_state = survivors.unionByName(upserts).withColumn("_bucket", bucket_expr(keys, table.n_buckets))
 
     out_dir = os.path.join(table.root, "data", f"v-{uuid.uuid4().hex}")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in keys], F.lit(1)), F.lit(salt_factor))
     (
-        new_state.repartition(F.col("_bucket"), salt)
+        new_state.repartition(F.col("_bucket"), salted_key(keys, salt_factor))
         .write.partitionBy("_bucket")
         .mode("overwrite")
         .parquet(out_dir)

@@ -72,7 +72,8 @@ class LakeTable:
         n_buckets: int = 16,
         mode: str = "cow",
     ):
-        assert mode in ("cow", "mor")
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"unknown table mode {mode!r} (expected 'cow' or 'mor')")
         self.spark = spark
         self.root = root.rstrip("/")
         self.key_cols = key_cols
@@ -174,6 +175,10 @@ class LakeTable:
         if not dirs:
             return self.spark.createDataFrame([], payload)
         raw = self.spark.read.schema(self._delta_schema(payload)).parquet(*dirs)
+        if not any_delta:
+            # pure-base read after compaction: base files are already
+            # one-row-per-key with deletes dropped — skip the resolve shuffle
+            return raw.select(*[f.name for f in payload.fields])
         return self._resolve(raw, payload)
 
     def _resolve(self, raw: DataFrame, payload: StructType) -> DataFrame:

@@ -76,15 +76,20 @@ class CdcEngine:
         open/close-window signals and a key-dedupe buffer
         (``AbstractIncrementalSnapshotChangeEventSource.java:73,136-146``).
         Under ordered micro-batches the same semantics need no signals: the
-        chunk is stamped at ``fence+1`` — logically *after* everything
-        already applied (the chunk was read at least that late) and *before*
-        any future stream event (whose pos is greater) — so the engine's
-        existing last-wins dedupe and MERGE give exactly the DBLog outcome:
-        chunk rows overwrite stale state, later stream events overwrite
-        chunk rows."""
+        chunk is stamped *at* the committed fence with
+        ``source.snapshot='incremental'``, and ``resolution_pos`` gives
+        chunk rows a sub-position strictly above every applied event at
+        pos <= fence and strictly below the first unapplied real event at
+        fence+1 — exactly the DBLog outcome (chunk overwrites stale state,
+        stream events after the window win). The fence itself does NOT
+        advance: source.pos is a dense event index, so the event at fence+1
+        is real and not yet applied; advancing past it would drop it on the
+        next fence skip. The backfill commit instead bypasses the
+        fence-equality skip (``fence_check=False``) — re-running it after a
+        crash is idempotent (same rows, same encoded positions)."""
         cur = self.table.fence()
         file = cur[0] if cur else "binlog.000000"
-        pos = (cur[1] + 1) if cur else 0
+        pos = cur[1] if cur else 0
         chunk = chunk_env.withColumn(
             "source",
             F.col("source")
@@ -92,9 +97,16 @@ class CdcEngine:
             .withField("file", F.lit(file))
             .withField("snapshot", F.lit("incremental")),
         )
-        return self.apply_envelope_batch(chunk, batch_id=batch_id, fence=(file, pos))
+        return self.apply_envelope_batch(
+            chunk, batch_id=batch_id, fence=(file, pos), fence_check=False
+        )
 
     # ---- one micro-batch --------------------------------------------------
+
+    #: hard cap on barrier rows collected to the driver per batch — DDL is a
+    #: control-plane trickle; a batch carrying more than this is malformed
+    #: (protects driver memory: the collect pulls `after.content` rows in).
+    MAX_BARRIERS_PER_BATCH = 1024
 
     def apply_envelope_batch(
         self,
@@ -102,7 +114,21 @@ class CdcEngine:
         batch_id: str,
         fence: tuple[str, int] | None = None,
         has_ddl: bool | None = None,
+        fence_check: bool = True,
     ) -> int | None:
+        # Fence from the *pre-SMT* batch: SMTs may drop every row (e.g.
+        # skipped-operations on an all-delete batch) but the source offsets
+        # are still consumed — the fence must advance anyway (offset-bearing
+        # heartbeat, reference heartbeat/Heartbeat.java:27-79; without this
+        # a quiet table's fence goes stale, the slot-retention failure).
+        if fence is None:
+            mm = env.select(
+                F.max("source.pos").alias("p"), F.max("source.file").alias("f")
+            ).first()
+            if mm["p"] is None:
+                return None
+            fence = (mm["f"], mm["p"])
+
         for smt in self.smt_chain:
             env = smt(env)
 
@@ -116,27 +142,27 @@ class CdcEngine:
         if has_ddl is None:
             has_ddl = env.filter(F.col("op").isin(BARRIER_OPS)).limit(1).count() > 0
         if has_ddl:
+            # bounded collect: barriers are control-plane rows; cap protects
+            # the driver from a malformed batch full of op='l' rows
             ddls = (
                 env.filter(F.col("op").isin(BARRIER_OPS))
                 .select("source.file", "source.pos", "op", "after.content")
                 .orderBy("pos")
+                .limit(self.MAX_BARRIERS_PER_BATCH + 1)
                 .collect()
             )
+            if len(ddls) > self.MAX_BARRIERS_PER_BATCH:
+                raise ValueError(
+                    f"batch {batch_id} carries >{self.MAX_BARRIERS_PER_BATCH} "
+                    "DDL/TRUNCATE barrier rows — refusing unbounded driver collect"
+                )
             dml = env.filter(~F.col("op").isin(BARRIER_OPS))
         else:
             ddls = []
             dml = env
 
-        if fence is None:
-            mm = env.select(
-                F.max("source.pos").alias("p"), F.max("source.file").alias("f")
-            ).first()
-            if mm["p"] is None:
-                return None
-            fence = (mm["f"], mm["p"])
-
         cur = self.table.fence()
-        if cur is not None and fence[1] <= cur[1]:
+        if fence_check and cur is not None and fence[1] <= cur[1]:
             return None  # whole batch already applied (resume skip)
 
         version = None
@@ -147,7 +173,10 @@ class CdcEngine:
                 (F.col("source.pos") > seg_start) & (F.col("source.pos") < seg_end)
             )
             seg_fence = (fence[0], d["pos"] - 1) if d is not None else fence
-            version = self._merge_segment(seg, f"{batch_id}/s{i}", seg_fence) or version
+            version = (
+                self._merge_segment(seg, f"{batch_id}/s{i}", seg_fence, fence_check)
+                or version
+            )
             if d is not None:
                 cur = self.table.fence()
                 if cur is None or d["pos"] > cur[1]:
@@ -160,11 +189,36 @@ class CdcEngine:
             seg_start = seg_end
         return version
 
-    def _merge_segment(self, env: DataFrame, batch_id: str, fence: tuple[str, int]) -> int | None:
+    def heartbeat(self, fence: tuple[str, int]) -> int | None:
+        """Offset-bearing heartbeat (reference ``heartbeat/Heartbeat.java:
+        27-79``): advance the fence with an empty commit when the source
+        reports progress but no rows reach the sink (idle table, or every
+        row SMT-filtered). Keeps the fence fresh so upstream log/slot
+        retention can truncate. No-op if the fence would not advance."""
+        cur = self.table.fence()
+        if cur is not None and fence[1] <= cur[1]:
+            return None
+        self.table.commit_buckets(
+            {},
+            [],
+            fence,
+            [{"batch": "heartbeat", "bucket": -1, "events": 0, "deletes": 0,
+              "upserts": 0, "heartbeat": True, "fence_pos": fence[1]}],
+        )
+        return self.table.manifest()["version"]
+
+    def _merge_segment(
+        self,
+        env: DataFrame,
+        batch_id: str,
+        fence: tuple[str, int],
+        fence_check: bool = True,
+    ) -> int | None:
         split = split_pk_changes(env, self.table.key_cols)
         changes = compute_changes(split, self.table.key_cols)
         v = merge_changes(
-            self.table, changes, fence, batch_id, salt_factor=self.salt_factor
+            self.table, changes, fence, batch_id,
+            salt_factor=self.salt_factor, fence_check=fence_check,
         )
         if (
             self.table.mode == "mor"

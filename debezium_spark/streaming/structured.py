@@ -57,7 +57,10 @@ def stream_replay(
     inside the engine still protects upsert ordering, but a replayed prefix
     after a crash would commit a fence mid-batch).
     """
-    schema = payload_schema or envelope_schema()
+    # payload_schema is the *payload* StructType; the reader schema is the
+    # envelope built from it (passing a payload verbatim would silently null
+    # out every envelope column on parse)
+    schema = envelope_schema(payload_schema) if payload_schema is not None else envelope_schema()
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:

@@ -45,7 +45,9 @@ def test_backfill_overwrites_stale_not_fresh(spark, tmp_path):
         "after", F.col("after").withField("content", F.lit("CHUNK"))
     )
     engine.backfill(chunk, batch_id="bf0")
-    assert table.fence() == (fence_before[0], fence_before[1] + 1)
+    # the fence must NOT advance: pos is a dense event index, so a real
+    # unapplied event exists at fence+1 — advancing past it would drop it
+    assert table.fence() == fence_before
     backfilled = table.read().filter(F.col("content") == "CHUNK").count()
     assert backfilled > 0
 
@@ -64,3 +66,83 @@ def test_backfill_overwrites_stale_not_fresh(spark, tmp_path):
         .count()
     )
     assert still_chunk == 0, "stream events after the backfill must win"
+
+
+def test_backfill_does_not_drop_next_event(spark, tmp_path):
+    """Regression (ADVICE r1): the event at exactly fence+1 must survive a
+    backfill — the old code advanced the fence to fence+1 and the fence
+    skip then silently dropped any batch ending there."""
+    gen = ChangeLogGenerator(spark, seed=7, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4, mode="cow")
+    engine = CdcEngine(spark, table)
+
+    engine.apply_envelope_batch(gen.events(100), batch_id="b0")  # fence -> 99
+    assert table.fence()[1] == 99
+
+    chunk = gen.snapshot(50).withColumn(
+        "after", F.col("after").withField("content", F.lit("CHUNK"))
+    )
+    engine.backfill(chunk, batch_id="bf")
+    assert table.fence()[1] == 99
+
+    # one-event batch at pos 100 == old fence+1: must be applied, not skipped
+    nxt = gen.events(1, start_pos=100).withColumn(
+        "after", F.col("after").withField("content", F.lit("EVENT-100"))
+    )
+    v = engine.apply_envelope_batch(nxt, batch_id="b1")
+    assert v is not None
+    assert table.fence()[1] == 100
+    assert table.read().filter(F.col("content") == "EVENT-100").count() == 1
+
+
+def test_backfill_mor_tie_is_deterministic(spark, tmp_path):
+    """In MoR mode the chunk row must deterministically beat applied events
+    at pos <= fence and lose to the real event at fence+1 (sub-position
+    encoding, not a nondeterministic max_by tie)."""
+    gen = ChangeLogGenerator(spark, seed=11, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4, mode="mor")
+    engine = CdcEngine(spark, table, compact_depth=0)
+
+    engine.apply_envelope_batch(gen.events(200), batch_id="b0")
+    chunk = gen.snapshot(100).withColumn(
+        "after", F.col("after").withField("content", F.lit("CHUNK"))
+    )
+    engine.backfill(chunk, batch_id="bf")
+
+    # chunk beats everything applied so far for the keys it covers
+    chunk_keys = chunk.select(
+        F.col("after.repo").alias("repo"), F.col("after.path").alias("path")
+    ).distinct()
+    covered = table.read().join(chunk_keys, ["repo", "path"], "left_semi")
+    assert covered.filter(F.col("content") != "CHUNK").count() == 0
+
+    # the real event at fence+1 (pos 200) beats the chunk for its key
+    nxt = gen.events(1, start_pos=200).withColumn(
+        "after", F.col("after").withField("content", F.lit("EVENT-200"))
+    ).withColumn("op", F.lit("u"))
+    engine.apply_envelope_batch(nxt, batch_id="b1")
+    key = nxt.select(F.col("after.repo").alias("repo"), F.col("after.path").alias("path"))
+    got = table.read().join(key, ["repo", "path"], "left_semi").select("content").collect()
+    assert [r["content"] for r in got] == ["EVENT-200"]
+
+
+def test_heartbeat_advances_fence_on_idle(spark, tmp_path):
+    """Offset-bearing heartbeat: an SMT-filtered-to-empty batch and an
+    explicit heartbeat() both advance the fence with a heartbeat lineage
+    row (reference heartbeat/Heartbeat.java:27-79)."""
+    from debezium_spark.operators.filters import skipped_operations
+
+    gen = ChangeLogGenerator(spark, seed=3, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table, smt_chain=[lambda df: skipped_operations(df, ["c", "u", "d"])])
+
+    engine.apply_envelope_batch(gen.events(100), batch_id="b0")
+    # every row dropped by the SMT, but the source consumed offsets 0..99
+    assert table.fence()[1] == 99
+    hb = [r for r in table.lineage() if r.get("heartbeat")]
+    assert hb and hb[-1]["fence_pos"] == 99
+
+    # explicit idle heartbeat (source reports progress, zero rows)
+    engine.heartbeat(("binlog.000001", 150))
+    assert table.fence()[1] == 150
+    assert any(r.get("heartbeat") and r["fence_pos"] == 150 for r in table.lineage())
