@@ -184,16 +184,19 @@ FROM env"""
 
 def q_pk_change_split(spark, sf_dir):
     """PK-change split (§2.3, RecordMakers.java:282-312): u with key change →
-    delete(old)+create(new), via the real split operator."""
+    DELETE(old) + tombstone(old key) + CREATE(new), the full wire-format
+    ordering asserted by MySqlConnectorIT.java:1530-1536, via the real split
+    operator with tombstones_on_delete=True."""
     from debezium_spark.operators.apply import split_pk_changes
 
     pkc = (F.col("op") == "u") & (F.pmod(F.col("user_id"), F.lit(7)) == 3)
     env = _env_struct(spark, sf_dir, pkc_expr=pkc)
-    split = split_pk_changes(env, ["repo", "path"])
+    split = split_pk_changes(env, ["repo", "path"], tombstones_on_delete=True)
     return split.select(
         F.col("source.pos").alias("pos"),
         F.col("_sub").cast("long").alias("sub_order"),
         "op",
+        F.when(F.col("_tombstone"), "tombstone").otherwise("record").alias("kind"),
         F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
         F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
         F.col("after.content").alias("content"),
@@ -205,11 +208,13 @@ base AS (SELECT pos, op, repo, path, content,
                 (op='u' AND user_id % 7 = 3) AS pkc FROM env)
 SELECT pos, CAST(0 AS BIGINT) AS sub_order,
        CASE WHEN pkc THEN 'd' ELSE op END AS op,
-       repo, path,
+       'record' AS kind, repo, path,
        CASE WHEN pkc OR op='d' THEN NULL ELSE content END AS content
 FROM base
 UNION ALL
-SELECT pos, CAST(1 AS BIGINT), 'c', repo, path || '_r', content FROM base WHERE pkc"""
+SELECT pos, CAST(1 AS BIGINT), 'd', 'tombstone', repo, path, NULL FROM base WHERE pkc
+UNION ALL
+SELECT pos, CAST(2 AS BIGINT), 'c', 'record', repo, path || '_r', content FROM base WHERE pkc"""
 
 
 def q_tombstone_emission(spark, sf_dir):
@@ -316,9 +321,16 @@ SQL_cdc_mor_final_state = SQL_cdc_merge_final_state
 
 
 def q_skipped_operations(spark, sf_dir):
-    """skipped.operations filter (§2.4)."""
-    e = _env(spark, sf_dir)
-    return e.filter(~F.col("op").isin(["d"])).select("pos", "op", "repo", "path")
+    """skipped.operations filter (§2.4) via operators.filters."""
+    from debezium_spark.operators.filters import skipped_operations
+
+    env = skipped_operations(_env_struct(spark, sf_dir), ["d"])
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        "op",
+        F.col("after.repo").alias("repo"),
+        F.col("after.path").alias("path"),
+    )
 
 
 SQL_skipped_operations = f"""WITH {ENV_SQL}
@@ -326,10 +338,14 @@ SELECT pos, op, repo, path FROM env WHERE op NOT IN ('d')"""
 
 
 def q_table_include_filter(spark, sf_dir):
-    """Table include regex (§2.4, Selectors)."""
-    e = _env(spark, sf_dir)
-    fq = F.concat_ws(".", F.col("db"), F.col("tbl"))
-    return e.withColumn("fq", fq).filter(F.col("fq").rlike("^app\\.t[0-2]$")).select("pos", "fq")
+    """Table include regex (§2.4, Selectors) via operators.filters."""
+    from debezium_spark.operators.filters import table_include
+
+    env = table_include(_env_struct(spark, sf_dir), include_regex="^app\\.t[0-2]$")
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        F.concat_ws(".", F.col("source.db"), F.col("source.table")).alias("fq"),
+    )
 
 
 SQL_table_include_filter = f"""WITH {ENV_SQL}
@@ -338,10 +354,15 @@ WHERE regexp_matches(db || '.' || tbl, '^app\\.t[0-2]$')"""
 
 
 def q_column_mask_sha256(spark, sf_dir):
-    """MaskStrings hash mode (§2.4): salted SHA-256."""
-    e = _env(spark, sf_dir)
-    return e.select(
-        "pos", "repo", F.sha2(F.concat(F.lit("salt:"), F.col("content")), 256).alias("content_masked")
+    """MaskStrings hash mode (§2.4): salted SHA-256, via operators.masking
+    (masks the field in both payload sides; deletes carry it in before)."""
+    from debezium_spark.operators.masking import hash_mask_column
+
+    env = hash_mask_column(_env_struct(spark, sf_dir), "content", "salt:")
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.content"), F.col("before.content")).alias("content_masked"),
     )
 
 
@@ -350,9 +371,14 @@ SELECT pos, repo, sha256('salt:' || content) AS content_masked FROM env"""
 
 
 def q_column_truncate(spark, sf_dir):
-    """TruncateStrings (§2.4)."""
-    e = _env(spark, sf_dir)
-    return e.select("pos", F.substring(F.col("content"), 1, 8).alias("content_trunc"))
+    """TruncateStrings (§2.4) via operators.masking."""
+    from debezium_spark.operators.masking import truncate_column
+
+    env = truncate_column(_env_struct(spark, sf_dir), "content", 8)
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        F.coalesce(F.col("after.content"), F.col("before.content")).alias("content_trunc"),
+    )
 
 
 SQL_column_truncate = f"""WITH {ENV_SQL}
@@ -360,12 +386,15 @@ SELECT pos, substr(content, 1, 8) AS content_trunc FROM env"""
 
 
 def q_logical_table_router(spark, sf_dir):
-    """ByLogicalTableRouter (§2.5): regex shard-merge."""
-    e = _env(spark, sf_dir)
-    return e.select(
-        "pos",
-        F.col("tbl").alias("physical_table"),
-        F.regexp_replace(F.col("tbl"), "^t[0-9]+$", "t_all").alias("logical_table"),
+    """ByLogicalTableRouter (§2.5): regex shard-merge, via operators.routing
+    (rewrites source.table, preserves the physical id)."""
+    from debezium_spark.operators.routing import by_logical_table_router
+
+    env = by_logical_table_router(_env_struct(spark, sf_dir), "^t[0-9]+$", "t_all")
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        F.col("__dbz__physicalTableIdentifier").alias("physical_table"),
+        F.col("source.table").alias("logical_table"),
     )
 
 
@@ -375,33 +404,43 @@ SELECT pos, tbl AS physical_table,
 
 
 def q_content_based_router(spark, sf_dir):
-    """ContentBasedRouter (§2.5): route by expression over the record."""
-    e = _env(spark, sf_dir)
-    route = (
-        F.when(F.col("value") >= 100, "high").when(F.col("value") >= 50, "mid").otherwise("low")
+    """ContentBasedRouter (§2.5): route by a SQL expression over the record
+    itself (the JSR-223 script analog), via operators.routing."""
+    from debezium_spark.operators.routing import content_based_router
+
+    env = content_based_router(
+        _env_struct(spark, sf_dir),
+        "CASE WHEN CAST(split(coalesce(after.content, before.content), ':')[1] AS BIGINT) >= 10000"
+        " THEN 'high'"
+        " WHEN CAST(split(coalesce(after.content, before.content), ':')[1] AS BIGINT) >= 5000"
+        " THEN 'mid' ELSE 'low' END",
     )
-    return e.select("pos", route.alias("route"))
+    return env.select(F.col("source.pos").alias("pos"), "route")
 
 
 SQL_content_based_router = f"""WITH {ENV_SQL}
-SELECT pos, CASE WHEN value >= 100 THEN 'high'
-                 WHEN value >= 50 THEN 'mid'
+SELECT pos, CASE WHEN CAST(string_split(content, ':')[2] AS BIGINT) >= 10000 THEN 'high'
+                 WHEN CAST(string_split(content, ':')[2] AS BIGINT) >= 5000 THEN 'mid'
                  ELSE 'low' END AS route FROM env"""
 
 
 def q_transaction_metadata(spark, sf_dir):
-    """TransactionMonitor (§2.7): per-tx END summary."""
-    e = _env(spark, sf_dir)
-    return e.groupBy("tx_id").agg(
-        F.count("*").alias("event_count"),
-        F.min("pos").alias("first_pos"),
-        F.max("pos").alias("last_pos"),
-        F.countDistinct("tbl").cast("long").alias("data_collections"),
+    """TransactionMonitor (§2.7): per-tx END summary via
+    operators.transactions.transaction_summary."""
+    from debezium_spark.operators.transactions import transaction_summary
+
+    out = transaction_summary(_env_struct(spark, sf_dir))
+    return out.select(
+        "tx_id",
+        "event_count",
+        "first_pos",
+        "last_pos",
+        F.col("data_collections").cast("long").alias("data_collections"),
     )
 
 
 SQL_transaction_metadata = f"""WITH {ENV_SQL}
-SELECT tx_id, CAST(COUNT(*) AS BIGINT) AS event_count,
+SELECT 'tx-' || CAST(tx_id AS VARCHAR) AS tx_id, CAST(COUNT(*) AS BIGINT) AS event_count,
        MIN(pos) AS first_pos, MAX(pos) AS last_pos,
        CAST(COUNT(DISTINCT tbl) AS BIGINT) AS data_collections
 FROM env GROUP BY tx_id"""
@@ -651,22 +690,113 @@ FROM generate_series(0, 499) AS t(i) WHERE i % 3 = 2"""
 
 
 def q_outbox_router(spark, sf_dir):
-    """Outbox EventRouter (§2.6): route by aggregate type, extract payload
-    (props JSON), key by aggregate id."""
+    """Outbox EventRouter (§2.6) via operators.outbox: route topic from the
+    aggregate type, key by aggregate id, expand the JSON payload column into
+    typed payload_* fields (EventRouterDelegate expand-json-payload)."""
+    from debezium_spark.operators.outbox import outbox_route
+    from pyspark.sql.types import StructType
+
     e = _env(spark, sf_dir)
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
-    return e.select(
-        F.col("pos"),
-        F.col("tbl").alias("aggregatetype"),
-        F.col("user_id").alias("aggregateid"),
-        k.alias("payload_k"),
+    # outbox table envelope: every row is an insert of an outbox record
+    env = e.select(
+        F.lit(None).cast("struct<aggregatetype:string,aggregateid:bigint,payload:string>").alias("before"),
+        F.struct(
+            F.col("tbl").alias("aggregatetype"),
+            F.col("user_id").alias("aggregateid"),
+            F.col("props").alias("payload"),
+        ).alias("after"),
+        F.lit("c").alias("op"),
+        F.col("ts_ms"),
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.col("pos").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.col("db"),
+            F.lit("outbox").alias("table"),
+            F.col("ts_ms").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias("transaction"),
     )
+    out = outbox_route(env, payload_schema=StructType.fromDDL("k long"))
+    return out.select("pos", "topic", "aggregatetype", "aggregateid", "payload_k")
 
 
 SQL_outbox_router = f"""WITH {ENV_SQL}
-SELECT pos, tbl AS aggregatetype, user_id AS aggregateid,
+SELECT pos, 'outbox.event.' || tbl AS topic, tbl AS aggregatetype,
+       user_id AS aggregateid,
        CAST(json_extract_string(props, '$.k') AS BIGINT) AS payload_k
 FROM env"""
+
+
+def q_topic_selector(spark, sf_dir):
+    """TopicSelector (§2.5, schema/TopicSelector.java:39-92): per-record
+    topic name prefix.db.table, via operators.routing.topic_for."""
+    from debezium_spark.operators.routing import topic_for
+
+    env = topic_for(_env_struct(spark, sf_dir), "cdc")
+    return env.select(F.col("source.pos").alias("pos"), "topic")
+
+
+SQL_topic_selector = f"""WITH {ENV_SQL}
+SELECT pos, 'cdc.' || db || '.' || tbl AS topic FROM env"""
+
+
+def q_transaction_stamp(spark, sf_dir):
+    """Transaction-block stamping (§2.7): rebuild transaction{id,orders}
+    from offsets when the source lacks tx framing, via
+    operators.transactions.stamp_transaction."""
+    from debezium_spark.operators.transactions import stamp_transaction
+
+    env = _env_struct(spark, sf_dir).withColumn(
+        "transaction",
+        F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>"),
+    )
+    out = stamp_transaction(env, tx_size=10)
+    return out.select(
+        F.col("source.pos").alias("pos"),
+        F.col("transaction.id").alias("tx_id"),
+        F.col("transaction.total_order").alias("total_order"),
+    )
+
+
+SQL_transaction_stamp = f"""WITH {ENV_SQL}
+SELECT pos, 'tx-' || CAST(pos // 10 AS VARCHAR) AS tx_id, pos % 10 AS total_order FROM env"""
+
+
+def q_column_exclude(spark, sf_dir):
+    """column.exclude.list (§2.4, TableSchemaBuilder.java:147-153): drop a
+    payload field from both sides, via operators.filters.column_exclude.
+    The after-image is re-serialized to JSON to prove the field is gone."""
+    from debezium_spark.operators.filters import column_exclude
+
+    env = column_exclude(_env_struct(spark, sf_dir), ["content"])
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        "op",
+        F.to_json(F.col("after")).alias("after_json"),
+    )
+
+
+SQL_column_exclude = f"""WITH {ENV_SQL}
+SELECT pos, op,
+       CASE WHEN op='d' THEN NULL
+            ELSE '{{"repo":"' || repo || '","path":"' || path || '"}}' END AS after_json
+FROM env"""
+
+
+def q_snapshot_row_filter(spark, sf_dir):
+    """snapshot.select.statement.overrides (§2.4): per-table WHERE at the
+    bootstrap read, via operators.filters.snapshot_row_filter."""
+    from debezium_spark.operators.filters import snapshot_row_filter
+
+    d = _read(spark, sf_dir, "documents")
+    out = snapshot_row_filter(d, "doc_id % 2 = 0 AND n_chars > 100")
+    return out.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha"))
+
+
+SQL_snapshot_row_filter = """SELECT doc_id, sha256(text) AS content_sha
+FROM documents WHERE doc_id % 2 = 0 AND n_chars > 100"""
 
 
 # --------------------------------------------------------------------------
@@ -1034,6 +1164,10 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "incremental_snapshot_dedupe": (q_incremental_snapshot_dedupe, SQL_incremental_snapshot_dedupe),
     "schema_change_ledger": (q_schema_change_ledger, SQL_schema_change_ledger),
     "outbox_router": (q_outbox_router, SQL_outbox_router),
+    "topic_selector": (q_topic_selector, SQL_topic_selector),
+    "transaction_stamp": (q_transaction_stamp, SQL_transaction_stamp),
+    "column_exclude": (q_column_exclude, SQL_column_exclude),
+    "snapshot_row_filter": (q_snapshot_row_filter, SQL_snapshot_row_filter),
     "serde_json_roundtrip": (q_serde_json_roundtrip, SQL_serde_json_roundtrip),
     "cloudevents_convert": (q_cloudevents_convert, SQL_cloudevents_convert),
     "ens_drop_deletes": (q_ens_drop_deletes, SQL_ens_drop_deletes),

@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from debezium_spark.plans.merge import OP_COL
 
 
-def _env_struct(before, after, op, src_pos_shift=None):
+def _env_struct(before, after, op, tomb=None):
     """Rebuild a full envelope struct column (used by the split)."""
     cols = [
         before.alias("before"),
@@ -41,16 +41,28 @@ def _env_struct(before, after, op, src_pos_shift=None):
         F.col("source").alias("source"),
         F.col("transaction").alias("transaction"),
     ]
+    if tomb is not None:
+        cols.append(F.lit(tomb).alias("_tombstone"))
     return F.struct(*cols)
 
 
-def split_pk_changes(env: DataFrame, key_cols: list[str]) -> DataFrame:
+def split_pk_changes(
+    env: DataFrame, key_cols: list[str], tombstones_on_delete: bool = False
+) -> DataFrame:
     """Expand UPDATEs whose key changed into DELETE(old)+CREATE(new).
 
-    Adds ``_sub`` (0=delete, 1=insert) so downstream ordering is
-    (source.pos, _sub) — the insert logically follows the delete, mirroring
-    the record ordering the reference emits (RecordMakers.java:282-312).
-    Rows without a key change pass through with _sub=0.
+    Adds ``_sub`` so downstream ordering is (source.pos, _sub) — the insert
+    logically follows the delete, mirroring the record ordering the
+    reference emits (RecordMakers.java:282-312). Rows without a key change
+    pass through with _sub=0.
+
+    ``tombstones_on_delete=True`` inserts the tombstone between them —
+    DELETE(old) + tombstone(old key, null value) + CREATE(new), _sub 0/1/2,
+    with a ``_tombstone`` marker column — the full wire-format parity shape
+    (RecordMakers.java:282-312; ordering asserted by
+    MySqlConnectorIT.java:1530-1536). Tombstones carry op='d' and a null
+    ``after``, so sinks that ignore the marker still converge to the same
+    state (the delete already removed the key); wire consumers see parity.
     """
     bkey = F.struct(*[F.col(f"before.{c}") for c in key_cols])
     akey = F.struct(*[F.col(f"after.{c}") for c in key_cols])
@@ -62,11 +74,18 @@ def split_pk_changes(env: DataFrame, key_cols: list[str]) -> DataFrame:
     )
 
     null_payload = F.lit(None).cast(env.schema["after"].dataType)
-    delete_env = _env_struct(F.col("before"), null_payload, F.lit("d"))
-    insert_env = _env_struct(null_payload, F.col("after"), F.lit("c"))
-    ident_env = _env_struct(F.col("before"), F.col("after"), F.col("op"))
+    tomb = False if tombstones_on_delete else None
+    delete_env = _env_struct(F.col("before"), null_payload, F.lit("d"), tomb=tomb)
+    insert_env = _env_struct(null_payload, F.col("after"), F.lit("c"), tomb=tomb)
+    ident_env = _env_struct(F.col("before"), F.col("after"), F.col("op"), tomb=tomb)
 
-    arr = F.when(is_pk_change, F.array(delete_env, insert_env)).otherwise(F.array(ident_env))
+    if tombstones_on_delete:
+        tomb_env = _env_struct(F.col("before"), null_payload, F.lit("d"), tomb=True)
+        arr = F.when(is_pk_change, F.array(delete_env, tomb_env, insert_env)).otherwise(
+            F.array(ident_env)
+        )
+    else:
+        arr = F.when(is_pk_change, F.array(delete_env, insert_env)).otherwise(F.array(ident_env))
     exploded = env.select(F.posexplode(arr).alias("_sub", "_e"))
     return exploded.select("_e.*", "_sub")
 

@@ -1,0 +1,48 @@
+"""Outbox EventRouter — the transactional-outbox SMT.
+
+Re-creates ``debezium-core/.../transforms/outbox/EventRouterDelegate.java``
+(route by ``aggregatetype`` :150-176, key by ``aggregateid``, payload field
+extraction, and the JSON payload *schema expansion* the delegate performs
+when ``table.expand.json.payload=true``) as pure Catalyst: the topic is a
+string concat, the key a column pick, and the expansion one ``from_json``
+with a caller-supplied payload schema — all inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def outbox_route(
+    env: DataFrame,
+    route_by_field: str = "aggregatetype",
+    key_field: str = "aggregateid",
+    payload_field: str = "payload",
+    payload_schema: StructType | None = None,
+    topic_prefix: str = "outbox.event",
+) -> DataFrame:
+    """Route outbox-table envelopes: one record per insert, topic
+    ``<prefix>.<aggregatetype>``, keyed by the aggregate id.
+
+    With ``payload_schema`` the JSON payload column is expanded into typed
+    ``payload_<field>`` columns (EventRouterDelegate's expand-json-payload);
+    without it the raw JSON string passes through as ``payload``.
+    Deletes/tombstones on the outbox table are skipped (the reference routes
+    only the insert; the outbox row is immutable)."""
+    out = env.filter((F.col("op") != "d") & F.col("after").isNotNull()).select(
+        F.col("source.pos").alias("pos"),
+        F.col(f"after.{route_by_field}").alias("aggregatetype"),
+        F.col(f"after.{key_field}").alias("aggregateid"),
+        F.col(f"after.{payload_field}").alias("payload"),
+    )
+    out = out.withColumn(
+        "topic", F.concat_ws(".", F.lit(topic_prefix), F.col("aggregatetype"))
+    )
+    if payload_schema is not None:
+        parsed = F.from_json(F.col("payload"), payload_schema)
+        for f in payload_schema.fields:
+            out = out.withColumn(f"payload_{f.name}", parsed[f.name])
+        out = out.drop("payload")
+    return out
