@@ -729,6 +729,87 @@ SELECT pos, 'outbox.event.' || tbl AS topic, tbl AS aggregatetype,
 FROM env"""
 
 
+def q_multi_table_replay(spark, sf_dir):
+    """Multi-table capture/apply (§2.5/§2.9): a mixed wire batch routed by
+    (source.db, source.table) to three per-table LakeTables with their own
+    payload schemas (t1 carries an extra typed column) and write modes
+    (CoW + MoR with mid-replay compaction); t3/t4 rows are unregistered and
+    dropped. Oracle = per-table sequential-apply final states, unioned."""
+    from debezium_spark.streaming.multi import MultiTableEngine, TableSpec
+    from pyspark.sql.types import StructType
+
+    e = _env(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    p3 = F.struct(F.col("repo"), F.col("path"), F.col("content"))
+    p4 = F.struct(F.col("repo"), F.col("path"), F.col("content"), cents.alias("cents"))
+    pj = F.when(F.col("tbl") == "t1", F.to_json(p4)).otherwise(F.to_json(p3))
+    wire = e.select(
+        F.when(F.col("op") != "c", pj).alias("before_json"),
+        F.when(F.col("op") != "d", pj).alias("after_json"),
+        "op",
+        "ts_ms",
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.col("pos").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.col("db"),
+            F.col("tbl").alias("table"),
+            F.col("ts_ms").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias("transaction"),
+    )
+    max_pos = wire.select(F.max("source.pos")).first()[0] or 0
+
+    s3 = StructType.fromDDL("repo string, path string, content string")
+    s4 = StructType.fromDDL("repo string, path string, content string, cents long")
+    tmp = tempfile.mkdtemp(prefix="cdc_multi_")
+    mte = MultiTableEngine(
+        spark,
+        tmp,
+        [
+            TableSpec("app", "t0", s3, ["repo", "path"], n_buckets=4, mode="cow"),
+            TableSpec("app", "t1", s4, ["repo", "path"], n_buckets=4, mode="mor"),
+            TableSpec("app", "t2", s3, ["repo", "path"], n_buckets=4, mode="cow"),
+        ],
+        compact_depth=2,
+    )
+    n_batches = 3
+    step = (max_pos + n_batches) // n_batches
+    for b in range(n_batches):
+        lo, hi = b * step, (b + 1) * step
+        batch = wire.filter((F.col("source.pos") >= lo) & (F.col("source.pos") < hi))
+        mte.apply_wire_batch(batch, batch_id=f"b{b}")
+
+    outs = []
+    for fqn, df in mte.read_all().items():
+        tbl = fqn.split(".")[1]
+        if "cents" not in df.columns:
+            df = df.withColumn("cents", F.lit(None).cast("long"))
+        outs.append(
+            df.select(
+                F.lit(tbl).alias("table_name"),
+                "repo",
+                "path",
+                F.sha2(F.col("content"), 256).alias("content_sha"),
+                "cents",
+            )
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
+
+
+SQL_multi_table_replay = f"""WITH {ENV_SQL},
+r AS (SELECT tbl, repo, path, content, op, value,
+             ROW_NUMBER() OVER (PARTITION BY tbl, repo, path ORDER BY pos DESC) AS rn
+      FROM env WHERE tbl IN ('t0','t1','t2'))
+SELECT tbl AS table_name, repo, path, sha256(content) AS content_sha,
+       CASE WHEN tbl='t1' THEN CAST(ROUND(value*100) AS BIGINT) ELSE NULL END AS cents
+FROM r WHERE rn = 1 AND op <> 'd'"""
+
+
 def q_topic_selector(spark, sf_dir):
     """TopicSelector (§2.5, schema/TopicSelector.java:39-92): per-record
     topic name prefix.db.table, via operators.routing.topic_for."""
@@ -1164,6 +1245,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "incremental_snapshot_dedupe": (q_incremental_snapshot_dedupe, SQL_incremental_snapshot_dedupe),
     "schema_change_ledger": (q_schema_change_ledger, SQL_schema_change_ledger),
     "outbox_router": (q_outbox_router, SQL_outbox_router),
+    "multi_table_replay": (q_multi_table_replay, SQL_multi_table_replay),
     "topic_selector": (q_topic_selector, SQL_topic_selector),
     "transaction_stamp": (q_transaction_stamp, SQL_transaction_stamp),
     "column_exclude": (q_column_exclude, SQL_column_exclude),

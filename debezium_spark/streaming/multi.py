@@ -1,0 +1,204 @@
+"""MultiTableEngine — per-table routing of a mixed change stream.
+
+The reference's entire dataflow is per-table: topic naming
+(``schema/TopicSelector.java:39-92``), per-table value schemas
+(``relational/TableSchemaBuilder.java:124-175``), per-table key columns with
+``message.key.columns`` overrides (``relational/Key.java`` KeyMapper, config
+``RelationalDatabaseConnectorConfig.java:420``), and sink replay routed by
+fully-qualified table name (``sink/replay/table/TableReplayTask.java:
+401-426``). This module is that layer for the Spark engine: a registry of
+``TableSpec``s, each binding a ``(db, table)`` identity to its own
+``LakeTable`` (own payload schema, own key columns, own write mode), and a
+batch-apply that fans a mixed *wire* batch out to the per-table engines.
+
+Wire form: payloads travel as JSON strings (``before_json`` /
+``after_json``) because a mixed-table DataFrame cannot carry N different
+payload StructTypes in one column — exactly why the reference serializes
+per-table schemas onto the wire. Each table parses its own rows with its own
+schema (one ``from_json``, JVM-side).
+
+Scale shape: the wire batch is analyzed once (one narrow aggregation yields
+per-table max offsets + row presence), then each registered table gets a
+filtered parse + the engine's usual one-shuffle merge, pruned to that
+table's buckets. Tables absent from a batch receive an offset-bearing
+heartbeat so their fences stay fresh (``heartbeat/Heartbeat.java:27-79``).
+Unregistered tables are dropped, mirroring table include-list semantics
+(``relational/Selectors.java``).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from debezium_spark.plans.table import LakeTable
+from debezium_spark.schema import SOURCE_SCHEMA, TRANSACTION_SCHEMA
+from debezium_spark.streaming.engine import CdcEngine
+
+#: wire-format envelope: payloads as JSON strings (per-table schemas are
+#: applied at parse time, one from_json per registered table)
+WIRE_SCHEMA = StructType(
+    [
+        StructField("before_json", StringType(), True),
+        StructField("after_json", StringType(), True),
+        StructField("op", StringType(), False),
+        StructField("ts_ms", LongType(), True),
+        StructField("source", SOURCE_SCHEMA, False),
+        StructField("transaction", TRANSACTION_SCHEMA, True),
+    ]
+)
+
+
+def envelope_to_wire(env: DataFrame) -> DataFrame:
+    """Typed envelope → wire form (payload structs serialized to JSON)."""
+    return env.select(
+        F.when(F.col("before").isNotNull(), F.to_json(F.col("before"))).alias("before_json"),
+        F.when(F.col("after").isNotNull(), F.to_json(F.col("after"))).alias("after_json"),
+        "op",
+        "ts_ms",
+        "source",
+        "transaction",
+    )
+
+
+def wire_to_envelope(wire: DataFrame, payload: StructType) -> DataFrame:
+    """Wire form → typed envelope under one table's payload schema."""
+    return wire.select(
+        F.from_json(F.col("before_json"), payload).alias("before"),
+        F.from_json(F.col("after_json"), payload).alias("after"),
+        "op",
+        "ts_ms",
+        "source",
+        "transaction",
+    )
+
+
+@dataclass
+class TableSpec:
+    """One captured table: identity, value schema, key.
+
+    ``key_cols`` is the ``message.key.columns`` analog — it may override the
+    source primary key (reference KeyMapper,
+    ``RelationalDatabaseConnectorConfig.java:420``)."""
+
+    db: str
+    table: str
+    payload_schema: StructType
+    key_cols: list[str]
+    n_buckets: int = 16
+    mode: str = "mor"
+    smt_chain: list = field(default_factory=list)
+
+    @property
+    def fqn(self) -> str:
+        return f"{self.db}.{self.table}"
+
+
+class MultiTableEngine:
+    """Registry of per-table CdcEngines + a mixed-batch dispatcher."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        specs: list[TableSpec],
+        salt_factor: int = 4,
+        compact_depth: int = 8,
+    ) -> None:
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.specs: dict[tuple[str, str], TableSpec] = {}
+        self.engines: dict[tuple[str, str], CdcEngine] = {}
+        for spec in specs:
+            t = LakeTable(
+                spark,
+                os.path.join(self.root, spec.db, spec.table),
+                spec.key_cols,
+                n_buckets=spec.n_buckets,
+                mode=spec.mode,
+            )
+            if not t.exists():
+                t.create(spec.payload_schema)
+            self.specs[(spec.db, spec.table)] = spec
+            self.engines[(spec.db, spec.table)] = CdcEngine(
+                spark,
+                t,
+                smt_chain=spec.smt_chain,
+                salt_factor=salt_factor,
+                compact_depth=compact_depth,
+            )
+
+    def table(self, db: str, table: str) -> LakeTable:
+        return self.engines[(db, table)].table
+
+    def apply_wire_batch(self, wire: DataFrame, batch_id: str) -> dict[str, int | None]:
+        """Fan one mixed wire batch out to the per-table engines.
+
+        One narrow pre-pass (source columns only — parquet-prunable) yields
+        each table's max offset, the global max, and barrier presence;
+        then each registered table parses + merges only its rows. Tables
+        with no rows in the batch get an offset-bearing heartbeat at the
+        global max so idle fences advance (Heartbeat.java:27-79).
+        Unregistered tables are dropped (include-list semantics)."""
+        wire = wire.persist()
+        try:
+            stats = (
+                wire.groupBy(F.col("source.db").alias("db"), F.col("source.table").alias("t"))
+                .agg(
+                    F.max("source.pos").alias("p"),
+                    F.max("source.file").alias("f"),
+                    F.max(F.col("op").isin(["l", "t"]).cast("int")).alias("nd"),
+                )
+                .collect()
+            )
+            if not stats:
+                return {}
+            global_pos = max(r["p"] for r in stats)
+            global_file = max(r["f"] for r in stats)
+            present = {(r["db"], r["t"]): r for r in stats}
+
+            versions: dict[str, int | None] = {}
+            for key, eng in self.engines.items():
+                db, tbl = key
+                spec = self.specs[key]
+                row = present.get(key)
+                if row is None:
+                    # idle table this batch: offset-bearing heartbeat
+                    versions[spec.fqn] = eng.heartbeat((global_file, global_pos))
+                    continue
+                sub = wire.filter(
+                    (F.col("source.db") == db) & (F.col("source.table") == tbl)
+                )
+                env = wire_to_envelope(sub, spec.payload_schema)
+                versions[spec.fqn] = eng.apply_envelope_batch(
+                    env,
+                    batch_id=f"{batch_id}/{spec.fqn}",
+                    fence=(row["f"], row["p"]),
+                    has_ddl=bool(row["nd"]),
+                )
+            return versions
+        finally:
+            wire.unpersist()
+
+    def apply_envelope_batch(self, env: DataFrame, batch_id: str) -> dict[str, int | None]:
+        """Convenience: accept a typed envelope whose payload is a superset
+        struct (single-source multi-table capture) by converting to wire
+        form first — each table then re-parses only its own fields."""
+        return self.apply_wire_batch(envelope_to_wire(env), batch_id)
+
+    def read_all(self) -> dict[str, DataFrame]:
+        """Final state per table (fqn → DataFrame)."""
+        return {spec.fqn: self.engines[k].table.read() for k, spec in self.specs.items()}
+
+
+__all__ = [
+    "WIRE_SCHEMA",
+    "TableSpec",
+    "MultiTableEngine",
+    "envelope_to_wire",
+    "wire_to_envelope",
+]

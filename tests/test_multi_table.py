@@ -1,0 +1,118 @@
+"""Multi-table routing: per-table schemas, per-table key columns
+(message.key.columns analog), unregistered-table drop, idle heartbeat."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from debezium_spark.streaming.multi import (
+    MultiTableEngine,
+    TableSpec,
+    envelope_to_wire,
+    wire_to_envelope,
+)
+
+
+def _wire(spark, rows):
+    """rows: (pos, db, table, op, before_json, after_json)."""
+    data = [
+        {
+            "before_json": r[4],
+            "after_json": r[5],
+            "op": r[3],
+            "ts_ms": 1000 + r[0],
+            "source": {
+                "file": "binlog.000001",
+                "pos": r[0],
+                "gtid": None,
+                "snapshot": None,
+                "db": r[1],
+                "table": r[2],
+                "ts_ms": 1000 + r[0],
+            },
+            "transaction": None,
+        }
+        for r in rows
+    ]
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    return spark.createDataFrame(data, WIRE_SCHEMA)
+
+
+def test_multi_table_routes_by_identity_with_per_table_keys(spark, tmp_path):
+    users = TableSpec(
+        "app", "users",
+        StructType.fromDDL("uid long, name string"),
+        key_cols=["uid"], n_buckets=2, mode="cow",
+    )
+    # orders keyed by a *composite, non-PK* key — message.key.columns analog
+    orders = TableSpec(
+        "app", "orders",
+        StructType.fromDDL("region string, order_no long, amount long"),
+        key_cols=["region", "order_no"], n_buckets=2, mode="mor",
+    )
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [users, orders])
+
+    rows = [
+        (0, "app", "users", "c", None, '{"uid": 1, "name": "ada"}'),
+        (1, "app", "orders", "c", None, '{"region": "eu", "order_no": 7, "amount": 100}'),
+        (2, "app", "users", "u", '{"uid": 1, "name": "ada"}', '{"uid": 1, "name": "ada2"}'),
+        (3, "app", "ghost", "c", None, '{"x": 1}'),  # unregistered -> dropped
+        (4, "app", "orders", "u",
+         '{"region": "eu", "order_no": 7, "amount": 100}',
+         '{"region": "eu", "order_no": 7, "amount": 250}'),
+    ]
+    versions = mte.apply_wire_batch(_wire(spark, rows), batch_id="b0")
+    assert set(versions) == {"app.users", "app.orders"}
+
+    u = {r["uid"]: r["name"] for r in mte.table("app", "users").read().collect()}
+    assert u == {1: "ada2"}
+    o = mte.table("app", "orders").read().collect()
+    assert [(r["region"], r["order_no"], r["amount"]) for r in o] == [("eu", 7, 250)]
+    # per-table fences track each table's own max offset
+    assert mte.table("app", "users").fence()[1] == 2
+    assert mte.table("app", "orders").fence()[1] == 4
+
+
+def test_multi_table_idle_heartbeat_advances_quiet_fence(spark, tmp_path):
+    a = TableSpec("app", "a", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2)
+    b = TableSpec("app", "b", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [a, b])
+
+    mte.apply_wire_batch(
+        _wire(spark, [
+            (0, "app", "a", "c", None, '{"k": 1, "v": "x"}'),
+            (1, "app", "b", "c", None, '{"k": 1, "v": "y"}'),
+        ]),
+        batch_id="b0",
+    )
+    # second batch touches only table a; b must heartbeat to the global max
+    mte.apply_wire_batch(
+        _wire(spark, [(5, "app", "a", "u", '{"k": 1, "v": "x"}', '{"k": 1, "v": "x2"}')]),
+        batch_id="b1",
+    )
+    assert mte.table("app", "a").fence()[1] == 5
+    assert mte.table("app", "b").fence()[1] == 5
+    assert any(r.get("heartbeat") for r in mte.table("app", "b").lineage())
+    assert mte.table("app", "b").read().count() == 1  # data untouched
+
+
+def test_wire_roundtrip_preserves_envelope(spark):
+    from debezium_spark import ChangeLogGenerator
+
+    gen = ChangeLogGenerator(spark, seed=5, n_repos=4)
+    env = gen.events(200)
+    payload = env.schema["after"].dataType
+    back = wire_to_envelope(envelope_to_wire(env), payload)
+    a = env.select(F.sha2(F.concat_ws("|",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")),
+        F.coalesce(F.col("after.path"), F.col("before.path")),
+        F.coalesce(F.col("after.content"), F.lit("")), F.col("op"),
+        F.col("source.pos").cast("string")), 256).alias("h"))
+    b = back.select(F.sha2(F.concat_ws("|",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")),
+        F.coalesce(F.col("after.path"), F.col("before.path")),
+        F.coalesce(F.col("after.content"), F.lit("")), F.col("op"),
+        F.col("source.pos").cast("string")), 256).alias("h"))
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
