@@ -729,6 +729,95 @@ SELECT pos, 'outbox.event.' || tbl AS topic, tbl AS aggregatetype,
 FROM env"""
 
 
+def q_typed_payload_roundtrip(spark, sf_dir):
+    """Typed payloads end-to-end (§1.4 type matrix, reference
+    jdbc/JdbcValueConverters.java + time/* + SpecialValueDecimal): a payload
+    carrying decimal(12,2), timestamp, date and binary columns — converted
+    from Debezium wire forms by functions.typeconv — flows through the full
+    engine (envelope → split → dedupe → MoR deltas → compaction → read) and
+    must round-trip exactly. Values rendered canonically for the hash."""
+    from debezium_spark.functions.typeconv import (
+        decimal_from_string,
+        from_debezium_date,
+        from_debezium_timestamp_ms,
+    )
+    from debezium_spark.plans.table import LakeTable
+    from debezium_spark.streaming.engine import CdcEngine
+    from pyspark.sql.types import StructType
+
+    e = _env(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    amount_str = F.concat(
+        F.floor(cents / 100).cast("string"),
+        F.lit("."),
+        F.lpad(F.pmod(cents, 100).cast("string"), 2, "0"),
+    )
+    days = F.floor(F.col("ts_ms") / 86400000).cast("int")
+    payload = F.struct(
+        F.col("repo"),
+        F.col("path"),
+        F.col("content"),
+        decimal_from_string(amount_str, 12, 2).alias("amount"),
+        from_debezium_timestamp_ms(F.col("ts_ms")).alias("ts"),
+        from_debezium_date(days).alias("day"),
+        F.unhex(F.substring(F.sha2(F.col("content"), 256), 1, 16)).alias("blob"),
+    )
+    env = e.select(
+        F.when(F.col("op") != "c", payload).alias("before"),
+        F.when(F.col("op") != "d", payload).alias("after"),
+        "op",
+        "ts_ms",
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.col("pos").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.col("db"),
+            F.col("tbl").alias("table"),
+            F.col("ts_ms").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias("transaction"),
+    )
+    schema = StructType.fromDDL(
+        "repo string, path string, content string, amount decimal(12,2),"
+        " ts timestamp, day date, blob binary"
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_typed_")
+    table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
+    table.create(schema)
+    engine = CdcEngine(spark, table, compact_depth=2)
+    max_pos = env.select(F.max("source.pos")).first()[0] or 0
+    n_batches = 3
+    step = (max_pos + n_batches) // n_batches
+    for b in range(n_batches):
+        lo, hi = b * step, (b + 1) * step
+        engine.apply_envelope_batch(
+            env.filter((F.col("source.pos") >= lo) & (F.col("source.pos") < hi)),
+            batch_id=f"b{b}",
+        )
+    return table.read().select(
+        "repo",
+        "path",
+        F.sha2(F.col("content"), 256).alias("content_sha"),
+        F.col("amount").cast("string").alias("amount_str"),
+        F.unix_millis(F.col("ts")).alias("ts_ms"),
+        F.col("day").cast("string").alias("day_str"),
+        F.lower(F.hex(F.col("blob"))).alias("blob_hex"),
+    )
+
+
+SQL_typed_payload_roundtrip = f"""WITH {ENV_SQL},
+r AS (SELECT repo, path, content, op, value, ts_ms,
+             ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY pos DESC) AS rn FROM env),
+last AS (SELECT *, CAST(ROUND(value*100) AS BIGINT) AS cents FROM r WHERE rn = 1 AND op <> 'd')
+SELECT repo, path, sha256(content) AS content_sha,
+       CAST(cents // 100 AS VARCHAR) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS amount_str,
+       ts_ms,
+       CAST(DATE '1970-01-01' + CAST(ts_ms // 86400000 AS INTEGER) AS VARCHAR) AS day_str,
+       substr(sha256(content), 1, 16) AS blob_hex
+FROM last"""
+
+
 def q_multi_table_replay(spark, sf_dir):
     """Multi-table capture/apply (§2.5/§2.9): a mixed wire batch routed by
     (source.db, source.table) to three per-table LakeTables with their own
@@ -1245,6 +1334,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "incremental_snapshot_dedupe": (q_incremental_snapshot_dedupe, SQL_incremental_snapshot_dedupe),
     "schema_change_ledger": (q_schema_change_ledger, SQL_schema_change_ledger),
     "outbox_router": (q_outbox_router, SQL_outbox_router),
+    "typed_payload_roundtrip": (q_typed_payload_roundtrip, SQL_typed_payload_roundtrip),
     "multi_table_replay": (q_multi_table_replay, SQL_multi_table_replay),
     "topic_selector": (q_topic_selector, SQL_topic_selector),
     "transaction_stamp": (q_transaction_stamp, SQL_transaction_stamp),

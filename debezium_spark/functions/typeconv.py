@@ -1,0 +1,199 @@
+"""Debezium wire-type → Spark type converters (the relational type matrix).
+
+The reference converts JDBC values into Kafka Connect logical types in
+``debezium-core/.../jdbc/JdbcValueConverters.java`` (1,342 LoC) plus the
+semantic temporal classes under ``debezium-core/.../time/`` (Date,
+Timestamp, MicroTimestamp, NanoTimestamp, ZonedTimestamp, Time, MicroTime,
+NanoTime) and the decimal forms in ``data/SpecialValueDecimal.java:26-50``
+and ``data/VariableScaleDecimal.java``. This module is the same matrix as
+pure Catalyst column expressions — wire representations (longs, strings,
+bytes) in, typed Spark columns out, zero Python per row.
+
+Wire encodings covered (all public Debezium semantic types):
+
+=====================================  =====================================
+Debezium semantic type                 wire form → Spark type
+=====================================  =====================================
+io.debezium.time.Date                  int32 epoch days        → date
+io.debezium.time.Timestamp             int64 epoch millis      → timestamp
+io.debezium.time.MicroTimestamp        int64 epoch micros      → timestamp
+io.debezium.time.NanoTimestamp         int64 epoch nanos       → timestamp
+io.debezium.time.ZonedTimestamp        ISO-8601 string         → timestamp
+io.debezium.time.Time                  int32 millis past 00:00 → long micros
+io.debezium.time.MicroTime             int64 micros past 00:00 → long micros
+io.debezium.time.NanoTime              int64 nanos past 00:00  → long micros
+connect Decimal (decimal.handling.mode)
+  =string                              "123.45"                → decimal(p,s)
+  =double                              123.45                  → decimal(p,s)
+  =precise                             unscaled big-endian two's-complement
+                                       bytes + scale           → decimal(38,s)
+io.debezium.data.VariableScaleDecimal  struct{scale,value}     → decimal(38,s)
+  (SpecialValueDecimal NaN/±Inf → null, per string-mode mapping)
+bytes                                  base64 string           → binary
+io.debezium.data.geometry.Geometry     struct{wkb bytes, srid} → passthrough
+=====================================  =====================================
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---- temporal (debezium-core/.../time/*.java) -----------------------------
+
+
+def from_debezium_date(col: Column) -> Column:
+    """io.debezium.time.Date: days since epoch (int32) → date."""
+    return F.date_from_unix_date(col.cast("int"))
+
+
+def from_debezium_timestamp_ms(col: Column) -> Column:
+    """io.debezium.time.Timestamp: epoch millis (int64) → timestamp."""
+    return F.timestamp_millis(col.cast("long"))
+
+
+def from_debezium_timestamp_us(col: Column) -> Column:
+    """io.debezium.time.MicroTimestamp: epoch micros → timestamp."""
+    return F.timestamp_micros(col.cast("long"))
+
+
+def from_debezium_timestamp_ns(col: Column) -> Column:
+    """io.debezium.time.NanoTimestamp: epoch nanos → timestamp (µs floor)."""
+    return F.timestamp_micros(F.floor(col.cast("long") / 1000).cast("long"))
+
+
+def from_zoned_timestamp(col: Column) -> Column:
+    """io.debezium.time.ZonedTimestamp: ISO-8601 string with offset →
+    timestamp (normalized to the session zone, UTC in this engine)."""
+    return F.to_timestamp(col)
+
+
+def time_micros(col: Column, unit: str = "micros") -> Column:
+    """io.debezium.time.Time/MicroTime/NanoTime: time-past-midnight in
+    millis/micros/nanos → canonical long micros (Spark has no TIME type;
+    the reference likewise carries these as int64)."""
+    c = col.cast("long")
+    if unit == "millis":
+        return c * 1000
+    if unit == "micros":
+        return c
+    if unit == "nanos":
+        return F.floor(c / 1000).cast("long")
+    raise ValueError(f"unknown time unit {unit!r}")
+
+
+# ---- decimal (JdbcValueConverters + SpecialValueDecimal) ------------------
+
+_SPECIALS = ["NaN", "Infinity", "-Infinity", "NAN", "nan", "inf", "-inf"]
+
+
+def decimal_from_string(col: Column, precision: int = 38, scale: int = 9) -> Column:
+    """decimal.handling.mode=string → decimal(p,s); the SpecialValueDecimal
+    markers (NaN/±Infinity, openGauss money edge values) map to null, per
+    ``data/SpecialValueDecimal.java:26-50``."""
+    return F.when(col.isin(_SPECIALS), F.lit(None)).otherwise(col).cast(
+        f"decimal({precision},{scale})"
+    )
+
+
+def decimal_from_double(col: Column, precision: int = 38, scale: int = 9) -> Column:
+    """decimal.handling.mode=double → decimal(p,s) (null for NaN/Inf)."""
+    c = col.cast("double")
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), F.lit(None)).otherwise(c).cast(
+        f"decimal({precision},{scale})"
+    )
+
+
+# 2^(8*n) for n = 1..16 as exact decimal strings (two's-complement bias per
+# byte length; 16 bytes = 128-bit covers every decimal(38) unscaled value)
+_POW256 = [str(1 << (8 * n)) for n in range(1, 17)]
+
+
+def decimal_from_unscaled_bytes(col: Column, scale: int) -> Column:
+    """decimal.handling.mode=precise: big-endian two's-complement unscaled
+    bytes + scale → decimal(38,s) (Kafka Connect ``Decimal`` encoding,
+    reference JdbcValueConverters#decimalMode). Pure Catalyst: hex →
+    base-16 parse into decimal(38,0), minus 2^(8*len) when the sign bit is
+    set, then scale division. Supports up to 16 bytes (decimal(38))."""
+    hx = F.hex(col)  # big-endian hex, 2 chars per byte
+    nbytes = (F.length(hx) / 2).cast("int")
+    # conv() is 64-bit: parse the low 8 bytes and any high bytes separately
+    # and recombine exactly in decimal(38,0) (hi * 2^64 + lo)
+    lo_hex = F.when(F.length(hx) > 16, F.substring(hx, -16, 16)).otherwise(hx)
+    hi_hex = F.when(F.length(hx) > 16, hx.substr(F.lit(1), F.length(hx) - 16)).otherwise(
+        F.lit("0")
+    )
+    lo = F.conv(lo_hex, 16, 10).cast("decimal(38,0)")
+    hi = F.conv(hi_hex, 16, 10).cast("decimal(38,0)")
+    two64 = F.lit(str(1 << 64)).cast("decimal(38,0)")
+    unsigned = (hi * two64 + lo).cast("decimal(38,0)")
+    bias = F.element_at(
+        F.array(*[F.lit(p) for p in _POW256]), nbytes
+    ).cast("decimal(38,0)")
+    negative = F.substring(hx, 1, 1).isin(list("89ABCDEF"))
+    signed = F.when(negative, unsigned - bias).otherwise(unsigned)
+    if scale == 0:
+        return signed
+    # exact decimal-point placement via string surgery — decimal *division*
+    # would trip Spark's precision-loss rounding (allowPrecisionLoss caps
+    # the result scale at 6 when 38 digits overflow)
+    s_str = signed.cast("string")
+    mag0 = F.regexp_replace(s_str, "^-", "")
+    # zero-extend to at least scale+1 digits (NOT lpad — lpad truncates
+    # strings longer than the target length)
+    pad = F.greatest(F.lit(0), F.lit(scale + 1) - F.length(mag0))
+    mag = F.concat(F.lit("0" * 39).substr(F.lit(1), pad), mag0)
+    int_part = mag.substr(F.lit(1), F.length(mag) - F.lit(scale))
+    frac = F.substring(mag, -scale, scale)
+    res = F.concat(
+        F.when(signed < 0, F.lit("-")).otherwise(F.lit("")), int_part, F.lit("."), frac
+    )
+    return res.cast(f"decimal(38,{scale})")
+
+
+def variable_scale_decimal(struct_col: Column) -> Column:
+    """io.debezium.data.VariableScaleDecimal struct{scale int, value bytes}
+    → decimal(38,18) (a fixed generous scale: Spark decimals are
+    fixed-scale, so variable wire scales normalize to one column type).
+    Exact for |unscaled| < 10^20 at any wire scale ≤ 18: the decimal point
+    is placed by string surgery (dynamic-scale analog of
+    ``decimal_from_unscaled_bytes``), never by lossy decimal division."""
+    raw = decimal_from_unscaled_bytes(struct_col["value"], 0)
+    sc = struct_col["scale"].cast("int")
+    mag0 = F.regexp_replace(raw.cast("string"), "^-", "")
+    pad = F.greatest(F.lit(0), sc + 1 - F.length(mag0))
+    mag = F.concat(F.lit("0" * 39).substr(F.lit(1), pad), mag0)
+    int_part = mag.substr(F.lit(1), F.length(mag) - sc)
+    frac = mag.substr(F.length(mag) - sc + 1, sc)
+    res = F.concat(
+        F.when(raw < 0, F.lit("-")).otherwise(F.lit("")),
+        int_part,
+        F.when(sc > 0, F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+    )
+    return res.cast("decimal(38,18)")
+
+
+# ---- binary / geometry -----------------------------------------------------
+
+
+def binary_from_base64(col: Column) -> Column:
+    """binary.handling.mode=base64 (JSON wire form of bytes) → binary."""
+    return F.unbase64(col)
+
+
+def binary_to_base64(col: Column) -> Column:
+    return F.base64(col)
+
+
+def geometry_struct(wkb_col: Column, srid_col: Column) -> Column:
+    """io.debezium.data.geometry.Geometry: {wkb bytes, srid int32} — carried
+    opaque (the reference also passes WKB through without geometric
+    interpretation; parsing WKB is the consumer's job)."""
+    return F.struct(wkb_col.alias("wkb"), srid_col.cast("int").alias("srid"))
+
+
+def bits_to_long(col: Column) -> Column:
+    """io.debezium.data.Bits (≤64 bits): little-endian bit bytes → long.
+    Kafka Connect Bits encodes least-significant byte first
+    (reference ``data/Bits.java``); reverse, then parse base-16."""
+    return F.conv(F.hex(F.reverse(col)), 16, 10).cast("long")

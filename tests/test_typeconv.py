@@ -1,0 +1,105 @@
+"""Debezium wire-type → Spark type matrix (functions/typeconv.py), checked
+against Python's arbitrary-precision ints/decimals as the oracle."""
+
+from __future__ import annotations
+
+import decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.functions import typeconv as tc
+
+
+def _twos(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 8) // 8)
+    return v.to_bytes(n, "big", signed=True)
+
+
+@pytest.mark.parametrize(
+    "unscaled,scale",
+    [
+        (12345, 2),
+        (-12345, 2),
+        (0, 0),
+        (255, 0),
+        (-1, 0),
+        (2**63, 0),                                  # crosses the conv 64-bit split
+        (-(2**63) - 1, 0),
+        (12345678901234567890123456789, 9),          # 29 digits, 16-byte path
+        (-12345678901234567890123456789, 9),
+        (10**37 - 1, 18),
+    ],
+)
+def test_decimal_from_unscaled_bytes(spark, unscaled, scale):
+    out = (
+        spark.createDataFrame([(_twos(unscaled),)], "b binary")
+        .select(tc.decimal_from_unscaled_bytes(F.col("b"), scale).alias("d"))
+        .first()["d"]
+    )
+    # Decimal construction from a string is exact (no context rounding)
+    assert decimal.Decimal(str(out)) == decimal.Decimal(f"{unscaled}E-{scale}")
+
+
+def test_variable_scale_decimal(spark):
+    rows = [((2, _twos(12345)),), ((0, _twos(-7)),), ((5, _twos(99)),)]
+    df = spark.createDataFrame(rows, "v struct<scale:int,value:binary>")
+    out = [r["d"] for r in df.select(tc.variable_scale_decimal(F.col("v")).alias("d")).collect()]
+    assert [decimal.Decimal(str(x)) for x in out] == [
+        decimal.Decimal("123.45"),
+        decimal.Decimal("-7"),
+        decimal.Decimal("0.00099"),
+    ]
+
+
+def test_decimal_string_and_double_modes_map_specials_to_null(spark):
+    df = spark.createDataFrame(
+        [("123.45", 123.45), ("NaN", float("nan")), ("-Infinity", float("-inf"))],
+        "s string, d double",
+    )
+    out = df.select(
+        tc.decimal_from_string(F.col("s"), 12, 2).alias("fs"),
+        tc.decimal_from_double(F.col("d"), 12, 2).alias("fd"),
+    ).collect()
+    assert str(out[0]["fs"]) == "123.45" and str(out[0]["fd"]) == "123.45"
+    assert out[1]["fs"] is None and out[1]["fd"] is None
+    assert out[2]["fs"] is None and out[2]["fd"] is None
+
+
+def test_temporals(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    row = (
+        spark.createDataFrame(
+            [(19000, 1700000000123, 1700000000123456, 1700000000123456789,
+              "2023-11-14T22:13:20.123+00:00", 3600000)],
+            "d int, ms long, us long, ns long, z string, tms long",
+        )
+        .select(
+            tc.from_debezium_date(F.col("d")).cast("string").alias("date"),
+            tc.from_debezium_timestamp_ms(F.col("ms")).cast("string").alias("ts_ms"),
+            tc.from_debezium_timestamp_us(F.col("us")).cast("string").alias("ts_us"),
+            tc.from_debezium_timestamp_ns(F.col("ns")).cast("string").alias("ts_ns"),
+            tc.from_zoned_timestamp(F.col("z")).cast("string").alias("zts"),
+            tc.time_micros(F.col("tms"), "millis").alias("t_us"),
+        )
+        .first()
+    )
+    assert row["date"] == "2022-01-08"
+    assert row["ts_ms"] == "2023-11-14 22:13:20.123"
+    assert row["ts_us"] == "2023-11-14 22:13:20.123456"
+    assert row["ts_ns"] == "2023-11-14 22:13:20.123456"
+    assert row["zts"] == "2023-11-14 22:13:20.123"
+    assert row["t_us"] == 3600000000  # 1h past midnight in micros
+
+
+def test_binary_bits_geometry(spark):
+    df = spark.createDataFrame([("aGVsbG8=", bytes([0x01, 0x02]), b"WKB0", 4326)],
+                               "b64 string, bits binary, wkb binary, srid long")
+    row = df.select(
+        tc.binary_from_base64(F.col("b64")).alias("raw"),
+        tc.bits_to_long(F.col("bits")).alias("bits"),
+        tc.geometry_struct(F.col("wkb"), F.col("srid")).alias("geo"),
+    ).first()
+    assert bytes(row["raw"]) == b"hello"
+    assert row["bits"] == 513  # little-endian 0x0201
+    assert bytes(row["geo"]["wkb"]) == b"WKB0" and row["geo"]["srid"] == 4326
