@@ -729,6 +729,111 @@ SELECT pos, 'outbox.event.' || tbl AS topic, tbl AS aggregatetype,
 FROM env"""
 
 
+def q_ddl_drop_rename(spark, sf_dir):
+    """SQL-text DDL mid-stream (§2.8, MySqlAntlrDdlParser parity): the
+    stream carries op='l' barrier rows with raw ALTER TABLE text — RENAME
+    COLUMN val→score, MODIFY to BIGINT (widen), then DROP COLUMN tag.
+    Files written before the rename resolve through the rename ledger
+    (coalesce alias), pre-widen int32 files upcast in the reader, dropped
+    columns are pruned. Oracle = last-wins final state with score = cents
+    of each key's last event, no tag column."""
+    from debezium_spark.plans.table import LakeTable
+    from debezium_spark.streaming.engine import CdcEngine
+    from pyspark.sql.types import StructType
+
+    e = _env(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    max_pos = e.select(F.max("pos")).first()[0] or 0
+    # late split: phase B is only the tail of the stream, so many keys'
+    # last touch is in phase A and must resolve through the rename alias
+    split = max(1, max_pos - 99)
+
+    def mk_env(df, val_col, val_name, extra_tag=True):
+        payload_fields = [F.col("repo"), F.col("path"), F.col("content"),
+                          val_col.alias(val_name)]
+        if extra_tag:
+            payload_fields.append(F.col("op").alias("tag"))
+        payload = F.struct(*payload_fields)
+        return df.select(
+            F.when(F.col("op") != "c", payload).alias("before"),
+            F.when(F.col("op") != "d", payload).alias("after"),
+            "op",
+            "ts_ms",
+            F.struct(
+                F.lit("binlog.000001").alias("file"),
+                F.col("pos").alias("pos"),
+                F.lit(None).cast("string").alias("gtid"),
+                F.lit(None).cast("string").alias("snapshot"),
+                F.col("db"),
+                F.lit("repo_files").alias("table"),
+                F.col("ts_ms").alias("ts_ms"),
+            ).alias("source"),
+            F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias("transaction"),
+        )
+
+    env_a = mk_env(e.filter(F.col("pos") < split), cents.cast("int"), "val")
+    env_b = mk_env(e.filter(F.col("pos") >= split), cents, "score")
+
+    def ddl_batch(pos, sql, tmpl_env):
+        payload_t = tmpl_env.schema["after"].dataType
+        # a null struct stays null under withField — build field-by-field
+        after_ddl = F.struct(
+            *[
+                F.lit(sql).alias("content") if f.name == "content"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in payload_t.fields
+            ]
+        )
+        row = spark.range(1).select(
+            F.lit(None).cast(payload_t).alias("before"),
+            after_ddl.alias("after"),
+            F.lit("l").alias("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.struct(
+                F.lit("binlog.000001").alias("file"),
+                F.lit(pos).cast("long").alias("pos"),
+                F.lit(None).cast("string").alias("gtid"),
+                F.lit(None).cast("string").alias("snapshot"),
+                F.lit("app").alias("db"),
+                F.lit("repo_files").alias("table"),
+                F.lit(0).cast("long").alias("ts_ms"),
+            ).alias("source"),
+            F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias("transaction"),
+        )
+        return row
+
+    schema = StructType.fromDDL(
+        "repo string, path string, content string, val int, tag string"
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_ddl_")
+    table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
+    table.create(schema)
+    engine = CdcEngine(spark, table, compact_depth=0)
+    engine.apply_envelope_batch(env_a, batch_id="a")
+    engine.apply_envelope_batch(
+        ddl_batch(split, "ALTER TABLE app.repo_files RENAME COLUMN val TO score", env_a)
+        .unionByName(
+            ddl_batch(split + 1, "ALTER TABLE app.repo_files MODIFY COLUMN score BIGINT", env_a)
+        ),
+        batch_id="ddl1",
+    )
+    engine.apply_envelope_batch(env_b, batch_id="b")
+    engine.apply_envelope_batch(
+        ddl_batch(max_pos + 1, "ALTER TABLE app.repo_files DROP COLUMN tag", env_b),
+        batch_id="ddl2",
+    )
+    return table.read().select(
+        "repo", "path", F.sha2(F.col("content"), 256).alias("content_sha"), "score"
+    )
+
+
+SQL_ddl_drop_rename = f"""WITH {ENV_SQL},
+r AS (SELECT repo, path, content, op, CAST(ROUND(value*100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY pos DESC) AS rn FROM env)
+SELECT repo, path, sha256(content) AS content_sha, cents AS score
+FROM r WHERE rn = 1 AND op <> 'd'"""
+
+
 def q_typed_payload_roundtrip(spark, sf_dir):
     """Typed payloads end-to-end (§1.4 type matrix, reference
     jdbc/JdbcValueConverters.java + time/* + SpecialValueDecimal): a payload
@@ -1335,6 +1440,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "schema_change_ledger": (q_schema_change_ledger, SQL_schema_change_ledger),
     "outbox_router": (q_outbox_router, SQL_outbox_router),
     "typed_payload_roundtrip": (q_typed_payload_roundtrip, SQL_typed_payload_roundtrip),
+    "ddl_drop_rename": (q_ddl_drop_rename, SQL_ddl_drop_rename),
     "multi_table_replay": (q_multi_table_replay, SQL_multi_table_replay),
     "topic_selector": (q_topic_selector, SQL_topic_selector),
     "transaction_stamp": (q_transaction_stamp, SQL_transaction_stamp),

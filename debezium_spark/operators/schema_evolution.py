@@ -1,47 +1,201 @@
 """DDL-driven schema evolution.
 
-The reference parses DDL text with ANTLR and historizes structured
-``TableChanges`` JSON (``relational/history/JsonTableChangeSerializer.java:
-44-67,121-129``; change types CREATE/ALTER/DROP at ``TableChanges.java:
-179-184``), replaying the ledger on restart (``AbstractDatabaseHistory.java``).
+The reference parses DDL text with ANTLR grammars
+(``debezium-connector-mysql/.../antlr/MySqlAntlrDdlParser.java`` +
+``debezium-ddl-parser/``; the ALTER matrix exercised by
+``MySqlAntlrDdlParserTest.java``) and historizes structured ``TableChanges``
+JSON (``relational/history/JsonTableChangeSerializer.java:44-67,121-129``;
+change types CREATE/ALTER/DROP at ``TableChanges.java:179-184``), replaying
+the ledger on restart (``AbstractDatabaseHistory.java``).
 
 Here DDL arrives as envelope rows with ``op='l'`` whose ``after.content``
-carries the structured TableChanges JSON (v1 supports ALTER ADD COLUMN; the
-full SQL-text path would go through sqlglot in v2). Applying a DDL is a
-**batch barrier**: events before it merge with the old schema, events after
-with the new — enforced by the engine's segmentation (SURVEY §3.3). The
-applied DDLs are appended to a ``schema_history`` ledger and application is
-idempotent (LakeTable.alter_add_columns no-ops on re-add), so crash/replay
-across a DDL is safe."""
+carries either:
+
+- structured TableChanges JSON (starts with ``{``): ``add_columns`` /
+  ``drop_columns`` / ``rename_columns`` / ``modify_columns``; or
+- raw SQL text: the common ALTER TABLE matrix (ADD/DROP/RENAME/CHANGE/
+  MODIFY COLUMN, PG-style ALTER COLUMN ... TYPE), parsed by a small
+  front-end (sqlglot when importable, a regex grammar otherwise — the
+  sandbox ships neither ANTLR nor sqlglot).
+
+Applying a DDL is a **batch barrier**: events before it merge with the old
+schema, events after with the new — enforced by the engine's segmentation
+(SURVEY §3.3). Applied DDLs append to a ``schema_history`` ledger and every
+application is idempotent (re-add/re-drop/re-rename/re-widen no-op), so
+crash/replay across a DDL is safe.
+"""
 
 from __future__ import annotations
 
 import json
 import os
+import re
 
 from debezium_spark.plans.table import LakeTable
 
 DDL_OP = "l"
 
+# op tuples: ("add", name, spark_type) | ("drop", name)
+#            ("rename", old, new)      | ("widen", name, spark_type)
+DdlOp = tuple
 
-def parse_table_changes(tc_json: str) -> list[tuple[str, str]]:
-    """TableChanges JSON → [(column_name, spark_type_ddl)] to add.
+_SQL_TO_SPARK = {
+    "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
+    "mediumint": "int", "bigint": "long", "int8": "long", "serial": "long",
+    "float": "float", "real": "float", "double": "double",
+    "double precision": "double", "numeric": "decimal(38,9)",
+    "text": "string", "varchar": "string", "char": "string",
+    "character varying": "string", "character": "string", "json": "string",
+    "jsonb": "string", "clob": "string", "longtext": "string",
+    "mediumtext": "string", "tinytext": "string",
+    "date": "date", "timestamp": "timestamp", "datetime": "timestamp",
+    "timestamptz": "timestamp", "time": "long",
+    "blob": "binary", "bytea": "binary", "varbinary": "binary",
+    "binary": "binary", "boolean": "boolean", "bool": "boolean", "bit": "long",
+}
 
-    Shape: {"type": "ALTER", "add_columns": [{"name": "license",
-    "type": "string"}]} — the structured (not SQL-text) form, mirroring the
-    serializer's column array (JsonTableChangeSerializer.java:187-233)."""
+
+def sql_type_to_spark(sql_type: str) -> str:
+    """SQL column type → Spark DDL type (the JdbcValueConverters column-type
+    half of the matrix; value conversion lives in functions.typeconv)."""
+    t = sql_type.strip().lower()
+    m = re.match(r"^(decimal|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"decimal({m.group(2)},{m.group(3)})"
+    m = re.match(r"^(decimal|numeric)\s*\(\s*(\d+)\s*\)", t)
+    if m:
+        return f"decimal({m.group(2)},0)"
+    base = re.sub(r"\s*\(.*\)\s*$", "", t)  # varchar(255) → varchar
+    base = re.sub(r"\s+unsigned$", "", base)
+    if base in _SQL_TO_SPARK:
+        return _SQL_TO_SPARK[base]
+    raise ValueError(f"unmapped SQL type: {sql_type!r}")
+
+
+def parse_table_changes(tc_json: str) -> list[DdlOp]:
+    """Structured TableChanges JSON → op list (the serializer's column
+    arrays, JsonTableChangeSerializer.java:187-233)."""
     doc = json.loads(tc_json)
     if doc.get("type") not in ("ALTER", "CREATE"):
         return []
-    return [(c["name"], c.get("type", "string")) for c in doc.get("add_columns", [])]
+    ops: list[DdlOp] = []
+    for c in doc.get("add_columns", []):
+        ops.append(("add", c["name"], c.get("type", "string")))
+    for name in doc.get("drop_columns", []):
+        ops.append(("drop", name))
+    for r in doc.get("rename_columns", []):
+        ops.append(("rename", r["from"], r["to"]))
+    for c in doc.get("modify_columns", []):
+        ops.append(("widen", c["name"], c.get("type", "string")))
+    return ops
 
 
-def apply_ddl(table: LakeTable, tc_json: str, offset: tuple[str, int]) -> None:
-    """Apply one structured DDL to the target and append the history ledger
-    row (offset_file, offset_pos, table_changes_json) — FIXTURES.md F5."""
-    cols = parse_table_changes(tc_json)
-    if cols:
-        table.alter_add_columns(cols)
+_IDENT = r'[`"\[]?([A-Za-z_][A-Za-z0-9_$]*)[`"\]]?'
+_TYPE = r"([A-Za-z][A-Za-z0-9 ]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+
+
+def _split_clauses(body: str) -> list[str]:
+    """Split ALTER TABLE clause list on top-level commas (parens nest)."""
+    out, depth, cur = [], 0, []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [c for c in out if c]
+
+
+def parse_ddl_sql(sql: str) -> list[DdlOp]:
+    """SQL-text ALTER front-end. Covers the ALTER variants the reference's
+    MySqlAntlrDdlParserTest exercises for column evolution: ADD [COLUMN]
+    (single + parenthesized list), DROP [COLUMN], RENAME [COLUMN] a TO b,
+    MySQL CHANGE [COLUMN] a b <type> (rename+retype) and MODIFY [COLUMN]
+    col <type>, PG ALTER [COLUMN] col [SET DATA] TYPE <type>.
+    CREATE TABLE / unrelated statements parse to no ops (the engine treats
+    them as history-only entries)."""
+    try:  # optional heavyweight front-end, absent in this sandbox
+        import sqlglot  # noqa: F401
+    except ImportError:
+        pass
+    s = sql.strip().rstrip(";")
+    m = re.match(r"(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?[\w.`\"\[\]]+\s+(.*)$", s)
+    if not m:
+        return []
+    ops: list[DdlOp] = []
+    for clause in _split_clauses(m.group(1)):
+        c = clause.strip()
+        kw = r"(?!(?:CONSTRAINT|INDEX|KEY|PRIMARY|UNIQUE|FOREIGN|FULLTEXT|SPATIAL|PARTITION|CHECK)\b)"
+        m2 = re.match(rf"(?is)^ADD\s+(?:COLUMN\s+)?{kw}{_IDENT}\s+{_TYPE}", c)
+        if m2:
+            ops.append(("add", m2.group(1), sql_type_to_spark(m2.group(2))))
+            continue
+        m2 = re.match(r"(?is)^ADD\s*\((.*)\)\s*$", c)
+        if m2:  # ADD (a INT, b TEXT)
+            for sub in _split_clauses(m2.group(1)):
+                m3 = re.match(rf"(?is)^{_IDENT}\s+{_TYPE}", sub.strip())
+                if m3:
+                    ops.append(("add", m3.group(1), sql_type_to_spark(m3.group(2))))
+            continue
+        m2 = re.match(rf"(?is)^DROP\s+(?:COLUMN\s+)?{_IDENT}\s*$", c)
+        if m2:
+            ops.append(("drop", m2.group(1)))
+            continue
+        m2 = re.match(rf"(?is)^RENAME\s+(?:COLUMN\s+)?{_IDENT}\s+TO\s+{_IDENT}\s*$", c)
+        if m2:
+            ops.append(("rename", m2.group(1), m2.group(2)))
+            continue
+        m2 = re.match(rf"(?is)^CHANGE\s+(?:COLUMN\s+)?{_IDENT}\s+{_IDENT}\s+{_TYPE}", c)
+        if m2:  # MySQL CHANGE: rename + retype in one clause
+            old, new, t = m2.group(1), m2.group(2), sql_type_to_spark(m2.group(3))
+            if old != new:
+                ops.append(("rename", old, new))
+            ops.append(("widen", new, t))
+            continue
+        m2 = re.match(rf"(?is)^MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+{_TYPE}", c)
+        if m2:
+            ops.append(("widen", m2.group(1), sql_type_to_spark(m2.group(2))))
+            continue
+        m2 = re.match(
+            rf"(?is)^ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+(?:SET\s+DATA\s+)?TYPE\s+{_TYPE}", c
+        )
+        if m2:
+            ops.append(("widen", m2.group(1), sql_type_to_spark(m2.group(2))))
+            continue
+        # unrelated clause (constraints, defaults, indexes): history-only
+    return ops
+
+
+def parse_ddl(text: str) -> list[DdlOp]:
+    """Dispatch: TableChanges JSON (starts with '{') or raw SQL text."""
+    if text is None:
+        return []
+    if text.lstrip().startswith("{"):
+        return parse_table_changes(text)
+    return parse_ddl_sql(text)
+
+
+def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
+    """Apply one DDL (either form) to the target and append the history
+    ledger row (offset_file, offset_pos, ops, raw) — FIXTURES.md F5. Every
+    alter is idempotent, so replay across a crash is safe."""
+    ops = parse_ddl(text)
+    for op in ops:
+        if op[0] == "add":
+            table.alter_add_columns([(op[1], op[2])])
+        elif op[0] == "drop":
+            table.alter_drop_columns([op[1]])
+        elif op[0] == "rename":
+            table.alter_rename_column(op[1], op[2])
+        elif op[0] == "widen":
+            # CHANGE/MODIFY to the same type is a no-op inside alter_widen
+            table.alter_widen_column(op[1], op[2])
     ledger = os.path.join(table.root, "_schema_history.jsonl")
     with open(ledger, "a") as f:
         f.write(
@@ -49,7 +203,8 @@ def apply_ddl(table: LakeTable, tc_json: str, offset: tuple[str, int]) -> None:
                 {
                     "offset_file": offset[0],
                     "offset_pos": offset[1],
-                    "table_changes": json.loads(tc_json),
+                    "ops": [list(o) for o in ops],
+                    "raw": text,
                     "schema_version": table.manifest()["version"],
                 }
             )

@@ -38,7 +38,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 LATEST = "LATEST"
 
@@ -146,12 +146,57 @@ class LakeTable:
         s = s.add("_pos", LongType(), True)
         return s
 
+    def _read_with_aliases(
+        self, dirs: list[str], payload: StructType, man: dict, with_delta_cols: bool = False
+    ) -> DataFrame:
+        """Read data dirs under the *current* schema, resolving renamed and
+        widened columns across file generations (Iceberg does this with
+        column IDs; here name-based + a manifest rename ledger):
+
+        - files written before a RENAME carry the old name → the read schema
+          includes each old name as an alias column and the projection
+          coalesces alias → current name;
+        - files written before a WIDEN carry the narrower physical type →
+          the parquet reader's widening promotion (int→long, float→double,
+          int→double) upcasts them under the current read schema;
+        - files written before an ADD simply surface the column as null,
+          and columns DROPped from the schema are never read (pruned)."""
+        schema_to_read = (
+            StructType(list(self._delta_schema(payload).fields))
+            if with_delta_cols
+            else StructType(list(payload.fields))
+        )
+        current = {f.name for f in schema_to_read.fields}
+        payload_names = {f.name for f in payload.fields}
+        alias_of: dict[str, list[str]] = {}
+        for new, olds in man.get("renames", {}).items():
+            if new not in payload_names:
+                continue  # renamed column was later dropped
+            t = payload[new].dataType
+            for old in olds:
+                if old not in current:
+                    schema_to_read = schema_to_read.add(old, t, True)
+                    alias_of.setdefault(new, []).append(old)
+        raw = self.spark.read.schema(schema_to_read).parquet(*dirs)
+        out_fields = (
+            self._delta_schema(payload).fields if with_delta_cols else payload.fields
+        )
+        cols = [
+            F.coalesce(F.col(f.name), *[F.col(o) for o in alias_of[f.name]]).alias(f.name)
+            if f.name in alias_of
+            else F.col(f.name)
+            for f in out_fields
+        ]
+        return raw.select(*cols)
+
     def read(self, buckets: list[int] | None = None) -> DataFrame:
         """Current table state; optionally pruned to a bucket subset.
 
         Reads with the manifest schema so files written before an
-        ALTER ADD COLUMN surface the new column as null (schema evolution,
-        same contract as Iceberg's name-based projection).
+        ALTER ADD COLUMN surface the new column as null, renamed columns
+        resolve through the manifest rename ledger, and widened columns
+        upcast in the parquet reader (schema evolution, same contract as
+        Iceberg's name/ID-based projection).
 
         MoR: base ∪ delta files resolve at read time — last writer per key
         by ``_pos`` (a partial-aggregatable max_by, one shuffle), deletes
@@ -167,14 +212,12 @@ class LakeTable:
                 dirs.extend(base)
                 dirs.extend(delta)
                 any_delta = any_delta or bool(delta)
-        if self.mode == "cow":
-            if not dirs:
-                return self.spark.createDataFrame([], payload)
-            return self.spark.read.schema(payload).parquet(*dirs)
-
         if not dirs:
             return self.spark.createDataFrame([], payload)
-        raw = self.spark.read.schema(self._delta_schema(payload)).parquet(*dirs)
+        if self.mode == "cow":
+            return self._read_with_aliases(dirs, payload, man)
+
+        raw = self._read_with_aliases(dirs, payload, man, with_delta_cols=True)
         if not any_delta:
             # pure-base read after compaction: base files are already
             # one-row-per-key with deletes dropped — skip the resolve shuffle
@@ -215,6 +258,7 @@ class LakeTable:
             "buckets": buckets,
             "fence": {"file": fence[0], "pos": fence[1]} if fence else man["fence"],
             "lineage": lineage,
+            "renames": man.get("renames", {}),  # rename ledger survives data commits
             "parent": man["version"],
         }
         self._publish(new_man)
@@ -255,7 +299,7 @@ class LakeTable:
             return None
 
         dirs = [d for base, delta in todo.values() for d in base + delta]
-        raw = self.spark.read.schema(self._delta_schema(payload)).parquet(*dirs)
+        raw = self._read_with_aliases(dirs, payload, man, with_delta_cols=True)
         cols = [f.name for f in payload.fields]
         row = F.struct(*[F.col(c) for c in cols], F.col("_op"), F.col("_pos"))
         resolved = (
@@ -306,10 +350,20 @@ class LakeTable:
                  "upserts": 0, "truncate": True,
                  "fence_pos": fence[1] if fence else None}
             ],
+            "renames": man.get("renames", {}),
             "parent": man["version"],
         }
         self._publish(new_man)
         return new_man["version"]
+
+    def _publish_schema(self, man: dict, schema: StructType, renames: dict | None = None) -> None:
+        man2 = dict(man)
+        man2["version"] = man["version"] + 1
+        man2["schema"] = schema.json()
+        if renames is not None:
+            man2["renames"] = renames
+        man2["parent"] = man["version"]
+        self._publish(man2)
 
     def alter_add_columns(self, cols: list[tuple[str, str]]) -> None:
         """Schema evolution barrier — Iceberg ``ALTER TABLE ADD COLUMN``
@@ -320,6 +374,14 @@ class LakeTable:
         existing = {f.name for f in schema.fields}
         changed = False
         for name, dtype in cols:
+            if name in man.get("renames", {}) or any(
+                name in olds for olds in man.get("renames", {}).values()
+            ):
+                if name not in existing:
+                    raise ValueError(
+                        f"cannot re-add column {name!r}: the name is an active "
+                        "rename alias (name-based projection would resurrect old data)"
+                    )
             if name not in existing:
                 from pyspark.sql.types import _parse_datatype_string
 
@@ -327,11 +389,88 @@ class LakeTable:
                 changed = True
         if not changed:
             return
-        man2 = dict(man)
-        man2["version"] = man["version"] + 1
-        man2["schema"] = schema.json()
-        man2["parent"] = man["version"]
-        self._publish(man2)
+        self._publish_schema(man, schema)
+
+    def alter_drop_columns(self, cols: list[str]) -> None:
+        """``ALTER TABLE DROP COLUMN`` — removes the field from the schema;
+        existing files keep the bytes but readers never project it
+        (Iceberg drop semantics). Idempotent: dropping a missing column is a
+        no-op. Key columns cannot be dropped."""
+        man = self.manifest()
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        for c in cols:
+            if c in self.key_cols:
+                raise ValueError(f"cannot drop key column {c!r}")
+        keep = [f for f in schema.fields if f.name not in set(cols)]
+        if len(keep) == len(schema.fields):
+            return
+        renames = {
+            k: v for k, v in man.get("renames", {}).items() if k not in set(cols)
+        }
+        self._publish_schema(man, StructType(keep), renames)
+
+    def alter_rename_column(self, old: str, new: str) -> None:
+        """``ALTER TABLE RENAME COLUMN old TO new`` — schema-only commit;
+        files written under the old name resolve through the rename ledger
+        at read time (coalesce over alias columns). Idempotent: if ``old``
+        is already gone and ``new`` exists, the rename was applied (crash
+        replay). Renaming key columns is rejected (it would re-key the
+        table)."""
+        man = self.manifest()
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        names = [f.name for f in schema.fields]
+        if old in self.key_cols:
+            raise ValueError(f"cannot rename key column {old!r}")
+        if old not in names:
+            if new in names:
+                return  # already applied — idempotent DDL replay
+            raise ValueError(f"rename: column {old!r} not found")
+        if new in names:
+            raise ValueError(f"rename: target column {new!r} already exists")
+        fields = [
+            StructField(new, f.dataType, f.nullable) if f.name == old else f
+            for f in schema.fields
+        ]
+        renames = {k: list(v) for k, v in man.get("renames", {}).items()}
+        aliases = renames.pop(old, [])  # chain renames: a→b→c keeps alias a
+        renames[new] = aliases + [old]
+        self._publish_schema(man, StructType(fields), renames)
+
+    #: widening promotions the parquet reader performs across old files
+    #: (Spark 4 type-widening; anything else would corrupt or fail reads)
+    _WIDENINGS = {
+        ("integer", "long"),
+        ("integer", "double"),
+        ("short", "integer"),
+        ("short", "long"),
+        ("float", "double"),
+    }
+
+    def alter_widen_column(self, name: str, new_type_ddl: str) -> None:
+        """``ALTER TABLE ... MODIFY/TYPE`` restricted to safe widenings
+        (int→long/double, float→double). Old files upcast in the reader;
+        narrowing or incompatible changes are rejected. Idempotent when the
+        column already has the target type."""
+        from pyspark.sql.types import _parse_datatype_string
+
+        man = self.manifest()
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"widen: column {name!r} not found")
+        new_t = _parse_datatype_string(new_type_ddl)
+        cur_t = schema[name].dataType
+        if cur_t == new_t:
+            return  # idempotent replay
+        if (cur_t.typeName(), new_t.typeName()) not in self._WIDENINGS:
+            raise ValueError(
+                f"unsupported type change {cur_t.simpleString()} → "
+                f"{new_t.simpleString()} for column {name!r} (safe widenings only)"
+            )
+        fields = [
+            StructField(f.name, new_t if f.name == name else f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+        self._publish_schema(man, StructType(fields))
 
     # ---- maintenance -----------------------------------------------------
 

@@ -1,0 +1,190 @@
+"""SQL-text DDL parsing + mid-stream rename/drop/widen schema evolution
+(reference: MySqlAntlrDdlParser ALTER matrix, TableChanges ledger)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+from debezium_spark.operators.schema_evolution import (
+    parse_ddl,
+    parse_ddl_sql,
+    schema_history,
+    sql_type_to_spark,
+)
+
+
+def test_sql_type_mapping():
+    assert sql_type_to_spark("VARCHAR(255)") == "string"
+    assert sql_type_to_spark("BIGINT") == "long"
+    assert sql_type_to_spark("int unsigned") == "int"
+    assert sql_type_to_spark("DECIMAL(12, 2)") == "decimal(12,2)"
+    assert sql_type_to_spark("NUMERIC(8)") == "decimal(8,0)"
+    assert sql_type_to_spark("double precision") == "double"
+    assert sql_type_to_spark("BYTEA") == "binary"
+    with pytest.raises(ValueError):
+        sql_type_to_spark("GEOGRAPHY")
+
+
+def test_parse_alter_variants():
+    assert parse_ddl_sql("ALTER TABLE db.t ADD COLUMN license VARCHAR(64)") == [
+        ("add", "license", "string")
+    ]
+    assert parse_ddl_sql("alter table t add (a INT, b TEXT)") == [
+        ("add", "a", "int"),
+        ("add", "b", "string"),
+    ]
+    assert parse_ddl_sql("ALTER TABLE t DROP COLUMN old_col;") == [("drop", "old_col")]
+    assert parse_ddl_sql("ALTER TABLE t RENAME COLUMN a TO b") == [("rename", "a", "b")]
+    # MySQL CHANGE = rename + retype; backquoted identifiers
+    assert parse_ddl_sql("ALTER TABLE `t` CHANGE `a` `b` BIGINT") == [
+        ("rename", "a", "b"),
+        ("widen", "b", "long"),
+    ]
+    assert parse_ddl_sql("ALTER TABLE t MODIFY COLUMN c BIGINT") == [("widen", "c", "long")]
+    # PG form
+    assert parse_ddl_sql("ALTER TABLE ONLY s.t ALTER COLUMN c SET DATA TYPE DOUBLE PRECISION") == [
+        ("widen", "c", "double")
+    ]
+    # multi-clause, nested parens in types
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN d DECIMAL(10,2), DROP COLUMN e, RENAME COLUMN f TO g"
+    ) == [("add", "d", "decimal(10,2)"), ("drop", "e"), ("rename", "f", "g")]
+    # unrelated statements: no ops
+    assert parse_ddl_sql("CREATE TABLE t (a INT)") == []
+    assert parse_ddl_sql("ALTER TABLE t ADD CONSTRAINT pk PRIMARY KEY (a)") == []
+
+
+def test_parse_dispatches_json_and_sql():
+    assert parse_ddl('{"type": "ALTER", "add_columns": [{"name": "x", "type": "int"}]}') == [
+        ("add", "x", "int")
+    ]
+    assert parse_ddl(
+        '{"type": "ALTER", "rename_columns": [{"from": "a", "to": "b"}],'
+        ' "drop_columns": ["c"], "modify_columns": [{"name": "b", "type": "long"}]}'
+    ) == [("drop", "c"), ("rename", "a", "b"), ("widen", "b", "long")]
+    assert parse_ddl("ALTER TABLE t DROP COLUMN x") == [("drop", "x")]
+
+
+def _ddl_row(spark, env_schema, pos, sql):
+    payload_t = env_schema["after"].dataType
+    after_ddl = F.struct(
+        *[
+            F.lit(sql).alias("content") if f.name == "content"
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in payload_t.fields
+        ]
+    )
+    return spark.range(1).select(
+        F.lit(None).cast(payload_t).alias("before"),
+        after_ddl.alias("after"),
+        F.lit("l").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.lit(pos).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.lit("inventory").alias("db"),
+            F.lit("repo_files").alias("table"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast(env_schema["transaction"].dataType).alias("transaction"),
+    )
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+def test_mid_stream_rename_widen_drop_e2e(spark, tmp_path, mode):
+    """Rename + widen + drop arriving as SQL-text barriers mid-stream: final
+    state resolves old-name/narrow-type files through the rename ledger and
+    reader widening; replaying the same batches after the DDL is a no-op."""
+    from pyspark.sql.types import StructType
+
+    gen = ChangeLogGenerator(spark, seed=19, n_repos=6)
+    base = gen.events(400)
+    env_a = base.filter(F.col("source.pos") < 200).select(
+        "*"
+    ).withColumn(
+        "after",
+        F.when(F.col("after").isNotNull(),
+               F.struct(F.col("after.repo").alias("repo"), F.col("after.path").alias("path"),
+                        F.col("after.content").alias("content"),
+                        F.col("source.pos").cast("int").alias("val"))),
+    ).withColumn(
+        "before",
+        F.when(F.col("before").isNotNull(),
+               F.struct(F.col("before.repo").alias("repo"), F.col("before.path").alias("path"),
+                        F.col("before.content").alias("content"),
+                        F.col("source.pos").cast("int").alias("val"))),
+    )
+    env_b = base.filter(F.col("source.pos") >= 200).select("*").withColumn(
+        "after",
+        F.when(F.col("after").isNotNull(),
+               F.struct(F.col("after.repo").alias("repo"), F.col("after.path").alias("path"),
+                        F.col("after.content").alias("content"),
+                        (F.col("source.pos") + 1000000000000).alias("score"))),
+    ).withColumn(
+        "before",
+        F.when(F.col("before").isNotNull(),
+               F.struct(F.col("before.repo").alias("repo"), F.col("before.path").alias("path"),
+                        F.col("before.content").alias("content"),
+                        (F.col("source.pos") + 1000000000000).alias("score"))),
+    )
+
+    table = LakeTable(
+        spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4, mode=mode
+    )
+    table.create(StructType.fromDDL("repo string, path string, content string, val int"))
+    engine = CdcEngine(spark, table, compact_depth=0)
+
+    engine.apply_envelope_batch(env_a, batch_id="a")
+    ddl = _ddl_row(spark, env_a.schema, 200,
+                   "ALTER TABLE inventory.repo_files CHANGE val score BIGINT")
+    engine.apply_envelope_batch(ddl, batch_id="ddl")
+    engine.apply_envelope_batch(env_b, batch_id="b")
+
+    out = table.read()
+    assert "score" in out.columns and "val" not in out.columns
+    assert dict(out.dtypes)["score"] == "bigint"
+    # keys last touched in phase A resolve via the val alias (int upcast);
+    # phase B keys carry the wide value (> 2^31, proving the widen matters)
+    a_side = out.filter(F.col("score") < 200)
+    b_side = out.filter(F.col("score") >= 1000000000000)
+    assert a_side.count() > 0 and b_side.count() > 0
+    assert a_side.count() + b_side.count() == out.count()
+
+    hist = schema_history(table)
+    assert [tuple(o) for h in hist for o in h["ops"]] == [
+        ("rename", "val", "score"), ("widen", "score", "long")
+    ]
+
+    # drop a column; re-apply the same DDL (crash replay) — idempotent
+    drop = _ddl_row(spark, env_b.schema, 500, "ALTER TABLE inventory.repo_files DROP COLUMN content")
+    engine.apply_envelope_batch(drop, batch_id="ddl2")
+    assert "content" not in table.read().columns
+    v_before = table.manifest()["version"]
+    engine.apply_envelope_batch(drop, batch_id="ddl2-replay")  # behind fence -> skip
+    assert table.manifest()["version"] == v_before
+
+    # replaying an old data batch is still a no-op after evolution
+    assert engine.apply_envelope_batch(env_a, batch_id="a-replay") is None
+
+
+def test_rename_guards(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, a int, b int"))
+    with pytest.raises(ValueError):
+        t.alter_rename_column("k", "k2")  # key columns are immutable
+    with pytest.raises(ValueError):
+        t.alter_rename_column("a", "b")  # target exists
+    t.alter_rename_column("a", "c")
+    t.alter_rename_column("a", "c")  # idempotent replay: old gone, new present
+    with pytest.raises(ValueError):
+        t.alter_add_columns([("a", "int")])  # 'a' is an active alias
+    with pytest.raises(ValueError):
+        t.alter_widen_column("c", "string")  # not a safe widening
+    with pytest.raises(ValueError):
+        t.alter_drop_columns(["k"])
