@@ -269,7 +269,7 @@ def q_cdc_merge_final_state(spark, sf_dir):
     payload_schema = StructType.fromDDL("repo string, path string, content string")
 
     tmp = tempfile.mkdtemp(prefix="cdc_final_")
-    table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8)
+    table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="cow")
     table.create(payload_schema)
     engine = CdcEngine(spark, table)
     n_batches = 4
@@ -1004,6 +1004,39 @@ SELECT tbl AS table_name, repo, path, sha256(content) AS content_sha,
 FROM r WHERE rn = 1 AND op <> 'd'"""
 
 
+def q_quarantine_routing(spark, sf_dir):
+    """Fail-record quarantine (§2.9, reference fail-SQL ledger
+    TableReplayTask.java:61,98,612): rows with a corrupted key divert to
+    the quarantine table, the batch commits, the fence advances. Output =
+    quarantine contents after a real engine apply."""
+    from debezium_spark.plans.table import LakeTable
+    from debezium_spark.streaming.engine import CdcEngine
+    from pyspark.sql.types import StructType
+
+    env = _env_struct(spark, sf_dir)
+    # corrupt: creates of every 13th user lose their path (null key)
+    corrupt = (F.col("op") == "c") & (
+        F.pmod(F.expr("CAST(substring(coalesce(after.path, before.path), 2) AS BIGINT)"), F.lit(13)) == 0
+    )
+    env = env.withColumn(
+        "after",
+        F.when(corrupt, F.col("after").withField("path", F.lit(None).cast("string"))).otherwise(
+            F.col("after")
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="cdc_quar_")
+    table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8)
+    table.create(StructType.fromDDL("repo string, path string, content string"))
+    engine = CdcEngine(spark, table)
+    engine.apply_envelope_batch(env, batch_id="b0")
+    return engine.read_quarantine().select("pos", "op", "reason")
+
+
+SQL_quarantine_routing = f"""WITH {ENV_SQL}
+SELECT pos, op, 'null_key' AS reason FROM env
+WHERE op = 'c' AND user_id % 13 = 0"""
+
+
 def q_topic_selector(spark, sf_dir):
     """TopicSelector (§2.5, schema/TopicSelector.java:39-92): per-record
     topic name prefix.db.table, via operators.routing.topic_for."""
@@ -1441,6 +1474,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "outbox_router": (q_outbox_router, SQL_outbox_router),
     "typed_payload_roundtrip": (q_typed_payload_roundtrip, SQL_typed_payload_roundtrip),
     "ddl_drop_rename": (q_ddl_drop_rename, SQL_ddl_drop_rename),
+    "quarantine_routing": (q_quarantine_routing, SQL_quarantine_routing),
     "multi_table_replay": (q_multi_table_replay, SQL_multi_table_replay),
     "topic_selector": (q_topic_selector, SQL_topic_selector),
     "transaction_stamp": (q_transaction_stamp, SQL_transaction_stamp),

@@ -1,0 +1,85 @@
+"""Fail-record quarantine — park malformed events instead of failing the
+batch.
+
+The reference persists failed replay statements for manual inspection and
+re-apply (``sink/replay/table/TableReplayTask.java:61,98,612`` fail-SQL
+ledger). Here the same role is played by a validity split ahead of the
+merge: rows that cannot be applied (unknown op, null key columns, null
+offset — e.g. a wire-JSON payload that failed to parse) divert to a
+``quarantine/`` area under the table root, serialized as wire JSON with a
+reason column, and the batch commits without them — the fence still
+advances, so one poison record never wedges the stream.
+
+Idempotence: the quarantine parquet for a batch is written to a
+deterministic per-batch path with overwrite mode, so crash-replay of the
+batch rewrites the same files instead of duplicating them (the same
+argument as the engine's data-file commits).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KNOWN_OPS = ["r", "c", "u", "d", "t", "l"]
+
+
+def _reason_col(env: DataFrame, key_cols: list[str]) -> "F.Column":
+    """Null when the row is valid, else the first failed check's name.
+    Barrier rows (op 't'/'l') carry no payload key and are exempt."""
+    key_null = F.lit(False)
+    for k in key_cols:
+        key_null = key_null | F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).isNull()
+    return (
+        F.when(~F.col("op").isin(KNOWN_OPS), F.lit("unknown_op"))
+        .when(F.col("source.pos").isNull(), F.lit("null_offset"))
+        .when(
+            ~F.col("op").isin(["t", "l"])
+            & (F.col("after").isNull() & F.col("before").isNull()),
+            F.lit("null_payload"),
+        )
+        .when(~F.col("op").isin(["t", "l"]) & key_null, F.lit("null_key"))
+    )
+
+
+def split_valid(env: DataFrame, key_cols: list[str]) -> tuple[DataFrame, DataFrame]:
+    """(good, bad): ``bad`` carries a ``reason`` column; ``good`` has the
+    original envelope schema. One pass of cheap Catalyst predicates."""
+    reason = _reason_col(env, key_cols)
+    tagged = env.withColumn("_reason", reason)
+    good = tagged.filter(F.col("_reason").isNull()).drop("_reason")
+    bad = tagged.filter(F.col("_reason").isNotNull())
+    return good, bad
+
+
+def write_quarantine(bad: DataFrame, table_root: str, batch_id: str) -> str:
+    """Serialize rejected rows (reason + full record as wire JSON + offset)
+    to the table's quarantine area; returns the directory written."""
+    safe = batch_id.replace("/", "_").replace(".", "_")
+    out_dir = os.path.join(table_root, "quarantine", safe)
+    (
+        bad.select(
+            F.col("source.pos").alias("pos"),
+            F.col("source.file").alias("file"),
+            F.col("op"),
+            F.col("_reason").alias("reason"),
+            F.to_json(F.struct("before", "after", "op", "ts_ms", "source", "transaction")).alias(
+                "record_json"
+            ),
+            F.lit(batch_id).alias("batch_id"),
+        )
+        .write.mode("overwrite")
+        .parquet(out_dir)
+    )
+    return out_dir
+
+
+def read_quarantine(spark: SparkSession, table_root: str) -> DataFrame:
+    """All quarantined records for a table (empty DataFrame if none)."""
+    qdir = os.path.join(table_root, "quarantine")
+    schema = "pos long, file string, op string, reason string, record_json string, batch_id string"
+    if not os.path.exists(qdir) or not os.listdir(qdir):
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(os.path.join(qdir, "*"))

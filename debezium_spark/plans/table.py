@@ -53,15 +53,18 @@ class LakeTable:
 
     Two write modes (the Iceberg copy-on-write vs merge-on-read trade):
 
-    - ``mode="cow"`` (default): each merge rewrites the touched buckets —
+    - ``mode="mor"`` (default): each merge appends the deduped change-set as
+      *delta* files (payload + ``_op`` + ``_pos``) — merge cost is
+      **O(batch)** regardless of table size; reads resolve base ∪ deltas
+      with a last-wins per-key aggregate; ``compact()`` folds deltas back
+      into the base. At 10^10 events / 100 TB where table ≫ batch, MoR is
+      the apply path and compaction is the amortized background job
+      (Iceberg's positional-delete compaction analog) — which is why it is
+      the default: CoW rewrite cost grows toward O(table) as batches touch
+      every bucket.
+    - ``mode="cow"`` (opt-in): each merge rewrites the touched buckets —
       reads are plain scans, merge cost is O(batch ∪ touched-bucket data).
-    - ``mode="mor"``: each merge appends the deduped change-set as *delta*
-      files (payload + ``_op`` + ``_pos``) — merge cost is **O(batch)**
-      regardless of table size; reads resolve base ∪ deltas with a last-wins
-      per-key aggregate; ``compact()`` folds deltas back into the base.
-      At 10^10 events / 100 TB where table ≫ batch, MoR is the apply path
-      and compaction is the amortized background job (Iceberg's
-      positional-delete compaction analog).
+      Right for read-heavy tables that compact would otherwise chase.
     """
 
     def __init__(
@@ -70,7 +73,7 @@ class LakeTable:
         root: str,
         key_cols: list[str],
         n_buckets: int = 16,
-        mode: str = "cow",
+        mode: str = "mor",
     ):
         if mode not in ("cow", "mor"):
             raise ValueError(f"unknown table mode {mode!r} (expected 'cow' or 'mor')")

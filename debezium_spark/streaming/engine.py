@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debezium_spark.operators.apply import compute_changes, split_pk_changes
+from debezium_spark.operators.quarantine import split_valid, write_quarantine
 from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl
 from debezium_spark.schema import OP_TRUNCATE as TRUNCATE_OP
 
@@ -45,17 +46,31 @@ class CdcEngine:
         smt_chain: list[Smt] | None = None,
         salt_factor: int = 4,
         compact_depth: int = 8,
+        quarantine: bool = True,
     ) -> None:
         """``compact_depth``: in MoR mode, fold deltas into the base once any
         bucket accumulates this many delta files (read cost grows with delta
-        depth; compaction restores it). 0 disables auto-compaction."""
+        depth; compaction restores it). 0 disables auto-compaction.
+
+        ``quarantine``: divert malformed rows (unknown op, null key/offset)
+        to the table's quarantine area instead of merging garbage or
+        failing the batch — the reference's fail-SQL ledger
+        (TableReplayTask.java:61,98,612). The fence still advances past
+        quarantined offsets. False = strict mode (malformed rows flow into
+        the merge and surface as nulls/errors)."""
         self.spark = spark
         self.table = table
         self.smt_chain = smt_chain or []
         self.salt_factor = salt_factor
         self.compact_depth = compact_depth
+        self.quarantine = quarantine
         if not table.exists():
             table.create(REPO_PAYLOAD_SCHEMA)
+
+    def read_quarantine(self):
+        from debezium_spark.operators.quarantine import read_quarantine
+
+        return read_quarantine(self.spark, self.table.root)
 
     # ---- snapshot-then-stream handoff (SURVEY §2.2 / §3) -----------------
 
@@ -131,6 +146,14 @@ class CdcEngine:
 
         for smt in self.smt_chain:
             env = smt(env)
+
+        if self.quarantine:
+            good, bad = split_valid(env, self.table.key_cols)
+            # one narrow probe (op/key/offset columns only); quarantine is
+            # the exception path, so the common case costs a pruned scan
+            if bad.limit(1).count() > 0:
+                write_quarantine(bad, self.table.root, batch_id)
+            env = good
 
         # Barrier segmentation: DDL ('l') and TRUNCATE ('t') rows split the
         # batch — events before a barrier merge under the old table state,

@@ -37,7 +37,7 @@ def test_mor_replay_matches_oracle_and_cow(spark, tmp_path):
     CdcEngine(spark, mor, compact_depth=0).replay(batch_dir)
     assert _state(mor) == want
 
-    cow = LakeTable(spark, str(tmp_path / "cow"), ["repo", "path"], n_buckets=8)
+    cow = LakeTable(spark, str(tmp_path / "cow"), ["repo", "path"], n_buckets=8, mode="cow")
     CdcEngine(spark, cow).replay(batch_dir)
     assert _state(cow) == want
 

@@ -1,0 +1,77 @@
+"""Fail-record quarantine: a poison row parks in quarantine, the batch
+commits, the fence advances (reference fail-SQL ledger,
+TableReplayTask.java:61,98,612)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+
+def test_poison_rows_divert_and_batch_commits(spark, tmp_path):
+    gen = ChangeLogGenerator(spark, seed=31, n_repos=6)
+    env = gen.events(500)
+    # corrupt: null key on some creates, an unknown op on one row
+    env = env.withColumn(
+        "after",
+        F.when(
+            (F.col("op") == "c") & (F.pmod(F.col("source.pos"), F.lit(50)) == 0),
+            F.col("after").withField("path", F.lit(None).cast("string")),
+        ).otherwise(F.col("after")),
+    ).withColumn(
+        "op", F.when(F.col("source.pos") == 123, F.lit("zz")).otherwise(F.col("op"))
+    )
+
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    v = engine.apply_envelope_batch(env, batch_id="b0")
+    assert v is not None
+    assert table.fence()[1] == 499  # fence covers quarantined offsets too
+
+    q = engine.read_quarantine()
+    reasons = {r["reason"] for r in q.select("reason").distinct().collect()}
+    assert reasons == {"null_key", "unknown_op"}
+    assert q.filter(F.col("pos") == 123).first()["reason"] == "unknown_op"
+    n_bad = q.count()
+    assert n_bad == env.filter(
+        ((F.col("op") == "c") & (F.pmod(F.col("source.pos"), F.lit(50)) == 0))
+        | (F.col("op") == "zz")
+    ).count()
+    # quarantined records keep the full wire JSON for manual re-apply
+    assert q.filter(F.col("record_json").isNull()).count() == 0
+
+    # no null-keyed rows leaked into the table
+    assert table.read().filter(F.col("path").isNull()).count() == 0
+
+    # crash-replay: same batch re-applied -> fence skip, no quarantine dupes
+    engine.apply_envelope_batch(env, batch_id="b0")
+    assert engine.read_quarantine().count() == n_bad
+
+
+def test_malformed_wire_json_quarantines_in_multi_table(spark, tmp_path):
+    """A wire payload that fails from_json parses to a null payload ->
+    null_payload/null_key quarantine, not a crashed batch."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.streaming.multi import MultiTableEngine, TableSpec, WIRE_SCHEMA
+
+    rows = [
+        {"before_json": None, "after_json": '{"k": 1, "v": "ok"}', "op": "c",
+         "ts_ms": 0, "source": {"file": "f", "pos": 0, "gtid": None, "snapshot": None,
+         "db": "app", "table": "t", "ts_ms": 0}, "transaction": None},
+        {"before_json": None, "after_json": "{not-json", "op": "c",
+         "ts_ms": 0, "source": {"file": "f", "pos": 1, "gtid": None, "snapshot": None,
+         "db": "app", "table": "t", "ts_ms": 0}, "transaction": None},
+    ]
+    wire = spark.createDataFrame(rows, WIRE_SCHEMA)
+    mte = MultiTableEngine(
+        spark, str(tmp_path / "lake"),
+        [TableSpec("app", "t", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2)],
+    )
+    mte.apply_wire_batch(wire, batch_id="b0")
+    t = mte.table("app", "t")
+    assert t.fence()[1] == 1
+    assert [r["k"] for r in t.read().collect()] == [1]
+    eng = mte.engines[("app", "t")]
+    q = eng.read_quarantine().collect()
+    assert len(q) == 1 and q[0]["pos"] == 1
