@@ -1141,13 +1141,18 @@ FROM bands a JOIN bands b ON a.band=b.band AND a.bval=b.bval AND a.doc_id < b.do
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), k=8)
+    # max_df=100: posting lists longer than 100 docs are pruned from the
+    # candidate join (the 100 TB survival constraint); oracle applies the
+    # identical document-frequency cap
+    return ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), k=8, max_df=100)
 
 
 SQL_dedup_ngram_jaccard = f"""WITH {_SHINGLE_SQL},
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+rare AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 100),
+shj AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
 inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
-          FROM sh a JOIN sh b ON a.s=b.s AND a.doc_id < b.doc_id
+          FROM shj a JOIN shj b ON a.s=b.s AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id)
 SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
 FROM inter JOIN sizes sa ON sa.doc_id=doc_a JOIN sizes sb ON sb.doc_id=doc_b
@@ -1209,15 +1214,38 @@ SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10"""
 
 
 def q_ann_ivf_topk(spark, sf_dir):
-    out = bucketed_ann_topk(_read(spark, sf_dir, "embeddings"), query_ids=[0, 1, 2, 3, 4], k=10)
+    """IVF ANN with a data-derived coarse quantizer (k-means cells, id-seeded
+    init, deterministic rounding) + multi-probe (nprobe=2); the oracle
+    reproduces the identical quantizer in SQL."""
+    out = bucketed_ann_topk(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4],
+        k=10,
+        n_cells=8,
+        kmeans_iters=0,
+        nprobe=2,
+    )
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
-SQL_ann_ivf_topk = f"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-q AS (SELECT vec_id AS q_id, label AS ql, v AS qv FROM e WHERE vec_id < 5),
-s AS (SELECT q_id, e.vec_id AS n_id,
-             ROUND({_COS_SQL.format(a='qv', b='v')}, 6) AS cos_sim
-      FROM q JOIN e ON e.label = q.ql AND e.vec_id <> q.q_id),
+_SQDIST_SQL = (
+    "ROUND(list_sum(list_transform(list_zip({a}, {b}),"
+    " s -> (s[1] - s[2]) * (s[1] - s[2]))), 6)"
+)
+
+SQL_ann_ivf_topk = f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id % 8 AS cid, i AS dim, ROUND(AVG(v[i]), 4) AS c
+         FROM e, generate_series(1, 64) AS t(i) GROUP BY vec_id % 8, i),
+centv AS (SELECT cid, list(c ORDER BY dim) AS cv FROM cent GROUP BY cid),
+ca AS (SELECT vec_id, v, cid,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY {_SQDIST_SQL.format(a='v', b='cv')}, cid) AS r
+       FROM e, centv),
+corpus AS (SELECT vec_id AS n_id, v AS nv, cid AS cell FROM ca WHERE r = 1),
+qcells AS (SELECT vec_id AS q_id, v AS qv, cid AS cell FROM ca WHERE vec_id < 5 AND r <= 2),
+s AS (SELECT DISTINCT q_id, n_id,
+             ROUND({_COS_SQL.format(a='qv', b='nv')}, 6) AS cos_sim
+      FROM qcells JOIN corpus USING (cell) WHERE n_id <> q_id),
 r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank FROM s)
 SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10"""
 

@@ -95,17 +95,36 @@ def ngram_jaccard_pairs(
     threshold_den: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs with an exact rational threshold
     (default 4/5 = 0.8): den*|A∩B| >= num*|A∪B| in integer arithmetic — no
     floating point, so the oracle matches bit-for-bit. Candidate generation
     = self-join on shared shingles (inverted index), verification on
-    integer counts."""
+    integer counts.
+
+    ``max_df`` caps the posting-list length: shingles shared by more than
+    ``max_df`` documents are dropped from the *join* (set sizes stay exact).
+    Without the cap one stop-shingle shared by 10^6 docs makes 10^12 join
+    pairs — the standard production prune (the same reason search engines
+    drop stop-words from inverted indexes). Intersections lose the mass of
+    the pruned shingles, so pairs that overlap ONLY on ultra-common
+    shingles stop matching — which is the point: such overlap is not
+    evidence of duplication. None disables the cap."""
     sh = docs.select(
         F.col(id_col).alias("did"), F.explode(shingles_col(k, text_col)).alias("s")
     ).distinct()
     sizes = sh.groupBy("did").agg(F.count("*").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    joinable = sh
+    if max_df is not None:
+        rare = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("s")
+        )
+        joinable = sh.join(rare, on="s")  # shuffle on shingle hash, no explosion
+    a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, on="s")
         .filter(F.col("a.did") < F.col("b.did"))

@@ -78,35 +78,122 @@ def brute_force_topk(
     )
 
 
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    iters: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Deterministic Lloyd k-means for the IVF coarse quantizer →
+    (cid, cvec array<double>).
+
+    Init: centroid j = element-wise mean of the vectors with
+    ``id % n_cells == j`` (seeded by the stable id, not randomness — the
+    generator rule of this repo). Each Lloyd iteration assigns every vector
+    to its nearest centroid (squared L2, rounded, id tie-break) and
+    re-averages. Centroid components round to ``round_dp`` so assignments
+    reproduce bit-for-bit across engines and partitionings (the mean is the
+    only cross-partition float reduction; rounding absorbs its ±1 ulp).
+
+    Scale shape: the element-wise mean is posexplode → partial-aggregated
+    avg per (cell, dim) → re-assembled — two narrow shuffles per iteration;
+    assignment is a broadcast join against k rows. No driver-side loops
+    over data."""
+    e = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+
+    def avg_by(assigned: DataFrame) -> DataFrame:
+        per_dim = (
+            assigned.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.round(F.avg(F.col("x").cast("double")), round_dp).alias("c"))
+        )
+        return per_dim.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+
+    cents = avg_by(e.withColumn("cid", F.pmod(F.col("vid"), F.lit(n_cells))))
+    for _ in range(iters):
+        assigned = assign_cells(
+            e.select(F.col("vid"), F.col("v")), cents, id_col="vid", vec_col="v"
+        ).withColumnRenamed("cell", "cid")
+        cents = avg_by(assigned)
+    return cents
+
+
+def assign_cells(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int = 1,
+) -> DataFrame:
+    """Nearest-centroid assignment (nprobe=1) or the nprobe nearest cells
+    per row (multi-probe, for the query side). Distances round to 6dp with
+    centroid-id tie-break — fully deterministic. Broadcast join: k rows."""
+    from pyspark.sql.window import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).select(
+        "*", F.round(_sq_dist(F.col(vec_col), F.col("cvec")), 6).alias("_d")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
+    ranked = scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= nprobe)
+    return ranked.select(*df.columns, F.col("cid").alias("cell"))
+
+
 def bucketed_ann_topk(
     embeddings: DataFrame,
     query_ids: list[int],
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bucket_col: str = "label",
+    n_cells: int = 8,
+    kmeans_iters: int = 0,
+    nprobe: int = 2,
 ) -> DataFrame:
-    """IVF-style ANN: search only the query's coarse bucket. Approximate by
-    construction (recall < 1 when true neighbors live in other buckets);
-    the candidate set shrinks by ~n_buckets×, and the join is a broadcast
-    hash join on the bucket key — the shape that survives 100×."""
-    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        F.col(bucket_col).alias("b"),
+    """IVF ANN with a real coarse quantizer: k-means cells computed from the
+    data (``kmeans_centroids``), corpus vectors assigned to their nearest
+    cell, queries probing their ``nprobe`` nearest cells. Approximate by
+    construction (recall < 1 when true neighbors live outside the probed
+    cells; raise nprobe to trade cost for recall); the candidate set
+    shrinks ~n_cells/nprobe ×, and the join is an equi-join on the cell id
+    — the shape that survives 100×. At cluster scale the corpus assignment
+    is computed once and persisted (cells are the partition key)."""
+    cents = kmeans_centroids(
+        embeddings, n_cells=n_cells, iters=kmeans_iters, id_col=id_col, vec_col=vec_col
     )
-    c = embeddings.select(
-        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), F.col(bucket_col).alias("b")
+    corpus = assign_cells(
+        embeddings.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec")),
+        cents, id_col="n_id", vec_col="n_vec",
+    )
+    queries = assign_cells(
+        embeddings.filter(F.col(id_col).isin(query_ids)).select(
+            F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        ),
+        cents, id_col="q_id", vec_col="q_vec", nprobe=nprobe,
     )
     scored = (
-        F.broadcast(q)
-        .join(c, on="b")
+        F.broadcast(queries)
+        .join(corpus, on="cell")
         .filter(F.col("q_id") != F.col("n_id"))
         .select(
             "q_id",
             "n_id",
             F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
         )
+        .distinct()  # a neighbor reachable via 2 probed cells counts once
     )
     from pyspark.sql.window import Window
 
@@ -124,16 +211,30 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     block_col: str = "label",
     min_round_sim: float = 0.0,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Blocked pairwise cosine (a<b within a block), rounded to 2dp. Emitting
     the rounded score instead of thresholding keeps the result set exactly
-    reproducible; callers filter at whatever cut they need."""
-    a = embeddings.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), F.col(block_col).alias("b")
+    reproducible; callers filter at whatever cut they need.
+
+    ``max_block_size`` bounds the quadratic term: a block of size s is
+    deterministically sub-blocked into ceil(s/max) shards by id hash, and
+    pairs form only within a shard — per-block work drops from O(s²) to
+    O(s·max). Recall loss is the cross-shard pairs; at 100 TB an unbounded
+    hot block (one dominant cluster) is otherwise a single-task n² bomb.
+    None keeps exact within-block semantics (small/balanced blocks)."""
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("b")
     )
-    b = embeddings.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), F.col(block_col).alias("b")
-    )
+    if max_block_size is not None:
+        sizes = e.groupBy("b").agg(F.count("*").alias("_n"))
+        shards = F.greatest(F.lit(1), F.ceil(F.col("_n") / max_block_size)).cast("long")
+        e = e.join(F.broadcast(sizes), on="b").withColumn(
+            "b", F.concat(F.col("b").cast("string"), F.lit("#"),
+                          F.pmod(F.xxhash64(F.col("id")), shards).cast("string"))
+        ).drop("_n")
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "b")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "b")
     return (
         a.join(b, on="b")
         .filter(F.col("id_a") < F.col("id_b"))
