@@ -607,6 +607,45 @@ SELECT pos, op, repo, path,
 FROM env"""
 
 
+def q_binary_wire_roundtrip(spark, sf_dir):
+    """Binary wire codec (§2.1, PgOutputMessageDecoder analog): envelope →
+    length-prefixed binary frames (Arrow-batched mapInPandas encode) →
+    decode → typed envelope; the projection must be lossless for every
+    framed field. ByteBufferConverter covers the bytes-value serde half."""
+    from debezium_spark.functions.serde import from_byte_buffer, to_byte_buffer
+    from debezium_spark.sources.wire import decode_binary_wire, encode_binary_wire
+    from pyspark.sql.types import StructType
+
+    env = _env_struct(spark, sf_dir)
+    payload = StructType.fromDDL("repo string, path string, content string")
+    frames = encode_binary_wire(env)
+    back = decode_binary_wire(frames, payload)
+    # also push the same rows through the ByteBuffer value serde and prove
+    # both decoders agree (inner join on pos would hide drops — use values)
+    bb = from_byte_buffer(to_byte_buffer(env), payload=payload)
+    a = back.select(
+        F.col("source.pos").alias("pos"),
+        "op",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        F.col("after.content").alias("content"),
+    )
+    b = bb.select(
+        F.col("source.pos").alias("pos"),
+        "op",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        F.col("after.content").alias("content"),
+    )
+    return a.intersectAll(b)  # identical multisets → same rows as env
+
+
+SQL_binary_wire_roundtrip = f"""WITH {ENV_SQL}
+SELECT pos, op, repo, path,
+       CASE WHEN op='d' THEN NULL ELSE content END AS content
+FROM env"""
+
+
 def q_cloudevents_convert(spark, sf_dir):
     """CloudEventsConverter (§2.6): envelope → CE 1.0 attributes + JSON data;
     content re-extracted from the data JSON to prove the payload survives."""
@@ -1510,6 +1549,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "snapshot_row_filter": (q_snapshot_row_filter, SQL_snapshot_row_filter),
     "serde_json_roundtrip": (q_serde_json_roundtrip, SQL_serde_json_roundtrip),
     "cloudevents_convert": (q_cloudevents_convert, SQL_cloudevents_convert),
+    "binary_wire_roundtrip": (q_binary_wire_roundtrip, SQL_binary_wire_roundtrip),
     "ens_drop_deletes": (q_ens_drop_deletes, SQL_ens_drop_deletes),
     "multimodal_decode": (q_multimodal_decode, SQL_multimodal_decode),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_multimodal_frame_sample),

@@ -62,6 +62,24 @@ def to_cloudevents(env: DataFrame, source_uri: str = "/debezium_spark/inventory"
     )
 
 
+def to_byte_buffer(env: DataFrame) -> DataFrame:
+    """ByteBufferConverter (``debezium-api/.../ByteBufferConverter``): the
+    record value as raw bytes — here the UTF-8 bytes of the JSON wire form
+    (key stays JSON). Pure cast, JVM-side."""
+    wire = envelope_to_json(env)
+    return wire.select(
+        F.col("key_json"), F.col("value_json").cast("binary").alias("value_bytes")
+    )
+
+
+def from_byte_buffer(df: DataFrame, payload: StructType = REPO_PAYLOAD_SCHEMA,
+                     bytes_col: str = "value_bytes") -> DataFrame:
+    """Decode ByteBuffer values back to typed envelopes."""
+    return envelope_from_json(
+        df.select(F.col(bytes_col).cast("string").alias("value_json")), payload=payload
+    )
+
+
 def masked(col: Column, salt: str = "") -> Column:
     """MaskStrings hash mode (relational/mapping/MaskStrings.java): salted
     sha-256 replacement, JVM-side."""
