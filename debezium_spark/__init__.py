@@ -31,6 +31,7 @@ from debezium_spark.schema import (
 from debezium_spark.generator import ChangeLogGenerator
 from debezium_spark.plans.table import LakeTable
 from debezium_spark.streaming.engine import CdcEngine
+from debezium_spark.streaming.multi import MultiTableEngine, TableSpec
 
 __all__ = [
     "REPO_PAYLOAD_SCHEMA",
@@ -40,6 +41,8 @@ __all__ = [
     "ChangeLogGenerator",
     "LakeTable",
     "CdcEngine",
+    "MultiTableEngine",
+    "TableSpec",
 ]
 
 __version__ = "0.1.0"

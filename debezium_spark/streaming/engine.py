@@ -251,6 +251,42 @@ class CdcEngine:
             v = self.table.compact(batch_id=f"{batch_id}/compact") or v
         return v
 
+    # ---- coordinator: snapshot-mode selection + replay ---------------------
+
+    def run(
+        self,
+        batch_dir: str,
+        snapshot_env: DataFrame | None = None,
+        snapshot_mode: str = "initial",
+        snapshot_fence: tuple[str, int] = ("binlog.000001", -1),
+    ) -> list[int]:
+        """Snapshot-then-stream coordinator with mode selection — the
+        reference's snapshot.mode config (``MySqlConnectorConfig``
+        SnapshotMode; coordinator ordering
+        ``ChangeEventSourceCoordinator.java:96-165``):
+
+        - ``initial``: bootstrap the snapshot, then stream (default);
+        - ``when_needed``: bootstrap only if this table has no committed
+          fence yet (fresh table or lost offsets) — otherwise stream only;
+        - ``never``: stream only;
+        - ``schema_only``: commit the snapshot *fence* (so streaming starts
+          from "now") but none of its rows — the reference's
+          schema_only/no-data mode.
+        """
+        if snapshot_mode not in ("initial", "when_needed", "never", "schema_only"):
+            raise ValueError(f"unknown snapshot_mode {snapshot_mode!r}")
+        need = (
+            snapshot_mode == "initial"
+            or (snapshot_mode == "when_needed" and self.table.fence() is None)
+        )
+        if need:
+            if snapshot_env is None:
+                raise ValueError(f"snapshot_mode={snapshot_mode!r} requires snapshot_env")
+            self.bootstrap(snapshot_env, fence=snapshot_fence)
+        elif snapshot_mode == "schema_only" and self.table.fence() is None:
+            self.heartbeat(snapshot_fence)  # fence-only commit, zero rows
+        return self.replay(batch_dir)
+
     # ---- replay loop -------------------------------------------------------
 
     def replay(self, batch_dir: str) -> list[int]:

@@ -106,3 +106,65 @@ def test_lineage_and_fence_committed_atomically(spark, tmp_path):
     assert lin, "lineage rows must ride the commit"
     assert {"batch", "bucket", "events", "deletes", "upserts", "fence_pos"} <= set(lin[0])
     assert table.fence() == ("binlog.000001", 999)
+
+
+def test_snapshot_mode_selection(spark, tmp_path):
+    """snapshot.mode semantics: initial / when_needed / never / schema_only
+    (reference MySqlConnectorConfig.SnapshotMode + coordinator ordering)."""
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+    from pyspark.sql import functions as F
+
+    gen = ChangeLogGenerator(spark, seed=3, n_repos=5)
+    batch_dir = str(tmp_path / "b")
+    gen.write_batches(batch_dir, 600, n_batches=2)
+    snap = gen.snapshot(200)
+
+    # when_needed on a fresh table -> bootstraps, then streams
+    t1 = LakeTable(spark, str(tmp_path / "t1"), ["repo", "path"], n_buckets=4)
+    e1 = CdcEngine(spark, t1)
+    e1.run(batch_dir, snapshot_env=snap, snapshot_mode="when_needed")
+    assert t1.fence()[1] == 599
+    assert any(r["batch"].startswith("snapshot") for r in t1.lineage())
+
+    # when_needed on a table with offsets -> snapshot skipped
+    e1.run(batch_dir, snapshot_env=snap, snapshot_mode="when_needed")
+    assert sum(1 for r in t1.lineage() if r["batch"].startswith("snapshot")) <= t1.n_buckets
+
+    # never -> stream only (no snapshot rows ever)
+    t2 = LakeTable(spark, str(tmp_path / "t2"), ["repo", "path"], n_buckets=4)
+    CdcEngine(spark, t2).run(batch_dir, snapshot_mode="never")
+    assert not any(r["batch"].startswith("snapshot") for r in t2.lineage())
+
+    # schema_only -> fence-only commit at the handoff point, rows skipped
+    t3 = LakeTable(spark, str(tmp_path / "t3"), ["repo", "path"], n_buckets=4)
+    CdcEngine(spark, t3).run(
+        batch_dir, snapshot_mode="schema_only",
+        snapshot_fence=("binlog.000001", 299),
+    )
+    # events <= 299 were fenced out; only the tail batch applied
+    assert t3.fence()[1] == 599
+    lin = t3.lineage()
+    assert any(r.get("heartbeat") and r["fence_pos"] == 299 for r in lin)
+    applied = [r for r in lin if r["batch"].startswith("batch_") and r["events"] > 0]
+    assert all(r["fence_pos"] == 599 for r in applied)
+
+
+def test_pure_base_mor_read_skips_resolve(spark, tmp_path):
+    """After full compaction a MoR read is a plain scan + project — no
+    aggregate shuffle (the any_delta fast path)."""
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=9, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4, mode="mor")
+    engine = CdcEngine(spark, table, compact_depth=0)
+    bdir = str(tmp_path / "b")
+    gen.write_batches(bdir, 1000, 2)
+    engine.replay(bdir)
+
+    with_deltas = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" in with_deltas  # deltas present -> resolve aggregate
+
+    table.compact()
+    pure = table.read()._jdf.queryExecution().executedPlan().toString()
+    assert "max_by" not in pure and "Exchange" not in pure
+    assert table.read().count() > 0
