@@ -142,12 +142,28 @@ def assign_cells(
 ) -> DataFrame:
     """Nearest-centroid assignment (nprobe=1) or the nprobe nearest cells
     per row (multi-probe, for the query side). Distances round to 6dp with
-    centroid-id tie-break — fully deterministic. Broadcast join: k rows."""
-    from pyspark.sql.window import Window
+    centroid-id tie-break — fully deterministic. Broadcast join: k rows.
 
+    nprobe=1 (the corpus side — the big one) aggregates with ``min_by``
+    over the k candidate cells: partial-aggregable, map-side combined, no
+    window sort of n·k rows. Multi-probe (query side, small) keeps the
+    row_number window."""
     scored = df.crossJoin(F.broadcast(centroids)).select(
         "*", F.round(_sq_dist(F.col(vec_col), F.col("cvec")), 6).alias("_d")
     )
+    if nprobe == 1:
+        row = F.struct(*[F.col(c) for c in df.columns], F.col("cid"))
+        best = (
+            scored.groupBy(id_col)
+            .agg(F.min_by(row, F.struct(F.col("_d"), F.col("cid"))).alias("_r"))
+        )
+        return best.select(
+            *[F.col(f"_r.{c}").alias(c) for c in df.columns if c != id_col],
+            F.col(id_col),
+            F.col("_r.cid").alias("cell"),
+        ).select(*df.columns, "cell")
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
     ranked = scored.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= nprobe)
     return ranked.select(*df.columns, F.col("cid").alias("cell"))

@@ -277,6 +277,17 @@ class LakeTable:
                 depths.append(len(self._bucket_dirs(val)[1]))
         return max(depths, default=0)
 
+    def deep_buckets(self, min_depth: int) -> list[int]:
+        """Buckets whose delta depth reached ``min_depth`` — the selective
+        compaction target set (compacting shallow buckets rewrites their
+        base for nothing; at 10^10 events only the hot buckets are deep)."""
+        man = self.manifest()
+        return sorted(
+            int(b)
+            for b, val in man["buckets"].items()
+            if len(self._bucket_dirs(val)[1]) >= min_depth
+        )
+
     def compact(self, buckets: list[int] | None = None, batch_id: str = "compact") -> int | None:
         """MoR compaction: fold each bucket's deltas into a new base
         (resolved last-wins, deletes dropped, winners keep their ``_pos``

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from debezium_spark.operators.apply import compute_changes, split_pk_changes
-from debezium_spark.operators.quarantine import split_valid, write_quarantine
+from debezium_spark.operators.quarantine import _reason_col, split_valid, write_quarantine
 from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl
 from debezium_spark.schema import OP_TRUNCATE as TRUNCATE_OP
 
@@ -130,6 +130,7 @@ class CdcEngine:
         fence: tuple[str, int] | None = None,
         has_ddl: bool | None = None,
         fence_check: bool = True,
+        has_bad: bool | None = None,
     ) -> int | None:
         # Fence from the *pre-SMT* batch: SMTs may drop every row (e.g.
         # skipped-operations on an all-delete batch) but the source offsets
@@ -149,9 +150,12 @@ class CdcEngine:
 
         if self.quarantine:
             good, bad = split_valid(env, self.table.key_cols)
-            # one narrow probe (op/key/offset columns only); quarantine is
-            # the exception path, so the common case costs a pruned scan
-            if bad.limit(1).count() > 0:
+            # narrow probe (op/key/offset columns only) unless the replay
+            # loop's fused pre-pass already answered it; quarantine is the
+            # exception path, so the common case costs nothing extra
+            if has_bad is None:
+                has_bad = bad.limit(1).count() > 0
+            if has_bad:
                 write_quarantine(bad, self.table.root, batch_id)
             env = good
 
@@ -243,12 +247,12 @@ class CdcEngine:
             self.table, changes, fence, batch_id,
             salt_factor=self.salt_factor, fence_check=fence_check,
         )
-        if (
-            self.table.mode == "mor"
-            and self.compact_depth
-            and self.table.delta_depth() >= self.compact_depth
-        ):
-            v = self.table.compact(batch_id=f"{batch_id}/compact") or v
+        if self.table.mode == "mor" and self.compact_depth:
+            # selective: fold only the buckets that actually got deep —
+            # compacting a shallow bucket rewrites its base for nothing
+            deep = self.table.deep_buckets(self.compact_depth)
+            if deep:
+                v = self.table.compact(buckets=deep, batch_id=f"{batch_id}/compact") or v
         return v
 
     # ---- coordinator: snapshot-mode selection + replay ---------------------
@@ -298,11 +302,14 @@ class CdcEngine:
         versions = []
         for i, path in enumerate(list_batches(batch_dir)):
             env = read_batch(self.spark, path)
-            # one narrow-column pass: offset fence + DDL presence together
+            # one narrow-column pass: offset fence + DDL presence + malformed
+            # -row presence together (per-batch serial driver time is the
+            # scaling bottleneck, so every probe rides this single job)
             mm = env.select(
                 F.max("source.pos").alias("p"),
                 F.max("source.file").alias("f"),
                 F.max(F.col("op").isin(BARRIER_OPS).cast("int")).alias("nd"),
+                F.max(_reason_col(env, self.table.key_cols).isNotNull().cast("int")).alias("nb"),
             ).first()
             cur = self.table.fence()
             if mm["p"] is None or (cur is not None and mm["p"] <= cur[1]):
@@ -312,6 +319,10 @@ class CdcEngine:
                 batch_id=f"batch_{i:05d}",
                 fence=(mm["f"], mm["p"]),
                 has_ddl=bool(mm["nd"]),
+                # the fused probe sees pre-SMT rows; with SMTs installed a
+                # transform could corrupt a row, so fall back to the
+                # post-SMT probe in that case
+                has_bad=bool(mm["nb"]) if not self.smt_chain else None,
             )
             if v is not None:
                 versions.append(v)

@@ -84,3 +84,30 @@ def test_mor_auto_compaction_and_resume(spark, tmp_path):
     engine2 = CdcEngine(spark, table, compact_depth=3)
     assert engine2.replay(batch_dir) == []
     assert _state(table) == _oracle(gen, 3000)
+
+
+def test_selective_compaction_targets_deep_buckets_only(spark, tmp_path):
+    """Auto-compaction folds only buckets at/over the depth threshold; a
+    shallow bucket keeps its delta files (its base is not rewritten)."""
+    from pyspark.sql import functions as F
+
+    gen = ChangeLogGenerator(spark, seed=21, n_repos=10)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4, mode="mor")
+    engine = CdcEngine(spark, table, compact_depth=0)  # manual control
+    bdir = str(tmp_path / "b")
+    gen.write_batches(bdir, 2000, 4)
+    engine.replay(bdir)
+    assert table.delta_depth() == 4
+
+    # every bucket is depth 4 here; compact only a subset explicitly
+    deep = table.deep_buckets(4)
+    assert deep == [0, 1, 2, 3]
+    table.compact(buckets=[0, 1])
+    man = table.manifest()
+    assert len(table._bucket_dirs(man["buckets"]["0"])[1]) == 0
+    assert len(table._bucket_dirs(man["buckets"]["3"])[1]) == 4
+    assert table.deep_buckets(4) == [2, 3]
+    # state unchanged by partial compaction
+    total = table.read().count()
+    table.compact()
+    assert table.read().count() == total
