@@ -28,6 +28,7 @@ from debezium_spark.schema import (
     TRANSACTION_SCHEMA,
     envelope_schema,
 )
+from debezium_spark.config import EngineConfig
 from debezium_spark.generator import ChangeLogGenerator
 from debezium_spark.plans.table import LakeTable
 from debezium_spark.streaming.engine import CdcEngine
@@ -39,6 +40,7 @@ __all__ = [
     "TRANSACTION_SCHEMA",
     "envelope_schema",
     "ChangeLogGenerator",
+    "EngineConfig",
     "LakeTable",
     "CdcEngine",
     "MultiTableEngine",

@@ -1,0 +1,180 @@
+"""Connector-property facade — Debezium config names → engine wiring.
+
+A reference user configures connectors with properties
+(``CommonConnectorConfig.java`` / ``RelationalDatabaseConnectorConfig.java``
+field definitions); this module accepts those exact property names and
+builds the corresponding engine pieces, so switching from the reference
+means carrying the property file over:
+
+=============================================  ==============================
+property (reference definition)                engine effect
+=============================================  ==============================
+``snapshot.mode``                              CdcEngine.run snapshot_mode
+``table.include.list`` / ``table.exclude.list``  filters.table_include SMT
+``column.exclude.list``                        filters.column_exclude SMT
+``column.mask.hash.<algo>.with.salt.<salt>``   masking.hash_mask_column SMT
+``column.mask.with.<n>.chars``                 masking.mask_column SMT
+``column.truncate.to.<n>.chars``               masking.truncate_column SMT
+``skipped.operations``                         filters.skipped_operations SMT
+``tombstones.on.delete``                       split tombstone parity flag
+``message.key.columns``                        per-table key override
+``decimal.handling.mode``                      typeconv decimal mode choice
+``time.precision.mode``                        typeconv temporal unit choice
+``snapshot.select.statement.overrides.<t>``    filters.snapshot_row_filter
+=============================================  ==============================
+
+Unknown properties are kept (``extras``) rather than rejected — the
+reference likewise passes through connector-specific keys.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class EngineConfig:
+    snapshot_mode: str = "initial"
+    table_include: str | None = None
+    table_exclude: str | None = None
+    column_exclude: list[str] = field(default_factory=list)
+    hash_masks: list[tuple[str, str, str]] = field(default_factory=list)  # (col, algo, salt)
+    const_masks: list[tuple[str, int]] = field(default_factory=list)  # (col, n_chars)
+    truncates: list[tuple[str, int]] = field(default_factory=list)  # (col, n_chars)
+    skipped_operations: list[str] = field(default_factory=list)
+    tombstones_on_delete: bool = True
+    key_overrides: list[tuple[str, list[str]]] = field(default_factory=list)  # (tbl_regex, cols)
+    decimal_mode: str = "precise"  # precise | string | double
+    time_precision: str = "adaptive"  # adaptive | adaptive_time_microseconds | connect
+    snapshot_overrides: dict[str, str] = field(default_factory=dict)  # table -> WHERE
+    extras: dict[str, str] = field(default_factory=dict)
+
+    # -- parsing -------------------------------------------------------------
+
+    @classmethod
+    def from_properties(cls, props: dict[str, str]) -> "EngineConfig":
+        cfg = cls()
+        for key, val in props.items():
+            k = key.strip()
+            if k == "snapshot.mode":
+                cfg.snapshot_mode = val.strip()
+            elif k == "table.include.list":
+                # comma-separated regexes → one alternation (Selectors.java)
+                cfg.table_include = "|".join(
+                    f"(?:{p.strip()})" for p in val.split(",") if p.strip()
+                )
+            elif k == "table.exclude.list":
+                cfg.table_exclude = "|".join(
+                    f"(?:{p.strip()})" for p in val.split(",") if p.strip()
+                )
+            elif k == "column.exclude.list":
+                # reference entries are db.table.column; the payload field is
+                # the last segment
+                cfg.column_exclude = [
+                    p.strip().rsplit(".", 1)[-1] for p in val.split(",") if p.strip()
+                ]
+            elif k.startswith("column.mask.hash."):
+                m = re.match(r"column\.mask\.hash\.([^.]+)\.with\.salt\.(.+)$", k)
+                if not m:
+                    raise ValueError(f"malformed property {key!r}")
+                algo, salt = m.group(1), m.group(2)
+                for col in val.split(","):
+                    if col.strip():
+                        cfg.hash_masks.append((col.strip().rsplit(".", 1)[-1], algo, salt))
+            elif k.startswith("column.mask.with."):
+                m = re.match(r"column\.mask\.with\.(\d+)\.chars$", k)
+                if not m:
+                    raise ValueError(f"malformed property {key!r}")
+                for col in val.split(","):
+                    if col.strip():
+                        cfg.const_masks.append((col.strip().rsplit(".", 1)[-1], int(m.group(1))))
+            elif k.startswith("column.truncate.to."):
+                m = re.match(r"column\.truncate\.to\.(\d+)\.chars$", k)
+                if not m:
+                    raise ValueError(f"malformed property {key!r}")
+                for col in val.split(","):
+                    if col.strip():
+                        cfg.truncates.append((col.strip().rsplit(".", 1)[-1], int(m.group(1))))
+            elif k == "skipped.operations":
+                ops = [o.strip() for o in val.split(",") if o.strip()]
+                cfg.skipped_operations = [] if ops == ["none"] else ops
+            elif k == "tombstones.on.delete":
+                cfg.tombstones_on_delete = val.strip().lower() in ("true", "1", "yes")
+            elif k == "message.key.columns":
+                # "db.tbl:c1,c2;(.*).orders:id" (RelationalDatabaseConnectorConfig.java:420)
+                for entry in val.split(";"):
+                    if not entry.strip():
+                        continue
+                    tbl, cols = entry.split(":", 1)
+                    cfg.key_overrides.append(
+                        (tbl.strip(), [c.strip() for c in cols.split(",") if c.strip()])
+                    )
+            elif k == "decimal.handling.mode":
+                if val.strip() not in ("precise", "string", "double"):
+                    raise ValueError(f"unknown decimal.handling.mode {val!r}")
+                cfg.decimal_mode = val.strip()
+            elif k == "time.precision.mode":
+                cfg.time_precision = val.strip()
+            elif k.startswith("snapshot.select.statement.overrides."):
+                cfg.snapshot_overrides[k.rsplit(".", 1)[-1]] = val
+            else:
+                cfg.extras[k] = val
+        return cfg
+
+    # -- wiring ---------------------------------------------------------------
+
+    def smt_chain(self) -> list:
+        """The per-event transform chain these properties imply, in the
+        reference's application order: table filters → op filter → column
+        projections/maskers."""
+        from debezium_spark.operators import filters as flt
+        from debezium_spark.operators import masking as msk
+
+        chain: list = []
+        if self.table_include or self.table_exclude:
+            inc, exc = self.table_include, self.table_exclude
+            chain.append(lambda df, i=inc, e=exc: flt.table_include(df, i, e))
+        if self.skipped_operations:
+            ops = list(self.skipped_operations)
+            chain.append(lambda df, o=ops: flt.skipped_operations(df, o))
+        if self.column_exclude:
+            cols = list(self.column_exclude)
+            chain.append(lambda df, c=cols: flt.column_exclude(df, c))
+        for col, algo, salt in self.hash_masks:
+            if algo.upper().replace("-", "") not in ("SHA256", "SHA512", "SHA1"):
+                raise ValueError(f"unsupported mask hash algo {algo!r}")
+            chain.append(lambda df, c=col, s=salt: msk.hash_mask_column(df, c, s))
+        for col, n in self.const_masks:
+            chain.append(lambda df, c=col, n=n: msk.mask_column(df, c, "*" * n))
+        for col, n in self.truncates:
+            chain.append(lambda df, c=col, n=n: msk.truncate_column(df, c, n))
+        return chain
+
+    def key_cols_for(self, db: str, table: str, default: list[str]) -> list[str]:
+        """message.key.columns resolution: first matching table pattern wins
+        (patterns match the fully-qualified name, regex per the reference)."""
+        fq = f"{db}.{table}"
+        for pattern, cols in self.key_overrides:
+            if re.fullmatch(pattern, fq):
+                return cols
+        return default
+
+    def snapshot_where(self, table: str) -> str | None:
+        return self.snapshot_overrides.get(table)
+
+    def build_engine(self, spark, table, **engine_kwargs):
+        """CdcEngine wired with this config's SMT chain."""
+        from debezium_spark.streaming.engine import CdcEngine
+
+        return CdcEngine(spark, table, smt_chain=self.smt_chain(), **engine_kwargs)
+
+
+def apply_snapshot_override(cfg: EngineConfig, table: str, df: DataFrame) -> DataFrame:
+    """snapshot.select.statement.overrides.<table> → WHERE at bootstrap."""
+    from debezium_spark.operators.filters import snapshot_row_filter
+
+    where = cfg.snapshot_where(table)
+    return snapshot_row_filter(df, where) if where else df

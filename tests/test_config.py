@@ -1,0 +1,94 @@
+"""Connector-property facade: reference Debezium property names wire the
+engine (CommonConnectorConfig / RelationalDatabaseConnectorConfig names)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.config import EngineConfig
+
+
+REFERENCE_PROPS = {
+    "snapshot.mode": "when_needed",
+    "table.include.list": "inventory\\.repo_files, inventory\\.orders",
+    "column.exclude.list": "inventory.repo_files.commit",
+    "column.mask.hash.SHA-256.with.salt.s3cr3t": "inventory.repo_files.content",
+    "column.truncate.to.12.chars": "inventory.repo_files.path",
+    "skipped.operations": "d",
+    "tombstones.on.delete": "true",
+    "message.key.columns": "inventory.repo_files:repo,path;(.*)\\.orders:order_no",
+    "decimal.handling.mode": "string",
+    "snapshot.select.statement.overrides.repo_files": "lang = 'py'",
+    "some.connector.specific.key": "passthrough",
+}
+
+
+def test_property_parsing():
+    cfg = EngineConfig.from_properties(REFERENCE_PROPS)
+    assert cfg.snapshot_mode == "when_needed"
+    assert "repo_files" in cfg.table_include and "|" in cfg.table_include
+    assert cfg.column_exclude == ["commit"]
+    assert cfg.hash_masks == [("content", "SHA-256", "s3cr3t")]
+    assert cfg.truncates == [("path", 12)]
+    assert cfg.skipped_operations == ["d"]
+    assert cfg.tombstones_on_delete is True
+    assert cfg.key_overrides[0] == ("inventory.repo_files", ["repo", "path"])
+    assert cfg.decimal_mode == "string"
+    assert cfg.snapshot_where("repo_files") == "lang = 'py'"
+    assert cfg.extras == {"some.connector.specific.key": "passthrough"}
+
+    assert cfg.key_cols_for("inventory", "repo_files", ["x"]) == ["repo", "path"]
+    assert cfg.key_cols_for("other_db", "orders", ["x"]) == ["order_no"]
+    assert cfg.key_cols_for("inventory", "unmatched", ["x"]) == ["x"]
+
+    assert EngineConfig.from_properties({"skipped.operations": "none"}).skipped_operations == []
+    with pytest.raises(ValueError):
+        EngineConfig.from_properties({"decimal.handling.mode": "bogus"})
+    with pytest.raises(ValueError):
+        EngineConfig.from_properties({"column.mask.hash.SHA-256.missing.salt": "c"})
+
+
+def test_smt_chain_applies_in_reference_order(spark):
+    from debezium_spark import ChangeLogGenerator
+
+    cfg = EngineConfig.from_properties(
+        {
+            "table.include.list": "inventory\\.repo_files",
+            "skipped.operations": "d",
+            "column.mask.hash.SHA-256.with.salt.s:": "content",
+            "column.truncate.to.10.chars": "path",
+        }
+    )
+    env = ChangeLogGenerator(spark, seed=5, n_repos=4).events(400)
+    out = env
+    for smt in cfg.smt_chain():
+        out = smt(out)
+    rows = out.collect()
+    assert rows and all(r["op"] != "d" for r in rows)
+    assert all(len(r["after"]["content"]) == 64 for r in rows)  # sha256 hex
+    assert all(len(r["after"]["path"]) <= 10 for r in rows)
+
+
+def test_config_driven_engine_end_to_end(spark, tmp_path):
+    """A property file drives a full replay: include-filter + masking run as
+    the engine's SMT chain and the final state reflects them."""
+    from debezium_spark import ChangeLogGenerator, LakeTable
+
+    cfg = EngineConfig.from_properties(
+        {
+            "snapshot.mode": "never",
+            "column.mask.hash.SHA-256.with.salt.xyz": "content",
+            "skipped.operations": "none",
+        }
+    )
+    gen = ChangeLogGenerator(spark, seed=8, n_repos=5)
+    bdir = str(tmp_path / "b")
+    gen.write_batches(bdir, 800, 2)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = cfg.build_engine(spark, table)
+    engine.run(bdir, snapshot_mode=cfg.snapshot_mode)
+    out = table.read()
+    assert out.count() > 0
+    # every surviving content value is a salted sha256 hex digest
+    assert out.filter(~F.col("content").rlike("^[0-9a-f]{64}$")).count() == 0
