@@ -29,6 +29,7 @@ from pyspark.sql import SparkSession
 
 from debezium_spark.schema import envelope_schema
 from debezium_spark.streaming.engine import CdcEngine
+from debezium_spark.streaming.multi import WIRE_SCHEMA, MultiTableEngine
 
 
 def stream_replay(
@@ -82,3 +83,34 @@ def stream_replay(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     return query
+
+
+def stream_replay_multi(
+    spark: SparkSession,
+    engine: MultiTableEngine,
+    batch_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Multi-table tail: stream the *wire-format* batch directory (payloads
+    as JSON strings — the only shape a mixed-table stream can have) and fan
+    each micro-batch out to the per-table engines. Same two-layer
+    exactly-once as ``stream_replay``: checkpoint dedupe at the source,
+    per-table offset fences at each sink (a redelivered epoch is a no-op
+    per table). Idle tables heartbeat every epoch, so every fence stays
+    fresh even when one table gets all the traffic."""
+    reader = spark.readStream.schema(WIRE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(f"{batch_dir}/batch_*")
+
+    def apply_batch(df, epoch_id: int) -> None:
+        engine.apply_wire_batch(df, batch_id=f"epoch_{epoch_id:05d}")
+
+    writer = stream.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

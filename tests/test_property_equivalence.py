@@ -1,0 +1,123 @@
+"""Property-based equivalence: for ANY interleaving of creates/updates/
+deletes/PK-renames over a small key space, the engine's parallel batched
+apply must equal single-threaded sequential apply (the FIXTURES.md F6
+ground truth). Hypothesis drives the op sequences; the spark session is
+expensive, so examples are few but adversarial (tight key space maximizes
+per-key collision/ordering pressure)."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import functions as F
+
+from debezium_spark import CdcEngine, LakeTable
+from debezium_spark.schema import envelope_schema
+from tests.conftest import sequential_oracle
+
+KEYS = [("r0", "a"), ("r0", "b"), ("r1", "a"), ("r1", "b"), ("r1", "c")]
+
+ops = st.lists(
+    st.tuples(
+        st.sampled_from(["c", "u", "d", "pk"]),
+        st.integers(min_value=0, max_value=len(KEYS) - 1),
+        st.integers(min_value=0, max_value=len(KEYS) - 1),  # rename target
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _events(op_list):
+    """Op tuples → envelope dicts with dense pos, tracking per-key liveness
+    so the sequence is referentially valid (update/delete only live keys)."""
+    live: dict[tuple, dict] = {}
+    out = []
+    pos = 0
+    for kind, ki, kj in op_list:
+        key = KEYS[ki]
+        payload = {"repo": key[0], "path": key[1], "content": f"v{pos}"}
+        if kind == "c":
+            if key in live:
+                kind = "u"
+        if kind in ("u", "d", "pk") and key not in live:
+            kind = "c"
+        if kind == "pk":
+            new_key = KEYS[kj]
+            if new_key == key or new_key in live:
+                kind = "u"
+        before, after, op = None, None, kind
+        if kind == "c":
+            after = payload
+            live[key] = payload
+        elif kind == "u":
+            before = live[key]
+            after = payload
+            live[key] = payload
+        elif kind == "d":
+            before = live.pop(key)
+            after = None
+        elif kind == "pk":
+            new_key = KEYS[kj]
+            before = live.pop(key)
+            after = {"repo": new_key[0], "path": new_key[1], "content": f"v{pos}"}
+            live[new_key] = after
+            op = "u"
+        out.append(
+            {
+                "before": before,
+                "after": after,
+                "op": op,
+                "ts_ms": pos,
+                "source": {
+                    "file": "binlog.000001", "pos": pos, "gtid": None,
+                    "snapshot": None, "db": "app", "table": "t", "ts_ms": pos,
+                },
+                "transaction": None,
+            }
+        )
+        pos += 1
+    return out
+
+
+@pytest.mark.parametrize("mode", ["cow", "mor"])
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(op_list=ops, n_batches=st.integers(min_value=1, max_value=4))
+def test_engine_equals_sequential_apply(spark, tmp_path_factory, mode, op_list, n_batches):
+    events = _events(op_list)
+    from pyspark.sql.types import StructType
+
+    payload = StructType.fromDDL("repo string, path string, content string")
+    env = spark.createDataFrame(events, envelope_schema(payload))
+
+    tmp = tmp_path_factory.mktemp("prop")
+    table = LakeTable(spark, str(tmp / "t"), ["repo", "path"], n_buckets=2, mode=mode)
+    table.create(payload)
+    engine = CdcEngine(spark, table, compact_depth=2)
+
+    n = len(events)
+    step = max(1, (n + n_batches - 1) // n_batches)
+    for b in range(0, n, step):
+        batch = env.filter(
+            (F.col("source.pos") >= b) & (F.col("source.pos") < b + step)
+        )
+        engine.apply_envelope_batch(batch, batch_id=f"b{b}")
+
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in table.read().collect()
+    }
+    want = {
+        k: v["content"] for k, v in sequential_oracle(events).items()
+    }
+    assert got == want

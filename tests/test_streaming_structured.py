@@ -92,3 +92,46 @@ def test_stream_redelivery_is_noop(spark, tmp_path):
     q2.awaitTermination(300)
     assert table.manifest()["version"] == v1
     assert _state(table) == state1
+
+
+def test_stream_replay_multi_routes_tables(spark, tmp_path):
+    """Wire-format stream fans out to per-table engines with per-table
+    fences; redelivered epochs are no-ops."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.streaming.multi import MultiTableEngine, TableSpec, WIRE_SCHEMA
+    from debezium_spark.streaming.structured import stream_replay_multi
+
+    rows = [
+        {"before_json": None,
+         "after_json": '{"k": %d, "v": "v%d"}' % (i % 40, i),
+         "op": "c" if i % 3 else "u",
+         "ts_ms": i,
+         "source": {"file": "f1", "pos": i, "gtid": None, "snapshot": None,
+                    "db": "app", "table": "a" if i % 2 == 0 else "b", "ts_ms": i},
+         "transaction": None}
+        for i in range(400)
+    ]
+    bdir = tmp_path / "wire"
+    bdir.mkdir()
+    wire = spark.createDataFrame(rows, WIRE_SCHEMA)
+    wire.filter("source.pos < 200").write.parquet(str(bdir / "batch_00000"))
+    wire.filter("source.pos >= 200").write.parquet(str(bdir / "batch_00001"))
+
+    mte = MultiTableEngine(
+        spark, str(tmp_path / "lake"),
+        [TableSpec("app", "a", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2),
+         TableSpec("app", "b", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2)],
+    )
+    q = stream_replay_multi(spark, mte, str(bdir), str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    ta, tb = mte.table("app", "a"), mte.table("app", "b")
+    assert ta.fence()[1] == 398 and tb.fence()[1] == 399
+    # even i -> table a, k = i % 40 -> the 20 even keys (odd keys -> b)
+    assert ta.read().count() == 20 and tb.read().count() == 20
+    # last-writer-wins per key across the stream
+    last_a = {r["k"]: r["v"] for r in ta.read().collect()}
+    expect_a = {}
+    for i in range(0, 400, 2):
+        expect_a[i % 40] = f"v{i}"
+    assert last_a == expect_a
