@@ -62,14 +62,16 @@ class EngineConfig:
             if k == "snapshot.mode":
                 cfg.snapshot_mode = val.strip()
             elif k == "table.include.list":
-                # comma-separated regexes → one alternation (Selectors.java)
-                cfg.table_include = "|".join(
-                    f"(?:{p.strip()})" for p in val.split(",") if p.strip()
-                )
+                # comma-separated regexes → one anchored alternation; the
+                # reference's Selectors FULL-matches the fully-qualified
+                # name (Predicates.includes uses Matcher.matches), so an
+                # unanchored rlike would over-include ("inventory.orders"
+                # must not match "inventory.orders_audit")
+                alts = "|".join(f"(?:{p.strip()})" for p in val.split(",") if p.strip())
+                cfg.table_include = f"^(?:{alts})$"
             elif k == "table.exclude.list":
-                cfg.table_exclude = "|".join(
-                    f"(?:{p.strip()})" for p in val.split(",") if p.strip()
-                )
+                alts = "|".join(f"(?:{p.strip()})" for p in val.split(",") if p.strip())
+                cfg.table_exclude = f"^(?:{alts})$"
             elif k == "column.exclude.list":
                 # reference entries are db.table.column; the payload field is
                 # the last segment
@@ -119,7 +121,10 @@ class EngineConfig:
             elif k == "time.precision.mode":
                 cfg.time_precision = val.strip()
             elif k.startswith("snapshot.select.statement.overrides."):
-                cfg.snapshot_overrides[k.rsplit(".", 1)[-1]] = val
+                # reference key form is overrides.<databaseName>.<tableName>
+                # — keep the full qualified suffix (rsplit would collapse
+                # same-named tables across databases onto one key)
+                cfg.snapshot_overrides[k[len("snapshot.select.statement.overrides."):]] = val
             else:
                 cfg.extras[k] = val
         return cfg
@@ -144,9 +149,11 @@ class EngineConfig:
             cols = list(self.column_exclude)
             chain.append(lambda df, c=cols: flt.column_exclude(df, c))
         for col, algo, salt in self.hash_masks:
-            if algo.upper().replace("-", "") not in ("SHA256", "SHA512", "SHA1"):
-                raise ValueError(f"unsupported mask hash algo {algo!r}")
-            chain.append(lambda df, c=col, s=salt: msk.hash_mask_column(df, c, s))
+            # algo validity is enforced inside hash_mask_column (it raises
+            # on anything it cannot map to a JVM hash function)
+            chain.append(
+                lambda df, c=col, s=salt, a=algo: msk.hash_mask_column(df, c, s, algo=a)
+            )
         for col, n in self.const_masks:
             chain.append(lambda df, c=col, n=n: msk.mask_column(df, c, "*" * n))
         for col, n in self.truncates:

@@ -58,8 +58,14 @@ def from_debezium_timestamp_us(col: Column) -> Column:
 
 
 def from_debezium_timestamp_ns(col: Column) -> Column:
-    """io.debezium.time.NanoTimestamp: epoch nanos → timestamp (µs floor)."""
-    return F.timestamp_micros(F.floor(col.cast("long") / 1000).cast("long"))
+    """io.debezium.time.NanoTimestamp: epoch nanos → timestamp (µs floor).
+
+    Integer arithmetic via decimal — ``long/1000`` in Spark is a *double*
+    division, which loses precision above 2^53 and rounds nanos within
+    ~128 ns of a microsecond boundary to the wrong microsecond."""
+    c = col.cast("decimal(38,0)")
+    micros = ((c - F.pmod(c, F.lit(1000))) / F.lit(1000)).cast("long")
+    return F.timestamp_micros(micros)
 
 
 def from_zoned_timestamp(col: Column) -> Column:
@@ -78,7 +84,8 @@ def time_micros(col: Column, unit: str = "micros") -> Column:
     if unit == "micros":
         return c
     if unit == "nanos":
-        return F.floor(c / 1000).cast("long")
+        d = c.cast("decimal(38,0)")  # exact integer division (see ns ts)
+        return ((d - F.pmod(d, F.lit(1000))) / F.lit(1000)).cast("long")
     raise ValueError(f"unknown time unit {unit!r}")
 
 
@@ -117,8 +124,10 @@ def decimal_from_unscaled_bytes(col: Column, scale: int) -> Column:
     set, then scale division. Supports up to 16 bytes (decimal(38))."""
     hx = F.hex(col)  # big-endian hex, 2 chars per byte
     nbytes = (F.length(hx) / 2).cast("int")
-    # conv() is 64-bit: parse the low 8 bytes and any high bytes separately
-    # and recombine exactly in decimal(38,0) (hi * 2^64 + lo)
+    # conv() is 64-bit: parse the low 8 bytes and any high bytes separately.
+    # The sign bias is applied to the HIGH half *before* recombining —
+    # materializing the unsigned 128-bit value first would overflow
+    # decimal(38,0) for 16-byte negatives (2^127 > 10^38).
     lo_hex = F.when(F.length(hx) > 16, F.substring(hx, -16, 16)).otherwise(hx)
     hi_hex = F.when(F.length(hx) > 16, hx.substr(F.lit(1), F.length(hx) - 16)).otherwise(
         F.lit("0")
@@ -126,12 +135,20 @@ def decimal_from_unscaled_bytes(col: Column, scale: int) -> Column:
     lo = F.conv(lo_hex, 16, 10).cast("decimal(38,0)")
     hi = F.conv(hi_hex, 16, 10).cast("decimal(38,0)")
     two64 = F.lit(str(1 << 64)).cast("decimal(38,0)")
-    unsigned = (hi * two64 + lo).cast("decimal(38,0)")
-    bias = F.element_at(
-        F.array(*[F.lit(p) for p in _POW256]), nbytes
-    ).cast("decimal(38,0)")
     negative = F.substring(hx, 1, 1).isin(list("89ABCDEF"))
-    signed = F.when(negative, unsigned - bias).otherwise(unsigned)
+    bias_full = F.element_at(
+        F.array(*[F.lit(p) for p in _POW256]), nbytes
+    ).cast("decimal(38,0)")  # 2^(8*n) — used directly for the <=8-byte path
+    bias_hi = F.element_at(
+        F.array(*[F.lit(str(1 << (8 * n))) for n in range(1, 9)]),
+        F.greatest(F.lit(1), nbytes - 8),
+    ).cast("decimal(38,0)")  # 2^(8*(n-8)) — the bias as seen by the hi half
+    signed = F.when(
+        F.length(hx) <= 16,
+        F.when(negative, lo - bias_full).otherwise(lo),
+    ).otherwise(
+        (F.when(negative, hi - bias_hi).otherwise(hi)) * two64 + lo
+    )
     if scale == 0:
         return signed
     # exact decimal-point placement via string surgery — decimal *division*
@@ -195,5 +212,11 @@ def geometry_struct(wkb_col: Column, srid_col: Column) -> Column:
 def bits_to_long(col: Column) -> Column:
     """io.debezium.data.Bits (≤64 bits): little-endian bit bytes → long.
     Kafka Connect Bits encodes least-significant byte first
-    (reference ``data/Bits.java``); reverse, then parse base-16."""
-    return F.conv(F.hex(F.reverse(col)), 16, 10).cast("long")
+    (reference ``data/Bits.java``). The byte order is reversed on the HEX
+    string (array of 2-char pairs) — ``F.reverse`` on a binary column casts
+    to string and reverses UTF-8 *characters*, corrupting any byte in the
+    multi-byte-lead range 0xC2–0xF4."""
+    hx = F.hex(col)
+    idx = F.sequence(F.lit(1), (F.length(hx) / 2).cast("int"))
+    pairs = F.transform(idx, lambda i: hx.substr(i * 2 - 1, F.lit(2)))
+    return F.conv(F.array_join(F.reverse(pairs), ""), 16, 10).cast("long")

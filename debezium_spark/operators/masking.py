@@ -28,10 +28,22 @@ def mask_column(env: DataFrame, field: str, mask: str = "***") -> DataFrame:
     return _map_payload_field(env, field, lambda c: F.when(c.isNotNull(), F.lit(mask)))
 
 
-def hash_mask_column(env: DataFrame, field: str, salt: str) -> DataFrame:
-    """MaskStrings hash mode: salted SHA-256 (MaskStrings.java HashValueConverter)."""
+def hash_mask_column(env: DataFrame, field: str, salt: str, algo: str = "SHA-256") -> DataFrame:
+    """MaskStrings hash mode: salted hash (MaskStrings.java
+    HashValueConverter). Algorithms map to JVM-side functions: SHA-224/
+    256/384/512 via ``sha2``, SHA-1 via ``sha1``, MD5 via ``md5``."""
+    a = algo.upper().replace("-", "")
+    if a in ("SHA224", "SHA256", "SHA384", "SHA512"):
+        bits = int(a[3:])
+        fn = lambda c: F.sha2(c, bits)  # noqa: E731
+    elif a == "SHA1":
+        fn = F.sha1
+    elif a == "MD5":
+        fn = F.md5
+    else:
+        raise ValueError(f"unsupported mask hash algorithm {algo!r}")
     return _map_payload_field(
-        env, field, lambda c: F.when(c.isNotNull(), F.sha2(F.concat(F.lit(salt), c), 256))
+        env, field, lambda c: F.when(c.isNotNull(), fn(F.concat(F.lit(salt), c)))
     )
 
 

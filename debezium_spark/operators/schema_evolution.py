@@ -14,9 +14,10 @@ carries either:
 - structured TableChanges JSON (starts with ``{``): ``add_columns`` /
   ``drop_columns`` / ``rename_columns`` / ``modify_columns``; or
 - raw SQL text: the common ALTER TABLE matrix (ADD/DROP/RENAME/CHANGE/
-  MODIFY COLUMN, PG-style ALTER COLUMN ... TYPE), parsed by a small
-  front-end (sqlglot when importable, a regex grammar otherwise — the
-  sandbox ships neither ANTLR nor sqlglot).
+  MODIFY COLUMN, PG-style ALTER COLUMN ... TYPE), parsed by a bounded
+  regex grammar (the sandbox ships neither ANTLR nor sqlglot; the grammar
+  covers the column-evolution ALTER variants the reference's
+  MySqlAntlrDdlParserTest exercises).
 
 Applying a DDL is a **batch barrier**: events before it merge with the old
 schema, events after with the new — enforced by the engine's segmentation
@@ -91,7 +92,13 @@ def parse_table_changes(tc_json: str) -> list[DdlOp]:
 
 
 _IDENT = r'[`"\[]?([A-Za-z_][A-Za-z0-9_$]*)[`"\]]?'
-_TYPE = r"([A-Za-z][A-Za-z0-9 ]*(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+# type = base word, optional PRECISION/VARYING second word, optional (p[,s]),
+# optional UNSIGNED — bounded so trailing column constraints (NOT NULL,
+# DEFAULT ..., COMMENT ..., AFTER col) are NOT swallowed into the type
+_TYPE = (
+    r"([A-Za-z]+(?:\s+(?:PRECISION|VARYING))?"
+    r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?(?:\s+UNSIGNED)?)"
+)
 
 
 def _split_clauses(body: str) -> list[str]:
@@ -118,12 +125,10 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
     (single + parenthesized list), DROP [COLUMN], RENAME [COLUMN] a TO b,
     MySQL CHANGE [COLUMN] a b <type> (rename+retype) and MODIFY [COLUMN]
     col <type>, PG ALTER [COLUMN] col [SET DATA] TYPE <type>.
-    CREATE TABLE / unrelated statements parse to no ops (the engine treats
-    them as history-only entries)."""
-    try:  # optional heavyweight front-end, absent in this sandbox
-        import sqlglot  # noqa: F401
-    except ImportError:
-        pass
+    Column constraints after the type (NOT NULL, DEFAULT, COMMENT, AFTER,
+    COLLATE, …) are ignored — they don't change the lake schema. CREATE
+    TABLE / unrelated statements parse to no ops (the engine treats them as
+    history-only entries)."""
     s = sql.strip().rstrip(";")
     m = re.match(r"(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?[\w.`\"\[\]]+\s+(.*)$", s)
     if not m:
@@ -143,7 +148,7 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
                 if m3:
                     ops.append(("add", m3.group(1), sql_type_to_spark(m3.group(2))))
             continue
-        m2 = re.match(rf"(?is)^DROP\s+(?:COLUMN\s+)?{_IDENT}\s*$", c)
+        m2 = re.match(rf"(?is)^DROP\s+(?:COLUMN\s+)?{_IDENT}(?:\s+(?:RESTRICT|CASCADE))?\s*$", c)
         if m2:
             ops.append(("drop", m2.group(1)))
             continue

@@ -261,7 +261,9 @@ class LakeTable:
             "buckets": buckets,
             "fence": {"file": fence[0], "pos": fence[1]} if fence else man["fence"],
             "lineage": lineage,
-            "renames": man.get("renames", {}),  # rename ledger survives data commits
+            # schema-evolution ledgers survive data commits
+            "renames": man.get("renames", {}),
+            "dropped": man.get("dropped", []),
             "parent": man["version"],
         }
         self._publish(new_man)
@@ -365,6 +367,7 @@ class LakeTable:
                  "fence_pos": fence[1] if fence else None}
             ],
             "renames": man.get("renames", {}),
+            "dropped": man.get("dropped", []),
             "parent": man["version"],
         }
         self._publish(new_man)
@@ -379,23 +382,35 @@ class LakeTable:
         man2["parent"] = man["version"]
         self._publish(man2)
 
+    def _burned_names(self, man: dict) -> set[str]:
+        """Names that may still exist in old data files under a *previous*
+        meaning: rename aliases and dropped columns. Re-adding one of these
+        would resurrect stale bytes through name-based projection (Iceberg
+        avoids this with column IDs; we reject instead)."""
+        burned = set(man.get("dropped", []))
+        for new, olds in man.get("renames", {}).items():
+            burned.update(olds)
+        return burned
+
     def alter_add_columns(self, cols: list[tuple[str, str]]) -> None:
         """Schema evolution barrier — Iceberg ``ALTER TABLE ADD COLUMN``
         equivalent (SURVEY §2.8). Idempotent: re-adding an existing column is
-        a no-op, so DDL replay after crash is safe."""
+        a no-op, so DDL replay after crash is safe. Re-adding a name that was
+        previously dropped or renamed away is rejected — old files still
+        carry bytes under that name and name-based projection would
+        resurrect them."""
         man = self.manifest()
         schema = StructType.fromJson(json.loads(man["schema"]))
         existing = {f.name for f in schema.fields}
+        burned = self._burned_names(man)
         changed = False
         for name, dtype in cols:
-            if name in man.get("renames", {}) or any(
-                name in olds for olds in man.get("renames", {}).values()
-            ):
-                if name not in existing:
-                    raise ValueError(
-                        f"cannot re-add column {name!r}: the name is an active "
-                        "rename alias (name-based projection would resurrect old data)"
-                    )
+            if name not in existing and name in burned:
+                raise ValueError(
+                    f"cannot re-add column {name!r}: the name was previously "
+                    "dropped or renamed away (name-based projection would "
+                    "resurrect old data); pick a fresh name"
+                )
             if name not in existing:
                 from pyspark.sql.types import _parse_datatype_string
 
@@ -409,7 +424,9 @@ class LakeTable:
         """``ALTER TABLE DROP COLUMN`` — removes the field from the schema;
         existing files keep the bytes but readers never project it
         (Iceberg drop semantics). Idempotent: dropping a missing column is a
-        no-op. Key columns cannot be dropped."""
+        no-op. Key columns cannot be dropped. The dropped name — and any
+        rename aliases that pointed at it — are recorded as burned so a
+        later ADD COLUMN of the same name cannot resurrect stale bytes."""
         man = self.manifest()
         schema = StructType.fromJson(json.loads(man["schema"]))
         for c in cols:
@@ -418,10 +435,14 @@ class LakeTable:
         keep = [f for f in schema.fields if f.name not in set(cols)]
         if len(keep) == len(schema.fields):
             return
-        renames = {
-            k: v for k, v in man.get("renames", {}).items() if k not in set(cols)
-        }
-        self._publish_schema(man, StructType(keep), renames)
+        renames = dict(man.get("renames", {}))
+        dropped = set(man.get("dropped", []))
+        for c in cols:
+            dropped.add(c)
+            dropped.update(renames.pop(c, []))  # aliases of a dropped column burn too
+        man2 = dict(man)
+        man2["dropped"] = sorted(dropped)
+        self._publish_schema(man2, StructType(keep), renames)
 
     def alter_rename_column(self, old: str, new: str) -> None:
         """``ALTER TABLE RENAME COLUMN old TO new`` — schema-only commit;

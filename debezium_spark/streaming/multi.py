@@ -144,14 +144,38 @@ class MultiTableEngine:
         with no rows in the batch get an offset-bearing heartbeat at the
         global max so idle fences advance (Heartbeat.java:27-79).
         Unregistered tables are dropped (include-list semantics)."""
+        from debezium_spark.operators.quarantine import KNOWN_OPS
+
         wire = wire.persist()
         try:
+            # per-table malformed-row flag, fused into the same aggregation
+            # (post-parse semantics of operators.quarantine._reason_col:
+            # unknown op, null offset, null payload — incl. JSON parse
+            # failures — or null key under that table's key columns); this
+            # saves one probe job per table per batch, and per-batch serial
+            # driver time is the scaling bottleneck
+            bad = F.lit(False)
+            for (db_, tbl_), spec_ in self.specs.items():
+                match = (F.col("source.db") == db_) & (F.col("source.table") == tbl_)
+                after_p = F.from_json("after_json", spec_.payload_schema)
+                before_p = F.from_json("before_json", spec_.payload_schema)
+                key_null = F.lit(False)
+                for kcol in spec_.key_cols:
+                    key_null = key_null | F.coalesce(after_p[kcol], before_p[kcol]).isNull()
+                data_op = ~F.col("op").isin(["t", "l"])
+                bad_t = (
+                    (~F.col("op").isin(KNOWN_OPS))
+                    | F.col("source.pos").isNull()
+                    | (data_op & ((after_p.isNull() & before_p.isNull()) | key_null))
+                )
+                bad = F.when(match, bad_t).otherwise(bad)
             stats = (
                 wire.groupBy(F.col("source.db").alias("db"), F.col("source.table").alias("t"))
                 .agg(
                     F.max("source.pos").alias("p"),
                     F.max("source.file").alias("f"),
                     F.max(F.col("op").isin(["l", "t"]).cast("int")).alias("nd"),
+                    F.max(bad.cast("int")).alias("nb"),
                 )
                 .collect()
             )
@@ -179,6 +203,9 @@ class MultiTableEngine:
                     batch_id=f"{batch_id}/{spec.fqn}",
                     fence=(row["f"], row["p"]),
                     has_ddl=bool(row["nd"]),
+                    # the fused flag reflects pre-SMT rows; with SMTs the
+                    # engine re-probes post-transform
+                    has_bad=bool(row["nb"]) if not spec.smt_chain else None,
                 )
             return versions
         finally:

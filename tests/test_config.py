@@ -92,3 +92,48 @@ def test_config_driven_engine_end_to_end(spark, tmp_path):
     assert out.count() > 0
     # every surviving content value is a salted sha256 hex digest
     assert out.filter(~F.col("content").rlike("^[0-9a-f]{64}$")).count() == 0
+
+
+def test_include_patterns_are_anchored(spark):
+    """Review regression: reference Selectors FULL-match the qualified name;
+    substring rlike over-included inventory.orders_audit."""
+    from debezium_spark.operators.filters import table_include
+
+    cfg = EngineConfig.from_properties({"table.include.list": "inventory\\.orders"})
+    fqs = ["inventory.orders", "inventory.orders_audit", "myinventory.orders"]
+    env = spark.createDataFrame(
+        [(f.split(".")[0], f.split(".")[1]) for f in fqs], "db string, tbl string"
+    ).selectExpr("named_struct('db', db, 'table', tbl) AS source")
+    kept = table_include(env, cfg.table_include).select("source.table").collect()
+    assert [r["table"] for r in kept] == ["orders"]
+
+
+def test_snapshot_override_keys_keep_database_qualifier():
+    cfg = EngineConfig.from_properties(
+        {
+            "snapshot.select.statement.overrides.inventory.orders": "id > 0",
+            "snapshot.select.statement.overrides.sales.orders": "id > 10",
+        }
+    )
+    assert cfg.snapshot_where("inventory.orders") == "id > 0"
+    assert cfg.snapshot_where("sales.orders") == "id > 10"
+    assert cfg.snapshot_where("orders") is None
+
+
+def test_mask_hash_algorithm_is_honored(spark):
+    """Review regression: SHA-512 configs silently produced SHA-256."""
+    import hashlib
+    from debezium_spark import ChangeLogGenerator
+
+    cfg = EngineConfig.from_properties(
+        {"column.mask.hash.SHA-512.with.salt.pepper": "content"}
+    )
+    env = ChangeLogGenerator(spark, seed=2, n_repos=3).events(10)
+    out = env
+    for smt in cfg.smt_chain():
+        out = smt(out)
+    row = out.filter(F.col("after").isNotNull()).select(
+        "after.content").first()
+    assert len(row["content"]) == 128  # sha512 hex
+    orig = env.filter(F.col("after").isNotNull()).select("after.content").first()["content"]
+    assert row["content"] == hashlib.sha512(b"pepper" + orig.encode()).hexdigest()

@@ -188,3 +188,50 @@ def test_rename_guards(spark, tmp_path):
         t.alter_widen_column("c", "string")  # not a safe widening
     with pytest.raises(ValueError):
         t.alter_drop_columns(["k"])
+
+
+def test_parse_constraints_not_swallowed():
+    """Review regression: the type regex must stop before column
+    constraints — 'INT NOT NULL' wedged the stream with an unmapped-type
+    ValueError inside apply_ddl."""
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT NOT NULL") == [("add", "c", "int")]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c BIGINT UNSIGNED NOT NULL DEFAULT 0") == [
+        ("add", "c", "long")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c VARCHAR(64) DEFAULT NULL COMMENT 'x'") == [
+        ("add", "c", "string")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t CHANGE a b BIGINT UNSIGNED NOT NULL") == [
+        ("rename", "a", "b"), ("widen", "b", "long")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t MODIFY COLUMN c DOUBLE PRECISION NOT NULL") == [
+        ("widen", "c", "double")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t DROP COLUMN x CASCADE") == [("drop", "x")]
+
+
+def test_drop_then_readd_is_rejected(spark, tmp_path):
+    """Review regression: re-adding a dropped (or renamed-away-then-dropped)
+    name would resurrect stale bytes via name-based projection."""
+    from pyspark.sql.types import StructType
+    from debezium_spark import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, note string, val int"))
+    t.alter_drop_columns(["note"])
+    with pytest.raises(ValueError, match="previously dropped or renamed"):
+        t.alter_add_columns([("note", "string")])
+    # rename val->score then drop score: BOTH names burn
+    t.alter_rename_column("val", "score")
+    t.alter_drop_columns(["score"])
+    with pytest.raises(ValueError):
+        t.alter_add_columns([("val", "int")])
+    with pytest.raises(ValueError):
+        t.alter_add_columns([("score", "int")])
+    # the burned set survives data commits
+    t.commit_buckets({}, [], ("f", 1), [])
+    with pytest.raises(ValueError):
+        t.alter_add_columns([("note", "string")])
+    # fresh names still fine
+    t.alter_add_columns([("note2", "string")])
+    assert "note2" in [f.name for f in t.schema().fields]

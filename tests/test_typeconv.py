@@ -29,6 +29,9 @@ def _twos(v: int) -> bytes:
         (12345678901234567890123456789, 9),          # 29 digits, 16-byte path
         (-12345678901234567890123456789, 9),
         (10**37 - 1, 18),
+        (10**37, 0),                                 # 16-byte positive boundary
+        (-(10**37), 0),                              # 16-byte negative (review regression:
+                                                     # unsigned-first decode overflowed 38 digits)
     ],
 )
 def test_decimal_from_unscaled_bytes(spark, unscaled, scale):
@@ -103,3 +106,29 @@ def test_binary_bits_geometry(spark):
     assert bytes(row["raw"]) == b"hello"
     assert row["bits"] == 513  # little-endian 0x0201
     assert bytes(row["geo"]["wkb"]) == b"WKB0" and row["geo"]["srid"] == 4326
+
+
+def test_nano_timestamp_integer_floor(spark):
+    """Review regression: double division rounded nanos within ~128ns of a
+    microsecond boundary UP — 1699999999999999999 ns must floor to
+    ...:19.999999, not cross the second boundary."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = spark.createDataFrame(
+        [(1699999999999999999,), (1700000000123456999,)], "ns long"
+    ).select(tc.from_debezium_timestamp_ns(F.col("ns")).cast("string").alias("t")).collect()
+    assert rows[0]["t"] == "2023-11-14 22:13:19.999999"
+    assert rows[1]["t"] == "2023-11-14 22:13:20.123456"
+    us = spark.createDataFrame([(1999,)], "n long").select(
+        tc.time_micros(F.col("n"), "nanos").alias("u")).first()["u"]
+    assert us == 1
+
+
+def test_bits_to_long_multibyte_lead_bytes(spark):
+    """Review regression: F.reverse on binary reversed UTF-8 *characters*;
+    bytes in the multi-byte-lead range (0xC2-0xF4) were kept glued to the
+    following byte. [0xC3, 0x01] little-endian is 0x01C3 = 451."""
+    out = spark.createDataFrame([(bytes([0xC3, 0x01]),), (bytes([0xFF, 0x80, 0x01]),)],
+                                "b binary").select(
+        tc.bits_to_long(F.col("b")).alias("v")).collect()
+    assert out[0]["v"] == 0x01C3
+    assert out[1]["v"] == 0x0180FF
