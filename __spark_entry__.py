@@ -728,6 +728,51 @@ SQL_multimodal_frame_sample = """SELECT i AS media_id,
 FROM generate_series(0, 499) AS t(i) WHERE i % 3 = 2"""
 
 
+def q_multimodal_real_decode(spark, sf_dir):
+    """REAL media decode (no stub): executor-generated BMP / PPM / WAV bytes
+    (genuine row padding, BGR order, bottom-up rows, RIFF framing) parsed by
+    the Arrow-batched decoder; the oracle recomputes every feature from the
+    generative pixel/sample formulas — a wrong byte anywhere (padding,
+    channel order, endianness) breaks the hash."""
+    from debezium_spark.dataops.multimodal import (
+        decode_real_media_features,
+        synth_real_media,
+    )
+
+    media = synth_real_media(spark, 300)
+    out = decode_real_media_features(media)
+    return out.select(
+        "media_id", "fmt",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "n_samples",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        "mean_c0_x1000", "sum_abs",
+    )
+
+
+SQL_multimodal_real_decode = """WITH ids AS (SELECT i AS media_id FROM generate_series(0, 299) AS t(i)),
+img AS (
+  SELECT media_id,
+         CASE WHEN media_id % 3 = 0 THEN 'bmp' ELSE 'ppm' END AS fmt,
+         CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+         CAST(NULL AS BIGINT) AS n_samples, CAST(NULL AS BIGINT) AS sample_rate,
+         (SELECT SUM((media_id*7 + x.i*13 + y.i*31) % 256)
+          FROM generate_series(0,7) AS x(i), generate_series(0,7) AS y(i)) * 1000 // 64
+           AS mean_c0_x1000,
+         CAST(NULL AS BIGINT) AS sum_abs
+  FROM ids WHERE media_id % 3 < 2),
+aud AS (
+  SELECT media_id, 'wav' AS fmt,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(100 AS BIGINT) AS n_samples, CAST(8000 AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS mean_c0_x1000,
+         (SELECT SUM(ABS(((media_id*11 + s.i*17) % 4096) - 2048))
+          FROM generate_series(0, 99) AS s(i)) AS sum_abs
+  FROM ids WHERE media_id % 3 = 2)
+SELECT * FROM img UNION ALL SELECT * FROM aud"""
+
+
 def q_outbox_router(spark, sf_dir):
     """Outbox EventRouter (§2.6) via operators.outbox: route topic from the
     aggregate type, key by aggregate id, expand the JSON payload column into
@@ -1496,6 +1541,38 @@ SQL_event_topn_per_type = """SELECT event_type, event_id, value,
 FROM events QUALIFY rnk <= 3"""
 
 
+def q_sessionize_events(spark, sf_dir):
+    """Session windows over the event stream (gap = 1h): the batch
+    semantics of the custom stateful streaming operator
+    (streaming/stateful.py, applyInPandasWithState) — lag → gap flag →
+    running session id → aggregate, all Catalyst."""
+    from debezium_spark.streaming.stateful import sessionize_batch
+
+    ev = _read(spark, sf_dir, "events")
+    prepared = ev.select(
+        "event_id",
+        "user_id",
+        _epoch_ms(F.col("ts")).alias("ts_ms"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return sessionize_batch(prepared, gap_ms=3_600_000)
+
+
+SQL_sessionize_events = """WITH e AS (
+  SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+         CAST(ROUND(value*100) AS BIGINT) AS cents
+  FROM events),
+l AS (SELECT *,
+        CASE WHEN LAG(ts_ms) OVER w IS NULL
+                  OR ts_ms - LAG(ts_ms) OVER w > 3600000 THEN 1 ELSE 0 END AS newsess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)),
+s AS (SELECT *, SUM(newsess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sid FROM l)
+SELECT user_id, MIN(ts_ms) AS session_start_ms, MAX(ts_ms) AS session_end_ms,
+       CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, sid"""
+
+
 def q_broadcast_dim_join(spark, sf_dir):
     """Broadcast hash join of the event stream against a small dim (nation):
     the shape every enrich step should take at 100 TB."""
@@ -1553,6 +1630,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ens_drop_deletes": (q_ens_drop_deletes, SQL_ens_drop_deletes),
     "multimodal_decode": (q_multimodal_decode, SQL_multimodal_decode),
     "multimodal_frame_sample": (q_multimodal_frame_sample, SQL_multimodal_frame_sample),
+    "multimodal_real_decode": (q_multimodal_real_decode, SQL_multimodal_real_decode),
     "dedup_exact": (q_dedup_exact, SQL_dedup_exact),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_dedup_minhash_lsh),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_dedup_ngram_jaccard),
@@ -1569,6 +1647,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q6": (q_tpch_q6, SQL_tpch_q6),
     "windowed_event_agg": (q_windowed_event_agg, SQL_windowed_event_agg),
     "event_topn_per_type": (q_event_topn_per_type, SQL_event_topn_per_type),
+    "sessionize_events": (q_sessionize_events, SQL_sessionize_events),
     "broadcast_dim_join": (q_broadcast_dim_join, SQL_broadcast_dim_join),
 }
 

@@ -103,10 +103,13 @@ class LakeTable:
             }
         )
 
-    def manifest(self) -> dict:
-        with open(os.path.join(self._mdir, LATEST)) as f:
-            v = int(f.read().strip())
-        with open(os.path.join(self._mdir, f"v{v:06d}.json")) as f:
+    def manifest(self, version: int | None = None) -> dict:
+        """Current manifest, or a historical one (time travel — Iceberg
+        snapshot reads; old versions remain readable until expired)."""
+        if version is None:
+            with open(os.path.join(self._mdir, LATEST)) as f:
+                version = int(f.read().strip())
+        with open(os.path.join(self._mdir, f"v{version:06d}.json")) as f:
             return json.load(f)
 
     def schema(self) -> StructType:
@@ -192,8 +195,9 @@ class LakeTable:
         ]
         return raw.select(*cols)
 
-    def read(self, buckets: list[int] | None = None) -> DataFrame:
-        """Current table state; optionally pruned to a bucket subset.
+    def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+        """Current table state (or a historical ``version`` — time travel);
+        optionally pruned to a bucket subset.
 
         Reads with the manifest schema so files written before an
         ALTER ADD COLUMN surface the new column as null, renamed columns
@@ -205,7 +209,7 @@ class LakeTable:
         by ``_pos`` (a partial-aggregatable max_by, one shuffle), deletes
         filtered. The resolve is exactly the engine's last-wins dedupe
         applied at read instead of write."""
-        man = self.manifest()
+        man = self.manifest(version)
         payload = StructType.fromJson(json.loads(man["schema"]))
         dirs: list[str] = []
         any_delta = False

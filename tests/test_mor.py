@@ -111,3 +111,20 @@ def test_selective_compaction_targets_deep_buckets_only(spark, tmp_path):
     total = table.read().count()
     table.compact()
     assert table.read().count() == total
+
+
+def test_time_travel_reads(spark, tmp_path):
+    """read(version=N) reproduces any unexpired historical state (Iceberg
+    snapshot reads), in both modes."""
+    gen = ChangeLogGenerator(spark, seed=4, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table, compact_depth=0)
+    v1 = engine.apply_envelope_batch(gen.events(300), batch_id="b0")
+    state_v1 = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    v2 = engine.apply_envelope_batch(gen.events(300, start_pos=300), batch_id="b1")
+    assert v2 > v1
+    # historical read reproduces v1 exactly; current read differs
+    old = {(r["repo"], r["path"]): r["content"] for r in table.read(version=v1).collect()}
+    assert old == state_v1
+    now = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    assert now != state_v1
