@@ -108,9 +108,16 @@ class MultiTableEngine:
         specs: list[TableSpec],
         salt_factor: int = 4,
         compact_depth: int = 8,
+        max_parallel_tables: int = 8,
     ) -> None:
+        """``max_parallel_tables``: per-table merges are independent Spark
+        jobs against disjoint LakeTables, so the dispatcher submits them
+        from a thread pool — the analog of the reference sink's parallel
+        work threads routed by table (``TableReplayTask.java:401-426``,
+        30 threads). 1 = sequential."""
         self.spark = spark
         self.root = root.rstrip("/")
+        self.max_parallel_tables = max_parallel_tables
         self.specs: dict[tuple[str, str], TableSpec] = {}
         self.engines: dict[tuple[str, str], CdcEngine] = {}
         for spec in specs:
@@ -185,20 +192,19 @@ class MultiTableEngine:
             global_file = max(r["f"] for r in stats)
             present = {(r["db"], r["t"]): r for r in stats}
 
-            versions: dict[str, int | None] = {}
-            for key, eng in self.engines.items():
+            def apply_one(key) -> tuple[str, int | None]:
                 db, tbl = key
+                eng = self.engines[key]
                 spec = self.specs[key]
                 row = present.get(key)
                 if row is None:
                     # idle table this batch: offset-bearing heartbeat
-                    versions[spec.fqn] = eng.heartbeat((global_file, global_pos))
-                    continue
+                    return spec.fqn, eng.heartbeat((global_file, global_pos))
                 sub = wire.filter(
                     (F.col("source.db") == db) & (F.col("source.table") == tbl)
                 )
                 env = wire_to_envelope(sub, spec.payload_schema)
-                versions[spec.fqn] = eng.apply_envelope_batch(
+                return spec.fqn, eng.apply_envelope_batch(
                     env,
                     batch_id=f"{batch_id}/{spec.fqn}",
                     fence=(row["f"], row["p"]),
@@ -207,6 +213,21 @@ class MultiTableEngine:
                     # engine re-probes post-transform
                     has_bad=bool(row["nb"]) if not spec.smt_chain else None,
                 )
+
+            keys = list(self.engines)
+            if self.max_parallel_tables > 1 and len(keys) > 1:
+                # per-table merges touch disjoint table roots/manifests, so
+                # they commute; concurrent Spark jobs share the executor
+                # pool (driver-side thread fan-out, like the reference's
+                # per-table work threads)
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                    max_workers=min(self.max_parallel_tables, len(keys))
+                ) as pool:
+                    versions = dict(pool.map(apply_one, keys))
+            else:
+                versions = dict(apply_one(k) for k in keys)
             return versions
         finally:
             wire.unpersist()

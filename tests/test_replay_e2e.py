@@ -168,3 +168,62 @@ def test_pure_base_mor_read_skips_resolve(spark, tmp_path):
     pure = table.read()._jdf.queryExecution().executedPlan().toString()
     assert "max_by" not in pure and "Exchange" not in pure
     assert table.read().count() > 0
+
+
+def test_expire_versions_reclaims_disk_and_preserves_state(spark, tmp_path):
+    """Snapshot expiration: old manifests + unreferenced data dirs go away,
+    the live state (and its rename/burned ledgers) survive, expired
+    versions stop time-traveling."""
+    import os
+    import pytest
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=6, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4, mode="cow")
+    engine = CdcEngine(spark, table)
+    for b in range(4):
+        engine.apply_envelope_batch(gen.events(200, start_pos=b * 200), batch_id=f"b{b}")
+    table.alter_rename_column("commit", "commit_sha")
+    v_old = 1
+    state = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
+    data_dirs_before = len(os.listdir(os.path.join(str(tmp_path / "t"), "data")))
+
+    table.expire_versions(keep_last=2)
+
+    assert {(r["repo"], r["path"]): r["content"] for r in table.read().collect()} == state
+    assert table.manifest().get("renames") == {"commit_sha": ["commit"]}
+    assert len(os.listdir(os.path.join(str(tmp_path / "t"), "data"))) < data_dirs_before
+    with pytest.raises(FileNotFoundError):
+        table.manifest(version=v_old)
+    # engine still resumes exactly-once after expiry
+    assert engine.apply_envelope_batch(gen.events(200), batch_id="replay") is None
+
+
+def test_orphan_data_files_are_invisible_after_crash(spark, tmp_path):
+    """Crash between data write and manifest publish leaves orphan files;
+    they must never surface in reads and resume must re-apply cleanly."""
+    import os
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+    from pyspark.sql import functions as F
+
+    gen = ChangeLogGenerator(spark, seed=12, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    engine.apply_envelope_batch(gen.events(300), batch_id="b0")
+    n_before = table.read().count()
+
+    # simulate the crash: a data dir written but never referenced
+    orphan = os.path.join(str(tmp_path / "t"), "data", "d-orphan")
+    gen.events(50, start_pos=300).select(
+        F.col("after.repo").alias("repo"), F.col("after.path").alias("path"),
+        F.col("after.commit").alias("commit"), F.col("after.lang").alias("lang"),
+        F.lit("ORPHAN").alias("content"), F.lit("u").alias("_op"),
+        F.col("source.pos").alias("_pos"),
+        F.lit(0).alias("_bucket"),
+    ).write.parquet(orphan)
+
+    assert table.read().filter(F.col("content") == "ORPHAN").count() == 0
+    assert table.read().count() == n_before
+    # the real batch for those offsets applies normally afterwards
+    v = engine.apply_envelope_batch(gen.events(50, start_pos=300), batch_id="b1")
+    assert v is not None and table.fence()[1] == 349
