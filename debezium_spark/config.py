@@ -38,8 +38,13 @@ from pyspark.sql import DataFrame
 @dataclass
 class EngineConfig:
     snapshot_mode: str = "initial"
+    snapshot_offset: tuple[str, int] | None = None  # explicit handoff point
+    server_name: str = "debezium"  # topic prefix (database.server.name)
     table_include: str | None = None
     table_exclude: str | None = None
+    database_include: str | None = None
+    database_exclude: str | None = None
+    truncate_handling: str = "include"  # include | skip (truncate.handling.mode)
     column_exclude: list[str] = field(default_factory=list)
     hash_masks: list[tuple[str, str, str]] = field(default_factory=list)  # (col, algo, salt)
     const_masks: list[tuple[str, int]] = field(default_factory=list)  # (col, n_chars)
@@ -61,6 +66,24 @@ class EngineConfig:
             k = key.strip()
             if k == "snapshot.mode":
                 cfg.snapshot_mode = val.strip()
+            elif k == "database.server.name":
+                cfg.server_name = val.strip()
+            elif k == "snapshot.offset.binlog.filename":
+                f0, p0 = cfg.snapshot_offset or ("", -1)
+                cfg.snapshot_offset = (val.strip(), p0)
+            elif k == "snapshot.offset.binlog.position":
+                f0, p0 = cfg.snapshot_offset or ("", -1)
+                cfg.snapshot_offset = (f0, int(val))
+            elif k == "database.include.list":
+                alts = "|".join(f"(?:{p.strip()})" for p in val.split(",") if p.strip())
+                cfg.database_include = f"^(?:{alts})$"
+            elif k == "database.exclude.list":
+                alts = "|".join(f"(?:{p.strip()})" for p in val.split(",") if p.strip())
+                cfg.database_exclude = f"^(?:{alts})$"
+            elif k == "truncate.handling.mode":
+                if val.strip() not in ("include", "skip"):
+                    raise ValueError(f"unknown truncate.handling.mode {val!r}")
+                cfg.truncate_handling = val.strip()
             elif k == "table.include.list":
                 # comma-separated regexes → one anchored alternation; the
                 # reference's Selectors FULL-matches the fully-qualified
@@ -138,10 +161,20 @@ class EngineConfig:
         from debezium_spark.operators import filters as flt
         from debezium_spark.operators import masking as msk
 
+        from pyspark.sql import functions as _F
+
         chain: list = []
+        if self.database_include:
+            pat = self.database_include
+            chain.append(lambda df, p=pat: df.filter(_F.col("source.db").rlike(p)))
+        if self.database_exclude:
+            pat = self.database_exclude
+            chain.append(lambda df, p=pat: df.filter(~_F.col("source.db").rlike(p)))
         if self.table_include or self.table_exclude:
             inc, exc = self.table_include, self.table_exclude
             chain.append(lambda df, i=inc, e=exc: flt.table_include(df, i, e))
+        if self.truncate_handling == "skip":
+            chain.append(lambda df: flt.skipped_operations(df, ["t"]))
         if self.skipped_operations:
             ops = list(self.skipped_operations)
             chain.append(lambda df, o=ops: flt.skipped_operations(df, o))

@@ -137,3 +137,45 @@ def test_mask_hash_algorithm_is_honored(spark):
     assert len(row["content"]) == 128  # sha512 hex
     orig = env.filter(F.col("after").isNotNull()).select("after.content").first()["content"]
     assert row["content"] == hashlib.sha512(b"pepper" + orig.encode()).hexdigest()
+
+
+def test_reference_fork_properties(spark):
+    """openGauss-fork property names: db-level filters, truncate handling,
+    explicit snapshot offset, server name."""
+    cfg = EngineConfig.from_properties(
+        {
+            "database.server.name": "pg1",
+            "database.include.list": "app, inventory",
+            "truncate.handling.mode": "skip",
+            "snapshot.offset.binlog.filename": "binlog.000007",
+            "snapshot.offset.binlog.position": "12345",
+        }
+    )
+    assert cfg.server_name == "pg1"
+    assert cfg.snapshot_offset == ("binlog.000007", 12345)
+    assert cfg.truncate_handling == "skip"
+
+    from debezium_spark import ChangeLogGenerator
+
+    env = ChangeLogGenerator(spark, seed=3, n_repos=3).events(100)
+    # inject one truncate + one foreign-db row
+    env = env.withColumn(
+        "op", F.when(F.col("source.pos") == 5, F.lit("t")).otherwise(F.col("op"))
+    ).withColumn(
+        "source",
+        F.when(
+            F.col("source.pos") == 6,
+            F.col("source").withField("db", F.lit("otherdb")),
+        ).otherwise(F.col("source")),
+    )
+    out = env
+    for smt in cfg.smt_chain():
+        out = smt(out)
+    rows = out.select("op", "source.db").collect()
+    assert all(r["op"] != "t" for r in rows)          # truncate skipped
+    assert all(r["db"] != "otherdb" for r in rows)    # db excluded by include-list
+    assert len(rows) == 98
+
+    import pytest
+    with pytest.raises(ValueError):
+        EngineConfig.from_properties({"truncate.handling.mode": "bogus"})

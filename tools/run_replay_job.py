@@ -4,7 +4,12 @@ Usage (cluster):
   zip -r debezium_spark.zip debezium_spark
   spark-submit --master <cluster> --py-files debezium_spark.zip \
       tools/run_replay_job.py --batch-dir <binlog> --table <root> \
-      [--buckets 32] [--snapshot-rows N] [--gen-events N]
+      [--buckets 32] [--snapshot-rows N] [--gen-events N] \
+      [--properties connector.properties]
+
+``--properties`` accepts a Debezium-style property file (key=value lines);
+snapshot.mode, table/database include lists, maskers, skipped operations
+etc. wire straight into the engine (see debezium_spark.config).
 
 The job is idempotent: re-submitting after any failure resumes from the
 table's committed offset fence (already-applied batches are skipped), which
@@ -17,7 +22,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+# local runs resolve the package from the repo root; on a cluster
+# --py-files debezium_spark.zip makes this a no-op
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -30,6 +41,8 @@ def main() -> None:
                     help="bootstrap an initial op='r' snapshot of N generated rows")
     ap.add_argument("--gen-events", type=int, default=0,
                     help="generate a synthetic binlog of N events into --batch-dir first")
+    ap.add_argument("--properties", default=None,
+                    help="Debezium-style connector property file (key=value lines)")
     ap.add_argument("--gen-batches", type=int, default=4)
     args = ap.parse_args()
 
@@ -45,14 +58,33 @@ def main() -> None:
             args.batch_dir, args.gen_events, args.gen_batches
         )
 
-    table = LakeTable(spark, args.table, list(REPO_KEY_COLS), n_buckets=args.buckets)
+    from debezium_spark import EngineConfig
+
+    cfg = EngineConfig()
+    if args.properties:
+        props = {}
+        with open(args.properties) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, v = line.split("=", 1)
+                    props[k.strip()] = v.strip()
+        cfg = EngineConfig.from_properties(props)
+
+    key_cols = cfg.key_cols_for("inventory", "repo_files", list(REPO_KEY_COLS))
+    table = LakeTable(spark, args.table, key_cols, n_buckets=args.buckets)
     if not table.exists():
         table.create(REPO_PAYLOAD_SCHEMA)
-    engine = CdcEngine(spark, table, salt_factor=args.salt_factor)
+    engine = CdcEngine(
+        spark, table, smt_chain=cfg.smt_chain(), salt_factor=args.salt_factor
+    )
 
-    if args.snapshot_rows and table.fence() is None:
+    if args.snapshot_rows and table.fence() is None and cfg.snapshot_mode != "never":
         gen = ChangeLogGenerator(spark, seed=42)
-        engine.bootstrap(gen.snapshot(args.snapshot_rows), fence=("binlog.000000", -1))
+        snap = gen.snapshot(args.snapshot_rows)
+        from debezium_spark.config import apply_snapshot_override
+        snap = apply_snapshot_override(cfg, "repo_files", snap)
+        engine.bootstrap(snap, fence=cfg.snapshot_offset or ("binlog.000000", -1))
 
     t0 = time.perf_counter()
     versions = engine.replay(args.batch_dir)
