@@ -255,6 +255,39 @@ class CdcEngine:
                 v = self.table.compact(buckets=deep, batch_id=f"{batch_id}/compact") or v
         return v
 
+    def incremental_snapshot(
+        self,
+        source_rows: DataFrame,
+        chunk_size: int = 100_000,
+        order_col: str | None = None,
+        batch_id: str = "incr-snap",
+    ) -> int:
+        """DBLog-style chunked re-snapshot of a live table, mid-stream: the
+        orchestration loop the reference drives from an execute-snapshot
+        signal (``signal/ExecuteSnapshot.java`` →
+        ``AbstractIncrementalSnapshotChangeEventSource.java``). The source
+        is split into deterministic key-ordered chunks; each chunk goes
+        through ``backfill`` (fence-pinned, sub-positioned — stream events
+        newer than the window still win). Returns the number of chunks.
+
+        ``source_rows`` is an op='r' envelope DataFrame (same shape as
+        ``bootstrap``'s input). Chunking uses ``ntile`` over the key order
+        — one narrow window pass, no driver-side key pagination."""
+        from pyspark.sql.window import Window
+
+        order = order_col or f"after.{self.table.key_cols[0]}"
+        n = source_rows.count()
+        if n == 0:
+            return 0
+        n_chunks = max(1, (n + chunk_size - 1) // chunk_size)
+        w = Window.orderBy(*[F.col(f"after.{c}") for c in self.table.key_cols]) \
+            if order_col is None else Window.orderBy(order)
+        chunked = source_rows.withColumn("_chunk", F.ntile(n_chunks).over(w))
+        for c in range(1, n_chunks + 1):
+            chunk = chunked.filter(F.col("_chunk") == c).drop("_chunk")
+            self.backfill(chunk, batch_id=f"{batch_id}/c{c:04d}")
+        return n_chunks
+
     # ---- coordinator: snapshot-mode selection + replay ---------------------
 
     def run(

@@ -146,3 +146,37 @@ def test_heartbeat_advances_fence_on_idle(spark, tmp_path):
     engine.heartbeat(("binlog.000001", 150))
     assert table.fence()[1] == 150
     assert any(r.get("heartbeat") and r["fence_pos"] == 150 for r in table.lineage())
+
+
+def test_incremental_snapshot_chunks_interleave_with_stream(spark, tmp_path):
+    """DBLog chunk orchestration: a chunked re-snapshot lands mid-stream,
+    chunk rows overwrite stale state, and stream events after the window
+    still win — across every chunk."""
+    gen = ChangeLogGenerator(spark, seed=29, n_repos=6)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+
+    engine.apply_envelope_batch(gen.events(1000), batch_id="b0")
+    fence0 = table.fence()
+
+    chunk_src = gen.snapshot(400).withColumn(
+        "after", F.col("after").withField("content", F.lit("RESNAP"))
+    )
+    n_chunks = engine.incremental_snapshot(chunk_src, chunk_size=150)
+    assert n_chunks == 3
+    assert table.fence() == fence0  # no chunk may advance the fence
+    resnapped = table.read().filter(F.col("content") == "RESNAP").count()
+    assert resnapped > 0
+
+    post = gen.events(300, start_pos=1000)
+    engine.apply_envelope_batch(post, batch_id="b1")
+    post_keys = (
+        post.filter(F.col("op") != "d")
+        .select(F.col("after.repo").alias("repo"), F.col("after.path").alias("path"))
+        .distinct()
+    )
+    leftover = (
+        table.read().filter(F.col("content") == "RESNAP")
+        .join(post_keys, ["repo", "path"], "left_semi").count()
+    )
+    assert leftover == 0
