@@ -206,10 +206,35 @@ class EngineConfig:
         return self.snapshot_overrides.get(table)
 
     def build_engine(self, spark, table, **engine_kwargs):
-        """CdcEngine wired with this config's SMT chain."""
+        """CdcEngine wired with this config's SMT chain and tombstone flag."""
         from debezium_spark.streaming.engine import CdcEngine
 
+        engine_kwargs.setdefault("tombstones_on_delete", self.tombstones_on_delete)
         return CdcEngine(spark, table, smt_chain=self.smt_chain(), **engine_kwargs)
+
+    def value_converters(self) -> dict:
+        """The typeconv callables these properties select — used when
+        building typed envelopes from wire values (functions/typeconv):
+        ``decimal(col, precision, scale)`` per decimal.handling.mode and
+        ``timestamp(col)`` / ``time(col)`` per time.precision.mode."""
+        from debezium_spark.functions import typeconv as tc
+
+        decimal = {
+            "precise": lambda col, p=38, s=9: tc.decimal_from_unscaled_bytes(col, s),
+            "string": tc.decimal_from_string,
+            "double": tc.decimal_from_double,
+        }[self.decimal_mode]
+        if self.time_precision == "connect":
+            # Kafka Connect logical types: millis everywhere
+            ts, time_fn = tc.from_debezium_timestamp_ms, (
+                lambda col: tc.time_micros(col, "millis")
+            )
+        else:  # adaptive / adaptive_time_microseconds: micros
+            ts, time_fn = tc.from_debezium_timestamp_us, (
+                lambda col: tc.time_micros(col, "micros")
+            )
+        return {"decimal": decimal, "timestamp": ts, "time": time_fn,
+                "date": tc.from_debezium_date}
 
 
 def apply_snapshot_override(cfg: EngineConfig, table: str, df: DataFrame) -> DataFrame:

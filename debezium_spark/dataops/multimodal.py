@@ -153,9 +153,17 @@ def encode_wav_pcm16(samples: "list[int]", rate: int = 8000) -> bytes:
 
 
 def decode_media(payload: bytes) -> dict | None:
-    """Sniff + decode one media payload → feature dict, or None if the
-    format needs a library this environment lacks. Pure stdlib + numpy for
+    """Sniff + decode one media payload → feature dict, or None for
+    undecodable/corrupt payloads (callers quarantine them — a poison
+    record must not abort the Arrow task). Pure stdlib + numpy for
     BMP/PPM/WAV; PIL-gated for everything else (JPEG/PNG/WebP...)."""
+    try:
+        return _decode_media_strict(payload)
+    except Exception:
+        return None  # truncated/corrupt frame → quarantine, never crash
+
+
+def _decode_media_strict(payload: bytes) -> dict | None:
     import numpy as np
 
     if not payload:

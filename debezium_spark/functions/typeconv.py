@@ -143,12 +143,19 @@ def decimal_from_unscaled_bytes(col: Column, scale: int) -> Column:
         F.array(*[F.lit(str(1 << (8 * n))) for n in range(1, 9)]),
         F.greatest(F.lit(1), nbytes - 8),
     ).cast("decimal(38,0)")  # 2^(8*(n-8)) — the bias as seen by the hi half
+    # negative wide values: signed_hi*2^64 + lo would overflow the 38-digit
+    # intermediate when |value| is within 2^64 of 10^38 (the multiply sees
+    # |value|+lo); regroup as (signed_hi+1)*2^64 - (2^64-lo), whose every
+    # intermediate is bounded by |value|
+    signed_hi = F.when(negative, hi - bias_hi).otherwise(hi)
+    wide = F.when(
+        negative & (lo > 0),
+        (signed_hi + 1) * two64 - (two64 - lo),
+    ).otherwise(signed_hi * two64 + lo)
     signed = F.when(
         F.length(hx) <= 16,
         F.when(negative, lo - bias_full).otherwise(lo),
-    ).otherwise(
-        (F.when(negative, hi - bias_hi).otherwise(hi)) * two64 + lo
-    )
+    ).otherwise(wide)
     if scale == 0:
         return signed
     # exact decimal-point placement via string surgery — decimal *division*

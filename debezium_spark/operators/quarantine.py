@@ -26,21 +26,28 @@ from pyspark.sql import functions as F
 KNOWN_OPS = ["r", "c", "u", "d", "t", "l"]
 
 
+def validity_reason(op, pos, after, before, key_null) -> "F.Column":
+    """THE validity rule set, shared by every probe site (the quarantine
+    split and the multi-table fused pre-pass — one definition, no drift).
+    Null when the row is valid, else the first failed check's name.
+    Barrier rows (op 't'/'l') carry no payload key and are exempt.
+    ``key_null`` is caller-built (key columns live in typed structs here,
+    in parsed wire JSON in the multi-table path)."""
+    data_op = ~op.isin(["t", "l"])
+    return (
+        F.when(~op.isin(KNOWN_OPS), F.lit("unknown_op"))
+        .when(pos.isNull(), F.lit("null_offset"))
+        .when(data_op & (after.isNull() & before.isNull()), F.lit("null_payload"))
+        .when(data_op & key_null, F.lit("null_key"))
+    )
+
+
 def _reason_col(env: DataFrame, key_cols: list[str]) -> "F.Column":
-    """Null when the row is valid, else the first failed check's name.
-    Barrier rows (op 't'/'l') carry no payload key and are exempt."""
     key_null = F.lit(False)
     for k in key_cols:
         key_null = key_null | F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).isNull()
-    return (
-        F.when(~F.col("op").isin(KNOWN_OPS), F.lit("unknown_op"))
-        .when(F.col("source.pos").isNull(), F.lit("null_offset"))
-        .when(
-            ~F.col("op").isin(["t", "l"])
-            & (F.col("after").isNull() & F.col("before").isNull()),
-            F.lit("null_payload"),
-        )
-        .when(~F.col("op").isin(["t", "l"]) & key_null, F.lit("null_key"))
+    return validity_reason(
+        F.col("op"), F.col("source.pos"), F.col("after"), F.col("before"), key_null
     )
 
 

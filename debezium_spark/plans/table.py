@@ -466,6 +466,12 @@ class LakeTable:
             raise ValueError(f"rename: column {old!r} not found")
         if new in names:
             raise ValueError(f"rename: target column {new!r} already exists")
+        if new in self._burned_names(man):
+            raise ValueError(
+                f"rename: target name {new!r} was previously dropped or renamed "
+                "away — old files still carry bytes under it and the alias "
+                "coalesce would resurrect them; pick a fresh name"
+            )
         fields = [
             StructField(new, f.dataType, f.nullable) if f.name == old else f
             for f in schema.fields

@@ -47,6 +47,7 @@ class CdcEngine:
         salt_factor: int = 4,
         compact_depth: int = 8,
         quarantine: bool = True,
+        tombstones_on_delete: bool = False,
     ) -> None:
         """``compact_depth``: in MoR mode, fold deltas into the base once any
         bucket accumulates this many delta files (read cost grows with delta
@@ -57,13 +58,20 @@ class CdcEngine:
         failing the batch — the reference's fail-SQL ledger
         (TableReplayTask.java:61,98,612). The fence still advances past
         quarantined offsets. False = strict mode (malformed rows flow into
-        the merge and surface as nulls/errors)."""
+        the merge and surface as nulls/errors).
+
+        ``tombstones_on_delete``: emit the wire-format tombstone between the
+        DELETE and CREATE of a PK-change split (tombstones.on.delete config;
+        RecordMakers.java:282-312). Tombstones are dropped before the merge
+        dedupe, so the final table state is identical either way — the flag
+        exists for wire-format consumers tapping the split stream."""
         self.spark = spark
         self.table = table
         self.smt_chain = smt_chain or []
         self.salt_factor = salt_factor
         self.compact_depth = compact_depth
         self.quarantine = quarantine
+        self.tombstones_on_delete = tombstones_on_delete
         if not table.exists():
             table.create(REPO_PAYLOAD_SCHEMA)
 
@@ -241,7 +249,13 @@ class CdcEngine:
         fence: tuple[str, int],
         fence_check: bool = True,
     ) -> int | None:
-        split = split_pk_changes(env, self.table.key_cols)
+        split = split_pk_changes(
+            env, self.table.key_cols, tombstones_on_delete=self.tombstones_on_delete
+        )
+        if self.tombstones_on_delete:
+            # tombstones are wire-format markers; the merge consumes the
+            # delete itself (same final state, asserted in tests)
+            split = split.filter(~F.col("_tombstone")).drop("_tombstone")
         changes = compute_changes(split, self.table.key_cols)
         v = merge_changes(
             self.table, changes, fence, batch_id,
@@ -259,33 +273,37 @@ class CdcEngine:
         self,
         source_rows: DataFrame,
         chunk_size: int = 100_000,
-        order_col: str | None = None,
         batch_id: str = "incr-snap",
     ) -> int:
         """DBLog-style chunked re-snapshot of a live table, mid-stream: the
         orchestration loop the reference drives from an execute-snapshot
         signal (``signal/ExecuteSnapshot.java`` →
         ``AbstractIncrementalSnapshotChangeEventSource.java``). The source
-        is split into deterministic key-ordered chunks; each chunk goes
-        through ``backfill`` (fence-pinned, sub-positioned — stream events
-        newer than the window still win). Returns the number of chunks.
+        is split into chunks; each chunk goes through ``backfill``
+        (fence-pinned, sub-positioned — stream events newer than the window
+        still win). Returns the number of chunks.
 
         ``source_rows`` is an op='r' envelope DataFrame (same shape as
-        ``bootstrap``'s input). Chunking uses ``ntile`` over the key order
-        — one narrow window pass, no driver-side key pagination."""
-        from pyspark.sql.window import Window
-
-        order = order_col or f"after.{self.table.key_cols[0]}"
+        ``bootstrap``'s input). Chunks are assigned by *key hash*, not a
+        key-range sort: assignment is then a deterministic pure function of
+        the row (no global single-task sort, no window re-evaluation per
+        chunk, no tie-break nondeterminism), every chunk is a consistent
+        key subset, and the scan parallelizes fully. The source is cached
+        for the loop (each chunk filter re-scans it otherwise)."""
         n = source_rows.count()
         if n == 0:
             return 0
         n_chunks = max(1, (n + chunk_size - 1) // chunk_size)
-        w = Window.orderBy(*[F.col(f"after.{c}") for c in self.table.key_cols]) \
-            if order_col is None else Window.orderBy(order)
-        chunked = source_rows.withColumn("_chunk", F.ntile(n_chunks).over(w))
-        for c in range(1, n_chunks + 1):
-            chunk = chunked.filter(F.col("_chunk") == c).drop("_chunk")
-            self.backfill(chunk, batch_id=f"{batch_id}/c{c:04d}")
+        key_hash = F.xxhash64(*[F.col(f"after.{c}") for c in self.table.key_cols])
+        chunked = source_rows.withColumn(
+            "_chunk", F.pmod(key_hash, F.lit(n_chunks))
+        ).persist()
+        try:
+            for c in range(n_chunks):
+                chunk = chunked.filter(F.col("_chunk") == c).drop("_chunk")
+                self.backfill(chunk, batch_id=f"{batch_id}/c{c:04d}")
+        finally:
+            chunked.unpersist()
         return n_chunks
 
     # ---- coordinator: snapshot-mode selection + replay ---------------------

@@ -151,16 +151,17 @@ class MultiTableEngine:
         with no rows in the batch get an offset-bearing heartbeat at the
         global max so idle fences advance (Heartbeat.java:27-79).
         Unregistered tables are dropped (include-list semantics)."""
-        from debezium_spark.operators.quarantine import KNOWN_OPS
+        from debezium_spark.operators.quarantine import validity_reason
 
         wire = wire.persist()
         try:
             # per-table malformed-row flag, fused into the same aggregation
-            # (post-parse semantics of operators.quarantine._reason_col:
-            # unknown op, null offset, null payload — incl. JSON parse
-            # failures — or null key under that table's key columns); this
-            # saves one probe job per table per batch, and per-batch serial
-            # driver time is the scaling bottleneck
+            # and built from the SAME validity_reason rule set the engine's
+            # quarantine split applies post-parse (unknown op, null offset,
+            # null payload — incl. JSON parse failures — or null key under
+            # that table's key columns); saves one probe job per table per
+            # batch, and per-batch serial driver time is the scaling
+            # bottleneck
             bad = F.lit(False)
             for (db_, tbl_), spec_ in self.specs.items():
                 match = (F.col("source.db") == db_) & (F.col("source.table") == tbl_)
@@ -169,12 +170,9 @@ class MultiTableEngine:
                 key_null = F.lit(False)
                 for kcol in spec_.key_cols:
                     key_null = key_null | F.coalesce(after_p[kcol], before_p[kcol]).isNull()
-                data_op = ~F.col("op").isin(["t", "l"])
-                bad_t = (
-                    (~F.col("op").isin(KNOWN_OPS))
-                    | F.col("source.pos").isNull()
-                    | (data_op & ((after_p.isNull() & before_p.isNull()) | key_null))
-                )
+                bad_t = validity_reason(
+                    F.col("op"), F.col("source.pos"), after_p, before_p, key_null
+                ).isNotNull()
                 bad = F.when(match, bad_t).otherwise(bad)
             stats = (
                 wire.groupBy(F.col("source.db").alias("db"), F.col("source.table").alias("t"))

@@ -9,11 +9,13 @@ event stream both ways:
 
 - ``sessionize_batch``: pure Catalyst (lag → gap flag → running session id
   → aggregate) — the deterministic batch semantics, used as the oracle;
-- ``sessionize_stream``: the Structured Streaming operator with per-key
-  state {session_start, last_ts, n, sum_cents}, closing a session when a
-  new event arrives more than ``gap_ms`` after the last, or when the
-  event-time watermark passes ``last_ts + gap_ms`` (timeout). Emits only
-  CLOSED sessions (append mode), exactly once per session.
+- ``sessionize_stream``: the Structured Streaming operator. Per-key state
+  holds every not-yet-confirmed session; a session emits only when the
+  event-time watermark passes ``last_ts + gap_ms`` (event-time timeout) —
+  at that point no admissible event can still attach, so the stream equals
+  the batch semantics even for out-of-order arrivals within the watermark
+  delay (a late event may lower a pending session's start, merge pending
+  sessions, or open an earlier one). Append mode, exactly once per session.
 
 Scale shape: state is per key, partitioned by the groupBy shuffle; Arrow
 batches carry each key group; the watermark bounds state size (idle keys
@@ -29,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -46,10 +49,10 @@ SESSION_SCHEMA = StructType(
 
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_ms", LongType(), True),
-        StructField("last_ms", LongType(), True),
-        StructField("n", LongType(), True),
-        StructField("cents", LongType(), True),
+        StructField("starts", ArrayType(LongType()), True),
+        StructField("lasts", ArrayType(LongType()), True),
+        StructField("ns", ArrayType(LongType()), True),
+        StructField("cents", ArrayType(LongType()), True),
     ]
 )
 
@@ -80,46 +83,66 @@ def sessionize_batch(events: DataFrame, gap_ms: int) -> DataFrame:
     )
 
 
-def _session_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-    """Per-key state machine. Input rows are one key's events for this
-    micro-batch; state holds the open session."""
-    (user_id,) = key
-    if state.hasTimedOut:
-        start, last, n, cents = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [{"user_id": user_id, "session_start_ms": start, "session_end_ms": last,
-              "n_events": n, "sum_cents": cents}]
-        )
-        return
+def _make_session_fn(gap_ms: int):
+    """Factory: the per-key state machine, closing over the gap.
 
-    rows = pd.concat(list(pdfs), ignore_index=True).sort_values(["ts_ms", "event_id"])
-    if state.exists:
-        start, last, n, cents = state.get
-    else:
-        start = last = None
-        n = cents = 0
-    closed = []
-    gap_ms = int(rows["gap_ms"].iloc[0])
-    for r in rows.itertuples():
-        t, c = int(r.ts_ms), int(r.cents)
-        if last is not None and t - last > gap_ms:
-            closed.append((start, last, n, cents))
-            start, last, n, cents = t, t, 1, c
+    State holds EVERY session not yet confirmed closed — a session only
+    emits once the event-time watermark passes ``last + gap`` (no event at
+    or after the watermark can attach to it: attachment needs
+    ``t <= last + gap < watermark <= t``). Holding sessions until the
+    watermark — instead of closing eagerly when a later event shows a gap —
+    is what makes the stream equal the batch semantics under out-of-order
+    arrival within the watermark delay: a late event may lower a pending
+    session's start, merge two pending sessions, or open an earlier one."""
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            starts, lasts, ns, cents = state.get
+            sessions = [list(t) for t in zip(starts, lasts, ns, cents)]
         else:
-            if start is None:
-                start = t
-            last = max(last or t, t)
-            n += 1
-            cents += c
-    state.update((start, last, n, cents))
-    # evict when the watermark passes the session's gap horizon
-    state.setTimeoutTimestamp(last + gap_ms)
-    if closed:
-        yield pd.DataFrame(
-            [{"user_id": user_id, "session_start_ms": s, "session_end_ms": e,
-              "n_events": nn, "sum_cents": cc} for (s, e, nn, cc) in closed]
-        )
+            sessions = []
+
+        if not state.hasTimedOut:
+            chunks = [c for c in pdfs if len(c)]
+            if chunks:
+                rows = pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts_ms", "event_id"]
+                )
+                for r in rows.itertuples():
+                    t, c = int(r.ts_ms), int(r.cents)
+                    hit = [s for s in sessions
+                           if s[0] - gap_ms <= t <= s[1] + gap_ms]
+                    rest = [s for s in sessions
+                            if not (s[0] - gap_ms <= t <= s[1] + gap_ms)]
+                    merged = [
+                        min([t] + [s[0] for s in hit]),
+                        max([t] + [s[1] for s in hit]),
+                        1 + sum(s[2] for s in hit),
+                        c + sum(s[3] for s in hit),
+                    ]
+                    sessions = rest + [merged]
+
+        wm = state.getCurrentWatermarkMs()
+        closed = sorted(s for s in sessions if s[1] + gap_ms < wm)
+        open_ = [s for s in sessions if s[1] + gap_ms >= wm]
+        if open_:
+            state.update((
+                [s[0] for s in open_], [s[1] for s in open_],
+                [s[2] for s in open_], [s[3] for s in open_],
+            ))
+            # must be strictly beyond the watermark; min horizon of the
+            # surviving sessions is >= wm by construction
+            state.setTimeoutTimestamp(min(s[1] + gap_ms for s in open_) + 1)
+        else:
+            state.remove()
+        if closed:
+            yield pd.DataFrame(
+                [{"user_id": user_id, "session_start_ms": s0, "session_end_ms": s1,
+                  "n_events": n, "sum_cents": cc} for (s0, s1, n, cc) in closed]
+            )
+
+    return fn
 
 
 def sessionize_stream(
@@ -127,8 +150,12 @@ def sessionize_stream(
 ) -> DataFrame:
     """Streaming session windows. ``events_stream`` needs columns
     (event_id, user_id, ts timestamp, cents long); emits one row per CLOSED
-    session. Sessions close either when a later event proves the gap or
-    when the watermark passes last_ts + gap (event-time timeout)."""
+    session, exactly once, identical to ``sessionize_batch`` for any
+    arrival order within the watermark delay (later-than-watermark events
+    are dropped by Spark's watermark, as in any event-time operator).
+    A session closes only when the watermark passes last_ts + gap
+    (event-time timeout) — never merely because a later event showed a
+    gap, since a late event could still fill it."""
     prepared = (
         events_stream.withWatermark("ts", watermark_delay)
         .select(
@@ -136,12 +163,11 @@ def sessionize_stream(
             "user_id",
             F.unix_millis(F.col("ts")).alias("ts_ms"),
             "cents",
-            F.lit(gap_ms).alias("gap_ms"),
             F.col("ts"),
         )
     )
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _session_fn,
+        _make_session_fn(gap_ms),
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -179,3 +179,39 @@ def test_reference_fork_properties(spark):
     import pytest
     with pytest.raises(ValueError):
         EngineConfig.from_properties({"truncate.handling.mode": "bogus"})
+
+
+def test_value_converters_and_tombstone_flag(spark, tmp_path):
+    """Review regression: decimal.handling.mode / time.precision.mode /
+    tombstones.on.delete were parsed but wired to nothing."""
+    import decimal as pydec
+    from debezium_spark import ChangeLogGenerator, LakeTable
+
+    cfg = EngineConfig.from_properties(
+        {"decimal.handling.mode": "string", "time.precision.mode": "connect",
+         "tombstones.on.delete": "true"}
+    )
+    conv = cfg.value_converters()
+    row = spark.createDataFrame(
+        [("12.34", 1700000000123, 500)], "d string, ms long, t long"
+    ).select(
+        conv["decimal"](F.col("d"), 12, 2).alias("dec"),
+        F.unix_millis(conv["timestamp"](F.col("ms"))).alias("ms"),
+        conv["time"](F.col("t")).alias("us"),
+    ).first()
+    assert pydec.Decimal(str(row["dec"])) == pydec.Decimal("12.34")
+    assert row["ms"] == 1700000000123
+    assert row["us"] == 500_000  # connect mode: input millis -> micros
+
+    # tombstone flag reaches the engine; final state unchanged by it
+    gen = ChangeLogGenerator(spark, seed=14, n_repos=4)
+    env = gen.events(400)
+    t1 = LakeTable(spark, str(tmp_path / "a"), ["repo", "path"], n_buckets=2)
+    e1 = cfg.build_engine(spark, t1)
+    assert e1.tombstones_on_delete is True
+    e1.apply_envelope_batch(env, batch_id="b")
+    t2 = LakeTable(spark, str(tmp_path / "b"), ["repo", "path"], n_buckets=2)
+    EngineConfig().build_engine(spark, t2).apply_envelope_batch(env, batch_id="b")
+    s1 = {(r["repo"], r["path"], r["content"]) for r in t1.read().collect()}
+    s2 = {(r["repo"], r["path"], r["content"]) for r in t2.read().collect()}
+    assert s1 == s2 and len(s1) > 0

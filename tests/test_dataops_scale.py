@@ -95,3 +95,21 @@ def test_near_dup_block_cap_bounds_pair_count(spark):
     capped = embedding_near_duplicates(emb, min_round_sim=-1.0, max_block_size=50).count()
     # 4+ shards of <=~50: pair count collapses toward O(s*max/2)
     assert capped < uncapped / 3
+
+
+def test_corrupt_media_yields_none_not_crash(spark):
+    """Review regression: truncated BMP/PPM/WAV frames crashed the Arrow
+    task instead of decoding to null."""
+    from debezium_spark.dataops.multimodal import decode_real_media_features
+
+    rows = [
+        (0, b"BM\x01\x02"),                  # truncated BMP header
+        (1, b"P6 8 8 255 garbage"),          # malformed PPM header
+        (2, b"RIFF\x00\x00\x00\x00WAVExx"),  # truncated WAV
+        (3, None),
+        (4, b""),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = decode_real_media_features(media).collect()
+    assert len(out) == 5
+    assert all(r["fmt"] is None for r in out)

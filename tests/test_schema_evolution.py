@@ -235,3 +235,20 @@ def test_drop_then_readd_is_rejected(spark, tmp_path):
     # fresh names still fine
     t.alter_add_columns([("note2", "string")])
     assert "note2" in [f.name for f in t.schema().fields]
+
+
+def test_rename_onto_burned_name_is_rejected(spark, tmp_path):
+    """Review regression: RENAME onto a dropped/renamed-away name would
+    resurrect stale bytes through the alias coalesce."""
+    from pyspark.sql.types import StructType
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, note string, val int"))
+    t.alter_drop_columns(["note"])
+    with pytest.raises(ValueError, match="previously dropped or renamed"):
+        t.alter_rename_column("val", "note")
+    # rename a->b burns 'a'; renaming c onto 'a' must also be rejected
+    t.alter_add_columns([("c", "int")])
+    t.alter_rename_column("val", "val2")
+    with pytest.raises(ValueError):
+        t.alter_rename_column("c", "val")

@@ -132,3 +132,15 @@ def test_bits_to_long_multibyte_lead_bytes(spark):
         tc.bits_to_long(F.col("b")).alias("v")).collect()
     assert out[0]["v"] == 0x01C3
     assert out[1]["v"] == 0x0180FF
+
+
+def test_decimal_16byte_full_range_boundaries(spark):
+    """Review regression: (hi-bias)*2^64 overflowed 38 digits for negatives
+    within 2^64 of -10^38."""
+    for v in (10**38 - 1, -(10**38 - 1), -(10**38 - 12345678)):
+        out = (
+            spark.createDataFrame([(_twos(v),)], "b binary")
+            .select(tc.decimal_from_unscaled_bytes(F.col("b"), 0).alias("d"))
+            .first()["d"]
+        )
+        assert out is not None and int(out) == v

@@ -52,10 +52,13 @@ def main() -> None:
         bdir = os.path.join(work, "b")
         gen.write_batches(bdir, args.events, args.batches)
 
-        # warm-up once (JIT), shared across cadences
+        # warm-up once (JIT), shared across cadences — a SMALL separate
+        # binlog, not the full measured workload
+        wdir = os.path.join(work, "warm_b")
+        ChangeLogGenerator(spark, seed=7, content_words=64).write_batches(wdir, 100_000, 2)
         wt = LakeTable(spark, os.path.join(work, "warm"), list(REPO_KEY_COLS), n_buckets=8)
         wt.create(REPO_PAYLOAD_SCHEMA)
-        CdcEngine(spark, wt).replay(bdir if args.events <= 200_000 else bdir)
+        CdcEngine(spark, wt).replay(wdir)
 
         for depth in depths:
             root = os.path.join(work, f"t{depth}")

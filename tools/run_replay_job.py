@@ -83,7 +83,9 @@ def main() -> None:
         gen = ChangeLogGenerator(spark, seed=42)
         snap = gen.snapshot(args.snapshot_rows)
         from debezium_spark.config import apply_snapshot_override
-        snap = apply_snapshot_override(cfg, "repo_files", snap)
+        # property keys may be db-qualified (overrides.<db>.<table>) or bare
+        tbl = "inventory.repo_files" if cfg.snapshot_where("inventory.repo_files") else "repo_files"
+        snap = apply_snapshot_override(cfg, tbl, snap)
         engine.bootstrap(snap, fence=cfg.snapshot_offset or ("binlog.000000", -1))
 
     t0 = time.perf_counter()
