@@ -101,3 +101,51 @@ def test_bucket_pruned_read(spark, tmp_path):
     full = table.read().count()
     one_bucket = table.read(buckets=[3]).count()
     assert 0 < one_bucket < full
+
+
+def test_ivf_corpus_assignment_has_no_window_sort(spark):
+    """Corpus-side cell assignment must be the partial-aggregable min_by
+    groupBy, not a row_number window (which would sort n*k rows)."""
+    from debezium_spark.dataops.similarity import assign_cells, kmeans_centroids
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = kmeans_centroids(emb, n_cells=4)
+    plan = (
+        assign_cells(
+            emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec")),
+            cents, id_col="n_id", vec_col="n_vec",
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "min_by" in plan
+
+
+def test_multi_table_prepass_is_one_aggregation(spark, tmp_path):
+    """The multi-table pre-pass (fences + barriers + validity for every
+    table) must compile to a single aggregate over the wire batch — the
+    per-batch serial-cost contract."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    wire = spark.createDataFrame([], WIRE_SCHEMA)
+    from pyspark.sql import functions as F2
+    from debezium_spark.operators.quarantine import validity_reason
+
+    # reproduce the stats expression shape for 3 tables
+    bad = F2.lit(False)
+    for i in range(3):
+        p = StructType.fromDDL("k long, v string")
+        after_p = F2.from_json("after_json", p)
+        before_p = F2.from_json("before_json", p)
+        key_null = F2.coalesce(after_p["k"], before_p["k"]).isNull()
+        m = (F2.col("source.db") == "app") & (F2.col("source.table") == f"t{i}")
+        bad = F2.when(m, validity_reason(
+            F2.col("op"), F2.col("source.pos"), after_p, before_p, key_null
+        ).isNotNull()).otherwise(bad)
+    stats = wire.groupBy(F2.col("source.db"), F2.col("source.table")).agg(
+        F2.max("source.pos"), F2.max(bad.cast("int"))
+    )
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1  # one shuffle: the groupBy itself
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
