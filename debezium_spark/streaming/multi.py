@@ -142,6 +142,38 @@ class MultiTableEngine:
     def table(self, db: str, table: str) -> LakeTable:
         return self.engines[(db, table)].table
 
+    def _prepass_stats(self, wire: DataFrame) -> DataFrame:
+        """The per-batch pre-pass: ONE aggregation over the wire batch that
+        yields, per (db, table) — its max offset, barrier presence, and a
+        malformed-row flag built from the SAME ``validity_reason`` rule set
+        the engine's quarantine split applies post-parse (unknown op, null
+        offset, null payload — incl. JSON parse failures — or null key
+        under that table's key columns). Keeping every probe inside this
+        single job is the serial-cost contract: per-batch driver time is
+        the scaling bottleneck (asserted by tests/test_plans.py)."""
+        from debezium_spark.operators.quarantine import validity_reason
+
+        bad = F.lit(False)
+        for (db_, tbl_), spec_ in self.specs.items():
+            match = (F.col("source.db") == db_) & (F.col("source.table") == tbl_)
+            after_p = F.from_json("after_json", spec_.payload_schema)
+            before_p = F.from_json("before_json", spec_.payload_schema)
+            key_null = F.lit(False)
+            for kcol in spec_.key_cols:
+                key_null = key_null | F.coalesce(after_p[kcol], before_p[kcol]).isNull()
+            bad_t = validity_reason(
+                F.col("op"), F.col("source.pos"), after_p, before_p, key_null
+            ).isNotNull()
+            bad = F.when(match, bad_t).otherwise(bad)
+        return wire.groupBy(
+            F.col("source.db").alias("db"), F.col("source.table").alias("t")
+        ).agg(
+            F.max("source.pos").alias("p"),
+            F.max("source.file").alias("f"),
+            F.max(F.col("op").isin(["l", "t"]).cast("int")).alias("nd"),
+            F.max(bad.cast("int")).alias("nb"),
+        )
+
     def apply_wire_batch(self, wire: DataFrame, batch_id: str) -> dict[str, int | None]:
         """Fan one mixed wire batch out to the per-table engines.
 
@@ -151,39 +183,9 @@ class MultiTableEngine:
         with no rows in the batch get an offset-bearing heartbeat at the
         global max so idle fences advance (Heartbeat.java:27-79).
         Unregistered tables are dropped (include-list semantics)."""
-        from debezium_spark.operators.quarantine import validity_reason
-
         wire = wire.persist()
         try:
-            # per-table malformed-row flag, fused into the same aggregation
-            # and built from the SAME validity_reason rule set the engine's
-            # quarantine split applies post-parse (unknown op, null offset,
-            # null payload — incl. JSON parse failures — or null key under
-            # that table's key columns); saves one probe job per table per
-            # batch, and per-batch serial driver time is the scaling
-            # bottleneck
-            bad = F.lit(False)
-            for (db_, tbl_), spec_ in self.specs.items():
-                match = (F.col("source.db") == db_) & (F.col("source.table") == tbl_)
-                after_p = F.from_json("after_json", spec_.payload_schema)
-                before_p = F.from_json("before_json", spec_.payload_schema)
-                key_null = F.lit(False)
-                for kcol in spec_.key_cols:
-                    key_null = key_null | F.coalesce(after_p[kcol], before_p[kcol]).isNull()
-                bad_t = validity_reason(
-                    F.col("op"), F.col("source.pos"), after_p, before_p, key_null
-                ).isNotNull()
-                bad = F.when(match, bad_t).otherwise(bad)
-            stats = (
-                wire.groupBy(F.col("source.db").alias("db"), F.col("source.table").alias("t"))
-                .agg(
-                    F.max("source.pos").alias("p"),
-                    F.max("source.file").alias("f"),
-                    F.max(F.col("op").isin(["l", "t"]).cast("int")).alias("nd"),
-                    F.max(bad.cast("int")).alias("nb"),
-                )
-                .collect()
-            )
+            stats = self._prepass_stats(wire).collect()
             if not stats:
                 return {}
             global_pos = max(r["p"] for r in stats)

@@ -108,14 +108,13 @@ def test_ivf_corpus_assignment_has_no_window_sort(spark):
     groupBy, not a row_number window (which would sort n*k rows)."""
     from debezium_spark.dataops.similarity import assign_cells, kmeans_centroids
 
-    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     cents = kmeans_centroids(emb, n_cells=4)
-    plan = (
+    plan = plan_of(
         assign_cells(
             emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec")),
             cents, id_col="n_id", vec_col="n_vec",
         )
-        ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
     assert "min_by" in plan
@@ -123,29 +122,19 @@ def test_ivf_corpus_assignment_has_no_window_sort(spark):
 
 def test_multi_table_prepass_is_one_aggregation(spark, tmp_path):
     """The multi-table pre-pass (fences + barriers + validity for every
-    table) must compile to a single aggregate over the wire batch — the
-    per-batch serial-cost contract."""
+    table) must compile to a single aggregate over the wire batch with no
+    Python eval — the per-batch serial-cost contract. Compiles the REAL
+    MultiTableEngine._prepass_stats, not a reproduction."""
     from pyspark.sql.types import StructType
-    from debezium_spark.streaming.multi import WIRE_SCHEMA
+    from debezium_spark.streaming.multi import MultiTableEngine, TableSpec, WIRE_SCHEMA
 
+    specs = [
+        TableSpec("app", f"t{i}",
+                  StructType.fromDDL("k long, m long, v string"), ["k", "m"], n_buckets=2)
+        for i in range(3)
+    ]
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), specs)
     wire = spark.createDataFrame([], WIRE_SCHEMA)
-    from pyspark.sql import functions as F2
-    from debezium_spark.operators.quarantine import validity_reason
-
-    # reproduce the stats expression shape for 3 tables
-    bad = F2.lit(False)
-    for i in range(3):
-        p = StructType.fromDDL("k long, v string")
-        after_p = F2.from_json("after_json", p)
-        before_p = F2.from_json("before_json", p)
-        key_null = F2.coalesce(after_p["k"], before_p["k"]).isNull()
-        m = (F2.col("source.db") == "app") & (F2.col("source.table") == f"t{i}")
-        bad = F2.when(m, validity_reason(
-            F2.col("op"), F2.col("source.pos"), after_p, before_p, key_null
-        ).isNotNull()).otherwise(bad)
-    stats = wire.groupBy(F2.col("source.db"), F2.col("source.table")).agg(
-        F2.max("source.pos"), F2.max(bad.cast("int"))
-    )
-    plan = stats._jdf.queryExecution().executedPlan().toString()
+    plan = plan_of(mte._prepass_stats(wire))
     assert plan.count("Exchange") <= 1  # one shuffle: the groupBy itself
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
