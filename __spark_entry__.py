@@ -1505,6 +1505,93 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
   AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape (adapted to this lineitem's columns): order-priority
+    count over orders having at least one late-shipping lineitem — the
+    LEFT SEMI join plan (no row multiplication, early-out probe)."""
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate")
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_tpch_q4 = """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01' AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 shape: the 5-way join chain (lineitem⋈orders⋈customer⋈
+    supplier⋈nation⋈region) with small dims broadcast — revenue per nation
+    where the supplier and customer share the nation."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation")
+    cust = _read(spark, sf_dir, "customer")
+    supp = _read(spark, sf_dir, "supplier")
+    orders = _read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _read(spark, sf_dir, "lineitem")
+    rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_c"))
+    )
+
+
+SQL_tpch_q5 = """SELECT n_name,
+  CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name"""
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12 shape: conditional aggregation (high/low priority line
+    counts) per return flag — CASE-inside-SUM, one pass."""
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+SQL_tpch_q12 = """SELECT l_returnflag,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag"""
+
+
 def q_windowed_event_agg(spark, sf_dir):
     """Tumbling-window aggregation over the event stream (Structured-
     Streaming-shaped; batch-equivalent here)."""
@@ -1645,6 +1732,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "tpch_q1": (q_tpch_q1, SQL_tpch_q1),
     "tpch_q3": (q_tpch_q3, SQL_tpch_q3),
     "tpch_q6": (q_tpch_q6, SQL_tpch_q6),
+    "tpch_q4": (q_tpch_q4, SQL_tpch_q4),
+    "tpch_q5": (q_tpch_q5, SQL_tpch_q5),
+    "tpch_q12": (q_tpch_q12, SQL_tpch_q12),
     "windowed_event_agg": (q_windowed_event_agg, SQL_windowed_event_agg),
     "event_topn_per_type": (q_event_topn_per_type, SQL_event_topn_per_type),
     "sessionize_events": (q_sessionize_events, SQL_sessionize_events),
