@@ -1407,6 +1407,50 @@ SQL_token_stats = """SELECT doc_id,
 FROM documents"""
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction over documents salted with synthetic emails/phones/IPs
+    (deterministic injection so the scrubber has real work); output =
+    scrubbed-text sha + per-class audit counts."""
+    from debezium_spark.dataops.text import pii_scrub
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 at 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(255)).cast("string"), F.lit(".1"),
+        ).alias("text"),
+    )
+    out = pii_scrub(d)
+    return out.select(
+        "doc_id",
+        F.sha2(F.col("scrubbed"), 256).alias("scrubbed_sha"),
+        "n_emails", "n_phones", "n_ips",
+    )
+
+
+SQL_pii_scrub = """WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 555-123-4567 at 10.0.'
+              || CAST(doc_id % 255 AS VARCHAR) || '.1' AS text
+  FROM documents),
+s1 AS (SELECT doc_id, text,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t1
+       FROM d),
+s2 AS (SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(t1, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b')) AS BIGINT) AS n_phones,
+         regexp_replace(t1, '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b', '[PHONE]', 'g') AS t2
+       FROM s1),
+s3 AS (SELECT doc_id, n_emails, n_phones,
+         CAST(len(regexp_extract_all(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ips,
+         regexp_replace(t2, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g') AS t3
+       FROM s2)
+SELECT doc_id, sha256(t3) AS scrubbed_sha, n_emails, n_phones, n_ips FROM s3"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return doc_fingerprint(_read(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint", F.col("n_grams").cast("long").alias("n_grams")
@@ -1729,6 +1773,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "quality_score": (q_quality_score, SQL_quality_score),
     "token_stats": (q_token_stats, SQL_token_stats),
     "doc_fingerprint": (q_doc_fingerprint, SQL_doc_fingerprint),
+    "pii_scrub": (q_pii_scrub, SQL_pii_scrub),
     "tpch_q1": (q_tpch_q1, SQL_tpch_q1),
     "tpch_q3": (q_tpch_q3, SQL_tpch_q3),
     "tpch_q6": (q_tpch_q6, SQL_tpch_q6),

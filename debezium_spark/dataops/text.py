@@ -102,3 +102,32 @@ def doc_fingerprint(
         F.array_min(grams).alias("fingerprint"),
         F.size(F.array_distinct(grams)).alias("n_grams"),
     )
+
+
+def pii_scrub(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """PII redaction — the compliance pass every training-data pipeline runs
+    before tokenization: emails, NANP-style phone numbers and IPv4 literals
+    replace with typed markers. One chained ``regexp_replace`` per class,
+    whole-stage codegen (regex execution is JVM-side); patterns restricted
+    to syntax shared by Java regex and RE2 so oracles replicate exactly.
+    Emits the scrubbed text plus per-class redaction counts (the audit
+    numbers a pipeline reports)."""
+    from pyspark.sql import functions as F
+
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+    ipv4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(email), 0)).cast("long")
+    scrubbed1 = F.regexp_replace(t, email, "[EMAIL]")
+    n_phone = F.size(F.regexp_extract_all(scrubbed1, F.lit(phone), 0)).cast("long")
+    scrubbed2 = F.regexp_replace(scrubbed1, phone, "[PHONE]")
+    n_ip = F.size(F.regexp_extract_all(scrubbed2, F.lit(ipv4), 0)).cast("long")
+    scrubbed3 = F.regexp_replace(scrubbed2, ipv4, "[IP]")
+    return docs.select(
+        F.col(id_col),
+        scrubbed3.alias("scrubbed"),
+        n_email.alias("n_emails"),
+        n_phone.alias("n_phones"),
+        n_ip.alias("n_ips"),
+    )
