@@ -1407,6 +1407,65 @@ SQL_token_stats = """SELECT doc_id,
 FROM documents"""
 
 
+def q_doc_chunking(spark, sf_dir):
+    """RAG chunking: 256-char windows, 32 overlap, byte-stable boundaries."""
+    from debezium_spark.dataops.text import chunk_documents
+
+    out = chunk_documents(_read(spark, sf_dir, "documents"), chunk_chars=256, overlap=32)
+    return out.select("doc_id", "chunk_idx", F.sha2(F.col("chunk"), 256).alias("chunk_sha"), "n_chars")
+
+
+SQL_doc_chunking = """WITH d AS (
+  SELECT doc_id, text,
+         GREATEST(1, CAST(CEIL((length(text) - 32) / 224.0) AS INTEGER)) AS n_chunks
+  FROM documents)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       sha256(substr(text, i*224 + 1, 256)) AS chunk_sha,
+       CAST(length(substr(text, i*224 + 1, 256)) AS BIGINT) AS n_chars
+FROM d, unnest(generate_series(0, n_chunks - 1)) AS t(i)"""
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-50 terms by document frequency."""
+    from debezium_spark.dataops.text import vocab_topk
+
+    return vocab_topk(_read(spark, sf_dir, "documents"), k=50)
+
+
+SQL_vocab_topk = """WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+dfc AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term ASC) AS BIGINT) AS rank, term, df
+FROM dfc QUALIFY rank <= 50"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """int8 symmetric embedding quantization with per-vector scale."""
+    from debezium_spark.dataops.text import quantize_embeddings
+
+    out = quantize_embeddings(_read(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale") * 1e9, 0).cast("long").alias("scale_e9"),
+        F.sha2(F.to_json(F.col("qvec")), 256).alias("qvec_sha"),
+    )
+
+
+SQL_embedding_quantize = """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+        ROUND(list_max(list_transform(v, x -> ABS(x))) / 127.0, 9) AS scale
+      FROM e),
+q AS (SELECT vec_id, scale,
+        CASE WHEN scale > 0
+             THEN list_transform(v, x -> CAST(ROUND(x / scale, 0) AS INTEGER))
+             ELSE list_transform(v, x -> 0) END AS qvec
+      FROM s)
+SELECT vec_id, CAST(ROUND(scale * 1e9) AS BIGINT) AS scale_e9,
+       sha256('[' || array_to_string(qvec, ',') || ']') AS qvec_sha
+FROM q"""
+
+
 def q_pii_scrub(spark, sf_dir):
     """PII redaction over documents salted with synthetic emails/phones/IPs
     (deterministic injection so the scrubber has real work); output =
@@ -1774,6 +1833,9 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "token_stats": (q_token_stats, SQL_token_stats),
     "doc_fingerprint": (q_doc_fingerprint, SQL_doc_fingerprint),
     "pii_scrub": (q_pii_scrub, SQL_pii_scrub),
+    "doc_chunking": (q_doc_chunking, SQL_doc_chunking),
+    "vocab_topk": (q_vocab_topk, SQL_vocab_topk),
+    "embedding_quantize": (q_embedding_quantize, SQL_embedding_quantize),
     "tpch_q1": (q_tpch_q1, SQL_tpch_q1),
     "tpch_q3": (q_tpch_q3, SQL_tpch_q3),
     "tpch_q6": (q_tpch_q6, SQL_tpch_q6),

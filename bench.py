@@ -57,8 +57,12 @@ HEADLINE = [
     "ann_ivf_topk",
     "lang_id",
     "token_stats",
+    "pii_scrub",
+    "sessionize_events",
+    "multimodal_real_decode",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
     "windowed_event_agg",
     "broadcast_dim_join",

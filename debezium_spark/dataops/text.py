@@ -131,3 +131,91 @@ def pii_scrub(docs, id_col: str = "doc_id", text_col: str = "text"):
         n_phone.alias("n_phones"),
         n_ip.alias("n_ips"),
     )
+
+
+def chunk_documents(
+    docs,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """RAG-style document chunking: fixed character windows with overlap,
+    as a pure Catalyst sequence+substring explode (per-row map — embarrasses
+    parallel at 100 TB, no state, no Python). Emits (doc_id, chunk_idx,
+    chunk, n_chars); byte-stable chunk boundaries so re-runs and the oracle
+    agree exactly. Tokenizer-aware chunking swaps the window arithmetic for
+    token offsets from token_stats without changing the plan shape."""
+    from pyspark.sql import functions as F
+
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    t = F.col(text_col)
+    n = F.length(t)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        docs.select(F.col(id_col), t.alias("_t"), F.explode(idx).alias("chunk_idx"))
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("_t").substr(F.col("chunk_idx") * step + 1, F.lit(chunk_chars)).alias("chunk"),
+        )
+        .withColumn("n_chars", F.length("chunk").cast("long"))
+    )
+
+
+def vocab_topk(docs, k: int = 100, text_col: str = "text"):
+    """Corpus vocabulary: top-k terms by document frequency (the stop-word /
+    tokenizer-vocab pass). explode → two partial-aggregable groupBys; ties
+    broken lexicographically so results are total-ordered and reproducible."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tok = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+    )
+    df_counts = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    w = Window.orderBy(F.desc("df"), F.asc("term"))
+    return (
+        df_counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("rank", "term", "df")
+    )
+
+
+def quantize_embeddings(
+    emb,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 8,
+):
+    """Symmetric int8-style embedding quantization (the storage/serving
+    compression step): per-vector scale = max|x| / (2^(bits-1)-1), elements
+    round to integers in [-q, q]. Pure array expressions; scale emitted so
+    dequantization is exact to the rounding. Integer outputs make the
+    result engine-reproducible bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    qmax = (1 << (bits - 1)) - 1
+    v = F.col(vec_col)
+    absmax = F.aggregate(
+        F.transform(v, lambda x: F.abs(x.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, x),
+    )
+    # round scale so both engines agree on the divisor bit-for-bit
+    scale = F.round(absmax / qmax, 9)
+    q = F.transform(
+        v, lambda x: F.round(x.cast("double") / scale, 0).cast("int")
+    )
+    return emb.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.when(absmax > 0, q).otherwise(
+            F.transform(v, lambda x: F.lit(0))
+        ).alias("qvec"),
+    )
