@@ -116,3 +116,40 @@ def test_wire_roundtrip_preserves_envelope(spark):
         F.coalesce(F.col("after.content"), F.lit("")), F.col("op"),
         F.col("source.pos").cast("string")), 256).alias("h"))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_parallel_dispatch_equals_sequential(spark, tmp_path):
+    """Thread-pool dispatch (8 workers) must produce byte-identical
+    per-table states to sequential dispatch — merges on disjoint tables
+    commute and Spark actions are thread-safe on a persisted input."""
+    import json
+    from pyspark.sql.types import StructType
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    rows = []
+    for i in range(2000):
+        t = f"t{i % 16}"
+        rows.append({
+            "before_json": None,
+            "after_json": json.dumps({"k": i % 50, "v": f"v{i}"}),
+            "op": "c" if i % 4 else "u",
+            "ts_ms": i,
+            "source": {"file": "f", "pos": i, "gtid": None, "snapshot": None,
+                       "db": "app", "table": t, "ts_ms": i},
+            "transaction": None,
+        })
+    wire = spark.createDataFrame(rows, WIRE_SCHEMA)
+    specs = lambda: [  # noqa: E731
+        TableSpec("app", f"t{i}", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2)
+        for i in range(16)
+    ]
+    seq = MultiTableEngine(spark, str(tmp_path / "seq"), specs(), max_parallel_tables=1)
+    par = MultiTableEngine(spark, str(tmp_path / "par"), specs(), max_parallel_tables=8)
+    vs = seq.apply_wire_batch(wire, batch_id="b0")
+    vp = par.apply_wire_batch(wire, batch_id="b0")
+    assert set(vs) == set(vp) == {f"app.t{i}" for i in range(16)}
+    for i in range(16):
+        a = {(r["k"], r["v"]) for r in seq.table("app", f"t{i}").read().collect()}
+        b = {(r["k"], r["v"]) for r in par.table("app", f"t{i}").read().collect()}
+        assert a == b and len(a) > 0
+        assert seq.table("app", f"t{i}").fence() == par.table("app", f"t{i}").fence()
