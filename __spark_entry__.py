@@ -1270,6 +1270,77 @@ SQL_dedup_simhash = _simhash_sql()
 _COS_SQL = "list_dot_product({a},{b})/(sqrt(list_dot_product({a},{a}))*sqrt(list_dot_product({b},{b})))"
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: bit-band LSH candidates verified by exact
+    Hamming distance (≤3 of 16 bits)."""
+    from debezium_spark.dataops.dedup import simhash_near_dup_pairs
+
+    # 16-bit signatures over a topically-uniform synthetic corpus collide
+    # broadly at hamming<=3; <=1 keeps the result set meaning "near-dup"
+    return simhash_near_dup_pairs(_read(spark, sf_dir, "documents"), max_hamming=1)
+
+
+def _simhash_pairs_sql() -> str:
+    ham = " + ".join(
+        f"CASE WHEN substr(a.simhash,{i},1) <> substr(b.simhash,{i},1) THEN 1 ELSE 0 END"
+        for i in range(1, 17)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, substr(simhash, {b * 4 + 1}, 4) AS bval FROM sig"
+        for b in range(4)
+    )
+    return f"""WITH sig AS ({_simhash_sql().replace("SELECT doc_id,", "SELECT doc_id,", 1)}),
+bands AS ({bands}),
+cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+         FROM bands x JOIN bands y ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming
+FROM cand JOIN sig a ON a.doc_id = cand.da JOIN sig b ON b.doc_id = cand.db
+WHERE {ham} <= 1"""
+
+
+SQL_dedup_simhash_pairs = _simhash_pairs_sql()
+
+
+def q_dedup_survivors(spark, sf_dir):
+    """End-to-end dedup decision: exact groups ∪ MinHash-LSH candidates →
+    connected components (iterative min-label propagation) → survivor per
+    component. The transitive-closure step every production dedup ends with."""
+    from debezium_spark.dataops.dedup import dedup_survivors
+
+    out = dedup_survivors(_read(spark, sf_dir, "documents"), k=8)
+    return out.select(
+        "doc_id", "survivor_id", F.col("is_duplicate").cast("string").alias("is_duplicate")
+    )
+
+
+SQL_dedup_survivors = f"""WITH RECURSIVE {_SHINGLE_SQL},
+sig AS (SELECT doc_id,
+        {', '.join(f"min(sha256('{i}:' || s)) AS mh{i}" for i in range(8))}
+        FROM sh GROUP BY doc_id),
+bands AS (SELECT doc_id, 0 AS band, mh0||mh1||mh2||mh3 AS bval FROM sig
+          UNION ALL SELECT doc_id, 1, mh4||mh5||mh6||mh7 FROM sig),
+lsh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band=b.band AND a.bval=b.bval AND a.doc_id < b.doc_id),
+exact AS (SELECT s.survivor AS doc_a, d.doc_id AS doc_b
+          FROM documents d JOIN (
+            SELECT sha256(text) AS h2, MIN(doc_id) AS survivor
+            FROM documents GROUP BY sha256(text) HAVING COUNT(*) > 1
+          ) s ON sha256(d.text) = s.h2
+          WHERE d.doc_id <> s.survivor),
+pairs AS (SELECT * FROM lsh UNION SELECT * FROM exact),
+edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.node),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS survivor_id,
+       CAST(COALESCE(c.component, d.doc_id) <> d.doc_id AS VARCHAR) AS is_duplicate
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id"""
+
+
 def q_embedding_near_dup(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
     return embedding_near_duplicates(emb)
@@ -1825,6 +1896,8 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_dedup_minhash_lsh),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_dedup_ngram_jaccard),
     "dedup_simhash": (q_dedup_simhash, SQL_dedup_simhash),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_dedup_simhash_pairs),
+    "dedup_survivors": (q_dedup_survivors, SQL_dedup_survivors),
     "embedding_near_dup": (q_embedding_near_dup, SQL_embedding_near_dup),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ann_cosine_topk),
     "ann_ivf_topk": (q_ann_ivf_topk, SQL_ann_ivf_topk),

@@ -176,3 +176,140 @@ def simhash_signatures(
         *[F.when(F.col(f"v{b}") >= 0, F.lit("1")).otherwise(F.lit("0")) for b in range(bits)]
     )
     return agg.select("did", sig.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    bits: int = 16,
+    band_bits: int = 4,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """SimHash near-dup *pairs* via bit-band LSH: split the signature into
+    bits/band_bits bands; docs sharing any exact band become candidates
+    (pigeonhole: any pair within Hamming ≤ bands-1 shares a band); verify
+    candidates by exact Hamming distance ≤ ``max_hamming``. Equi-join on
+    short (band, value) keys — never all-pairs."""
+    sig = simhash_signatures(docs, bits=bits, id_col=id_col, text_col=text_col)
+    n_bands = bits // band_bits
+    bands = None
+    for b in range(n_bands):
+        part = sig.select(
+            "did",
+            "simhash",
+            F.lit(b).alias("band"),
+            F.substring("simhash", b * band_bits + 1, band_bits).alias("bval"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a, c = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(c, on=["band", "bval"])
+        .filter(F.col("a.did") < F.col("b.did"))
+        .select(
+            F.col("a.did").alias("doc_a"),
+            F.col("b.did").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    # Hamming over the '0'/'1' strings: count differing positions
+    idx = F.sequence(F.lit(1), F.lit(bits))
+    ham = F.aggregate(
+        F.transform(
+            idx,
+            lambda i: (F.substring(F.col("sig_a"), 1, bits).substr(i, F.lit(1))
+                       != F.substring(F.col("sig_b"), 1, bits).substr(i, F.lit(1))).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    survivorship step after candidate dedup pairs (every production dedup
+    ends with 'group transitive duplicates, keep one'). Each iteration
+    joins current labels across edges and keeps the per-node min; converges
+    in O(log diameter) iterations (duplicate clusters are shallow). All
+    DataFrame ops; the loop is driver-side control flow over cached
+    iterates, not data movement through the driver. Returns
+    (node, component) where component = min node id reachable."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            # neighbor labels: for each edge dst, the src's current label
+            prop = (
+                edges.join(labels, edges.src == labels.node)
+                .select(F.col("dst").alias("node"), F.col("component"))
+            )
+            new_labels = (
+                labels.select("node", "component")
+                .unionByName(prop)
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
+                .persist()
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select("node", "component")
+    finally:
+        edges.unpersist()
+
+
+def dedup_survivors(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """End-to-end dedup decision: exact-hash groups ∪ MinHash-LSH candidate
+    pairs → connected components → survivor = min id per component. Docs in
+    no component survive as themselves. Output: (doc_id, survivor_id,
+    is_duplicate)."""
+    exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
+    # exact groups become pairs (member, survivor) — already transitive
+    ids = docs.select(F.col(id_col))
+    h = F.sha2(F.col(text_col), 256)
+    exact_pairs = (
+        docs.select(F.col(id_col).alias("doc_b"), h.alias("content_sha"))
+        .join(exact.filter(F.col("dup_count") > 1), "content_sha")
+        .filter(F.col("doc_b") != F.col("survivor_id"))
+        .select(F.col("survivor_id").alias("doc_a"), "doc_b")
+    )
+    near_pairs = minhash_lsh_candidates(docs, k=k, id_col=id_col, text_col=text_col)
+    all_pairs = exact_pairs.unionByName(near_pairs.select("doc_a", "doc_b")).distinct()
+    comp = connected_components(all_pairs)
+    out = ids.join(comp, ids[id_col] == comp.node, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("survivor_id"),
+    )
+    return out.withColumn("is_duplicate", (F.col(id_col) != F.col("survivor_id")))

@@ -113,3 +113,26 @@ def test_corrupt_media_yields_none_not_crash(spark):
     out = decode_real_media_features(media).collect()
     assert len(out) == 5
     assert all(r["fmt"] is None for r in out)
+
+
+def test_connected_components_and_survivors(spark):
+    """Min-label propagation finds transitive duplicate groups: chain
+    a-b, b-c, plus isolated pair d-e; survivor = min id per component."""
+    from debezium_spark.dataops.dedup import connected_components, dedup_survivors
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+
+    docs = spark.createDataFrame(
+        [(1, "same exact text here okay"), (2, "same exact text here okay"),
+         (3, "same exact text here okay"), (4, "completely different words entirely")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["survivor_id"], r["is_duplicate"])
+           for r in dedup_survivors(docs, k=3).collect()}
+    assert out[1][0] == 1 and out[2][0] == 1 and out[3][0] == 1 and out[4][0] == 4
+    assert out[1][1] is False and out[2][1] is True and out[4][1] is False
