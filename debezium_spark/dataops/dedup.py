@@ -259,7 +259,7 @@ def connected_components(
         .persist()
     )
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             # neighbor labels: for each edge dst, the src's current label
             prop = (
                 edges.join(labels, edges.src == labels.node)
@@ -270,8 +270,14 @@ def connected_components(
                 .unionByName(prop)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
-                .persist()
             )
+            if (it + 1) % 5 == 0:
+                # truncate the logical plan: iterative self-referencing
+                # lineage otherwise deepens every round and planning time
+                # starts to dominate (the GraphFrames/Pregel checkpoint rule)
+                new_labels = new_labels.localCheckpoint(eager=True)
+            else:
+                new_labels = new_labels.persist()
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
