@@ -1272,11 +1272,11 @@ _COS_SQL = "list_dot_product({a},{b})/(sqrt(list_dot_product({a},{a}))*sqrt(list
 
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs: bit-band LSH candidates verified by exact
-    Hamming distance (≤3 of 16 bits)."""
+    Hamming distance ≤ 1 of 16 bits (16-bit signatures over a topically
+    uniform synthetic corpus collide broadly at looser thresholds; ≤1
+    keeps the result meaning "near-duplicate")."""
     from debezium_spark.dataops.dedup import simhash_near_dup_pairs
 
-    # 16-bit signatures over a topically-uniform synthetic corpus collide
-    # broadly at hamming<=3; <=1 keeps the result set meaning "near-dup"
     return simhash_near_dup_pairs(_read(spark, sf_dir, "documents"), max_hamming=1)
 
 
@@ -1289,7 +1289,7 @@ def _simhash_pairs_sql() -> str:
         f"SELECT doc_id, {b} AS band, substr(simhash, {b * 4 + 1}, 4) AS bval FROM sig"
         for b in range(4)
     )
-    return f"""WITH sig AS ({_simhash_sql().replace("SELECT doc_id,", "SELECT doc_id,", 1)}),
+    return f"""WITH sig AS ({_simhash_sql()}),
 bands AS ({bands}),
 cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
          FROM bands x JOIN bands y ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id)
@@ -1319,8 +1319,17 @@ sig AS (SELECT doc_id,
         FROM sh GROUP BY doc_id),
 bands AS (SELECT doc_id, 0 AS band, mh0||mh1||mh2||mh3 AS bval FROM sig
           UNION ALL SELECT doc_id, 1, mh4||mh5||mh6||mh7 FROM sig),
-lsh AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band=b.band AND a.bval=b.bval AND a.doc_id < b.doc_id),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band=b.band AND a.bval=b.bval AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+          FROM cand c JOIN sh a ON a.doc_id = c.doc_a
+                      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY c.doc_a, c.doc_b),
+lsh AS (SELECT i.doc_a, i.doc_b FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE 5*i.i >= 4*(sa.n + sb.n - i.i)),
 exact AS (SELECT s.survivor AS doc_a, d.doc_id AS doc_b
           FROM documents d JOIN (
             SELECT sha256(text) AS h2, MIN(doc_id) AS survivor

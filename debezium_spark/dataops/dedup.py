@@ -190,18 +190,23 @@ def simhash_near_dup_pairs(
     bits/band_bits bands; docs sharing any exact band become candidates
     (pigeonhole: any pair within Hamming ≤ bands-1 shares a band); verify
     candidates by exact Hamming distance ≤ ``max_hamming``. Equi-join on
-    short (band, value) keys — never all-pairs."""
-    sig = simhash_signatures(docs, bits=bits, id_col=id_col, text_col=text_col)
+    short (band, value) keys — never all-pairs. Banding is one
+    ``posexplode`` pass over the signature. Parameters are validated
+    against the pigeonhole guarantee: recall is complete only when
+    ``max_hamming <= n_bands - 1`` and the bands tile the signature."""
+    if bits % band_bits != 0:
+        raise ValueError(f"band_bits={band_bits} must divide bits={bits}")
     n_bands = bits // band_bits
-    bands = None
-    for b in range(n_bands):
-        part = sig.select(
-            "did",
-            "simhash",
-            F.lit(b).alias("band"),
-            F.substring("simhash", b * band_bits + 1, band_bits).alias("bval"),
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole bound "
+            f"{n_bands - 1} for {n_bands} bands — pairs would be silently missed"
         )
-        bands = part if bands is None else bands.unionByName(part)
+    sig = simhash_signatures(docs, bits=bits, id_col=id_col, text_col=text_col)
+    band_vals = F.array(
+        *[F.substring("simhash", b * band_bits + 1, band_bits) for b in range(n_bands)]
+    )
+    bands = sig.select("did", "simhash", F.posexplode(band_vals).alias("band", "bval"))
     a, c = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(c, on=["band", "bval"])
@@ -219,8 +224,8 @@ def simhash_near_dup_pairs(
     ham = F.aggregate(
         F.transform(
             idx,
-            lambda i: (F.substring(F.col("sig_a"), 1, bits).substr(i, F.lit(1))
-                       != F.substring(F.col("sig_b"), 1, bits).substr(i, F.lit(1))).cast("int"),
+            lambda i: (F.col("sig_a").substr(i, F.lit(1))
+                       != F.col("sig_b").substr(i, F.lit(1))).cast("int"),
         ),
         F.lit(0),
         lambda acc, x: acc + x,
@@ -238,14 +243,17 @@ def connected_components(
     b_col: str = "doc_b",
     max_iter: int = 20,
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation — the
-    survivorship step after candidate dedup pairs (every production dedup
-    ends with 'group transitive duplicates, keep one'). Each iteration
-    joins current labels across edges and keeps the per-node min; converges
-    in O(log diameter) iterations (duplicate clusters are shallow). All
-    DataFrame ops; the loop is driver-side control flow over cached
-    iterates, not data movement through the driver. Returns
-    (node, component) where component = min node id reachable."""
+    """Connected components by min-label propagation with pointer doubling —
+    the survivorship step after candidate dedup pairs (every production
+    dedup ends with 'group transitive duplicates, keep one'). Each
+    iteration (1) pulls the min neighbor label across edges and (2) jumps
+    to the label's own label (pointer doubling), so label distance halves
+    per round — genuinely O(log diameter) iterations, long chains included.
+    All DataFrame ops; the loop is driver-side control flow over cached
+    iterates, not data movement through the driver. Raises if the graph
+    has not converged within ``max_iter`` (silently-wrong components would
+    mark non-duplicates for deletion). Returns (node, component) where
+    component = min node id reachable."""
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
@@ -259,19 +267,33 @@ def connected_components(
         .persist()
     )
     try:
+        converged = False
         for it in range(max_iter):
-            # neighbor labels: for each edge dst, the src's current label
+            # (1) min neighbor label across edges
             prop = (
                 edges.join(labels, edges.src == labels.node)
                 .select(F.col("dst").alias("node"), F.col("component"))
             )
-            new_labels = (
+            stepped = (
                 labels.select("node", "component")
                 .unionByName(prop)
                 .groupBy("node")
                 .agg(F.min("component").alias("component"))
             )
-            if (it + 1) % 5 == 0:
+            # (2) pointer doubling: follow component -> its own component
+            lab2 = stepped.select(
+                F.col("node").alias("pnode"), F.col("component").alias("pcomp")
+            )
+            new_labels = (
+                stepped.join(lab2, stepped.component == lab2.pnode, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("component"), F.coalesce(F.col("pcomp"), F.col("component"))
+                    ).alias("component"),
+                )
+            )
+            if (it + 1) % 4 == 0:
                 # truncate the logical plan: iterative self-referencing
                 # lineage otherwise deepens every round and planning time
                 # starts to dominate (the GraphFrames/Pregel checkpoint rule)
@@ -288,19 +310,71 @@ def connected_components(
             labels.unpersist()
             labels = new_labels
             if changed == 0:
+                converged = True
                 break
-        return labels.select("node", "component")
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} iterations "
+                "(component diameter too large) — raise max_iter"
+            )
+        # detach the result from the working cache so repeated calls in one
+        # session don't strand persisted iterates (ContextCleaner reclaims
+        # the checkpoint once the returned DataFrame is unreferenced)
+        out = labels.localCheckpoint(eager=True)
+        labels.unpersist()
+        return out.select("node", "component")
     finally:
         edges.unpersist()
+
+
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    k: int = 8,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact Jaccard verification of CANDIDATE pairs only (the verify half
+    of LSH: band collisions are probabilistic, so unverified candidates
+    must never drive deletions). Touches pairs × their docs' shingles —
+    never all-pairs. Integer rational threshold, default 4/5."""
+    sh = docs.select(
+        F.col(id_col).alias("did"), F.explode(shingles_col(k, text_col)).alias("s")
+    ).distinct()
+    sizes = sh.groupBy("did").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("did").alias("doc_a"), "s")
+    sh_b = sh.select(F.col("did").alias("doc_b"), "s")
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "s"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("did").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("did").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.lit(threshold_den) * F.col("inter")
+            >= F.lit(threshold_num) * (F.col("na") + F.col("nb") - F.col("inter"))
+        )
+        .select("doc_a", "doc_b")
+    )
 
 
 def dedup_survivors(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:
-    """End-to-end dedup decision: exact-hash groups ∪ MinHash-LSH candidate
-    pairs → connected components → survivor = min id per component. Docs in
-    no component survive as themselves. Output: (doc_id, survivor_id,
-    is_duplicate)."""
+    """End-to-end dedup decision: exact-hash groups ∪ (MinHash-LSH
+    candidates → exact-Jaccard VERIFIED pairs) → connected components →
+    survivor = min id per component. Candidates are verified before they
+    become edges: an unverified band collision would transitively mark a
+    non-duplicate for deletion. Docs in no component survive as themselves.
+    Output: (doc_id, survivor_id, is_duplicate)."""
     exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
     # exact groups become pairs (member, survivor) — already transitive
     ids = docs.select(F.col(id_col))
@@ -311,8 +385,11 @@ def dedup_survivors(
         .filter(F.col("doc_b") != F.col("survivor_id"))
         .select(F.col("survivor_id").alias("doc_a"), "doc_b")
     )
-    near_pairs = minhash_lsh_candidates(docs, k=k, id_col=id_col, text_col=text_col)
-    all_pairs = exact_pairs.unionByName(near_pairs.select("doc_a", "doc_b")).distinct()
+    candidates = minhash_lsh_candidates(docs, k=k, id_col=id_col, text_col=text_col)
+    near_pairs = verify_pairs_jaccard(
+        docs, candidates, k=k, id_col=id_col, text_col=text_col
+    )
+    all_pairs = exact_pairs.unionByName(near_pairs).distinct()
     comp = connected_components(all_pairs)
     out = ids.join(comp, ids[id_col] == comp.node, "left").select(
         F.col(id_col),

@@ -136,3 +136,35 @@ def test_connected_components_and_survivors(spark):
            for r in dedup_survivors(docs, k=3).collect()}
     assert out[1][0] == 1 and out[2][0] == 1 and out[3][0] == 1 and out[4][0] == 4
     assert out[1][1] is False and out[2][1] is True and out[4][1] is False
+
+
+def test_components_long_chain_converges(spark):
+    """Review regression: a 30-node path (diameter 29) must converge within
+    the default max_iter — pointer doubling gives O(log d), plain
+    propagation would need 29 rounds and silently return wrong labels."""
+    from debezium_spark.dataops.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(chain).collect()}
+    assert set(comp.values()) == {0} and len(comp) == 31
+
+
+def test_unverified_band_collision_does_not_mark_duplicate(spark):
+    """Review regression: LSH candidates must be Jaccard-verified before
+    becoming component edges — a band collision between non-duplicates
+    must not transitively delete a document."""
+    from debezium_spark.dataops.dedup import dedup_survivors, verify_pairs_jaccard
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta"),   # exact dup of 1
+         (3, "one two three four five six seven eight nine ten")],
+        "doc_id long, text string",
+    )
+    fake_candidates = spark.createDataFrame([(2, 3)], "doc_a long, doc_b long")
+    # verification kills the false candidate (jaccard 0)
+    assert verify_pairs_jaccard(docs, fake_candidates, k=3).count() == 0
+    out = {r["doc_id"]: r["is_duplicate"] for r in dedup_survivors(docs, k=3).collect()}
+    assert out == {1: False, 2: True, 3: False}
