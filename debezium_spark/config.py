@@ -35,6 +35,27 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 
 
+def _split_scoped(entry: str) -> tuple[str | None, str]:
+    """Reference column properties name columns fully-qualified
+    (``databaseName.tableName.columnName``, regex-matched by Selectors):
+    split into (table-scope regex, column). A bare dotless name is
+    unscoped — it applies to every table the chain touches."""
+    entry = entry.strip()
+    if "." not in entry:
+        return None, entry
+    scope, col = entry.rsplit(".", 1)
+    return scope, col
+
+
+def _scope_pred(scope: str):
+    """Row predicate for a scope regex: full-match on source db.table
+    (Selectors full-matches the qualified name)."""
+    from pyspark.sql import functions as _F
+
+    fq = _F.concat_ws(".", _F.col("source.db"), _F.col("source.table"))
+    return fq.rlike(f"^(?:{scope})$")
+
+
 @dataclass
 class EngineConfig:
     snapshot_mode: str = "initial"
@@ -45,10 +66,13 @@ class EngineConfig:
     database_include: str | None = None
     database_exclude: str | None = None
     truncate_handling: str = "include"  # include | skip (truncate.handling.mode)
-    column_exclude: list[str] = field(default_factory=list)
-    hash_masks: list[tuple[str, str, str]] = field(default_factory=list)  # (col, algo, salt)
-    const_masks: list[tuple[str, int]] = field(default_factory=list)  # (col, n_chars)
-    truncates: list[tuple[str, int]] = field(default_factory=list)  # (col, n_chars)
+    # column-scoped entries carry their db.table qualifier (reference format
+    # is fully-qualified ``databaseName.tableName.columnName``, matched as a
+    # regex by Selectors/TableSchemaBuilder): (scope_regex|None, column, ...)
+    column_exclude: list[tuple[str | None, str]] = field(default_factory=list)
+    hash_masks: list[tuple[str | None, str, str, str]] = field(default_factory=list)  # (scope, col, algo, salt)
+    const_masks: list[tuple[str | None, str, int]] = field(default_factory=list)  # (scope, col, n_chars)
+    truncates: list[tuple[str | None, str, int]] = field(default_factory=list)  # (scope, col, n_chars)
     skipped_operations: list[str] = field(default_factory=list)
     tombstones_on_delete: bool = True
     key_overrides: list[tuple[str, list[str]]] = field(default_factory=list)  # (tbl_regex, cols)
@@ -96,10 +120,8 @@ class EngineConfig:
                 alts = "|".join(f"(?:{p.strip()})" for p in val.split(",") if p.strip())
                 cfg.table_exclude = f"^(?:{alts})$"
             elif k == "column.exclude.list":
-                # reference entries are db.table.column; the payload field is
-                # the last segment
                 cfg.column_exclude = [
-                    p.strip().rsplit(".", 1)[-1] for p in val.split(",") if p.strip()
+                    _split_scoped(p) for p in val.split(",") if p.strip()
                 ]
             elif k.startswith("column.mask.hash."):
                 m = re.match(r"column\.mask\.hash\.([^.]+)\.with\.salt\.(.+)$", k)
@@ -108,21 +130,24 @@ class EngineConfig:
                 algo, salt = m.group(1), m.group(2)
                 for col in val.split(","):
                     if col.strip():
-                        cfg.hash_masks.append((col.strip().rsplit(".", 1)[-1], algo, salt))
+                        scope, c = _split_scoped(col)
+                        cfg.hash_masks.append((scope, c, algo, salt))
             elif k.startswith("column.mask.with."):
                 m = re.match(r"column\.mask\.with\.(\d+)\.chars$", k)
                 if not m:
                     raise ValueError(f"malformed property {key!r}")
                 for col in val.split(","):
                     if col.strip():
-                        cfg.const_masks.append((col.strip().rsplit(".", 1)[-1], int(m.group(1))))
+                        scope, c = _split_scoped(col)
+                        cfg.const_masks.append((scope, c, int(m.group(1))))
             elif k.startswith("column.truncate.to."):
                 m = re.match(r"column\.truncate\.to\.(\d+)\.chars$", k)
                 if not m:
                     raise ValueError(f"malformed property {key!r}")
                 for col in val.split(","):
                     if col.strip():
-                        cfg.truncates.append((col.strip().rsplit(".", 1)[-1], int(m.group(1))))
+                        scope, c = _split_scoped(col)
+                        cfg.truncates.append((scope, c, int(m.group(1))))
             elif k == "skipped.operations":
                 ops = [o.strip() for o in val.split(",") if o.strip()]
                 cfg.skipped_operations = [] if ops == ["none"] else ops
@@ -154,14 +179,31 @@ class EngineConfig:
 
     # -- wiring ---------------------------------------------------------------
 
-    def smt_chain(self) -> list:
+    def smt_chain(self, db: str | None = None, table: str | None = None) -> list:
         """The per-event transform chain these properties imply, in the
         reference's application order: table filters → op filter → column
-        projections/maskers."""
+        projections/maskers.
+
+        Column properties are scoped by fully-qualified name (``db.table.
+        column``, regex). With the chain's table identity (``db``/``table``,
+        as MultiTableEngine per-table specs have): scoped entries resolve at
+        build time — non-matching ones are omitted, matching ones apply
+        plainly (true schema-level drop for column.exclude). Without
+        identity (mixed stream): scoped entries become row-conditional on
+        source.db/source.table, so a property scoped to db1.t1.ssn never
+        touches an ``ssn`` field of other tables."""
         from debezium_spark.operators import filters as flt
         from debezium_spark.operators import masking as msk
 
         from pyspark.sql import functions as _F
+
+        def resolve(scope):
+            """→ (include: bool, pred: Column|None) for one scoped entry."""
+            if scope is None:
+                return True, None
+            if db is not None and table is not None:
+                return bool(re.fullmatch(scope, f"{db}.{table}")), None
+            return True, _scope_pred(scope)
 
         chain: list = []
         if self.database_include:
@@ -178,19 +220,36 @@ class EngineConfig:
         if self.skipped_operations:
             ops = list(self.skipped_operations)
             chain.append(lambda df, o=ops: flt.skipped_operations(df, o))
-        if self.column_exclude:
-            cols = list(self.column_exclude)
-            chain.append(lambda df, c=cols: flt.column_exclude(df, c))
-        for col, algo, salt in self.hash_masks:
+        for scope, col in self.column_exclude:
+            inc, pred = resolve(scope)
+            if not inc:
+                continue
+            chain.append(lambda df, c=col, p=pred: flt.column_exclude(df, [c], p))
+        for scope, col, algo, salt in self.hash_masks:
             # algo validity is enforced inside hash_mask_column (it raises
             # on anything it cannot map to a JVM hash function)
+            inc, pred = resolve(scope)
+            if not inc:
+                continue
             chain.append(
-                lambda df, c=col, s=salt, a=algo: msk.hash_mask_column(df, c, s, algo=a)
+                lambda df, c=col, s=salt, a=algo, p=pred: msk.hash_mask_column(
+                    df, c, s, algo=a, scope_pred=p
+                )
             )
-        for col, n in self.const_masks:
-            chain.append(lambda df, c=col, n=n: msk.mask_column(df, c, "*" * n))
-        for col, n in self.truncates:
-            chain.append(lambda df, c=col, n=n: msk.truncate_column(df, c, n))
+        for scope, col, n in self.const_masks:
+            inc, pred = resolve(scope)
+            if not inc:
+                continue
+            chain.append(
+                lambda df, c=col, n=n, p=pred: msk.mask_column(df, c, "*" * n, scope_pred=p)
+            )
+        for scope, col, n in self.truncates:
+            inc, pred = resolve(scope)
+            if not inc:
+                continue
+            chain.append(
+                lambda df, c=col, n=n, p=pred: msk.truncate_column(df, c, n, scope_pred=p)
+            )
         return chain
 
     def key_cols_for(self, db: str, table: str, default: list[str]) -> list[str]:
@@ -205,12 +264,17 @@ class EngineConfig:
     def snapshot_where(self, table: str) -> str | None:
         return self.snapshot_overrides.get(table)
 
-    def build_engine(self, spark, table, **engine_kwargs):
-        """CdcEngine wired with this config's SMT chain and tombstone flag."""
+    def build_engine(self, spark, table, db: str | None = None,
+                     source_table: str | None = None, **engine_kwargs):
+        """CdcEngine wired with this config's SMT chain and tombstone flag.
+        ``db``/``source_table`` give the chain its table identity so scoped
+        column properties resolve at build time (see smt_chain)."""
         from debezium_spark.streaming.engine import CdcEngine
 
         engine_kwargs.setdefault("tombstones_on_delete", self.tombstones_on_delete)
-        return CdcEngine(spark, table, smt_chain=self.smt_chain(), **engine_kwargs)
+        return CdcEngine(
+            spark, table, smt_chain=self.smt_chain(db, source_table), **engine_kwargs
+        )
 
     def value_converters(self) -> dict:
         """The typeconv callables these properties select — used when

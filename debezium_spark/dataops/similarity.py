@@ -227,7 +227,7 @@ def embedding_near_duplicates(
     vec_col: str = "embedding",
     block_col: str = "label",
     min_round_sim: float = 0.0,
-    max_block_size: int | None = None,
+    max_block_size: int | None = 10_000,
 ) -> DataFrame:
     """Blocked pairwise cosine (a<b within a block), rounded to 2dp. Emitting
     the rounded score instead of thresholding keeps the result set exactly
@@ -237,8 +237,9 @@ def embedding_near_duplicates(
     deterministically sub-blocked into ceil(s/max) shards by id hash, and
     pairs form only within a shard — per-block work drops from O(s²) to
     O(s·max). Recall loss is the cross-shard pairs; at 100 TB an unbounded
-    hot block (one dominant cluster) is otherwise a single-task n² bomb.
-    None keeps exact within-block semantics (small/balanced blocks)."""
+    hot block (one dominant cluster) is otherwise a single-task n² bomb —
+    so the cap is ON by default (10k); pass None to opt into exact
+    within-block semantics when blocks are known small/balanced."""
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(block_col).alias("b")
     )

@@ -179,10 +179,15 @@ def vocab_topk(docs, k: int = 100, text_col: str = "text"):
         F.col("doc_id"), F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
     )
     df_counts = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    # Top-k pushdown: orderBy().limit(k) plans TakeOrderedAndProject — each
+    # partition keeps its local top-k, the driver merges k·p rows. The old
+    # unpartitioned row_number window sorted the ENTIRE vocabulary in one
+    # task (billions of terms at corpus scale). Rank is derived afterwards
+    # over the k surviving rows only — bounded, never corpus-sized.
+    top = df_counts.orderBy(F.desc("df"), F.asc("term")).limit(k)
     w = Window.orderBy(F.desc("df"), F.asc("term"))
     return (
-        df_counts.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select("rank", "term", "df")
     )
 
@@ -212,10 +217,13 @@ def quantize_embeddings(
     q = F.transform(
         v, lambda x: F.round(x.cast("double") / scale, 0).cast("int")
     )
+    # Gate on the ROUNDED scale: for 0 < absmax < ~6.4e-8 the 9dp rounding
+    # collapses scale to 0.0 and x/scale would emit Infinity garbage even
+    # though absmax > 0. Sub-quantum vectors quantize to zero vectors.
     return emb.select(
         F.col(id_col),
         scale.alias("scale"),
-        F.when(absmax > 0, q).otherwise(
+        F.when(scale > 0, q).otherwise(
             F.transform(v, lambda x: F.lit(0))
         ).alias("qvec"),
     )

@@ -25,16 +25,34 @@ def skipped_operations(env: DataFrame, skipped: list[str]) -> DataFrame:
     return env.filter(~F.col("op").isin(skipped))
 
 
-def column_exclude(env: DataFrame, cols: list[str]) -> DataFrame:
+def column_exclude(env: DataFrame, cols: list[str], scope_pred=None) -> DataFrame:
     """Per-column projection filter (column.exclude.list,
-    TableSchemaBuilder.java:147-153) — drops fields from both payloads."""
+    TableSchemaBuilder.java:147-153) — drops fields from both payloads.
+
+    With ``scope_pred`` (a row predicate on source.db/source.table) the
+    schema cannot vary per row, so matching rows get the field NULLed
+    instead of dropped — the value is removed, the slot stays. Per-table
+    chains (MultiTableEngine / build_engine(db=, table=)) resolve the scope
+    at chain-build time and take the true schema-level drop."""
     out = env
     for c in cols:
-        out = out.withColumn(
-            "after", F.when(F.col("after").isNotNull(), F.col("after").dropFields(c))
-        ).withColumn(
-            "before", F.when(F.col("before").isNotNull(), F.col("before").dropFields(c))
-        )
+        for side in ("after", "before"):
+            struct_t = out.schema[side].dataType
+            if c not in struct_t.fieldNames():
+                continue
+            if scope_pred is None:
+                out = out.withColumn(
+                    side, F.when(F.col(side).isNotNull(), F.col(side).dropFields(c))
+                )
+            else:
+                ftype = struct_t[c].dataType
+                nulled = F.col(side).withField(c, F.lit(None).cast(ftype))
+                out = out.withColumn(
+                    side,
+                    F.when(
+                        F.col(side).isNotNull() & scope_pred, nulled
+                    ).otherwise(F.col(side)),
+                )
     return out
 
 

@@ -39,6 +39,10 @@ from pyspark.sql.types import StructType
 
 MAGIC = ord("D")
 _NULL = 0xFFFFFFFF
+#: sentinel for a null source offset on the wire — decodes back to a NULL
+#: pos so the engine's quarantine validity rules (null offset = poison) see
+#: the record intact instead of the encoder aborting the whole Arrow task
+_NULL_POS = -(1 << 63)
 
 
 def _pack_one(op: str, pos: int, ts_ms: int, file: str, db: str, table: str,
@@ -78,7 +82,8 @@ def _unpack_one(buf: bytes) -> tuple:
         else:
             jsons.append(buf[off:off + n].decode("utf-8"))
             off += n
-    return chr(opb), pos, ts_ms, strs[0], strs[1], strs[2], jsons[0], jsons[1]
+    return (chr(opb), None if pos == _NULL_POS else pos, ts_ms,
+            strs[0], strs[1], strs[2], jsons[0], jsons[1])
 
 
 def encode_binary_wire(env: DataFrame) -> DataFrame:
@@ -97,8 +102,15 @@ def encode_binary_wire(env: DataFrame) -> DataFrame:
 
     def enc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # null pos/ts_ms arrive as pandas NaN: sentinel-encode instead of
+            # int(NaN) aborting the task — one malformed envelope must reach
+            # the sink-side quarantine, not fail the batch (same poison-record
+            # contract as operators/quarantine.validity_reason)
             frames = [
-                _pack_one(r.op, int(r.pos), int(r.ts_ms), r.file, r.db, r.table,
+                _pack_one(r.op,
+                          _NULL_POS if pd.isna(r.pos) else int(r.pos),
+                          0 if pd.isna(r.ts_ms) else int(r.ts_ms),
+                          r.file, r.db, r.table,
                           None if pd.isna(r.before_json) else r.before_json,
                           None if pd.isna(r.after_json) else r.after_json)
                 for r in pdf.itertuples()

@@ -150,6 +150,14 @@ class CdcEngine:
                 F.max("source.pos").alias("p"), F.max("source.file").alias("f")
             ).first()
             if mm["p"] is None:
+                # Every row has a null offset — there is nothing to fence,
+                # but the rows themselves are poison records, not silence:
+                # route them through quarantine before declaring the batch
+                # a no-op (one bad row never wedges OR vanishes).
+                if self.quarantine:
+                    _, bad = split_valid(env, self.table.key_cols)
+                    if bad.limit(1).count() > 0:
+                        write_quarantine(bad, self.table.root, batch_id)
                 return None
             fence = (mm["f"], mm["p"])
 

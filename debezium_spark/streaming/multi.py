@@ -188,9 +188,19 @@ class MultiTableEngine:
             stats = self._prepass_stats(wire).collect()
             if not stats:
                 return {}
-            global_pos = max(r["p"] for r in stats)
-            global_file = max(r["f"] for r in stats)
             present = {(r["db"], r["t"]): r for r in stats}
+            # Global offsets only over REGISTERED tables with a non-null max
+            # pos: an unregistered table (dropped anyway) or a poison group
+            # whose every source.pos is null must not wedge the dispatcher
+            # with None comparisons — 'one poison record never wedges the
+            # stream' is the module contract.
+            fenced = [
+                r for r in stats
+                if (r["db"], r["t"]) in self.specs and r["p"] is not None
+            ]
+            global_fence = (
+                max((r["f"], r["p"]) for r in fenced) if fenced else None
+            )
 
             def apply_one(key) -> tuple[str, int | None]:
                 db, tbl = key
@@ -198,20 +208,27 @@ class MultiTableEngine:
                 spec = self.specs[key]
                 row = present.get(key)
                 if row is None:
-                    # idle table this batch: offset-bearing heartbeat
-                    return spec.fqn, eng.heartbeat((global_file, global_pos))
+                    # idle table this batch: offset-bearing heartbeat (only
+                    # if some registered table established a global fence)
+                    if global_fence is None:
+                        return spec.fqn, None
+                    return spec.fqn, eng.heartbeat(global_fence)
                 sub = wire.filter(
                     (F.col("source.db") == db) & (F.col("source.table") == tbl)
                 )
                 env = wire_to_envelope(sub, spec.payload_schema)
+                # null max-pos ⇒ every row in this table's group has a null
+                # offset: hand the engine fence=None/has_bad=None so its own
+                # probe quarantines the rows instead of fencing on None
+                all_null_pos = row["p"] is None
                 return spec.fqn, eng.apply_envelope_batch(
                     env,
                     batch_id=f"{batch_id}/{spec.fqn}",
-                    fence=(row["f"], row["p"]),
+                    fence=None if all_null_pos else (row["f"], row["p"]),
                     has_ddl=bool(row["nd"]),
                     # the fused flag reflects pre-SMT rows; with SMTs the
                     # engine re-probes post-transform
-                    has_bad=bool(row["nb"]) if not spec.smt_chain else None,
+                    has_bad=None if (spec.smt_chain or all_null_pos) else bool(row["nb"]),
                 )
 
             keys = list(self.engines)

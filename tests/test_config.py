@@ -28,9 +28,9 @@ def test_property_parsing():
     cfg = EngineConfig.from_properties(REFERENCE_PROPS)
     assert cfg.snapshot_mode == "when_needed"
     assert "repo_files" in cfg.table_include and "|" in cfg.table_include
-    assert cfg.column_exclude == ["commit"]
-    assert cfg.hash_masks == [("content", "SHA-256", "s3cr3t")]
-    assert cfg.truncates == [("path", 12)]
+    assert cfg.column_exclude == [("inventory.repo_files", "commit")]
+    assert cfg.hash_masks == [("inventory.repo_files", "content", "SHA-256", "s3cr3t")]
+    assert cfg.truncates == [("inventory.repo_files", "path", 12)]
     assert cfg.skipped_operations == ["d"]
     assert cfg.tombstones_on_delete is True
     assert cfg.key_overrides[0] == ("inventory.repo_files", ["repo", "path"])
@@ -179,6 +179,46 @@ def test_reference_fork_properties(spark):
     import pytest
     with pytest.raises(ValueError):
         EngineConfig.from_properties({"truncate.handling.mode": "bogus"})
+
+
+def test_scoped_column_properties_only_touch_their_table(spark):
+    """Advisor regression: a property scoped to db1.t1.ssn used to mask a
+    field named ssn in EVERY table the chain touched (rsplit kept only the
+    last segment). Scoped entries now filter on source.db/source.table."""
+    from debezium_spark import ChangeLogGenerator
+
+    cfg = EngineConfig.from_properties(
+        {
+            "column.mask.hash.SHA-256.with.salt.x": "otherdb.othertable.content",
+            "column.truncate.to.5.chars": "inventory.repo_files.path",
+            "column.exclude.list": "otherdb.othertable.lang",
+        }
+    )
+    env = ChangeLogGenerator(spark, seed=7, n_repos=3).events(50)
+    out = env
+    for smt in cfg.smt_chain():  # no table identity → row-conditional
+        out = smt(out)
+    rows = out.filter(F.col("after").isNotNull()).select("after.*").collect()
+    assert rows
+    # content mask scoped to a DIFFERENT table: values untouched
+    orig = env.filter(F.col("after").isNotNull()).select("after.content").collect()
+    assert [r["content"] for r in rows] == [r["content"] for r in orig]
+    # lang exclude scoped elsewhere: field present and non-null
+    assert all(r["lang"] is not None for r in rows)
+    # path truncate scoped to THIS stream's table: applied
+    assert all(len(r["path"]) <= 5 for r in rows)
+
+    # with table identity, scoped entries resolve at build time
+    chain_for_other = cfg.smt_chain(db="otherdb", table="othertable")
+    chain_for_inv = cfg.smt_chain(db="inventory", table="repo_files")
+    # inventory chain keeps only its truncate; otherdb chain keeps mask+exclude
+    assert len(chain_for_inv) == 1 and len(chain_for_other) == 2
+    out2 = env
+    for smt in chain_for_inv:
+        out2 = smt(out2)
+    rows2 = out2.filter(F.col("after").isNotNull()).select("after.*").collect()
+    assert all(len(r["path"]) <= 5 for r in rows2)
+    assert "lang" in out2.schema["after"].dataType.fieldNames()
 
 
 def test_value_converters_and_tombstone_flag(spark, tmp_path):

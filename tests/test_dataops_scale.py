@@ -97,6 +97,22 @@ def test_near_dup_block_cap_bounds_pair_count(spark):
     assert capped < uncapped / 3
 
 
+def test_quantize_subquantum_vectors_yield_zeros_not_infinity(spark):
+    """Advisor regression: 0 < absmax < ~6.4e-8 rounds the 9dp scale to 0.0
+    and x/scale emitted Infinity garbage. Sub-quantum vectors must quantize
+    to zero vectors with scale 0.0."""
+    from debezium_spark.dataops.text import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [1e-9, -3e-9]), (2, [0.5, -1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert rows[1]["scale"] == 0.0 and rows[1]["qvec"] == [0, 0]
+    assert rows[3]["scale"] == 0.0 and rows[3]["qvec"] == [0, 0]
+    assert rows[2]["qvec"] == [63, -127]  # healthy vector unaffected
+
+
 def test_corrupt_media_yields_none_not_crash(spark):
     """Review regression: truncated BMP/PPM/WAV frames crashed the Arrow
     task instead of decoding to null."""

@@ -118,6 +118,61 @@ def test_wire_roundtrip_preserves_envelope(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_null_pos_groups_quarantine_instead_of_wedging(spark, tmp_path):
+    """Advisor regression: a (db,table) group whose every source.pos is null
+    — including unregistered tables — crashed the dispatcher with
+    'NoneType > int' on the global-offset max. Poison records must
+    quarantine; healthy tables must still apply and heartbeat."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    # parquet/wire data can violate declared nullability (Spark enforces it
+    # only in createDataFrame) — mirror that with a nullable-pos schema
+    nullable_wire = StructType.fromJson(
+        json.loads(
+            json.dumps(WIRE_SCHEMA.jsonValue()).replace('"nullable": false', '"nullable": true')
+        )
+    )
+
+    a = TableSpec("app", "a", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2)
+    b = TableSpec("app", "b", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [a, b])
+
+    def src(pos, table):
+        return {"file": "binlog.000001", "pos": pos,
+                "gtid": None, "snapshot": None, "db": "app", "table": table,
+                "ts_ms": 1000}
+
+    rows = [
+        # healthy group for table a
+        {"before_json": None, "after_json": '{"k": 1, "v": "x"}', "op": "c",
+         "ts_ms": 1000, "source": src(3, "a"), "transaction": None},
+        # registered table b: ALL rows null-pos (poison)
+        {"before_json": None, "after_json": '{"k": 9, "v": "bad"}', "op": "c",
+         "ts_ms": 1000, "source": src(None, "b"), "transaction": None},
+        # unregistered table, null pos — must just be dropped
+        {"before_json": None, "after_json": '{"x": 1}', "op": "c",
+         "ts_ms": 1000, "source": src(None, "ghost"), "transaction": None},
+    ]
+    wire = spark.createDataFrame(rows, nullable_wire)
+    versions = mte.apply_wire_batch(wire, batch_id="b0")  # must not raise
+    assert set(versions) == {"app.a", "app.b"}
+    assert versions["app.b"] is None  # nothing committable for b
+    assert {(r["k"], r["v"]) for r in mte.table("app", "a").read().collect()} == {(1, "x")}
+    assert mte.table("app", "a").fence()[1] == 3
+    # b's poison rows landed in quarantine, not the table
+    from debezium_spark.operators.quarantine import read_quarantine
+
+    assert mte.table("app", "b").read().count() == 0
+    q = read_quarantine(spark, mte.table("app", "b").root)
+    assert q.count() == 1 and q.first()["reason"] is not None
+
+    # all-poison batch (no registered fence at all): no crash, no commits
+    wire2 = spark.createDataFrame([rows[1]], nullable_wire)
+    v2 = mte.apply_wire_batch(wire2, batch_id="b1")
+    assert v2["app.a"] is None and v2["app.b"] is None
+
+
 def test_parallel_dispatch_equals_sequential(spark, tmp_path):
     """Thread-pool dispatch (8 workers) must produce byte-identical
     per-table states to sequential dispatch — merges on disjoint tables
