@@ -366,6 +366,22 @@ def verify_pairs_jaccard(
     )
 
 
+def canonical_representatives(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One document per DISTINCT content (the exact-dedup survivor).
+
+    This is the canonicalize-before-LSH step: crawled corpora are dominated
+    by exact-duplicate clusters, and a cluster of s identical docs shares
+    every MinHash band — O(s²) candidate pairs, each paying a shingle-join
+    verification. Running LSH over one representative per content hash
+    caps that at O(distinct²); the exact groups rejoin the components
+    through their (member → survivor) edges."""
+    exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
+    reps = exact.select(F.col("survivor_id").alias(id_col))
+    return docs.join(reps, on=id_col, how="semi")
+
+
 def dedup_survivors(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
 ) -> DataFrame:
@@ -374,6 +390,10 @@ def dedup_survivors(
     survivor = min id per component. Candidates are verified before they
     become edges: an unverified band collision would transitively mark a
     non-duplicate for deletion. Docs in no component survive as themselves.
+    LSH runs over canonical representatives only (one per distinct
+    content); exact-duplicate members reach the components via their
+    (survivor, member) edges — same final components, without the O(s²)
+    band collisions inside identical-doc clusters.
     Output: (doc_id, survivor_id, is_duplicate)."""
     exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
     # exact groups become pairs (member, survivor) — already transitive
@@ -385,9 +405,12 @@ def dedup_survivors(
         .filter(F.col("doc_b") != F.col("survivor_id"))
         .select(F.col("survivor_id").alias("doc_a"), "doc_b")
     )
-    candidates = minhash_lsh_candidates(docs, k=k, id_col=id_col, text_col=text_col)
+    reps = docs.join(
+        exact.select(F.col("survivor_id").alias(id_col)), on=id_col, how="semi"
+    )
+    candidates = minhash_lsh_candidates(reps, k=k, id_col=id_col, text_col=text_col)
     near_pairs = verify_pairs_jaccard(
-        docs, candidates, k=k, id_col=id_col, text_col=text_col
+        reps, candidates, k=k, id_col=id_col, text_col=text_col
     )
     all_pairs = exact_pairs.unionByName(near_pairs).distinct()
     comp = connected_components(all_pairs)

@@ -38,7 +38,16 @@ DDL_OP = "l"
 
 # op tuples: ("add", name, spark_type) | ("drop", name)
 #            ("rename", old, new)      | ("widen", name, spark_type)
+# table-level statements (catalog mutations, relational/Tables.java):
+#            ("create_table", db|None, table, [(col, spark_type), ...], [pk, ...])
+#            ("drop_table", db|None, table)
+#            ("truncate_table", db|None, table)
 DdlOp = tuple
+
+#: ops that mutate the CATALOG (table set), not one table's columns —
+#: consumed by MultiTableEngine; the single-table engine treats them as
+#: history-only (except truncate_table, routed to the truncate barrier)
+TABLE_LEVEL_OPS = ("create_table", "drop_table", "truncate_table")
 
 _SQL_TO_SPARK = {
     "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
@@ -119,17 +128,160 @@ def _split_clauses(body: str) -> list[str]:
     return [c for c in out if c]
 
 
+def _split_statements(script: str) -> list[str]:
+    """Split a multi-statement DDL script on top-level ``;`` — quotes
+    (single, double, backtick) and parens shield; doubled '' inside a
+    single-quoted literal stays inside it."""
+    out, cur, depth, quote = [], [], 0, None
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if quote is not None:
+            cur.append(ch)
+            if ch == quote:
+                if quote == "'" and i + 1 < n and script[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == ";" and depth == 0:
+            stmt = "".join(cur).strip()
+            if stmt:
+                out.append(stmt)
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    stmt = "".join(cur).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+#: optionally db-qualified table name (each part optionally quoted)
+_QTBL = r'([\w$]+|`[^`]+`|"[^"]+"|\[[^\]]+\])(?:\s*\.\s*([\w$]+|`[^`]+`|"[^"]+"|\[[^\]]+\]))?'
+
+
+def _unquote(ident: str) -> str:
+    ident = ident.strip()
+    if ident and ident[0] in "`\"[":
+        return ident[1:-1]
+    return ident
+
+
+def _qualified(g1: str, g2: str | None) -> tuple[str | None, str]:
+    """regex groups (part1, part2|None) → (db|None, table)."""
+    if g2 is None:
+        return None, _unquote(g1)
+    return _unquote(g1), _unquote(g2)
+
+
+def _parse_create_table(s: str) -> list[DdlOp]:
+    """CREATE TABLE [IF NOT EXISTS] name (col defs..., PRIMARY KEY (...))
+    → one ("create_table", db, table, columns, pk) op. Mirrors the
+    reference's create-table listener feeding the catalog
+    (MySqlAntlrDdlParser enterColumnCreateTable → Tables.overwriteTable).
+    Table options after the closing paren (ENGINE=..., CHARSET, PARTITION
+    BY, ...) are ignored; constraint clauses contribute only the PK."""
+    m = re.match(
+        rf"(?is)^CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?{_QTBL}\s*\(",
+        s,
+    )
+    if not m:
+        return []
+    db, tbl = _qualified(m.group(1), m.group(2))
+    # body = balanced-paren span starting at the '(' the header matched
+    start = m.end() - 1
+    depth = 0
+    end = -1
+    for i in range(start, len(s)):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end < 0:
+        return []
+    cols: list[tuple[str, str]] = []
+    pk: list[str] = []
+    for clause in _split_clauses(s[start + 1:end]):
+        c = clause.strip()
+        m2 = re.match(rf"(?is)^(?:CONSTRAINT\s+{_IDENT}\s+)?PRIMARY\s+KEY\s*\((.*)\)", c)
+        if m2:
+            pk = [_unquote(p.strip()) for p in m2.group(2).split(",") if p.strip()]
+            continue
+        if re.match(r"(?is)^(KEY|INDEX|UNIQUE|FOREIGN|FULLTEXT|SPATIAL|CHECK|CONSTRAINT)\b", c):
+            continue
+        m2 = re.match(rf"(?is)^{_IDENT}\s+{_TYPE}", c)
+        if m2:
+            name = m2.group(1)
+            try:
+                cols.append((name, sql_type_to_spark(m2.group(2))))
+            except ValueError:
+                cols.append((name, "string"))  # unmapped type: carry as text
+            if re.search(r"(?is)\bPRIMARY\s+KEY\b", c):
+                pk.append(name)
+    if not cols:
+        return []
+    return [("create_table", db, tbl, cols, pk)]
+
+
 def parse_ddl_sql(sql: str) -> list[DdlOp]:
-    """SQL-text ALTER front-end. Covers the ALTER variants the reference's
+    """SQL-text DDL front-end. Covers the ALTER variants the reference's
     MySqlAntlrDdlParserTest exercises for column evolution: ADD [COLUMN]
     (single + parenthesized list), DROP [COLUMN], RENAME [COLUMN] a TO b,
     MySQL CHANGE [COLUMN] a b <type> (rename+retype) and MODIFY [COLUMN]
     col <type>, PG ALTER [COLUMN] col [SET DATA] TYPE <type>.
     Column constraints after the type (NOT NULL, DEFAULT, COMMENT, AFTER,
-    COLLATE, …) are ignored — they don't change the lake schema. CREATE
-    TABLE / unrelated statements parse to no ops (the engine treats them as
-    history-only entries)."""
-    s = sql.strip().rstrip(";")
+    COLLATE, …) are ignored — they don't change the lake schema.
+
+    Table-level statements parse to catalog ops: CREATE TABLE (column list
+    + PRIMARY KEY), DROP TABLE [IF EXISTS] (multi-name), TRUNCATE [TABLE].
+    Multi-statement ``;``-separated scripts are split (quote-aware) and
+    parsed per statement; unrelated statements parse to no ops (history-
+    only entries)."""
+    stmts = _split_statements(sql)
+    if len(stmts) > 1:
+        ops: list[DdlOp] = []
+        for st in stmts:
+            ops.extend(parse_ddl_sql(st))
+        return ops
+    s = stmts[0] if stmts else ""
+    if not s:
+        return []
+
+    created = _parse_create_table(s)
+    if created:
+        return created
+    m = re.match(
+        rf"(?is)^DROP\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+EXISTS\s+)?(.+?)"
+        rf"(?:\s+(?:RESTRICT|CASCADE))?\s*$",
+        s,
+    )
+    if m:
+        ops = []
+        for name in m.group(1).split(","):
+            m2 = re.match(rf"(?is)^\s*{_QTBL}\s*$", name)
+            if m2:
+                db, tbl = _qualified(m2.group(1), m2.group(2))
+                ops.append(("drop_table", db, tbl))
+        return ops
+    m = re.match(rf"(?is)^TRUNCATE\s+(?:TABLE\s+)?{_QTBL}\s*$", s)
+    if m:
+        db, tbl = _qualified(m.group(1), m.group(2))
+        return [("truncate_table", db, tbl)]
+
     m = re.match(r"(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?[\w.`\"\[\]]+\s+(.*)$", s)
     if not m:
         return []

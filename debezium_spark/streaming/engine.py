@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from debezium_spark.operators.apply import compute_changes, split_pk_changes
 from debezium_spark.operators.quarantine import _reason_col, split_valid, write_quarantine
-from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl
+from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl, parse_ddl
 from debezium_spark.schema import OP_TRUNCATE as TRUNCATE_OP
 
 BARRIER_OPS = [DDL_OP, TRUNCATE_OP]
@@ -36,6 +36,43 @@ from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA
 from debezium_spark.sources.batches import list_batches, read_batch
 
 Smt = Callable[[DataFrame], DataFrame]
+
+
+def split_open_tail_tx(env: DataFrame) -> tuple[DataFrame | None, DataFrame | None, int | None]:
+    """Transaction-aligned batch segmentation (reference: whole transactions
+    are assembled before apply, ``sink/replay/transaction/
+    TransactionReplayTask.java``; the fork's binlog patch switches parse
+    queues only on XID boundaries, ``mysql-binlog-connector-java-0.25.4.
+    patch:230-330``).
+
+    In an ordered change log, transactions are contiguous pos runs. The only
+    transaction a batch can leave OPEN is the one owning its max-pos row —
+    every earlier transaction is proven closed by the existence of a later
+    event. If that tail transaction carries metadata (``transaction.id``
+    non-null), its run is split off and deferred to the next batch so one
+    transaction never commits across two fences; null-tx rows (autocommit)
+    are closed by definition.
+
+    Returns (closed, deferred, boundary_pos): ``closed`` = rows with pos <=
+    boundary (None if the whole batch is one open transaction), ``deferred``
+    = the open tail run (None if nothing defers)."""
+    agg = env.select(
+        F.max("source.pos").alias("p"),
+        F.max_by(F.col("transaction.id"), F.col("source.pos")).alias("tt"),
+    ).first()
+    if agg["p"] is None or agg["tt"] is None:
+        return env, None, None
+    tail_tx = agg["tt"]
+    boundary = (
+        env.filter(~F.col("transaction.id").eqNullSafe(F.lit(tail_tx)))
+        .select(F.max("source.pos"))
+        .first()[0]
+    )
+    if boundary is None:
+        return None, env, None  # entire batch is one still-open transaction
+    closed = env.filter(F.col("source.pos") <= boundary)
+    deferred = env.filter(F.col("source.pos") > boundary)
+    return closed, deferred, boundary
 
 
 class CdcEngine:
@@ -72,6 +109,8 @@ class CdcEngine:
         self.compact_depth = compact_depth
         self.quarantine = quarantine
         self.tombstones_on_delete = tombstones_on_delete
+        #: open-tail-transaction rows deferred across replay calls
+        self._tx_carry: DataFrame | None = None
         if not table.exists():
             table.create(REPO_PAYLOAD_SCHEMA)
 
@@ -185,11 +224,22 @@ class CdcEngine:
         if has_ddl is None:
             has_ddl = env.filter(F.col("op").isin(BARRIER_OPS)).limit(1).count() > 0
         if has_ddl:
+            # DDL text source: the wire path carries it in a `_ddl_text`
+            # side column (arbitrary payload schemas have no `content`
+            # field); the native envelope path reads after.content; a
+            # payload with neither yields text-less barriers (segmentation
+            # still splits, nothing to apply)
+            if "_ddl_text" in env.columns:
+                text_col = F.col("_ddl_text").alias("content")
+            elif "content" in env.schema["after"].dataType.fieldNames():
+                text_col = F.col("after.content").alias("content")
+            else:
+                text_col = F.lit(None).cast("string").alias("content")
             # bounded collect: barriers are control-plane rows; cap protects
             # the driver from a malformed batch full of op='l' rows
             ddls = (
                 env.filter(F.col("op").isin(BARRIER_OPS))
-                .select("source.file", "source.pos", "op", "after.content")
+                .select("source.file", "source.pos", "op", text_col)
                 .orderBy("pos")
                 .limit(self.MAX_BARRIERS_PER_BATCH + 1)
                 .collect()
@@ -203,6 +253,8 @@ class CdcEngine:
         else:
             ddls = []
             dml = env
+        if "_ddl_text" in dml.columns:
+            dml = dml.drop("_ddl_text")
 
         cur = self.table.fence()
         if fence_check and cur is not None and fence[1] <= cur[1]:
@@ -228,7 +280,19 @@ class CdcEngine:
                             (d["file"], d["pos"]), batch_id=f"{batch_id}/t{i}"
                         )
                     else:
-                        apply_ddl(self.table, d["content"], (d["file"], d["pos"]))
+                        # TRUNCATE TABLE arriving as SQL *text* (op='l')
+                        # routes to the same truncate barrier as op='t';
+                        # apply_ddl handles column evolution + the history
+                        # ledger (table-level ops are history-only there)
+                        if d["content"] is not None:
+                            if any(
+                                o[0] == "truncate_table"
+                                for o in parse_ddl(d["content"])
+                            ):
+                                version = self.table.truncate(
+                                    (d["file"], d["pos"]), batch_id=f"{batch_id}/t{i}"
+                                )
+                            apply_ddl(self.table, d["content"], (d["file"], d["pos"]))
             seg_start = seg_end
         return version
 
@@ -352,37 +416,113 @@ class CdcEngine:
 
     # ---- replay loop -------------------------------------------------------
 
-    def replay(self, batch_dir: str) -> list[int]:
+    def replay(self, batch_dir: str, tx_aligned: bool = True, final: bool = True) -> list[int]:
         """Replay all batches beyond the committed fence, in order.
 
         Cheap skip: per-batch max offset from a parquet min/max agg (column
         stats only) before touching the data — the analog of the breakpoint
-        filter at TableReplayTask.java:132-144."""
+        filter at TableReplayTask.java:132-144.
+
+        ``tx_aligned``: a transaction whose events straddle two batch files
+        must not commit as two fenced commits (a crash between them would
+        expose a half-applied transaction — the reference applies whole
+        transactions, TransactionReplayTask.java). The batch's open tail
+        transaction (see ``split_open_tail_tx``) is deferred into the next
+        batch; the split is a pure function of the batch content, so a
+        crash-resume recomputes the identical segmentation and the
+        fence-check keeps everything idempotent. After the last batch the
+        remaining carry is flushed (end of log closes the transaction).
+        Zero extra cost for streams without transaction metadata (the probe
+        rides the existing fused aggregation).
+
+        The carry lives on the engine across ``replay`` calls; only the
+        CALLER knows whether the log is complete. One-shot replays of a
+        finished log (the default, ``final=True``) flush the last open
+        transaction at the end — a binlog only contains committed
+        transactions, so end-of-log closes it. A caller that re-replays a
+        GROWING directory as files arrive passes ``final=False`` and calls
+        ``flush_tx_carry`` at true end-of-stream. On
+        crash-resume the carry is reconstructed deterministically from the
+        re-read batch (its max pos is beyond the committed fence, and
+        re-carried duplicate rows collapse in the merge's last-wins
+        dedupe)."""
         versions = []
-        for i, path in enumerate(list_batches(batch_dir)):
+        carry: DataFrame | None = self._tx_carry  # open-tail tx awaiting END
+        paths = list_batches(batch_dir)
+        for i, path in enumerate(paths):
+            is_final_batch = final and i == len(paths) - 1
             env = read_batch(self.spark, path)
             # one narrow-column pass: offset fence + DDL presence + malformed
-            # -row presence together (per-batch serial driver time is the
-            # scaling bottleneck, so every probe rides this single job)
+            # -row presence + tail-transaction id together (per-batch serial
+            # driver time is the scaling bottleneck, so every probe rides
+            # this single job)
             mm = env.select(
                 F.max("source.pos").alias("p"),
                 F.max("source.file").alias("f"),
                 F.max(F.col("op").isin(BARRIER_OPS).cast("int")).alias("nd"),
                 F.max(_reason_col(env, self.table.key_cols).isNotNull().cast("int")).alias("nb"),
+                F.max_by(F.col("transaction.id"), F.col("source.pos")).alias("tt"),
             ).first()
             cur = self.table.fence()
-            if mm["p"] is None or (cur is not None and mm["p"] <= cur[1]):
+            if mm["p"] is None or (carry is None and cur is not None and mm["p"] <= cur[1]):
                 continue
+            fence = (mm["f"], mm["p"])
+            has_ddl: bool | None = bool(mm["nd"])
+            # the fused probe sees pre-SMT rows; with SMTs installed a
+            # transform could corrupt a row, so fall back to the
+            # post-SMT probe in that case
+            has_bad: bool | None = bool(mm["nb"]) if not self.smt_chain else None
+            if tx_aligned and (carry is not None or mm["tt"] is not None):
+                had_carry = carry is not None
+                if had_carry:
+                    env = carry.unionByName(env)
+                    # rows moved across the batch boundary: the fused flags
+                    # no longer describe what commits — let the engine probe
+                    has_ddl = None
+                    has_bad = None
+                if is_final_batch:
+                    # log complete: the last batch's tail transaction is
+                    # closed by end-of-log — commit it in THIS batch (no
+                    # separate flush commit)
+                    carry = None
+                else:
+                    closed, carry, boundary = split_open_tail_tx(env)
+                    if carry is not None:
+                        has_ddl = None
+                        has_bad = None
+                    if closed is None:
+                        continue  # whole batch = one still-open transaction
+                    env = closed
+                    if carry is not None:
+                        fence = (mm["f"], boundary)
             v = self.apply_envelope_batch(
                 env,
                 batch_id=f"batch_{i:05d}",
-                fence=(mm["f"], mm["p"]),
-                has_ddl=bool(mm["nd"]),
-                # the fused probe sees pre-SMT rows; with SMTs installed a
-                # transform could corrupt a row, so fall back to the
-                # post-SMT probe in that case
-                has_bad=bool(mm["nb"]) if not self.smt_chain else None,
+                fence=fence,
+                has_ddl=has_ddl,
+                has_bad=has_bad,
             )
             if v is not None:
                 versions.append(v)
+        self._tx_carry = carry
+        if final and carry is not None:
+            # only reachable when the directory was empty or every batch
+            # was skipped — flush whatever was carried in from before
+            v = self.flush_tx_carry()
+            if v is not None:
+                versions.append(v)
         return versions
+
+    def flush_tx_carry(self, batch_id: str = "batch_txflush") -> int | None:
+        """Apply the deferred open-tail transaction — call when the log is
+        known complete (a binlog only ever contains committed transactions,
+        so end-of-log closes it). No-op if nothing is carried."""
+        carry, self._tx_carry = self._tx_carry, None
+        if carry is None:
+            return None
+        mm = carry.select(
+            F.max("source.pos").alias("p"), F.max("source.file").alias("f")
+        ).first()
+        if mm["p"] is None:
+            return None
+        return self.apply_envelope_batch(carry, batch_id=batch_id, fence=(mm["f"], mm["p"]))

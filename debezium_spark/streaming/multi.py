@@ -66,7 +66,13 @@ def envelope_to_wire(env: DataFrame) -> DataFrame:
 
 
 def wire_to_envelope(wire: DataFrame, payload: StructType) -> DataFrame:
-    """Wire form → typed envelope under one table's payload schema."""
+    """Wire form → typed envelope under one table's payload schema.
+
+    DDL rows (op='l') additionally carry their SQL/TableChanges text in a
+    ``_ddl_text`` side column: an arbitrary table's payload schema has no
+    ``content`` field, so ``from_json`` would drop the text and barrier
+    application downstream would see nothing. The engine consumes and drops
+    the side column before merging."""
     return wire.select(
         F.from_json(F.col("before_json"), payload).alias("before"),
         F.from_json(F.col("after_json"), payload).alias("after"),
@@ -74,6 +80,9 @@ def wire_to_envelope(wire: DataFrame, payload: StructType) -> DataFrame:
         "ts_ms",
         "source",
         "transaction",
+        F.when(
+            F.col("op") == "l", F.get_json_object(F.col("after_json"), "$.content")
+        ).alias("_ddl_text"),
     )
 
 
@@ -101,6 +110,10 @@ class TableSpec:
 class MultiTableEngine:
     """Registry of per-table CdcEngines + a mixed-batch dispatcher."""
 
+    #: cap on catalog-DDL rows collected per batch (mirrors the engine's
+    #: MAX_BARRIERS_PER_BATCH: DDL is a control-plane trickle)
+    MAX_CATALOG_DDL_PER_BATCH = 1024
+
     def __init__(
         self,
         spark: SparkSession,
@@ -109,38 +122,110 @@ class MultiTableEngine:
         salt_factor: int = 4,
         compact_depth: int = 8,
         max_parallel_tables: int = 8,
+        auto_register: bool = True,
+        default_buckets: int = 16,
+        default_mode: str = "mor",
+        tx_aligned: bool = True,
     ) -> None:
         """``max_parallel_tables``: per-table merges are independent Spark
         jobs against disjoint LakeTables, so the dispatcher submits them
         from a thread pool — the analog of the reference sink's parallel
         work threads routed by table (``TableReplayTask.java:401-426``,
-        30 threads). 1 = sequential."""
+        30 threads). 1 = sequential.
+
+        ``auto_register``: mid-stream ``CREATE TABLE`` DDL (op='l') from a
+        database this engine already captures materializes a new
+        TableSpec/LakeTable on the fly, and ``DROP TABLE`` retires one —
+        the reference's catalog is likewise mutated by DDL
+        (``relational/Tables.java`` overwriteTable/removeTable; create/drop
+        listeners in ``MySqlAntlrDdlParser.java``). A retired table's lake
+        data stays on disk (capture stops; nothing is deleted).
+
+        ``tx_aligned``: defer the batch's open tail transaction to the next
+        batch (see ``engine.split_open_tail_tx``) so no per-table commit
+        ever contains a partial transaction; call ``flush_tx_carry()`` at
+        end of stream."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.max_parallel_tables = max_parallel_tables
+        self.auto_register = auto_register
+        self.default_buckets = default_buckets
+        self.default_mode = default_mode
+        self.tx_aligned = tx_aligned
+        self._tx_carry: DataFrame | None = None
+        self.salt_factor = salt_factor
+        self.compact_depth = compact_depth
         self.specs: dict[tuple[str, str], TableSpec] = {}
         self.engines: dict[tuple[str, str], CdcEngine] = {}
+        self.retired: set[tuple[str, str]] = set()
         for spec in specs:
-            t = LakeTable(
-                spark,
-                os.path.join(self.root, spec.db, spec.table),
-                spec.key_cols,
-                n_buckets=spec.n_buckets,
-                mode=spec.mode,
-            )
-            if not t.exists():
-                t.create(spec.payload_schema)
-            self.specs[(spec.db, spec.table)] = spec
-            self.engines[(spec.db, spec.table)] = CdcEngine(
-                spark,
-                t,
-                smt_chain=spec.smt_chain,
-                salt_factor=salt_factor,
-                compact_depth=compact_depth,
-            )
+            self._register(spec)
+
+    def _register(self, spec: TableSpec) -> None:
+        t = LakeTable(
+            self.spark,
+            os.path.join(self.root, spec.db, spec.table),
+            spec.key_cols,
+            n_buckets=spec.n_buckets,
+            mode=spec.mode,
+        )
+        if not t.exists():
+            t.create(spec.payload_schema)
+        self.specs[(spec.db, spec.table)] = spec
+        self.engines[(spec.db, spec.table)] = CdcEngine(
+            self.spark,
+            t,
+            smt_chain=spec.smt_chain,
+            salt_factor=self.salt_factor,
+            compact_depth=self.compact_depth,
+        )
 
     def table(self, db: str, table: str) -> LakeTable:
         return self.engines[(db, table)].table
+
+    def _collect_catalog_ddl(self, wire: DataFrame) -> tuple[list, list]:
+        """Bounded collect of the batch's table-level DDL: op='l' rows whose
+        SQL text parses to create_table / drop_table ops (the catalog
+        mutations of ``relational/Tables.java``). Returns (creates, drops)
+        in offset order; creates = (db, table, cols, pk), drops = (db,
+        table). Statement-qualified names win; unqualified fall back to the
+        row's source.db."""
+        import json as _json
+
+        from debezium_spark.operators.schema_evolution import parse_ddl
+
+        rows = (
+            wire.filter(F.col("op") == "l")
+            .select(
+                F.col("source.db").alias("db"),
+                F.col("source.pos").alias("pos"),
+                "after_json",
+            )
+            .orderBy("pos")
+            .limit(self.MAX_CATALOG_DDL_PER_BATCH + 1)
+            .collect()
+        )
+        if len(rows) > self.MAX_CATALOG_DDL_PER_BATCH:
+            raise ValueError(
+                f"batch carries >{self.MAX_CATALOG_DDL_PER_BATCH} DDL rows — "
+                "refusing unbounded driver collect"
+            )
+        creates, drops = [], []
+        for r in rows:
+            if not r["after_json"]:
+                continue
+            try:
+                content = _json.loads(r["after_json"]).get("content")
+            except (ValueError, AttributeError):
+                continue
+            if not content:
+                continue
+            for op in parse_ddl(content):
+                if op[0] == "create_table":
+                    creates.append((op[1] or r["db"], op[2], op[3], op[4]))
+                elif op[0] == "drop_table":
+                    drops.append((op[1] or r["db"], op[2]))
+        return creates, drops
 
     def _prepass_stats(self, wire: DataFrame) -> DataFrame:
         """The per-batch pre-pass: ONE aggregation over the wire batch that
@@ -183,12 +268,49 @@ class MultiTableEngine:
         with no rows in the batch get an offset-bearing heartbeat at the
         global max so idle fences advance (Heartbeat.java:27-79).
         Unregistered tables are dropped (include-list semantics)."""
+        if self.tx_aligned:
+            from debezium_spark.streaming.engine import split_open_tail_tx
+
+            if self._tx_carry is not None:
+                wire = self._tx_carry.unionByName(wire)
+            closed, self._tx_carry, _ = split_open_tail_tx(wire)
+            if closed is None:
+                return {}  # whole batch = one still-open transaction
+            wire = closed
         wire = wire.persist()
         try:
             stats = self._prepass_stats(wire).collect()
             if not stats:
                 return {}
             present = {(r["db"], r["t"]): r for r in stats}
+
+            # Catalog DDL first: a CREATE TABLE in this batch registers the
+            # new table BEFORE dispatch so its own DML (later in the same
+            # batch) applies; DROP TABLE retires AFTER dispatch so events
+            # preceding the drop still apply (Tables.java catalog mutation).
+            new_keys: set[tuple[str, str]] = set()
+            drops: list = []
+            if self.auto_register and any(r["nd"] for r in stats):
+                creates, drops = self._collect_catalog_ddl(wire)
+                known_dbs = {db for db, _ in self.specs} | {db for db, _ in self.retired}
+                for db, tbl, cols, pk in creates:
+                    key = (db, tbl)
+                    if key in self.specs or db not in known_dbs:
+                        continue  # only databases this engine captures
+                    schema = StructType.fromDDL(
+                        ", ".join(f"`{n}` {t}" for n, t in cols)
+                    )
+                    # no declared PK: full-row key (degenerate but safe —
+                    # the reference likewise captures keyless tables)
+                    key_cols = pk or [n for n, _ in cols]
+                    self._register(
+                        TableSpec(
+                            db, tbl, schema, key_cols,
+                            n_buckets=self.default_buckets, mode=self.default_mode,
+                        )
+                    )
+                    new_keys.add(key)
+
             # Global offsets only over REGISTERED tables with a non-null max
             # pos: an unregistered table (dropped anyway) or a poison group
             # whose every source.pos is null must not wedge the dispatcher
@@ -221,6 +343,10 @@ class MultiTableEngine:
                 # offset: hand the engine fence=None/has_bad=None so its own
                 # probe quarantines the rows instead of fencing on None
                 all_null_pos = row["p"] is None
+                # mid-batch-registered tables were not in the pre-pass spec
+                # loop, so their fused validity flag is meaningless — force
+                # the engine's own probe
+                probe = spec.smt_chain or all_null_pos or key in new_keys
                 return spec.fqn, eng.apply_envelope_batch(
                     env,
                     batch_id=f"{batch_id}/{spec.fqn}",
@@ -228,7 +354,7 @@ class MultiTableEngine:
                     has_ddl=bool(row["nd"]),
                     # the fused flag reflects pre-SMT rows; with SMTs the
                     # engine re-probes post-transform
-                    has_bad=None if (spec.smt_chain or all_null_pos) else bool(row["nb"]),
+                    has_bad=None if probe else bool(row["nb"]),
                 )
 
             keys = list(self.engines)
@@ -245,6 +371,15 @@ class MultiTableEngine:
                     versions = dict(pool.map(apply_one, keys))
             else:
                 versions = dict(apply_one(k) for k in keys)
+
+            # DROP TABLE retires the capture (events already dispatched
+            # above still applied); lake data stays on disk
+            for db, tbl in drops:
+                key = (db, tbl)
+                if key in self.specs:
+                    self.specs.pop(key)
+                    self.engines.pop(key)
+                    self.retired.add(key)
             return versions
         finally:
             wire.unpersist()
@@ -254,6 +389,19 @@ class MultiTableEngine:
         struct (single-source multi-table capture) by converting to wire
         form first — each table then re-parses only its own fields."""
         return self.apply_wire_batch(envelope_to_wire(env), batch_id)
+
+    def flush_tx_carry(self, batch_id: str = "txflush") -> dict[str, int | None]:
+        """Apply the deferred open-tail transaction (end of stream closes
+        it). No-op if nothing is carried."""
+        if self._tx_carry is None:
+            return {}
+        c, self._tx_carry = self._tx_carry, None
+        old = self.tx_aligned
+        self.tx_aligned = False
+        try:
+            return self.apply_wire_batch(c, batch_id)
+        finally:
+            self.tx_aligned = old
 
     def read_all(self) -> dict[str, DataFrame]:
         """Final state per table (fqn → DataFrame)."""

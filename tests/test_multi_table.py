@@ -118,6 +118,67 @@ def test_wire_roundtrip_preserves_envelope(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 
+def test_create_table_auto_registration_and_drop_retirement(spark, tmp_path):
+    """Mid-stream CREATE TABLE materializes a new TableSpec/LakeTable on
+    the fly (Tables.java overwriteTable; MySqlAntlrDdlParser create-table
+    listener) — its own DML later in the same batch applies. DROP TABLE
+    retires the capture; subsequent events for it drop like any
+    unregistered table, and the lake data stays on disk."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [users], default_buckets=2)
+
+    def row(pos, table, op, after, before=None):
+        return {
+            "before_json": before, "after_json": after, "op": op, "ts_ms": 1000 + pos,
+            "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                       "snapshot": None, "db": "app", "table": table,
+                       "ts_ms": 1000 + pos},
+            "transaction": None,
+        }
+
+    create_sql = ("CREATE TABLE app.orders (order_no BIGINT NOT NULL, "
+                  "amount DECIMAL(10,2), note VARCHAR(64), PRIMARY KEY (order_no)) "
+                  "ENGINE=InnoDB")
+    b0 = [
+        row(1, "users", "c", '{"uid": 1, "name": "ada"}'),
+        row(2, "orders", "l", json.dumps({"content": create_sql})),
+        row(3, "orders", "c", '{"order_no": 7, "amount": 12.50, "note": "a"}'),
+        row(4, "orders", "u", '{"order_no": 7, "amount": 99.00, "note": "b"}',
+            '{"order_no": 7, "amount": 12.50, "note": "a"}'),
+    ]
+    versions = mte.apply_wire_batch(spark.createDataFrame(b0, WIRE_SCHEMA), "b0")
+    assert set(versions) == {"app.users", "app.orders"}
+    got = mte.table("app", "orders").read().collect()
+    assert [(r["order_no"], float(r["amount"]), r["note"]) for r in got] == [(7, 99.0, "b")]
+    assert mte.table("app", "orders").fence()[1] == 4
+    assert ("app", "orders") in mte.specs
+
+    # DROP TABLE retires the capture; later events for it are dropped
+    orders_root = mte.table("app", "orders").root
+    b1 = [row(5, "orders", "l", json.dumps({"content": "DROP TABLE app.orders"}))]
+    mte.apply_wire_batch(spark.createDataFrame(b1, WIRE_SCHEMA), "b1")
+    assert ("app", "orders") not in mte.specs and ("app", "orders") in mte.retired
+    b2 = [row(6, "orders", "c", '{"order_no": 8, "amount": 1.00, "note": "x"}'),
+          row(7, "users", "u", '{"uid": 1, "name": "ada2"}', '{"uid": 1, "name": "ada"}')]
+    mte.apply_wire_batch(spark.createDataFrame(b2, WIRE_SCHEMA), "b2")
+    assert {r["name"] for r in mte.table("app", "users").read().collect()} == {"ada2"}
+    # retired lake data untouched on disk
+    from debezium_spark.plans.table import LakeTable
+    survivor = LakeTable(spark, orders_root, ["order_no"], n_buckets=2)
+    assert survivor.read().count() == 1
+
+    # a CREATE for an uncaptured DATABASE is ignored (include-list semantics)
+    b3 = [row(8, "t2", "l", json.dumps(
+        {"content": "CREATE TABLE otherdb.t2 (id INT, PRIMARY KEY(id))"}))]
+    b3[0]["source"]["db"] = "otherdb"
+    mte.apply_wire_batch(spark.createDataFrame(b3, WIRE_SCHEMA), "b3")
+    assert ("otherdb", "t2") not in mte.specs
+
+
 def test_null_pos_groups_quarantine_instead_of_wedging(spark, tmp_path):
     """Advisor regression: a (db,table) group whose every source.pos is null
     — including unregistered tables — crashed the dispatcher with

@@ -52,8 +52,54 @@ def test_parse_alter_variants():
         "ALTER TABLE t ADD COLUMN d DECIMAL(10,2), DROP COLUMN e, RENAME COLUMN f TO g"
     ) == [("add", "d", "decimal(10,2)"), ("drop", "e"), ("rename", "f", "g")]
     # unrelated statements: no ops
-    assert parse_ddl_sql("CREATE TABLE t (a INT)") == []
     assert parse_ddl_sql("ALTER TABLE t ADD CONSTRAINT pk PRIMARY KEY (a)") == []
+    assert parse_ddl_sql("INSERT INTO t VALUES (1)") == []
+
+
+def test_parse_table_level_statements():
+    """CREATE/DROP/TRUNCATE TABLE + multi-statement scripts — the
+    MySqlAntlrDdlParserTest create/drop variants the regex grammar covers
+    (catalog mutations consumed by MultiTableEngine)."""
+    ops = parse_ddl_sql(
+        "CREATE TABLE inventory.orders ("
+        " order_no BIGINT NOT NULL AUTO_INCREMENT,"
+        " region VARCHAR(8) DEFAULT 'eu',"
+        " amount DECIMAL(10,2),"
+        " KEY idx_r (region),"
+        " CONSTRAINT fk1 FOREIGN KEY (region) REFERENCES r(id),"
+        " PRIMARY KEY (order_no, region)"
+        ") ENGINE=InnoDB DEFAULT CHARSET=utf8mb4"
+    )
+    assert ops == [(
+        "create_table", "inventory", "orders",
+        [("order_no", "long"), ("region", "string"), ("amount", "decimal(10,2)")],
+        ["order_no", "region"],
+    )]
+    # inline PRIMARY KEY; quoted identifiers; IF NOT EXISTS
+    assert parse_ddl_sql(
+        "CREATE TABLE IF NOT EXISTS `db1`.`t1` (`id` INT PRIMARY KEY, v TEXT)"
+    ) == [("create_table", "db1", "t1", [("id", "int"), ("v", "string")], ["id"])]
+    # unqualified name → db resolved by the caller from source.db
+    assert parse_ddl_sql("CREATE TABLE t (a INT)") == [
+        ("create_table", None, "t", [("a", "int")], [])
+    ]
+    # DROP TABLE: IF EXISTS, multi-name, qualified + bare
+    assert parse_ddl_sql("DROP TABLE IF EXISTS a.b, c") == [
+        ("drop_table", "a", "b"), ("drop_table", None, "c")
+    ]
+    assert parse_ddl_sql("TRUNCATE TABLE app.users") == [("truncate_table", "app", "users")]
+    assert parse_ddl_sql("TRUNCATE users") == [("truncate_table", None, "users")]
+    # ;-separated scripts split quote-aware (';' inside a literal stays put)
+    assert parse_ddl_sql(
+        "CREATE TABLE t (v VARCHAR(10) DEFAULT 'a;b', id INT, PRIMARY KEY (id));"
+        " ALTER TABLE t ADD COLUMN c TEXT; DROP TABLE old_t;"
+    ) == [
+        ("create_table", None, "t", [("v", "string"), ("id", "int")], ["id"]),
+        ("add", "c", "string"),
+        ("drop_table", None, "old_t"),
+    ]
+    # CREATE ... LIKE / AS SELECT have no parseable column list: history-only
+    assert parse_ddl_sql("CREATE TABLE t2 LIKE t1") == []
 
 
 def test_parse_dispatches_json_and_sql():

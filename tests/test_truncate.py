@@ -77,6 +77,41 @@ def test_truncate_mid_batch_is_a_barrier(spark, tmp_path):
     assert any(l.get("truncate") for l in table.lineage())
 
 
+def test_truncate_table_sql_text_routes_to_truncate_barrier(spark, tmp_path):
+    """TRUNCATE TABLE arriving as SQL *text* (op='l', the DDL stream form)
+    must hit the same barrier as the typed op='t' event."""
+    gen = ChangeLogGenerator(spark, seed=22, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    env = gen.events(500)
+    engine.apply_envelope_batch(env, batch_id="b0")
+    assert table.read().count() > 0
+
+    pay_t = env.schema["after"].dataType
+    tx_t = env.schema["transaction"].dataType
+    content = "TRUNCATE TABLE inventory.repo_files"
+    ddl = spark.range(1).select(
+        F.lit(None).cast(pay_t).alias("before"),
+        F.lit(None).cast(pay_t).alias("after"),
+        F.lit("l").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.lit(500).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.lit("inventory").alias("db"),
+            F.lit("repo_files").alias("table"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast(tx_t).alias("transaction"),
+        F.lit(content).alias("_ddl_text"),
+    )
+    engine.apply_envelope_batch(ddl, batch_id="b1")
+    assert table.read().count() == 0
+    assert table.fence() == ("binlog.000001", 500)
+
+
 def test_truncate_only_batch_empties_table(spark, tmp_path):
     gen = ChangeLogGenerator(spark, seed=21, n_repos=5)
     table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)

@@ -1,0 +1,151 @@
+"""Transaction-aligned batch segmentation: a transaction straddling two
+batch files must never commit as two fenced commits (reference applies
+whole transactions — TransactionReplayTask.java; the fork's parse patch
+switches queues only on XID boundaries)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from debezium_spark import CdcEngine, LakeTable
+
+ENV_DDL = (
+    "before struct<repo:string,path:string,content:string>, "
+    "after struct<repo:string,path:string,content:string>, "
+    "op string, ts_ms long, "
+    "source struct<file:string,pos:bigint,gtid:string,snapshot:string,"
+    "db:string,table:string,ts_ms:bigint>, "
+    "transaction struct<id:string,total_order:bigint,data_collection_order:bigint>"
+)
+
+
+def _env(spark, rows):
+    """rows: (pos, op, path, content, tx_id|None)."""
+    data = []
+    for pos, op, path, content, tx in rows:
+        pay = {"repo": "r0", "path": path, "content": content}
+        data.append({
+            "before": pay if op in ("u", "d") else None,
+            "after": pay if op != "d" else None,
+            "op": op,
+            "ts_ms": 1000 + pos,
+            "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                       "snapshot": None, "db": "app", "table": "t",
+                       "ts_ms": 1000 + pos},
+            "transaction": None if tx is None else
+                {"id": tx, "total_order": pos, "data_collection_order": pos},
+        })
+    return spark.createDataFrame(data, ENV_DDL)
+
+
+def _write_batch(spark, d, i, rows):
+    _env(spark, rows).write.mode("overwrite").parquet(
+        os.path.join(d, f"batch_{i:05d}.parquet")
+    )
+
+
+def test_straddling_transaction_never_commits_partially(spark, tmp_path):
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    # tx1 = pos 1-3 (closed in batch0); tx2 = pos 4-7 (straddles batches)
+    _write_batch(spark, bdir, 0, [
+        (1, "c", "a", "v1", "tx1"),
+        (2, "c", "b", "v1", "tx1"),
+        (3, "c", "c", "v1", "tx1"),
+        (4, "c", "d", "v1", "tx2"),
+        (5, "u", "a", "v2", "tx2"),
+    ])
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = CdcEngine(spark, table)
+
+    # crash point: only batch0 exists and the caller has NOT declared the
+    # log final — tx2 must be entirely deferred
+    engine.replay(bdir, final=False)
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state == {"a": "v1", "b": "v1", "c": "v1"}  # no partial tx2
+    assert table.fence() == ("binlog.000001", 3)
+
+    # batch1 arrives with tx2's end (+ tx3, itself the new open tail)
+    _write_batch(spark, bdir, 1, [
+        (6, "u", "b", "v2", "tx2"),
+        (7, "d", "c", None, "tx2"),
+        (8, "c", "e", "v1", "tx3"),
+        (9, "u", "e", "v2", "tx3"),
+    ])
+    engine.replay(bdir)  # log complete (default final): tx3 flushes at the end
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state == {"a": "v2", "b": "v2", "d": "v1", "e": "v2"}
+    assert table.fence() == ("binlog.000001", 9)
+
+    # idempotent re-replay
+    assert engine.replay(bdir) == []
+    assert {r["path"]: r["content"] for r in table.read().collect()} == state
+
+
+def test_whole_batch_single_open_tx_defers_until_closed(spark, tmp_path):
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    _write_batch(spark, bdir, 0, [
+        (1, "c", "a", "v1", "big"),
+        (2, "c", "b", "v1", "big"),
+    ])
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = CdcEngine(spark, table)
+    engine.replay(bdir, final=False)
+    # not final: the lone open transaction stays deferred
+    assert table.read().count() == 0 and table.fence() is None
+    engine.flush_tx_carry()
+    assert table.read().count() == 2
+    assert table.fence() == ("binlog.000001", 2)
+
+
+def test_null_tx_rows_are_autocommit_and_never_deferred(spark, tmp_path):
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    _write_batch(spark, bdir, 0, [
+        (1, "c", "a", "v1", None),
+        (2, "c", "b", "v1", None),
+    ])
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = CdcEngine(spark, table)
+    engine.replay(bdir)
+    assert table.read().count() == 2
+    assert table.fence() == ("binlog.000001", 2)
+
+
+def test_multi_table_tx_carry(spark, tmp_path):
+    """The multi-table dispatcher defers the open tail transaction across
+    apply_wire_batch calls; flush_tx_carry applies it at end of stream."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.streaming.multi import (
+        MultiTableEngine, TableSpec, WIRE_SCHEMA,
+    )
+
+    spec = TableSpec("app", "t", StructType.fromDDL("k long, v string"), ["k"],
+                     n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [spec])
+
+    def row(pos, k, v, tx):
+        return {
+            "before_json": None, "after_json": f'{{"k": {k}, "v": "{v}"}}',
+            "op": "c", "ts_ms": pos,
+            "source": {"file": "f", "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": "t", "ts_ms": pos},
+            "transaction": {"id": tx, "total_order": pos,
+                            "data_collection_order": pos},
+        }
+
+    b0 = spark.createDataFrame([row(1, 1, "a", "tx1"), row(2, 2, "a", "tx2")],
+                               WIRE_SCHEMA)
+    mte.apply_wire_batch(b0, "b0")
+    # tx2 is the open tail: only tx1 committed
+    assert {r["k"] for r in mte.table("app", "t").read().collect()} == {1}
+    b1 = spark.createDataFrame([row(3, 3, "a", "tx2"), row(4, 4, "a", "tx3")],
+                               WIRE_SCHEMA)
+    mte.apply_wire_batch(b1, "b1")
+    assert {r["k"] for r in mte.table("app", "t").read().collect()} == {1, 2, 3}
+    mte.flush_tx_carry()
+    assert {r["k"] for r in mte.table("app", "t").read().collect()} == {1, 2, 3, 4}
+    assert mte.table("app", "t").fence()[1] == 4
