@@ -393,26 +393,61 @@ class CdcEngine:
         ``ChangeEventSourceCoordinator.java:96-165``):
 
         - ``initial``: bootstrap the snapshot, then stream (default);
+        - ``initial_only``: bootstrap the snapshot, then STOP — no
+          streaming (``MySqlConnectorConfig.java:131-167`` INITIAL_ONLY);
         - ``when_needed``: bootstrap only if this table has no committed
           fence yet (fresh table or lost offsets) — otherwise stream only;
         - ``never``: stream only;
         - ``schema_only``: commit the snapshot *fence* (so streaming starts
           from "now") but none of its rows — the reference's
-          schema_only/no-data mode.
+          schema_only/no-data mode;
+        - ``schema_only_recovery``: rebuild the table schema by replaying
+          the ``_schema_history.jsonl`` ledger (idempotent alters), then
+          stream — the reference's recovery mode for a lost/corrupted
+          schema history topic.
         """
-        if snapshot_mode not in ("initial", "when_needed", "never", "schema_only"):
+        modes = ("initial", "initial_only", "when_needed", "never",
+                 "schema_only", "schema_only_recovery")
+        if snapshot_mode not in modes:
             raise ValueError(f"unknown snapshot_mode {snapshot_mode!r}")
         need = (
-            snapshot_mode == "initial"
+            snapshot_mode in ("initial", "initial_only")
             or (snapshot_mode == "when_needed" and self.table.fence() is None)
         )
         if need:
             if snapshot_env is None:
                 raise ValueError(f"snapshot_mode={snapshot_mode!r} requires snapshot_env")
             self.bootstrap(snapshot_env, fence=snapshot_fence)
+            if snapshot_mode == "initial_only":
+                return []  # snapshot-and-stop: the stream is never opened
         elif snapshot_mode == "schema_only" and self.table.fence() is None:
             self.heartbeat(snapshot_fence)  # fence-only commit, zero rows
+        elif snapshot_mode == "schema_only_recovery":
+            self.recover_schema()
         return self.replay(batch_dir)
+
+    def recover_schema(self) -> int:
+        """Replay the ``_schema_history.jsonl`` ledger onto the table —
+        every alter is idempotent, so replaying the full history converges
+        to the pre-loss schema (``AbstractDatabaseHistory.java`` recovery;
+        reference mode SCHEMA_ONLY_RECOVERY). Returns the number of ledger
+        entries replayed. The ledger itself is NOT re-appended."""
+        from debezium_spark.operators.schema_evolution import schema_history
+
+        entries = schema_history(self.table)
+        for e in entries:
+            for op in e.get("ops", []):
+                kind = op[0]
+                if kind == "add":
+                    self.table.alter_add_columns([(op[1], op[2])])
+                elif kind == "drop":
+                    self.table.alter_drop_columns([op[1]])
+                elif kind == "rename":
+                    self.table.alter_rename_column(op[1], op[2])
+                elif kind == "widen":
+                    self.table.alter_widen_column(op[1], op[2])
+                # table-level ops are catalog history, not column state
+        return len(entries)
 
     # ---- replay loop -------------------------------------------------------
 

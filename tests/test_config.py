@@ -181,6 +181,61 @@ def test_reference_fork_properties(spark):
         EngineConfig.from_properties({"truncate.handling.mode": "bogus"})
 
 
+def test_snapshot_mode_initial_only_stops_before_streaming(spark, tmp_path):
+    """MySqlConnectorConfig.java:131-167 INITIAL_ONLY: snapshot, then stop —
+    batches on disk are never consumed."""
+    from debezium_spark import ChangeLogGenerator, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=31, n_repos=4)
+    bdir = str(tmp_path / "b")
+    gen.write_batches(bdir, 400, 1)
+    snap = gen.snapshot(50)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = EngineConfig.from_properties({"snapshot.mode": "initial_only"}).build_engine(
+        spark, table
+    )
+    versions = engine.run(bdir, snapshot_env=snap, snapshot_mode="initial_only",
+                          snapshot_fence=("binlog.000001", -1))
+    assert versions == []  # stream never opened
+    assert table.fence() == ("binlog.000001", -1)  # snapshot fence only
+    assert table.read().count() == snap.count()
+
+
+def test_snapshot_mode_schema_only_recovery_replays_ledger(spark, tmp_path):
+    """SCHEMA_ONLY_RECOVERY: rebuild the schema from _schema_history.jsonl
+    (idempotent ledger replay), then stream — the lost-history recovery
+    path (AbstractDatabaseHistory.java)."""
+    import os
+    import shutil
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+    from debezium_spark.operators.schema_evolution import apply_ddl
+
+    gen = ChangeLogGenerator(spark, seed=32, n_repos=4)
+    # original table accumulates DDL history
+    orig = LakeTable(spark, str(tmp_path / "orig"), ["repo", "path"], n_buckets=2)
+    CdcEngine(spark, orig).apply_envelope_batch(gen.events(200), batch_id="b0")
+    apply_ddl(orig, "ALTER TABLE t ADD COLUMN stars INT", ("binlog.000001", 200))
+    apply_ddl(orig, "ALTER TABLE t RENAME COLUMN lang TO language", ("binlog.000001", 201))
+    assert "stars" in [f.name for f in orig.schema().fields]
+
+    # disaster: table restored from a pre-DDL backup, ledger survived
+    restored = LakeTable(spark, str(tmp_path / "rest"), ["repo", "path"], n_buckets=2)
+    eng = CdcEngine(spark, restored)  # creates base schema (no stars/rename)
+    shutil.copy(
+        os.path.join(orig.root, "_schema_history.jsonl"),
+        os.path.join(restored.root, "_schema_history.jsonl"),
+    )
+    bdir = str(tmp_path / "b")
+    gen.write_batches(bdir, 300, 1)
+    eng.run(bdir, snapshot_mode="schema_only_recovery")
+    cols = [f.name for f in restored.schema().fields]
+    assert "stars" in cols and "language" in cols and "lang" not in cols
+    assert restored.read().count() > 0  # streaming followed recovery
+    # recovery is idempotent
+    assert eng.recover_schema() == 2
+    assert [f.name for f in restored.schema().fields] == cols
+
+
 def test_scoped_column_properties_only_touch_their_table(spark):
     """Advisor regression: a property scoped to db1.t1.ssn used to mask a
     field named ssn in EVERY table the chain touched (rsplit kept only the

