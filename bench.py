@@ -49,6 +49,7 @@ HEADLINE = [
     "multi_table_replay",
     "typed_payload_roundtrip",
     "ddl_drop_rename",
+    "tx_atomic_replay",
     "binary_wire_roundtrip",
     "dedup_exact",
     "dedup_minhash_lsh",
@@ -234,7 +235,8 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
     spark = make_spark(CPUS, "cdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    qfns = entry_mod.queries()
+    # headline set spans both registries (driver gate + extras)
+    qfns = {**entry_mod.queries(), **entry_mod.extra_queries()}
 
     total = 0.0
     timings: dict[str, float] = {}
@@ -293,19 +295,27 @@ def main() -> None:
         # default mode is merge-on-read (O(batch) apply — the 10^10-event
         # path); copy-on-write is the opt-in comparison run.
         # Cool down after the scaling phase (it drains the host's burst
-        # credits and throttles whatever runs next) and take best-of-2 on
-        # the headline: position in the run order otherwise dominates the
-        # mode difference (measured: first slot ~1.7× slower than second
-        # on this host regardless of mode).
+        # credits and throttles whatever runs next), then INTERLEAVE the
+        # modes best-of-2 each (mor, cow, mor, cow): the r2 driver run
+        # measured CoW at 131 s in the cold last slot while same-day repo
+        # runs measured 13-19 s — run-order + host-noise epoch dominated
+        # the mode difference. Interleaving puts both modes in the same
+        # noise epochs; best-of-2 drops the throttled trials.
         time.sleep(int(os.environ.get("SPARK_GRAFT_COOLDOWN", "20")))
-        sec1 = run_replay(spark, binlog_dir, os.path.join(work, "table"))
-        sec2 = run_replay(
-            spark, binlog_dir, os.path.join(work, "table2"), warmup=False
-        )
-        sec = min(sec1, sec2)
-        sec_cow = run_replay(
-            spark, binlog_dir, os.path.join(work, "table_cow"), warmup=False, mode="cow"
-        )
+        trials: dict[str, list[float]] = {"mor": [], "cow": []}
+        first = True
+        for m in ("mor", "cow", "mor", "cow"):
+            s = run_replay(
+                spark, binlog_dir,
+                os.path.join(work, f"table_{m}_{len(trials[m])}"),
+                warmup=first, mode=m,
+            )
+            shutil.rmtree(os.path.join(work, f"table_{m}_{len(trials[m])}"),
+                          ignore_errors=True)
+            first = False
+            trials[m].append(round(s, 3))
+        sec = min(trials["mor"])
+        sec_cow = min(trials["cow"])
         replay_info = {
             "events": N_EVENTS,
             "mode": "mor (default)",
@@ -313,6 +323,8 @@ def main() -> None:
             "events_per_sec": round(N_EVENTS / sec, 1),
             "cow_sec": round(sec_cow, 3),
             "cow_events_per_sec": round(N_EVENTS / sec_cow, 1),
+            "mor_trials": trials["mor"],
+            "cow_trials": trials["cow"],
         }
         timings["cdc_replay"] = round(sec, 3)
         timings["cdc_replay_cow"] = round(sec_cow, 3)

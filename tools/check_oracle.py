@@ -3,6 +3,10 @@ Spark and its oracle_sql() on DuckDB over the same parquet tables; compare
 row count, column names, and order-insensitive values.
 
 Usage: python tools/check_oracle.py [name_substring ...] [--sf DIR]
+                                    [--extras | --all]
+
+--extras checks only the extra_queries() registry (queries beyond the
+driver's 50-entry gate); --all checks both registries.
 """
 
 from __future__ import annotations
@@ -61,7 +65,13 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
 
-    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if "--extras" in sys.argv:
+        qs, oracles = entrymod.extra_queries(), entrymod.extra_oracle_sql()
+    elif "--all" in sys.argv:
+        qs = {**entrymod.queries(), **entrymod.extra_queries()}
+        oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
+    else:
+        qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     names = [n for n in qs if not args or any(a in n for a in args)]
     failed = []
     for name in names:
