@@ -367,7 +367,10 @@ def verify_pairs_jaccard(
 
 
 def canonical_representatives(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    exact: DataFrame | None = None,
 ) -> DataFrame:
     """One document per DISTINCT content (the exact-dedup survivor).
 
@@ -376,8 +379,12 @@ def canonical_representatives(
     every MinHash band — O(s²) candidate pairs, each paying a shingle-join
     verification. Running LSH over one representative per content hash
     caps that at O(distinct²); the exact groups rejoin the components
-    through their (member → survivor) edges."""
-    exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
+    through their (member → survivor) edges.
+
+    ``exact``: a precomputed ``exact_dedup(docs)`` frame, so a caller that
+    already has one (dedup_survivors) shares it instead of recomputing."""
+    if exact is None:
+        exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
     reps = exact.select(F.col("survivor_id").alias(id_col))
     return docs.join(reps, on=id_col, how="semi")
 
@@ -405,9 +412,7 @@ def dedup_survivors(
         .filter(F.col("doc_b") != F.col("survivor_id"))
         .select(F.col("survivor_id").alias("doc_a"), "doc_b")
     )
-    reps = docs.join(
-        exact.select(F.col("survivor_id").alias(id_col)), on=id_col, how="semi"
-    )
+    reps = canonical_representatives(docs, id_col=id_col, text_col=text_col, exact=exact)
     candidates = minhash_lsh_candidates(reps, k=k, id_col=id_col, text_col=text_col)
     near_pairs = verify_pairs_jaccard(
         reps, candidates, k=k, id_col=id_col, text_col=text_col

@@ -62,6 +62,15 @@ _SQL_TO_SPARK = {
     "timestamptz": "timestamp", "time": "long",
     "blob": "binary", "bytea": "binary", "varbinary": "binary",
     "binary": "binary", "boolean": "boolean", "bool": "boolean", "bit": "long",
+    # MySQL extras (MySqlAntlrDdlParser column-type matrix)
+    "enum": "string", "set": "string", "year": "int",
+    "tinyblob": "binary", "mediumblob": "binary", "longblob": "binary",
+    "nchar": "string", "nvarchar": "string", "national varchar": "string",
+    "national char": "string",
+    # PG extras
+    "smallserial": "int", "bigserial": "long", "uuid": "string",
+    "inet": "string", "cidr": "string", "macaddr": "string",
+    "interval": "long", "xml": "string", "money": "decimal(19,2)",
 }
 
 
@@ -105,24 +114,45 @@ _IDENT = r'[`"\[]?([A-Za-z_][A-Za-z0-9_$]*)[`"\]]?'
 # optional UNSIGNED — bounded so trailing column constraints (NOT NULL,
 # DEFAULT ..., COMMENT ..., AFTER col) are NOT swallowed into the type
 _TYPE = (
-    r"([A-Za-z]+(?:\s+(?:PRECISION|VARYING))?"
-    r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?(?:\s+UNSIGNED)?)"
+    r"([A-Za-z]+(?:\s+(?:PRECISION|VARYING|VARCHAR|CHAR))?"
+    r"(?:\s*\(\s*[^()]*\))?(?:\s+UNSIGNED)?)"
 )
 
 
 def _split_clauses(body: str) -> list[str]:
-    """Split ALTER TABLE clause list on top-level commas (parens nest)."""
-    out, depth, cur = [], 0, []
-    for ch in body:
-        if ch == "(":
+    """Split an ALTER TABLE / CREATE TABLE clause list on top-level commas —
+    parens nest and quoted literals shield (a comma inside a string DEFAULT
+    must not fabricate a phantom column)."""
+    out: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    quote: str | None = None
+    i, n = 0, len(body)
+    while i < n:
+        ch = body[i]
+        if quote is not None:
+            cur.append(ch)
+            if ch == quote:
+                if quote == "'" and i + 1 < n and body[i + 1] == "'":
+                    cur.append("'")
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
             depth += 1
+            cur.append(ch)
         elif ch == ")":
             depth -= 1
-        if ch == "," and depth == 0:
+            cur.append(ch)
+        elif ch == "," and depth == 0:
             out.append("".join(cur).strip())
             cur = []
         else:
             cur.append(ch)
+        i += 1
     if cur:
         out.append("".join(cur).strip())
     return [c for c in out if c]
@@ -200,17 +230,30 @@ def _parse_create_table(s: str) -> list[DdlOp]:
         return []
     db, tbl = _qualified(m.group(1), m.group(2))
     # body = balanced-paren span starting at the '(' the header matched
+    # (quote-aware: a ')' inside a string DEFAULT must not close the body)
     start = m.end() - 1
     depth = 0
     end = -1
-    for i in range(start, len(s)):
-        if s[i] == "(":
+    quote: str | None = None
+    i = start
+    while i < len(s):
+        ch = s[i]
+        if quote is not None:
+            if ch == quote:
+                if quote == "'" and i + 1 < len(s) and s[i + 1] == "'":
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif ch == "(":
             depth += 1
-        elif s[i] == ")":
+        elif ch == ")":
             depth -= 1
             if depth == 0:
                 end = i
                 break
+        i += 1
     if end < 0:
         return []
     cols: list[tuple[str, str]] = []

@@ -19,6 +19,7 @@ prefix after a crash is a no-op (FIXTURES.md F4 idempotency).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,9 +71,68 @@ def split_open_tail_tx(env: DataFrame) -> tuple[DataFrame | None, DataFrame | No
     )
     if boundary is None:
         return None, env, None  # entire batch is one still-open transaction
-    closed = env.filter(F.col("source.pos") <= boundary)
+    # null-pos poison records ride with the CLOSED part — a bare pos<=b
+    # filter is NULL for them and they would vanish before ever reaching
+    # quarantine ('one bad row never wedges OR vanishes')
+    closed = env.filter(
+        (F.col("source.pos") <= boundary) | F.col("source.pos").isNull()
+    )
     deferred = env.filter(F.col("source.pos") > boundary)
     return closed, deferred, boundary
+
+
+def _carry_versions(root: str) -> list[tuple[int, str]]:
+    base = os.path.join(root, "_tx_carry")
+    out = []
+    if os.path.isdir(base):
+        for n in os.listdir(base):
+            if n.startswith("v"):
+                try:
+                    out.append((int(n[1:]), os.path.join(base, n)))
+                except ValueError:
+                    pass
+    return sorted(out)
+
+
+def persist_tx_carry(spark: SparkSession, carry: DataFrame | None, root: str) -> DataFrame | None:
+    """Materialize the open-tail-transaction carry under
+    ``<root>/_tx_carry/vN``.
+
+    Two jobs in one: (1) lineage truncation — without it each batch nests
+    another union+filter over every earlier batch's source (O(N) plan depth,
+    O(N²) cumulative re-reads on a long stream); (2) crash recovery for
+    callers whose source will NOT redeliver the batch (a streaming
+    checkpoint advances past the epoch even though the carry rows were never
+    committed — batch-file replay can re-split deterministically, streaming
+    cannot).
+
+    Versioned: the NEW carry writes to vN+1, then older versions delete —
+    never overwrite-in-place, because (a) the new carry's own lineage reads
+    vN, and (b) the caller persists AFTER its commits, so a crash mid-epoch
+    leaves vN intact for the redelivered epoch to resume from (the correct
+    recovery point is the PRE-epoch carry). ``None`` clears everything.
+    Returns the re-read (flat-scan) DataFrame."""
+    import shutil
+
+    versions = _carry_versions(root)
+    if carry is None:
+        for _, p in versions:
+            shutil.rmtree(p, ignore_errors=True)
+        return None
+    nxt = (versions[-1][0] + 1) if versions else 1
+    d = os.path.join(root, "_tx_carry", f"v{nxt}")
+    carry.write.mode("overwrite").parquet(d)  # reads vN while writing vN+1
+    for _, p in versions:
+        shutil.rmtree(p, ignore_errors=True)
+    return spark.read.parquet(d)
+
+
+def load_tx_carry(spark: SparkSession, root: str) -> DataFrame | None:
+    """Reload the latest persisted open-tail-transaction carry (restart)."""
+    versions = _carry_versions(root)
+    if versions:
+        return spark.read.parquet(versions[-1][1])
+    return None
 
 
 class CdcEngine:
@@ -239,7 +299,9 @@ class CdcEngine:
             # the driver from a malformed batch full of op='l' rows
             ddls = (
                 env.filter(F.col("op").isin(BARRIER_OPS))
-                .select("source.file", "source.pos", "op", text_col)
+                .select("source.file", "source.pos", "op",
+                        F.col("source.db").alias("db"),
+                        F.col("source.table").alias("tbl"), text_col)
                 .orderBy("pos")
                 .limit(self.MAX_BARRIERS_PER_BATCH + 1)
                 .collect()
@@ -281,12 +343,24 @@ class CdcEngine:
                         )
                     else:
                         # TRUNCATE TABLE arriving as SQL *text* (op='l')
-                        # routes to the same truncate barrier as op='t';
-                        # apply_ddl handles column evolution + the history
-                        # ledger (table-level ops are history-only there)
+                        # routes to the same truncate barrier as op='t' —
+                        # but only when the statement names THIS capture
+                        # (the row's source identity): a multi-statement
+                        # script may truncate some OTHER table, which must
+                        # stay history-only here. apply_ddl handles column
+                        # evolution + the history ledger (table-level ops
+                        # are history-only there).
                         if d["content"] is not None:
+                            def _targets_self(op_) -> bool:
+                                _, op_db, op_tbl = op_[0], op_[1], op_[2]
+                                if d["tbl"] is not None and op_tbl != d["tbl"]:
+                                    return False
+                                if (op_db is not None and d["db"] is not None
+                                        and op_db != d["db"]):
+                                    return False
+                                return True
                             if any(
-                                o[0] == "truncate_table"
+                                o[0] == "truncate_table" and _targets_self(o)
                                 for o in parse_ddl(d["content"])
                             ):
                                 version = self.table.truncate(
@@ -482,7 +556,10 @@ class CdcEngine:
         re-carried duplicate rows collapse in the merge's last-wins
         dedupe)."""
         versions = []
-        carry: DataFrame | None = self._tx_carry  # open-tail tx awaiting END
+        # open-tail tx awaiting its END — reload from disk after a restart
+        carry: DataFrame | None = self._tx_carry
+        if carry is None:
+            carry = load_tx_carry(self.spark, self.table.root)
         paths = list_batches(batch_dir)
         for i, path in enumerate(paths):
             is_final_batch = final and i == len(paths) - 1
@@ -507,7 +584,8 @@ class CdcEngine:
             # transform could corrupt a row, so fall back to the
             # post-SMT probe in that case
             has_bad: bool | None = bool(mm["nb"]) if not self.smt_chain else None
-            if tx_aligned and (carry is not None or mm["tt"] is not None):
+            tx_engaged = tx_aligned and (carry is not None or mm["tt"] is not None)
+            if tx_engaged:
                 had_carry = carry is not None
                 if had_carry:
                     env = carry.unionByName(env)
@@ -518,7 +596,8 @@ class CdcEngine:
                 if is_final_batch:
                     # log complete: the last batch's tail transaction is
                     # closed by end-of-log — commit it in THIS batch (no
-                    # separate flush commit)
+                    # separate flush commit; disk carry clears after the
+                    # apply below, which still lazily reads it)
                     carry = None
                 else:
                     closed, carry, boundary = split_open_tail_tx(env)
@@ -526,7 +605,10 @@ class CdcEngine:
                         has_ddl = None
                         has_bad = None
                     if closed is None:
-                        continue  # whole batch = one still-open transaction
+                        # whole batch = one still-open transaction; nothing
+                        # commits, so materialize the carry immediately
+                        carry = persist_tx_carry(self.spark, carry, self.table.root)
+                        continue
                     env = closed
                     if carry is not None:
                         fence = (mm["f"], boundary)
@@ -537,6 +619,15 @@ class CdcEngine:
                 has_ddl=has_ddl,
                 has_bad=has_bad,
             )
+            if tx_engaged:
+                # materialize AFTER the closed part committed: the closed
+                # plan lazily reads the previous carry version, and a crash
+                # mid-batch must resume from the PRE-batch carry (lineage
+                # truncation + crash recovery; see persist_tx_carry). A
+                # carry that went back to None must CLEAR the disk version
+                # — a stale persisted carry would re-merge old events over
+                # newer table state on restart.
+                carry = persist_tx_carry(self.spark, carry, self.table.root)
             if v is not None:
                 versions.append(v)
         self._tx_carry = carry
@@ -554,10 +645,15 @@ class CdcEngine:
         so end-of-log closes it). No-op if nothing is carried."""
         carry, self._tx_carry = self._tx_carry, None
         if carry is None:
+            carry = load_tx_carry(self.spark, self.table.root)
+        if carry is None:
             return None
         mm = carry.select(
             F.max("source.pos").alias("p"), F.max("source.file").alias("f")
         ).first()
         if mm["p"] is None:
+            persist_tx_carry(self.spark, None, self.table.root)
             return None
-        return self.apply_envelope_batch(carry, batch_id=batch_id, fence=(mm["f"], mm["p"]))
+        v = self.apply_envelope_batch(carry, batch_id=batch_id, fence=(mm["f"], mm["p"]))
+        persist_tx_carry(self.spark, None, self.table.root)
+        return v

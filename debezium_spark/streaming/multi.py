@@ -183,13 +183,14 @@ class MultiTableEngine:
     def table(self, db: str, table: str) -> LakeTable:
         return self.engines[(db, table)].table
 
-    def _collect_catalog_ddl(self, wire: DataFrame) -> tuple[list, list]:
+    def _collect_catalog_ddl(self, wire: DataFrame) -> list[tuple]:
         """Bounded collect of the batch's table-level DDL: op='l' rows whose
         SQL text parses to create_table / drop_table ops (the catalog
-        mutations of ``relational/Tables.java``). Returns (creates, drops)
-        in offset order; creates = (db, table, cols, pk), drops = (db,
-        table). Statement-qualified names win; unqualified fall back to the
-        row's source.db."""
+        mutations of ``relational/Tables.java``). Returns one ORDERED list
+        (offset order, statement order within a script):
+        ``("create", db, table, cols, pk)`` / ``("drop", db, table)``.
+        Statement-qualified names win; unqualified fall back to the row's
+        source.db."""
         import json as _json
 
         from debezium_spark.operators.schema_evolution import parse_ddl
@@ -210,7 +211,7 @@ class MultiTableEngine:
                 f"batch carries >{self.MAX_CATALOG_DDL_PER_BATCH} DDL rows — "
                 "refusing unbounded driver collect"
             )
-        creates, drops = [], []
+        ops: list[tuple] = []
         for r in rows:
             if not r["after_json"]:
                 continue
@@ -222,10 +223,32 @@ class MultiTableEngine:
                 continue
             for op in parse_ddl(content):
                 if op[0] == "create_table":
-                    creates.append((op[1] or r["db"], op[2], op[3], op[4]))
+                    ops.append(("create", op[1] or r["db"], op[2], op[3], op[4]))
                 elif op[0] == "drop_table":
-                    drops.append((op[1] or r["db"], op[2]))
-        return creates, drops
+                    ops.append(("drop", op[1] or r["db"], op[2]))
+        return ops
+
+    def _retire(self, key: tuple[str, str], archive: bool = False) -> None:
+        """Stop capturing a table (DROP TABLE): remove its spec/engine and
+        remember it as retired. ``archive`` renames the lake directory to
+        ``<table>@dropped.N`` — used when a new incarnation of the same
+        name is about to register, so the fresh table never inherits the
+        old manifest/buckets/keys (data still on disk, under the archived
+        name)."""
+        self.specs.pop(key, None)
+        self.engines.pop(key, None)
+        self.retired.add(key)
+        if archive:
+            self._archive_dir(key)
+
+    def _archive_dir(self, key: tuple[str, str]) -> None:
+        path = os.path.join(self.root, key[0], key[1])
+        if not os.path.isdir(path):
+            return
+        i = 0
+        while os.path.exists(f"{path}@dropped.{i}"):
+            i += 1
+        os.rename(path, f"{path}@dropped.{i}")
 
     def _prepass_stats(self, wire: DataFrame) -> DataFrame:
         """The per-batch pre-pass: ONE aggregation over the wire batch that
@@ -287,14 +310,29 @@ class MultiTableEngine:
         with no rows in the batch get an offset-bearing heartbeat at the
         global max so idle fences advance (Heartbeat.java:27-79).
         Unregistered tables are dropped (include-list semantics)."""
+        tx_engaged = False
         if self.tx_aligned:
-            from debezium_spark.streaming.engine import split_open_tail_tx
+            from debezium_spark.streaming.engine import (
+                load_tx_carry,
+                persist_tx_carry,
+                split_open_tail_tx,
+            )
 
-            if self._tx_carry is not None:
+            if self._tx_carry is None:
+                # restart recovery: a streaming checkpoint will not
+                # redeliver the epoch whose tail we deferred
+                self._tx_carry = load_tx_carry(self.spark, self.root)
+            had_carry = self._tx_carry is not None
+            if had_carry:
                 wire = self._tx_carry.unionByName(wire)
-            closed, self._tx_carry, _ = split_open_tail_tx(wire)
+            closed, carry, _ = split_open_tail_tx(wire)
+            tx_engaged = had_carry or carry is not None
             if closed is None:
-                return {}  # whole batch = one still-open transaction
+                # whole batch = one still-open transaction: nothing
+                # dispatches, materialize the carry now
+                self._tx_carry = persist_tx_carry(self.spark, carry, self.root)
+                return {}
+            self._tx_carry = carry  # materialized AFTER dispatch below
             wire = closed
         wire = wire.persist()
         try:
@@ -307,15 +345,33 @@ class MultiTableEngine:
             # new table BEFORE dispatch so its own DML (later in the same
             # batch) applies; DROP TABLE retires AFTER dispatch so events
             # preceding the drop still apply (Tables.java catalog mutation).
+            # Ops are walked in offset order so DROP t; CREATE t in one
+            # batch retires+archives the old incarnation first and the new
+            # one registers fresh (never inheriting the old manifest/keys).
             new_keys: set[tuple[str, str]] = set()
-            drops: list = []
+            pending_drops: list[tuple[str, str]] = []
             if self.auto_register and any(r["nd"] for r in stats):
-                creates, drops = self._collect_catalog_ddl(wire)
                 known_dbs = {db for db, _ in self.specs} | {db for db, _ in self.retired}
-                for db, tbl, cols, pk in creates:
-                    key = (db, tbl)
+                for op in self._collect_catalog_ddl(wire):
+                    key = (op[1], op[2])
+                    if op[0] == "drop":
+                        if key in self.specs and key not in pending_drops:
+                            pending_drops.append(key)
+                        continue
+                    _, db, tbl, cols, pk = op
+                    if key in pending_drops:
+                        # same-batch DROP;CREATE: the old incarnation
+                        # retires now (its dir archives) so the new one
+                        # starts clean
+                        self._retire(key, archive=True)
+                        pending_drops.remove(key)
                     if key in self.specs or db not in known_dbs:
                         continue  # only databases this engine captures
+                    if key in self.retired:
+                        # re-CREATE after an earlier DROP: never resurrect
+                        # the stale LakeTable under the new spec
+                        self._archive_dir(key)
+                        self.retired.discard(key)
                     schema = StructType.fromDDL(
                         ", ".join(f"`{n}` {t}" for n, t in cols)
                     )
@@ -330,15 +386,14 @@ class MultiTableEngine:
                     )
                     new_keys.add(key)
 
-            # Global offsets only over REGISTERED tables with a non-null max
-            # pos: an unregistered table (dropped anyway) or a poison group
-            # whose every source.pos is null must not wedge the dispatcher
-            # with None comparisons — 'one poison record never wedges the
-            # stream' is the module contract.
-            fenced = [
-                r for r in stats
-                if (r["db"], r["t"]) in self.specs and r["p"] is not None
-            ]
+            # Global offsets over every group with a non-null max pos —
+            # INCLUDING unregistered tables: their events still advance the
+            # source offset, which is exactly what offset-bearing
+            # heartbeats exist to propagate (a stream of filtered-table
+            # traffic must not leave captured fences stale). Null-pos
+            # poison groups are excluded so None never enters a fence
+            # comparison ('one poison record never wedges the stream').
+            fenced = [r for r in stats if r["p"] is not None]
             global_fence = (
                 max((r["f"], r["p"]) for r in fenced) if fenced else None
             )
@@ -392,13 +447,18 @@ class MultiTableEngine:
                 versions = dict(apply_one(k) for k in keys)
 
             # DROP TABLE retires the capture (events already dispatched
-            # above still applied); lake data stays on disk
-            for db, tbl in drops:
-                key = (db, tbl)
-                if key in self.specs:
-                    self.specs.pop(key)
-                    self.engines.pop(key)
-                    self.retired.add(key)
+            # above still applied); lake data stays on disk until a
+            # re-CREATE of the same name archives it
+            for key in pending_drops:
+                self._retire(key)
+            if tx_engaged:
+                # materialize AFTER the per-table commits (the dispatched
+                # plans lazily read the previous carry version; a crash
+                # mid-epoch must resume from the PRE-epoch carry); a
+                # carry gone back to None clears the disk version
+                from debezium_spark.streaming.engine import persist_tx_carry
+
+                self._tx_carry = persist_tx_carry(self.spark, self._tx_carry, self.root)
             return versions
         finally:
             wire.unpersist()
@@ -412,15 +472,21 @@ class MultiTableEngine:
     def flush_tx_carry(self, batch_id: str = "txflush") -> dict[str, int | None]:
         """Apply the deferred open-tail transaction (end of stream closes
         it). No-op if nothing is carried."""
-        if self._tx_carry is None:
-            return {}
+        from debezium_spark.streaming.engine import load_tx_carry, persist_tx_carry
+
         c, self._tx_carry = self._tx_carry, None
+        if c is None:
+            c = load_tx_carry(self.spark, self.root)
+        if c is None:
+            return {}
         old = self.tx_aligned
         self.tx_aligned = False
         try:
-            return self.apply_wire_batch(c, batch_id)
+            out = self.apply_wire_batch(c, batch_id)
         finally:
             self.tx_aligned = old
+        persist_tx_carry(self.spark, None, self.root)
+        return out
 
     def read_all(self) -> dict[str, DataFrame]:
         """Final state per table (fqn → DataFrame)."""

@@ -179,6 +179,66 @@ def test_create_table_auto_registration_and_drop_retirement(spark, tmp_path):
     assert ("otherdb", "t2") not in mte.specs
 
 
+def test_recreate_after_drop_starts_fresh(spark, tmp_path):
+    """Review regression: re-CREATE of a dropped table resurrected the old
+    LakeTable (stale manifest/keys/rows). The old incarnation's directory
+    archives and the new one registers clean — including DROP;CREATE inside
+    ONE batch, processed in offset order."""
+    import json
+    import os
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [users], default_buckets=2)
+
+    def row(pos, table, op, after):
+        return {
+            "before_json": None, "after_json": after, "op": op, "ts_ms": pos,
+            "source": {"file": "f", "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": table, "ts_ms": pos},
+            "transaction": None,
+        }
+
+    ddl = lambda pos, table, sql: row(pos, table, "l", json.dumps({"content": sql}))  # noqa: E731
+    # create orders (schema A), load it
+    mte.apply_wire_batch(spark.createDataFrame([
+        ddl(1, "orders", "CREATE TABLE app.orders (order_no BIGINT, amount BIGINT, PRIMARY KEY(order_no))"),
+        row(2, "orders", "c", '{"order_no": 7, "amount": 10}'),
+    ], WIRE_SCHEMA), "b0")
+    assert mte.table("app", "orders").read().count() == 1
+
+    # DROP;CREATE with a DIFFERENT schema + key in one batch, then insert
+    mte.apply_wire_batch(spark.createDataFrame([
+        ddl(3, "orders", "DROP TABLE app.orders"),
+        ddl(4, "orders", "CREATE TABLE app.orders (id INT, qty INT, PRIMARY KEY(id))"),
+        row(5, "orders", "c", '{"id": 1, "qty": 3}'),
+    ], WIRE_SCHEMA), "b1")
+    got = mte.table("app", "orders").read().collect()
+    assert [(r["id"], r["qty"]) for r in got] == [(1, 3)]
+    assert mte.specs[("app", "orders")].key_cols == ["id"]
+    # old incarnation archived, not deleted
+    base = os.path.join(str(tmp_path / "lake"), "app")
+    assert any(n.startswith("orders@dropped.") for n in os.listdir(base))
+
+
+def test_unregistered_traffic_still_heartbeats_captured_tables(spark, tmp_path):
+    """Review regression: restricting the global fence to registered tables
+    starved idle captured fences when a batch carried only filtered-table
+    traffic — offset-bearing heartbeats exist precisely for that case."""
+    a = TableSpec("app", "a", StructType.fromDDL("k long, v string"), ["k"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [a], auto_register=False)
+    mte.apply_wire_batch(
+        _wire(spark, [(1, "app", "a", "c", None, '{"k": 1, "v": "x"}')]), "b0"
+    )
+    assert mte.table("app", "a").fence()[1] == 1
+    # next batch: ONLY unregistered-table rows, valid offsets
+    mte.apply_wire_batch(
+        _wire(spark, [(9, "app", "ghost", "c", None, '{"x": 1}')]), "b1"
+    )
+    assert mte.table("app", "a").fence()[1] == 9  # heartbeat advanced
+
+
 def test_null_pos_groups_quarantine_instead_of_wedging(spark, tmp_path):
     """Advisor regression: a (db,table) group whose every source.pos is null
     — including unregistered tables — crashed the dispatcher with

@@ -100,6 +100,23 @@ def test_parse_table_level_statements():
     ]
     # CREATE ... LIKE / AS SELECT have no parseable column list: history-only
     assert parse_ddl_sql("CREATE TABLE t2 LIKE t1") == []
+    # review regression: commas/parens inside string DEFAULTs must not
+    # fabricate phantom columns or close the body early
+    assert parse_ddl_sql(
+        "CREATE TABLE t (note VARCHAR(100) DEFAULT 'a, b INT', id INT,"
+        " par VARCHAR(10) DEFAULT ')', PRIMARY KEY(id))"
+    ) == [("create_table", None, "t",
+           [("note", "string"), ("id", "int"), ("par", "string")], ["id"])]
+    # MySQL/PG type extras map (enum/set/year/blob variants/national/uuid)
+    assert parse_ddl_sql(
+        "CREATE TABLE t (s ENUM('a','b') NOT NULL, y YEAR, b MEDIUMBLOB,"
+        " n NATIONAL VARCHAR(20), u UUID, m MONEY, PRIMARY KEY(s))"
+    ) == [("create_table", None, "t",
+           [("s", "string"), ("y", "int"), ("b", "binary"),
+            ("n", "string"), ("u", "string"), ("m", "decimal(19,2)")], ["s"])]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN tags SET('x','y') DEFAULT 'x'") == [
+        ("add", "tags", "string")
+    ]
 
 
 def test_parse_dispatches_json_and_sql():

@@ -112,6 +112,42 @@ def test_truncate_table_sql_text_routes_to_truncate_barrier(spark, tmp_path):
     assert table.fence() == ("binlog.000001", 500)
 
 
+def test_truncate_sql_for_other_table_is_history_only(spark, tmp_path):
+    """Review regression: a TRUNCATE statement naming a DIFFERENT table
+    (e.g. inside a multi-statement script) truncated THIS capture; the
+    target must match the row's source identity."""
+    gen = ChangeLogGenerator(spark, seed=23, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    env = gen.events(500)
+    engine.apply_envelope_batch(env, batch_id="b0")
+    n = table.read().count()
+    assert n > 0
+
+    pay_t = env.schema["after"].dataType
+    tx_t = env.schema["transaction"].dataType
+    ddl = spark.range(1).select(
+        F.lit(None).cast(pay_t).alias("before"),
+        F.lit(None).cast(pay_t).alias("after"),
+        F.lit("l").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.lit(500).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.lit("inventory").alias("db"),
+            F.lit("repo_files").alias("table"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast(tx_t).alias("transaction"),
+        F.lit("TRUNCATE TABLE inventory.audit_log").alias("_ddl_text"),
+    )
+    engine.apply_envelope_batch(ddl, batch_id="b1")
+    assert table.read().count() == n  # untouched
+    assert table.fence() == ("binlog.000001", 500)  # barrier still fences
+
+
 def test_truncate_only_batch_empties_table(spark, tmp_path):
     gen = ChangeLogGenerator(spark, seed=21, n_repos=5)
     table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)

@@ -115,6 +115,83 @@ def test_null_tx_rows_are_autocommit_and_never_deferred(spark, tmp_path):
     assert table.fence() == ("binlog.000001", 2)
 
 
+def test_null_pos_rows_survive_tx_split_into_quarantine(spark, tmp_path):
+    """Review regression: a null-pos poison row in a tx-bearing batch fell
+    through BOTH sides of the split (pos<=b and pos>b are NULL for it) and
+    vanished before any validity probe."""
+    import json
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.quarantine import read_quarantine
+    from debezium_spark.streaming.multi import (
+        MultiTableEngine, TableSpec, WIRE_SCHEMA,
+    )
+
+    nullable_wire = StructType.fromJson(
+        json.loads(
+            json.dumps(WIRE_SCHEMA.jsonValue()).replace('"nullable": false', '"nullable": true')
+        )
+    )
+    spec = TableSpec("app", "t", StructType.fromDDL("k long, v string"), ["k"],
+                     n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [spec])
+
+    def row(pos, k, tx):
+        return {
+            "before_json": None, "after_json": f'{{"k": {k}, "v": "x"}}',
+            "op": "c", "ts_ms": 0,
+            "source": {"file": "f", "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": "t", "ts_ms": 0},
+            "transaction": None if tx is None else
+                {"id": tx, "total_order": 0, "data_collection_order": 0},
+        }
+
+    wire = spark.createDataFrame(
+        [row(1, 1, "tx1"), row(2, 2, "tx2"), row(None, 9, None)], nullable_wire
+    )
+    mte.apply_wire_batch(wire, "b0")  # tx2 deferred; poison row must land
+    q = read_quarantine(spark, mte.table("app", "t").root)
+    assert q.count() == 1
+    assert {r["k"] for r in mte.table("app", "t").read().collect()} == {1}
+
+
+def test_tx_carry_survives_engine_restart(spark, tmp_path):
+    """Review regression: the carry lived only in driver memory — a
+    streaming restart (checkpoint already past the epoch) permanently lost
+    the deferred transaction head. It is now persisted under the lake root
+    and reloaded by a fresh engine."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.streaming.multi import (
+        MultiTableEngine, TableSpec, WIRE_SCHEMA,
+    )
+
+    def row(pos, k, tx):
+        return {
+            "before_json": None, "after_json": f'{{"k": {k}, "v": "x"}}',
+            "op": "c", "ts_ms": 0,
+            "source": {"file": "f", "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": "t", "ts_ms": 0},
+            "transaction": {"id": tx, "total_order": 0, "data_collection_order": 0},
+        }
+
+    spec = lambda: [TableSpec("app", "t", StructType.fromDDL("k long, v string"),  # noqa: E731
+                              ["k"], n_buckets=2)]
+    m1 = MultiTableEngine(spark, str(tmp_path / "lake"), spec())
+    m1.apply_wire_batch(
+        spark.createDataFrame([row(1, 1, "tx1"), row(2, 2, "tx2")], WIRE_SCHEMA), "b0"
+    )
+    assert {r["k"] for r in m1.table("app", "t").read().collect()} == {1}
+
+    # "restart": brand-new engine instance on the same root
+    m2 = MultiTableEngine(spark, str(tmp_path / "lake"), spec())
+    m2.apply_wire_batch(
+        spark.createDataFrame([row(3, 3, "tx2"), row(4, 4, "tx3")], WIRE_SCHEMA), "b1"
+    )
+    # tx2's head (k=2, deferred by m1) + its tail (k=3) both applied
+    assert {r["k"] for r in m2.table("app", "t").read().collect()} == {1, 2, 3}
+    m2.flush_tx_carry()
+    assert {r["k"] for r in m2.table("app", "t").read().collect()} == {1, 2, 3, 4}
+
+
 def test_multi_table_tx_carry(spark, tmp_path):
     """The multi-table dispatcher defers the open tail transaction across
     apply_wire_batch calls; flush_tx_carry applies it at end of stream."""
