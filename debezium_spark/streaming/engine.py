@@ -639,6 +639,33 @@ class CdcEngine:
                 versions.append(v)
         return versions
 
+    def apply_stream_batch(
+        self, env: DataFrame, batch_id: str, tx_aligned: bool = True
+    ) -> int | None:
+        """One streaming micro-batch (foreachBatch epoch) with the same
+        transaction alignment as ``replay``: the epoch's open tail
+        transaction defers (persisted carry — a checkpoint will not
+        redeliver this epoch) and rejoins when its END arrives. Call
+        ``flush_tx_carry`` at end of stream."""
+        if not tx_aligned:
+            return self.apply_envelope_batch(env, batch_id=batch_id)
+        carry = self._tx_carry
+        if carry is None:
+            carry = load_tx_carry(self.spark, self.table.root)
+        had_carry = carry is not None
+        if had_carry:
+            env = carry.unionByName(env)
+        closed, carry, _ = split_open_tail_tx(env)
+        engaged = had_carry or carry is not None
+        if closed is None:
+            self._tx_carry = persist_tx_carry(self.spark, carry, self.table.root)
+            return None
+        v = self.apply_envelope_batch(closed, batch_id=batch_id)
+        if engaged:
+            carry = persist_tx_carry(self.spark, carry, self.table.root)
+        self._tx_carry = carry
+        return v
+
     def flush_tx_carry(self, batch_id: str = "batch_txflush") -> int | None:
         """Apply the deferred open-tail transaction — call when the log is
         known complete (a binlog only ever contains committed transactions,

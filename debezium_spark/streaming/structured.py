@@ -73,8 +73,10 @@ def stream_replay(
 
     def apply_batch(df, epoch_id: int) -> None:
         # foreachBatch may redeliver an epoch after restart; the engine's
-        # fence check turns the redelivery into a no-op
-        engine.apply_envelope_batch(df, batch_id=f"epoch_{epoch_id:05d}")
+        # fence check turns the redelivery into a no-op. Tx-aligned: the
+        # epoch's open tail transaction defers via the persisted carry
+        # (engine.apply_stream_batch) — flush_tx_carry() at end of stream.
+        engine.apply_stream_batch(df, batch_id=f"epoch_{epoch_id:05d}")
 
     writer = stream.writeStream.foreachBatch(apply_batch).option(
         "checkpointLocation", checkpoint_dir

@@ -41,6 +41,7 @@ def test_stream_drain_matches_batch_oracle(spark, tmp_path):
     engine = CdcEngine(spark, table)
     q = stream_replay(spark, engine, batch_dir, str(tmp_path / "ckpt"), available_now=True)
     q.awaitTermination(300)
+    engine.flush_tx_carry()  # end of stream closes the tail transaction
 
     assert _state(table) == _oracle(gen, N_EVENTS)
     assert table.fence() == ("binlog.000001", N_EVENTS - 1)
@@ -63,11 +64,17 @@ def test_stream_incremental_arrival(spark, tmp_path):
     for n in names[:2]:
         shutil.move(os.path.join(staging, n), os.path.join(live, n))
     stream_replay(spark, engine, live, ckpt, available_now=True).awaitTermination(300)
-    assert table.fence() == ("binlog.000001", N_EVENTS // 2 - 1)
+    # tx-aligned: the drain's tail transaction (containing pos N/2-1) is
+    # deferred until its END arrives with the next batches — the fence
+    # stops at the last CLOSED transaction boundary
+    half = N_EVENTS // 2 - 1
+    tx_start = (half // 10) * 10  # generator tx_size=10
+    assert table.fence() == ("binlog.000001", tx_start - 1)
 
     for n in names[2:]:
         shutil.move(os.path.join(staging, n), os.path.join(live, n))
     stream_replay(spark, engine, live, ckpt, available_now=True).awaitTermination(300)
+    engine.flush_tx_carry()
 
     assert _state(table) == _oracle(gen, N_EVENTS)
     assert table.fence() == ("binlog.000001", N_EVENTS - 1)
@@ -84,12 +91,14 @@ def test_stream_redelivery_is_noop(spark, tmp_path):
     engine = CdcEngine(spark, table)
     q = stream_replay(spark, engine, batch_dir, str(tmp_path / "ckpt1"), available_now=True)
     q.awaitTermination(300)
+    engine.flush_tx_carry()
     v1 = table.manifest()["version"]
     state1 = _state(table)
 
     # fresh checkpoint = full redelivery; fence must reject every batch
     q2 = stream_replay(spark, engine, batch_dir, str(tmp_path / "ckpt2"), available_now=True)
     q2.awaitTermination(300)
+    engine.flush_tx_carry()
     assert table.manifest()["version"] == v1
     assert _state(table) == state1
 
