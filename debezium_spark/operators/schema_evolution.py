@@ -42,12 +42,13 @@ DDL_OP = "l"
 #            ("create_table", db|None, table, [(col, spark_type), ...], [pk, ...])
 #            ("drop_table", db|None, table)
 #            ("truncate_table", db|None, table)
+#            ("rename_table", db|None, old, db|None, new)
 DdlOp = tuple
 
 #: ops that mutate the CATALOG (table set), not one table's columns —
 #: consumed by MultiTableEngine; the single-table engine treats them as
 #: history-only (except truncate_table, routed to the truncate barrier)
-TABLE_LEVEL_OPS = ("create_table", "drop_table", "truncate_table")
+TABLE_LEVEL_OPS = ("create_table", "drop_table", "truncate_table", "rename_table")
 
 _SQL_TO_SPARK = {
     "tinyint": "int", "smallint": "int", "int": "int", "integer": "int",
@@ -290,7 +291,8 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
     COLLATE, …) are ignored — they don't change the lake schema.
 
     Table-level statements parse to catalog ops: CREATE TABLE (column list
-    + PRIMARY KEY), DROP TABLE [IF EXISTS] (multi-name), TRUNCATE [TABLE].
+    + PRIMARY KEY), DROP TABLE [IF EXISTS] (multi-name), TRUNCATE [TABLE],
+    RENAME TABLE a TO b[, ...] and ALTER TABLE t RENAME TO/AS t2.
     Multi-statement ``;``-separated scripts are split (quote-aware) and
     parsed per statement; unrelated statements parse to no ops (history-
     only entries)."""
@@ -324,12 +326,25 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
     if m:
         db, tbl = _qualified(m.group(1), m.group(2))
         return [("truncate_table", db, tbl)]
+    # RENAME TABLE a TO b[, c TO d] (MySQL multi-rename statement)
+    m = re.match(r"(?is)^RENAME\s+TABLE\s+(.+)$", s)
+    if m:
+        ops = []
+        for pair in _split_clauses(m.group(1)):
+            m2 = re.match(rf"(?is)^{_QTBL}\s+TO\s+{_QTBL}\s*$", pair.strip())
+            if m2:
+                odb, otbl = _qualified(m2.group(1), m2.group(2))
+                ndb, ntbl = _qualified(m2.group(3), m2.group(4))
+                ops.append(("rename_table", odb, otbl, ndb, ntbl))
+        return ops
 
-    m = re.match(r"(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?[\w.`\"\[\]]+\s+(.*)$", s)
+    m = re.match(rf"(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?{_QTBL}\s+(.*)$", s)
     if not m:
         return []
+    hdr_db, hdr_tbl = _qualified(m.group(1), m.group(2))
+    body = m.group(3)
     ops: list[DdlOp] = []
-    for clause in _split_clauses(m.group(1)):
+    for clause in _split_clauses(body):
         c = clause.strip()
         kw = r"(?!(?:CONSTRAINT|INDEX|KEY|PRIMARY|UNIQUE|FOREIGN|FULLTEXT|SPATIAL|PARTITION|CHECK)\b)"
         m2 = re.match(rf"(?is)^ADD\s+(?:COLUMN\s+)?{kw}{_IDENT}\s+{_TYPE}", c)
@@ -346,6 +361,11 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
         m2 = re.match(rf"(?is)^DROP\s+(?:COLUMN\s+)?{_IDENT}(?:\s+(?:RESTRICT|CASCADE))?\s*$", c)
         if m2:
             ops.append(("drop", m2.group(1)))
+            continue
+        m2 = re.match(rf"(?is)^RENAME\s+(?:TO|AS)\s+{_QTBL}\s*$", c)
+        if m2:  # ALTER TABLE old RENAME TO new — a catalog mutation
+            ndb, ntbl = _qualified(m2.group(1), m2.group(2))
+            ops.append(("rename_table", hdr_db, hdr_tbl, ndb, ntbl))
             continue
         m2 = re.match(rf"(?is)^RENAME\s+(?:COLUMN\s+)?{_IDENT}\s+TO\s+{_IDENT}\s*$", c)
         if m2:

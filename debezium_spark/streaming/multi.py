@@ -226,7 +226,26 @@ class MultiTableEngine:
                     ops.append(("create", op[1] or r["db"], op[2], op[3], op[4]))
                 elif op[0] == "drop_table":
                     ops.append(("drop", op[1] or r["db"], op[2]))
+                elif op[0] == "rename_table":
+                    ops.append(("rename", op[1] or r["db"], op[2],
+                                op[3] or op[1] or r["db"], op[4]))
         return ops
+
+    def _rename_table(self, old_key: tuple[str, str], new_key: tuple[str, str]) -> None:
+        """RENAME TABLE catalog mutation (reference Tables.renameTable):
+        the capture re-keys to the new identity — subsequent events under
+        the new name route to the SAME LakeTable/engine (same data, fence,
+        lineage). The lake directory stays at its original path: manifests
+        reference absolute bucket paths, and the physical location is an
+        internal detail (exactly like Iceberg's catalog-name-vs-UUID-dir
+        separation). The old name is unregistered."""
+        spec = self.specs.pop(old_key)
+        eng = self.engines.pop(old_key)
+        self.specs[new_key] = TableSpec(
+            new_key[0], new_key[1], spec.payload_schema, spec.key_cols,
+            n_buckets=spec.n_buckets, mode=spec.mode, smt_chain=spec.smt_chain,
+        )
+        self.engines[new_key] = eng
 
     def _retire(self, key: tuple[str, str], archive: bool = False) -> None:
         """Stop capturing a table (DROP TABLE): remove its spec/engine and
@@ -357,6 +376,12 @@ class MultiTableEngine:
                     if op[0] == "drop":
                         if key in self.specs and key not in pending_drops:
                             pending_drops.append(key)
+                        continue
+                    if op[0] == "rename":
+                        new_key = (op[3], op[4])
+                        if key in self.specs and new_key not in self.specs:
+                            self._rename_table(key, new_key)
+                            new_keys.add(new_key)
                         continue
                     _, db, tbl, cols, pk = op
                     if key in pending_drops:

@@ -222,6 +222,42 @@ def test_recreate_after_drop_starts_fresh(spark, tmp_path):
     assert any(n.startswith("orders@dropped.") for n in os.listdir(base))
 
 
+def test_rename_table_moves_capture_and_data(spark, tmp_path):
+    """RENAME TABLE mid-stream (Tables.renameTable): the capture + lake
+    data move to the new identity; later events under the new name apply
+    to the same table, the old name drops like any unregistered table."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [users])
+
+    def row(pos, table, op, after):
+        return {
+            "before_json": None, "after_json": after, "op": op, "ts_ms": pos,
+            "source": {"file": "f", "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": table, "ts_ms": pos},
+            "transaction": None,
+        }
+
+    mte.apply_wire_batch(spark.createDataFrame(
+        [row(1, "users", "c", '{"uid": 1, "name": "ada"}')], WIRE_SCHEMA), "b0")
+    mte.apply_wire_batch(spark.createDataFrame([
+        row(2, "users", "l", json.dumps(
+            {"content": "ALTER TABLE app.users RENAME TO app.members"})),
+        row(3, "members", "u", '{"uid": 1, "name": "ada2"}'),
+        row(4, "members", "c", '{"uid": 2, "name": "bob"}'),
+    ], WIRE_SCHEMA), "b1")
+    assert ("app", "users") not in mte.specs and ("app", "members") in mte.specs
+    got = {r["uid"]: r["name"] for r in mte.table("app", "members").read().collect()}
+    assert got == {1: "ada2", 2: "bob"}
+    # old-name events now drop (unregistered)
+    mte.apply_wire_batch(spark.createDataFrame(
+        [row(5, "users", "c", '{"uid": 9, "name": "zed"}')], WIRE_SCHEMA), "b2")
+    assert mte.table("app", "members").read().count() == 2
+
+
 def test_unregistered_traffic_still_heartbeats_captured_tables(spark, tmp_path):
     """Review regression: restricting the global fence to registered tables
     starved idle captured fences when a batch carried only filtered-table

@@ -107,6 +107,15 @@ def test_parse_table_level_statements():
         " par VARCHAR(10) DEFAULT ')', PRIMARY KEY(id))"
     ) == [("create_table", None, "t",
            [("note", "string"), ("id", "int"), ("par", "string")], ["id"])]
+    # table RENAME (both MySQL forms)
+    assert parse_ddl_sql("ALTER TABLE app.orders RENAME TO app.orders_v2") == [
+        ("rename_table", "app", "orders", "app", "orders_v2")
+    ]
+    assert parse_ddl_sql("RENAME TABLE a.x TO a.y, b TO c") == [
+        ("rename_table", "a", "x", "a", "y"), ("rename_table", None, "b", None, "c")
+    ]
+    # RENAME COLUMN still parses as a column op, not a table op
+    assert parse_ddl_sql("ALTER TABLE t RENAME COLUMN a TO b") == [("rename", "a", "b")]
     # MySQL/PG type extras map (enum/set/year/blob variants/national/uuid)
     assert parse_ddl_sql(
         "CREATE TABLE t (s ENUM('a','b') NOT NULL, y YEAR, b MEDIUMBLOB,"
