@@ -1091,6 +1091,22 @@ FROM r WHERE rn = 1 AND op <> 'd'"""
 _TX_DDL = "struct<id:string,total_order:bigint,data_collection_order:bigint>"
 
 
+def q_csv_slice_roundtrip(spark, sf_dir):
+    """openGauss full-migration CSV-slice transport (§2.2; Envelope.java:
+    126-148 csv/msgType/index/totalSlice/sliceSize): export the documents
+    table as slice records (metadata + N hash-sliced CSV bodies + eof),
+    load them back through the typed from_csv path, and emit the row
+    content hash — roundtrip must be exact."""
+    from debezium_spark.sources.slices import export_csv_slices, load_csv_slices
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    back = load_csv_slices(export_csv_slices(docs, ["doc_id"], slice_size=100))
+    return back.select("doc_id", F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+SQL_csv_slice_roundtrip = """SELECT doc_id, sha256(text) AS text_sha FROM documents"""
+
+
 def q_multi_table_create_table(spark, sf_dir):
     """Mid-stream CREATE TABLE auto-registration (§2.8; catalog mutation
     per relational/Tables.java overwriteTable + the create-table listeners
@@ -2073,6 +2089,7 @@ assert len(_REGISTRY) == 50, f"driver registry must stay at 50, got {len(_REGIST
 #: (TPC-H, event aggs). Same (spark_fn, oracle_sql) contract; verified by
 #: tools/check_oracle.py --extras and tests/test_extra_oracle.py.
 _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
     "snapshot_read": (q_snapshot_read, SQL_snapshot_read),
     "transaction_stamp": (q_transaction_stamp, SQL_transaction_stamp),
     "ens_drop_deletes": (q_ens_drop_deletes, SQL_ens_drop_deletes),

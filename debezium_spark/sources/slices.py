@@ -1,0 +1,138 @@
+"""CSV-slice full-migration transport — the openGauss-fork envelope
+extension for moving whole tables.
+
+The fork extends the Debezium envelope with full-migration fields
+(``debezium-core/.../data/Envelope.java:126-148``: ``csv`` — the slice
+content/location, ``msgType`` — full data / metadata / eof, ``index`` —
+slice index, ``totalSlice``, ``sliceSize``, ``snapshot``) and its migration
+tool ships each source table as CSV slices over those messages. This module
+is the Spark-first analog:
+
+- ``export_csv_slices``: rows → slice records, each carrying its rows as
+  an ARRAY of CSV record strings plus the slice metadata, bracketed by a
+  ``metadata`` header record (schema DDL) and an ``eof`` trailer — the
+  fork's message framing. (The fork ships a csv FILE; carrying the records
+  as an array instead of one newline-joined block is the Spark-native
+  adaptation — values may legally contain quoted newlines, so a joined
+  block would need CSV-aware re-framing at load.)
+  100 TB shape: slice assignment is by **key hash**, not a sequential row
+  number (a global row_number would funnel the table through one task);
+  every slice is a deterministic key subset of ~``slice_size`` rows, the
+  per-slice CSV assembles with a partial-aggregable ``collect_list`` +
+  ``array_sort`` (deterministic bytes), and nothing visits the driver.
+- ``load_csv_slices``: slice records → typed rows via ``explode`` +
+  ``from_csv`` under the declared schema — all Catalyst, parallel per
+  slice, verified complete against the eof record (slice count + row
+  count) before any row loads.
+
+Round-trip is exact: load(export(df)) ≡ df (oracle-checked,
+``csv_slice_roundtrip``). The engine boots the loaded rows with the usual
+fence-pinned ``CdcEngine.bootstrap`` (tools/full_migration.py drives the
+whole snapshot→slices→load→stream path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+#: msgType values (Envelope.java:132 "full data, incremental data,
+#: metadata and eof")
+MSG_FULL = "full"
+MSG_METADATA = "metadata"
+MSG_EOF = "eof"
+
+_SLICE_COLS = ["msgType", "index", "totalSlice", "sliceSize", "csv", "schema_ddl"]
+
+
+def export_csv_slices(
+    df: DataFrame, key_cols: list[str], slice_size: int = 10_000
+) -> DataFrame:
+    """Table → CSV-slice records: one ``metadata`` record (schema DDL), N
+    ``full`` records (index, totalSlice, sliceSize, csv block), one ``eof``
+    record (totalSlice doubles as the row-count check on eof).
+
+    Slices are key-hash partitions (deterministic, parallel, skew-free) of
+    ~``slice_size`` rows; rows inside a slice sort lexicographically by
+    their CSV line so the emitted bytes are engine- and partitioning-
+    independent."""
+    n = df.count()
+    n_slices = max(1, (n + slice_size - 1) // slice_size)
+    schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    line = F.to_csv(F.struct(*[F.col(c) for c in df.columns]))
+    sliced = df.select(
+        F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_slices))
+        .cast("long").alias("index"),
+        line.alias("_line"),
+    )
+    body = (
+        sliced.groupBy("index")
+        .agg(F.array_sort(F.collect_list("_line")).alias("_lines"))
+        .select(
+            F.lit(MSG_FULL).alias("msgType"),
+            "index",
+            F.lit(n_slices).cast("long").alias("totalSlice"),
+            F.size(F.col("_lines")).cast("long").alias("sliceSize"),
+            F.col("_lines").alias("csv"),
+            F.lit(None).cast("string").alias("schema_ddl"),
+        )
+    )
+    spark = df.sparkSession
+    body = body.persist()
+    # eof carries the ACTUAL slice count (a hash bucket can come up empty,
+    # so the a-priori n_slices is an upper bound, not the check value)
+    k_actual = body.count()
+
+    def _marker(msg: str, total: int, ddl: str | None):
+        return spark.range(1).select(
+            F.lit(msg).alias("msgType"),
+            F.lit(-1).cast("long").alias("index"),
+            F.lit(total).cast("long").alias("totalSlice"),
+            F.lit(n).cast("long").alias("sliceSize"),
+            F.lit(None).cast("array<string>").alias("csv"),
+            F.lit(ddl).alias("schema_ddl"),
+        )
+
+    return (
+        _marker(MSG_METADATA, k_actual, schema_ddl)
+        .unionByName(body)
+        .unionByName(_marker(MSG_EOF, k_actual, None))
+    )
+
+
+def load_csv_slices(slices: DataFrame, schema: StructType | None = None) -> DataFrame:
+    """CSV-slice records → typed rows. ``schema`` defaults to the DDL the
+    ``metadata`` record carries. Raises if the slice set is incomplete
+    (missing eof, missing slices, or row count mismatch) — a half-shipped
+    table must fail loudly, not load partially."""
+    meta = slices.filter(F.col("msgType") == MSG_METADATA).select("schema_ddl").first()
+    eof = (
+        slices.filter(F.col("msgType") == MSG_EOF)
+        .select("totalSlice", "sliceSize")
+        .first()
+    )
+    if eof is None:
+        raise ValueError("slice set has no eof record — transfer incomplete")
+    if schema is None:
+        if meta is None or not meta["schema_ddl"]:
+            raise ValueError("no schema: metadata record missing and none passed")
+        schema = StructType.fromDDL(meta["schema_ddl"])
+    body = slices.filter(F.col("msgType") == MSG_FULL)
+    stats = body.select(
+        F.count("*").alias("k"), F.sum("sliceSize").alias("rows")
+    ).first()
+    if stats["k"] != eof["totalSlice"] or (stats["rows"] or 0) != eof["sliceSize"]:
+        raise ValueError(
+            f"incomplete slice set: have {stats['k']}/{eof['totalSlice']} slices, "
+            f"{stats['rows']} of {eof['sliceSize']} rows"
+        )
+    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return (
+        body.select(F.explode(F.col("csv")).alias("_line"))
+        .select(F.from_csv(F.col("_line"), ddl).alias("_r"))
+        .select("_r.*")
+    )
+
+
+__all__ = ["export_csv_slices", "load_csv_slices", "MSG_FULL", "MSG_METADATA", "MSG_EOF"]

@@ -1,0 +1,93 @@
+"""CSV-slice full-migration transport (sources/slices.py + the
+tools/full_migration.py driver): exact roundtrip, completeness guard,
+snapshot-then-stream handoff through slices."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from debezium_spark.sources.slices import (
+    MSG_EOF,
+    MSG_FULL,
+    MSG_METADATA,
+    export_csv_slices,
+    load_csv_slices,
+)
+
+
+def test_roundtrip_exact_with_hostile_values(spark):
+    """Values with commas, quotes, and newlines must survive byte-exact —
+    the reason slices carry an ARRAY of CSV records, not one joined blob."""
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit('a,"b"\nc '), F.col("id").cast("string")).alias("v"),
+        (F.col("id") * 1.5).alias("x"),
+    )
+    sl = export_csv_slices(df, ["k"], slice_size=50)
+    kinds = {r["msgType"]: r for r in sl.select("msgType").distinct().collect()}
+    assert set(kinds) == {MSG_METADATA, MSG_FULL, MSG_EOF}
+    back = load_csv_slices(sl)
+    assert back.schema.simpleString() == df.schema.simpleString()
+    assert df.exceptAll(back).count() == 0 and back.exceptAll(df).count() == 0
+    # bounded slices
+    sizes = [r["sliceSize"] for r in sl.filter(f"msgType = '{MSG_FULL}'").collect()]
+    assert sum(sizes) == 500 and max(sizes) < 500
+
+
+def test_incomplete_slice_set_fails_loudly(spark):
+    df = spark.range(100).select(F.col("id").alias("k"), F.lit("v").alias("v"))
+    sl = export_csv_slices(df, ["k"], slice_size=10).persist()
+    # drop one body slice
+    holed = sl.filter(~((F.col("msgType") == MSG_FULL) & (F.col("index") == 0)))
+    with pytest.raises(ValueError, match="incomplete"):
+        load_csv_slices(holed)
+    # drop the eof record
+    with pytest.raises(ValueError, match="eof"):
+        load_csv_slices(sl.filter(F.col("msgType") != MSG_EOF))
+    sl.unpersist()
+
+
+def test_full_migration_tool_handoff(spark, tmp_path):
+    """tools/full_migration.py: export -> load (fence-pinned bootstrap) ->
+    stream from the fence; final state matches engine-only replay."""
+    from types import SimpleNamespace
+
+    import tools.full_migration as fm
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=11, n_repos=5)
+    # "source database" = materialized snapshot rows; binlog continues after
+    snap = gen.snapshot(200)
+    src = str(tmp_path / "src")
+    snap.select("after.*").write.parquet(src)
+    bdir = str(tmp_path / "binlog")
+    gen.write_batches(bdir, 600, 2)
+
+    fm.cmd_export(SimpleNamespace(source=src, key="repo,path",
+                                  slices=str(tmp_path / "slices"), slice_size=50))
+    fm.cmd_load(SimpleNamespace(slices=str(tmp_path / "slices"),
+                                table=str(tmp_path / "t"), key="repo,path",
+                                buckets=4, binlog=bdir,
+                                fence_file="binlog.000001", fence_pos=-1))
+
+    migrated = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    assert migrated.fence()[1] == 599
+
+    # reference: plain bootstrap + replay through the engine
+    ref = LakeTable(spark, str(tmp_path / "ref"), ["repo", "path"], n_buckets=4)
+    e = CdcEngine(spark, ref)
+    e.bootstrap(snap, fence=("binlog.000001", -1))
+    e.replay(bdir)
+    a = {(r["repo"], r["path"], r["content"]) for r in migrated.read().collect()}
+    b = {(r["repo"], r["path"], r["content"]) for r in ref.read().collect()}
+    assert a == b and len(a) > 0
+
+
+def test_full_migration_uses_existing_spark(spark, monkeypatch, tmp_path):
+    """cmd_* reuse the active session (getOrCreate) — no second JVM."""
+    import tools.full_migration as fm
+
+    assert fm.make_spark("x") is spark

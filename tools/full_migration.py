@@ -1,0 +1,122 @@
+"""Full-migration tool — the openGauss fork's whole-table migration path
+(snapshot → CSV slices → load → stream handoff), Spark-first.
+
+The fork's migration tool exports each source table as CSV slices carried
+in envelope messages (Envelope.java:126-148 csv/msgType/index/totalSlice/
+sliceSize) and loads them on the sink before switching to incremental
+capture. This tool drives the same three phases with the engine:
+
+    1. export : source rows -> slice records (sources/slices.py), written
+                as parquet under --slices (the transfer medium)
+    2. load   : slice records -> typed rows -> fence-pinned bootstrap
+                (CdcEngine.bootstrap, op='r' semantics) — verified complete
+                against the eof record before any row lands
+    3. stream : replay the binlog directory from the pinned fence
+                (snapshot-then-stream handoff)
+
+Run via spark-submit --py-files (same contract as run_replay_job.py):
+
+    spark-submit tools/full_migration.py export --source <parquet> \
+        --key repo,path --slices /x/slices [--slice-size 10000]
+    spark-submit tools/full_migration.py load --slices /x/slices \
+        --table /lake/t --key repo,path [--binlog /x/binlog]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_spark(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def cmd_export(args) -> None:
+    from debezium_spark.sources.slices import export_csv_slices
+
+    spark = make_spark("full-migration-export")
+    df = spark.read.parquet(args.source)
+    slices = export_csv_slices(df, args.key.split(","), slice_size=args.slice_size)
+    slices.write.mode("overwrite").parquet(args.slices)
+    n = spark.read.parquet(args.slices).filter("msgType = 'full'").count()
+    print(f"exported {n} slices to {args.slices}")
+
+
+def cmd_load(args) -> None:
+    from pyspark.sql import functions as F
+
+    from debezium_spark.plans.table import LakeTable
+    from debezium_spark.sources.slices import load_csv_slices
+    from debezium_spark.streaming.engine import CdcEngine
+
+    spark = make_spark("full-migration-load")
+    rows = load_csv_slices(spark.read.parquet(args.slices))
+    key_cols = args.key.split(",")
+    table = LakeTable(spark, args.table, key_cols, n_buckets=args.buckets)
+    if not table.exists():
+        table.create(rows.schema)
+    engine = CdcEngine(spark, table)
+    # snapshot rows -> op='r' envelope pinned at the handoff fence
+    pay_t = rows.schema
+    env = rows.select(
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in pay_t.fields) + ">"
+        ).alias("before"),
+        F.struct(*[F.col(c) for c in rows.columns]).alias("after"),
+        F.lit("r").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(
+            F.lit(args.fence_file).alias("file"),
+            F.lit(args.fence_pos).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit("true").alias("snapshot"),
+            F.lit(None).cast("string").alias("db"),
+            F.lit(None).cast("string").alias("table"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast(
+            "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+        ).alias("transaction"),
+    )
+    engine.bootstrap(env, fence=(args.fence_file, args.fence_pos))
+    print(f"loaded {table.read().count()} rows, fence={table.fence()}")
+    if args.binlog:
+        versions = engine.replay(args.binlog)
+        print(f"streamed {len(versions)} batches, fence={table.fence()}")
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pe = sub.add_parser("export")
+    pe.add_argument("--source", required=True)
+    pe.add_argument("--key", required=True)
+    pe.add_argument("--slices", required=True)
+    pe.add_argument("--slice-size", type=int, default=10_000)
+    pl = sub.add_parser("load")
+    pl.add_argument("--slices", required=True)
+    pl.add_argument("--table", required=True)
+    pl.add_argument("--key", required=True)
+    pl.add_argument("--buckets", type=int, default=32)
+    pl.add_argument("--binlog", default=None)
+    pl.add_argument("--fence-file", default="binlog.000001")
+    pl.add_argument("--fence-pos", type=int, default=-1)
+    args = p.parse_args()
+    if args.cmd == "export":
+        cmd_export(args)
+    else:
+        cmd_load(args)
+
+
+if __name__ == "__main__":
+    main()
