@@ -23,17 +23,24 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-KNOWN_OPS = ["r", "c", "u", "d", "t", "l"]
+#: every reference op code (Envelope.java:34-98 incl. the fork additions:
+#: 'tc' truncate-cascade, 'p' CSV-slice pointer, 'm' message, 'i' index,
+#: 'ts' table-snapshot)
+KNOWN_OPS = ["r", "c", "u", "d", "t", "l", "tc", "p", "m", "i", "ts"]
+
+#: ops that legitimately carry no payload: barriers + control rows
+_PAYLOAD_FREE = ["t", "l", "tc", "p", "m", "i", "ts"]
 
 
 def validity_reason(op, pos, after, before, key_null) -> "F.Column":
     """THE validity rule set, shared by every probe site (the quarantine
     split and the multi-table fused pre-pass — one definition, no drift).
     Null when the row is valid, else the first failed check's name.
-    Barrier rows (op 't'/'l') carry no payload key and are exempt.
+    Barrier/control rows (truncate, DDL, message, index, slice pointer,
+    table-snapshot) carry no payload key and are exempt.
     ``key_null`` is caller-built (key columns live in typed structs here,
     in parsed wire JSON in the multi-table path)."""
-    data_op = ~op.isin(["t", "l"])
+    data_op = ~op.isin(_PAYLOAD_FREE)
     return (
         F.when(~op.isin(KNOWN_OPS), F.lit("unknown_op"))
         .when(pos.isNull(), F.lit("null_offset"))

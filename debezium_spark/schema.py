@@ -27,6 +27,16 @@ OP_UPDATE = "u"
 OP_DELETE = "d"
 OP_TRUNCATE = "t"
 OP_DDL = "l"  # openGauss-fork addition (Envelope.java:76, 'l' DDL)
+# remaining fork additions (Envelope.java:34-98)
+OP_TRUNCATE_CASCADE = "tc"  # truncate + cascade: same barrier as 't'
+OP_PATH = "p"               # CSV-slice pointer (full migration transport)
+OP_MESSAGE = "m"            # logical-decoding message (payload-free)
+OP_CREATE_INDEX = "i"       # index DDL: no lake-schema effect
+OP_TABLE_SNAPSHOT = "ts"    # table-snapshot marker
+
+#: payload-free control rows: consume their offsets (fence advances past
+#: them) but carry no row data — excluded from the merge, never quarantined
+CONTROL_OPS = [OP_PATH, OP_MESSAGE, OP_CREATE_INDEX, OP_TABLE_SNAPSHOT]
 
 # The north-star payload: a row of the source-code-repository table
 # (BASELINE.json input_hint). Primary key = (repo, path).

@@ -28,9 +28,12 @@ from pyspark.sql import functions as F
 from debezium_spark.operators.apply import compute_changes, split_pk_changes
 from debezium_spark.operators.quarantine import _reason_col, split_valid, write_quarantine
 from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl, parse_ddl
+from debezium_spark.schema import CONTROL_OPS
 from debezium_spark.schema import OP_TRUNCATE as TRUNCATE_OP
+from debezium_spark.schema import OP_TRUNCATE_CASCADE as TRUNCATE_CASCADE_OP
 
-BARRIER_OPS = [DDL_OP, TRUNCATE_OP]
+#: batch-splitting barrier rows: DDL + truncate (+ the fork's cascade form)
+BARRIER_OPS = [DDL_OP, TRUNCATE_OP, TRUNCATE_CASCADE_OP]
 from debezium_spark.plans.merge import merge_changes
 from debezium_spark.plans.table import LakeTable
 from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA
@@ -315,6 +318,11 @@ class CdcEngine:
         else:
             ddls = []
             dml = env
+        # payload-free control rows ('m' message, 'i' index, 'ts' snapshot
+        # marker, 'p' slice pointer): their offsets are consumed (the fence
+        # already covers them) but they carry no row data — drop them from
+        # the merge instead of letting null payloads reach the dedupe
+        dml = dml.filter(~F.col("op").isin(CONTROL_OPS))
         if "_ddl_text" in dml.columns:
             dml = dml.drop("_ddl_text")
 
@@ -337,7 +345,7 @@ class CdcEngine:
             if d is not None:
                 cur = self.table.fence()
                 if cur is None or d["pos"] > cur[1]:
-                    if d["op"] == TRUNCATE_OP:
+                    if d["op"] in (TRUNCATE_OP, TRUNCATE_CASCADE_OP):
                         version = self.table.truncate(
                             (d["file"], d["pos"]), batch_id=f"{batch_id}/t{i}"
                         )

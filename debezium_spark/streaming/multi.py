@@ -316,7 +316,7 @@ class MultiTableEngine:
         ).agg(
             F.max("source.pos").alias("p"),
             F.max("source.file").alias("f"),
-            F.max(F.col("op").isin(["l", "t"]).cast("int")).alias("nd"),
+            F.max(F.col("op").isin(["l", "t", "tc"]).cast("int")).alias("nd"),
             F.max(bad.cast("int")).alias("nb"),
         )
 

@@ -112,6 +112,51 @@ def test_truncate_table_sql_text_routes_to_truncate_barrier(spark, tmp_path):
     assert table.fence() == ("binlog.000001", 500)
 
 
+def test_fork_op_codes_control_rows_and_cascade(spark, tmp_path):
+    """Fork op codes (Envelope.java:34-98): 'm' MESSAGE / 'i' CREATE_INDEX /
+    'ts' TABLE_SNAPSHOT / 'p' PATH are payload-free control rows — they
+    consume offsets (fence advances) but never merge and never quarantine;
+    'tc' TRUNCATE_CASCADE is the same barrier as 't'."""
+    gen = ChangeLogGenerator(spark, seed=24, n_repos=5)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    env = gen.events(300)
+    pay_t = env.schema["after"].dataType
+    tx_t = env.schema["transaction"].dataType
+
+    def ctrl(pos, op):
+        return spark.range(1).select(
+            F.lit(None).cast(pay_t).alias("before"),
+            F.lit(None).cast(pay_t).alias("after"),
+            F.lit(op).alias("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.struct(
+                F.lit("binlog.000001").alias("file"),
+                F.lit(pos).cast("long").alias("pos"),
+                F.lit(None).cast("string").alias("gtid"),
+                F.lit(None).cast("string").alias("snapshot"),
+                F.lit("inventory").alias("db"),
+                F.lit("repo_files").alias("table"),
+                F.lit(0).cast("long").alias("ts_ms"),
+            ).alias("source"),
+            F.lit(None).cast(tx_t).alias("transaction"),
+        )
+
+    batch = env
+    for pos, op in [(300, "m"), (301, "i"), (302, "ts"), (303, "p")]:
+        batch = batch.unionByName(ctrl(pos, op))
+    engine.apply_envelope_batch(batch, batch_id="b0")
+    n = table.read().count()
+    assert n > 0
+    assert table.fence() == ("binlog.000001", 303)  # control offsets consumed
+    assert engine.read_quarantine().count() == 0    # never quarantined
+
+    # 'tc' truncates like 't'
+    engine.apply_envelope_batch(ctrl(304, "tc"), batch_id="b1")
+    assert table.read().count() == 0
+    assert table.fence() == ("binlog.000001", 304)
+
+
 def test_truncate_sql_for_other_table_is_history_only(spark, tmp_path):
     """Review regression: a TRUNCATE statement naming a DIFFERENT table
     (e.g. inside a multi-statement script) truncated THIS capture; the
