@@ -52,8 +52,9 @@ def test_small_dim_joins_broadcast(spark):
 
 def test_no_row_python_udfs_in_registry(spark):
     """North rule: vectorized pandas/Arrow UDFs only, no per-row Python.
-    BatchEvalPython = row-at-a-time Python UDF — must appear nowhere."""
-    for name, fn in entry.queries().items():
+    BatchEvalPython = row-at-a-time Python UDF — must appear nowhere.
+    Covers BOTH registries (driver-checked + extras)."""
+    for name, fn in {**entry.queries(), **entry.extra_queries()}.items():
         if name == "cdc_merge_final_state":
             continue  # runs a full engine replay; covered by the engine test below
         plan = plan_of(fn(spark, SF))
