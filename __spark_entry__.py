@@ -1091,6 +1091,31 @@ FROM r WHERE rn = 1 AND op <> 'd'"""
 _TX_DDL = "struct<id:string,total_order:bigint,data_collection_order:bigint>"
 
 
+def q_avro_envelope_roundtrip(spark, sf_dir):
+    """Avro binary converter (§2.6; the reference's default wire format,
+    README.md:393): envelope → Confluent-framed Avro datum (from-scratch
+    spec implementation, functions/avro.py) → envelope; emitted fields
+    hash-match the plain derivation."""
+    from debezium_spark.functions.avro import avro_to_envelope, envelope_to_avro
+
+    env = _env_struct(spark, sf_dir)
+    payload = env.schema["after"].dataType
+    back = avro_to_envelope(envelope_to_avro(env), payload)
+    return back.select(
+        F.col("source.pos").alias("pos"),
+        "op",
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+        F.sha2(F.coalesce(F.col("after.content"), F.lit("")), 256).alias("content_sha"),
+    )
+
+
+SQL_avro_envelope_roundtrip = f"""WITH {ENV_SQL}
+SELECT pos, op, repo, path,
+       sha256(CASE WHEN op = 'd' THEN '' ELSE content END) AS content_sha
+FROM env"""
+
+
 def q_csv_slice_roundtrip(spark, sf_dir):
     """openGauss full-migration CSV-slice transport (§2.2; Envelope.java:
     126-148 csv/msgType/index/totalSlice/sliceSize): export the documents
@@ -2090,6 +2115,7 @@ assert len(_REGISTRY) == 50, f"driver registry must stay at 50, got {len(_REGIST
 #: tools/check_oracle.py --extras and tests/test_extra_oracle.py.
 _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
+    "avro_envelope_roundtrip": (q_avro_envelope_roundtrip, SQL_avro_envelope_roundtrip),
     "snapshot_read": (q_snapshot_read, SQL_snapshot_read),
     "transaction_stamp": (q_transaction_stamp, SQL_transaction_stamp),
     "ens_drop_deletes": (q_ens_drop_deletes, SQL_ens_drop_deletes),

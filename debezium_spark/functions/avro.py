@@ -1,0 +1,278 @@
+"""Avro binary converter — Debezium's default wire format, from scratch.
+
+The reference ships envelopes through Kafka Connect converters; the fork's
+README documents Avro as the default (``README.md:393``). No Avro library
+exists in this environment, so this module implements the **Avro binary
+datum encoding** directly from the public Avro 1.11 specification
+(https://avro.apache.org/docs/1.11.1/specification/ — "Binary encoding"):
+
+- int/long: zigzag + variable-length base-128 varint
+- string/bytes: long length prefix + raw bytes
+- float/double: 4/8-byte little-endian IEEE
+- boolean: one byte; null: zero bytes
+- union ``["null", T]``: long branch index (0=null, 1=value) then the value
+- record: fields concatenated in schema order
+
+Framing follows the Confluent wire format the reference's converter emits
+(magic byte ``0x00`` + 4-byte big-endian schema id + datum); the schema id
+here is a deterministic hash of the generated Avro schema JSON, and
+``avro_schema_json`` emits that writer schema so any standard Avro reader
+can decode the frames.
+
+Spark shape: the codec runs as an **Arrow-batched ``mapInPandas``** (the
+same vectorized-codec exception as ``sources/wire.py`` — SURVEY §2.1); the
+per-type encoder chain is built ONCE on the driver from the DataFrame's
+StructType and closed over, so the hot loop does no type dispatch.
+Round-trip is exact (``avro_envelope_roundtrip`` in the extras registry,
+plus ``tests/test_avro.py`` which checks emitted bytes against hand-encoded
+spec vectors).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    DataType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructType,
+)
+
+MAGIC = b"\x00"  # Confluent wire-format magic byte
+
+
+# ---- primitive codecs (Avro spec, binary encoding) -------------------------
+
+
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: bytes, off: int) -> tuple[int, int]:
+    shift = 0
+    acc = 0
+    while True:
+        b = buf[off]
+        off += 1
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), off
+
+
+# ---- schema-driven codec builders ------------------------------------------
+
+
+def _enc_for(dt: DataType):
+    """Encoder closure for one (non-null) Spark type → bytes appender."""
+    if isinstance(dt, (LongType, IntegerType)):
+        return lambda v, out: out.extend(_zigzag_encode(int(v)))
+    if isinstance(dt, StringType):
+        def enc_str(v, out):
+            b = str(v).encode("utf-8")
+            out.extend(_zigzag_encode(len(b)))
+            out.extend(b)
+        return enc_str
+    if isinstance(dt, BinaryType):
+        def enc_bytes(v, out):
+            b = bytes(v)
+            out.extend(_zigzag_encode(len(b)))
+            out.extend(b)
+        return enc_bytes
+    if isinstance(dt, DoubleType):
+        return lambda v, out: out.extend(struct.pack("<d", float(v)))
+    if isinstance(dt, FloatType):
+        return lambda v, out: out.extend(struct.pack("<f", float(v)))
+    if isinstance(dt, BooleanType):
+        return lambda v, out: out.append(1 if v else 0)
+    if isinstance(dt, StructType):
+        fields = [(f.name, _enc_for(f.dataType)) for f in dt.fields]
+
+        def enc_rec(v, out):
+            # v: dict-like (row asDict) — every field optional (union null)
+            for name, fe in fields:
+                fv = v.get(name) if isinstance(v, dict) else v[name]
+                if fv is None:
+                    out.extend(_zigzag_encode(0))
+                else:
+                    out.extend(_zigzag_encode(1))
+                    fe(fv, out)
+        return enc_rec
+    raise ValueError(f"avro converter: unsupported Spark type {dt.simpleString()}")
+
+
+def _dec_for(dt: DataType):
+    """Decoder closure: (buf, off) -> (value, off)."""
+    if isinstance(dt, (LongType, IntegerType)):
+        return _zigzag_decode
+    if isinstance(dt, StringType):
+        def dec_str(buf, off):
+            n, off = _zigzag_decode(buf, off)
+            return buf[off:off + n].decode("utf-8"), off + n
+        return dec_str
+    if isinstance(dt, BinaryType):
+        def dec_bytes(buf, off):
+            n, off = _zigzag_decode(buf, off)
+            return bytes(buf[off:off + n]), off + n
+        return dec_bytes
+    if isinstance(dt, DoubleType):
+        return lambda buf, off: (struct.unpack_from("<d", buf, off)[0], off + 8)
+    if isinstance(dt, FloatType):
+        return lambda buf, off: (struct.unpack_from("<f", buf, off)[0], off + 4)
+    if isinstance(dt, BooleanType):
+        return lambda buf, off: (bool(buf[off]), off + 1)
+    if isinstance(dt, StructType):
+        fields = [(f.name, _dec_for(f.dataType)) for f in dt.fields]
+
+        def dec_rec(buf, off):
+            out = {}
+            for name, fd in fields:
+                branch, off = _zigzag_decode(buf, off)
+                if branch == 0:
+                    out[name] = None
+                else:
+                    out[name], off = fd(buf, off)
+            return out, off
+        return dec_rec
+    raise ValueError(f"avro converter: unsupported Spark type {dt.simpleString()}")
+
+
+# ---- Avro schema JSON (writer schema for external readers) -----------------
+
+_AVRO_PRIM = {
+    "bigint": "long", "int": "int", "string": "string", "binary": "bytes",
+    "double": "double", "float": "float", "boolean": "boolean",
+}
+
+
+def avro_schema_json(schema: StructType, name: str = "Envelope") -> str:
+    """The writer schema for the frames this module emits: a record of
+    nullable-union fields, nested records for struct fields."""
+    def field_type(dt: DataType, path: str):
+        if isinstance(dt, StructType):
+            return {
+                "type": "record",
+                "name": path,
+                "fields": [
+                    {"name": f.name,
+                     "type": ["null", field_type(f.dataType, f"{path}_{f.name}")]}
+                    for f in dt.fields
+                ],
+            }
+        t = _AVRO_PRIM.get(dt.simpleString())
+        if t is None:
+            raise ValueError(f"avro converter: unsupported type {dt.simpleString()}")
+        return t
+
+    return json.dumps(field_type(schema, name), sort_keys=True)
+
+
+def schema_id(schema: StructType) -> int:
+    """Deterministic 4-byte id for the Confluent-style frame header (a real
+    deployment swaps in the registry-assigned id)."""
+    return int.from_bytes(
+        hashlib.sha256(avro_schema_json(schema).encode()).digest()[:4], "big"
+    )
+
+
+# ---- DataFrame-level converter ---------------------------------------------
+
+
+def to_avro(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Rows → one Avro binary frame per row (column ``avro``): magic byte +
+    schema id + datum. All input columns become nullable-union fields of
+    the record, struct columns nest."""
+    cols = cols or df.columns
+    sub = df.select(*cols)
+    rec_schema = StructType([f for f in sub.schema.fields])
+    enc = _enc_for(rec_schema)
+    header = MAGIC + schema_id(rec_schema).to_bytes(4, "big")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # nullable numeric columns surface their nulls as pandas NaN —
+            # normalize to None so they take the union's null branch
+            pdf = pdf.astype(object).where(pdf.notna(), None)
+            frames = []
+            for row in pdf.to_dict("records"):
+                out = bytearray(header)
+                enc(row, out)
+                frames.append(bytes(out))
+            yield pd.DataFrame({"avro": frames})
+
+    # struct columns arrive in pandas as dicts already (Arrow conversion)
+    return sub.mapInPandas(encode, schema="avro binary")
+
+
+def from_avro(frames: DataFrame, schema: StructType, col: str = "avro") -> DataFrame:
+    """Avro frames → typed rows under ``schema`` (the writer schema used by
+    ``to_avro``). Verifies the frame header (magic + schema id)."""
+    dec = _dec_for(schema)
+    want_id = schema_id(schema)
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for buf in pdf[col]:
+                buf = bytes(buf)
+                if buf[:1] != MAGIC:
+                    raise ValueError("bad avro frame: missing magic byte")
+                sid = int.from_bytes(buf[1:5], "big")
+                if sid != want_id:
+                    raise ValueError(
+                        f"avro schema id mismatch: frame {sid}, reader {want_id}"
+                    )
+                rec, _ = dec(buf, 5)
+                rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return frames.mapInPandas(decode, schema=ddl)
+
+
+def envelope_to_avro(env: DataFrame) -> DataFrame:
+    """Typed CDC envelope → Avro frames (the converter the reference wires
+    as its default value.converter). Nested before/after/source/transaction
+    records ride as nullable unions."""
+    return to_avro(env, ["before", "after", "op", "ts_ms", "source", "transaction"])
+
+
+def avro_to_envelope(frames: DataFrame, payload: StructType) -> DataFrame:
+    """Avro frames → typed envelope under one table's payload schema."""
+    from debezium_spark.schema import envelope_schema
+
+    env_schema = envelope_schema(payload)
+    out = from_avro(frames, StructType(env_schema.fields))
+    return out.select("before", "after", "op", "ts_ms", "source", "transaction")
+
+
+__all__ = [
+    "avro_schema_json",
+    "avro_to_envelope",
+    "envelope_to_avro",
+    "from_avro",
+    "schema_id",
+    "to_avro",
+]
