@@ -35,8 +35,10 @@ OP_CREATE_INDEX = "i"       # index DDL: no lake-schema effect
 OP_TABLE_SNAPSHOT = "ts"    # table-snapshot marker
 
 #: payload-free control rows: consume their offsets (fence advances past
-#: them) but carry no row data — excluded from the merge, never quarantined
-CONTROL_OPS = [OP_PATH, OP_MESSAGE, OP_CREATE_INDEX, OP_TABLE_SNAPSHOT]
+#: them) but carry no row data — excluded from the merge, never quarantined.
+#: OP_PATH is NOT here: it is a barrier (its slice set loads at its stream
+#: position — streaming/engine.BARRIER_OPS).
+CONTROL_OPS = [OP_MESSAGE, OP_CREATE_INDEX, OP_TABLE_SNAPSHOT]
 
 # The north-star payload: a row of the source-code-repository table
 # (BASELINE.json input_hint). Primary key = (repo, path).

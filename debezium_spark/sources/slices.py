@@ -135,4 +135,40 @@ def load_csv_slices(slices: DataFrame, schema: StructType | None = None) -> Data
     )
 
 
-__all__ = ["export_csv_slices", "load_csv_slices", "MSG_FULL", "MSG_METADATA", "MSG_EOF"]
+def snapshot_envelope(rows: DataFrame, file: str, pos: int) -> DataFrame:
+    """Plain rows → op='r' snapshot envelope pinned at (file, pos) — the
+    shape ``CdcEngine.bootstrap`` and the PATH-record load consume
+    (``RelationalChangeRecordEmitter.java:89-101`` emits snapshot data as
+    READ events; the fork's PATH records point at slice files carrying the
+    same rows)."""
+    pay_ddl = "struct<" + ",".join(
+        f"`{f.name}`:{f.dataType.simpleString()}" for f in rows.schema.fields
+    ) + ">"
+    return rows.select(
+        F.lit(None).cast(pay_ddl).alias("before"),
+        F.struct(*[F.col(c) for c in rows.columns]).alias("after"),
+        F.lit("r").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(
+            F.lit(file).alias("file"),
+            F.lit(pos).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit("true").alias("snapshot"),
+            F.lit(None).cast("string").alias("db"),
+            F.lit(None).cast("string").alias("table"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast(
+            "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+        ).alias("transaction"),
+    )
+
+
+__all__ = [
+    "export_csv_slices",
+    "load_csv_slices",
+    "snapshot_envelope",
+    "MSG_FULL",
+    "MSG_METADATA",
+    "MSG_EOF",
+]

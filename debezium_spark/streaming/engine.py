@@ -29,11 +29,14 @@ from debezium_spark.operators.apply import compute_changes, split_pk_changes
 from debezium_spark.operators.quarantine import _reason_col, split_valid, write_quarantine
 from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl, parse_ddl
 from debezium_spark.schema import CONTROL_OPS
+from debezium_spark.schema import OP_PATH as PATH_OP
 from debezium_spark.schema import OP_TRUNCATE as TRUNCATE_OP
 from debezium_spark.schema import OP_TRUNCATE_CASCADE as TRUNCATE_CASCADE_OP
 
 #: batch-splitting barrier rows: DDL + truncate (+ the fork's cascade form)
-BARRIER_OPS = [DDL_OP, TRUNCATE_OP, TRUNCATE_CASCADE_OP]
+#: + PATH slice pointers (a snapshot slice loads AT its stream position —
+#: events after it overwrite, events before merged under pre-slice state)
+BARRIER_OPS = [DDL_OP, TRUNCATE_OP, TRUNCATE_CASCADE_OP, PATH_OP]
 from debezium_spark.plans.merge import merge_changes
 from debezium_spark.plans.table import LakeTable
 from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA
@@ -349,6 +352,28 @@ class CdcEngine:
                         version = self.table.truncate(
                             (d["file"], d["pos"]), batch_id=f"{batch_id}/t{i}"
                         )
+                    elif d["op"] == PATH_OP:
+                        # fork PATH record: content = location of a slice
+                        # set exported by the full-migration tool; load it
+                        # as op='r' snapshot rows pinned AT this position
+                        # (RelationalChangeRecordEmitter.java:89-101 PATH
+                        # emit; OpengaussSnapshotChangeEventSource slice
+                        # export). Missing content = plain control row.
+                        if d["content"]:
+                            from debezium_spark.sources.slices import (
+                                load_csv_slices,
+                                snapshot_envelope,
+                            )
+
+                            rows = load_csv_slices(
+                                self.spark.read.parquet(d["content"])
+                            )
+                            version = self._merge_segment(
+                                snapshot_envelope(rows, d["file"], d["pos"]),
+                                f"{batch_id}/p{i}",
+                                (d["file"], d["pos"]),
+                                fence_check,
+                            ) or version
                     else:
                         # TRUNCATE TABLE arriving as SQL *text* (op='l')
                         # routes to the same truncate barrier as op='t' —

@@ -81,7 +81,8 @@ def wire_to_envelope(wire: DataFrame, payload: StructType) -> DataFrame:
         "source",
         "transaction",
         F.when(
-            F.col("op") == "l", F.get_json_object(F.col("after_json"), "$.content")
+            F.col("op").isin("l", "p"),
+            F.get_json_object(F.col("after_json"), "$.content"),
         ).alias("_ddl_text"),
     )
 

@@ -86,6 +86,63 @@ def test_full_migration_tool_handoff(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_path_record_loads_slices_mid_stream(spark, tmp_path):
+    """The fork's 'p' PATH op: a stream record pointing at an exported
+    slice set (RelationalChangeRecordEmitter.java:89-101). The engine loads
+    the slices AT the record's position — later events overwrite, the
+    whole thing is fence-idempotent."""
+    from debezium_spark import CdcEngine, LakeTable
+
+    # exported "source table" slices
+    src = spark.createDataFrame(
+        [("r0", f"f{i}", f"c{i}", "py", f"body{i}") for i in range(40)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    sdir = str(tmp_path / "slices")
+    export_csv_slices(src, ["repo", "path"], slice_size=10).write.parquet(sdir)
+
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = CdcEngine(spark, table)
+    env_schema = (
+        "before struct<repo:string,path:string,commit:string,lang:string,content:string>, "
+        "after struct<repo:string,path:string,commit:string,lang:string,content:string>, "
+        "op string, ts_ms long, "
+        "source struct<file:string,pos:bigint,gtid:string,snapshot:string,"
+        "db:string,table:string,ts_ms:bigint>, "
+        "transaction struct<id:string,total_order:bigint,data_collection_order:bigint>"
+    )
+
+    def row(pos, op, before, after):
+        return {
+            "before": before, "after": after, "op": op, "ts_ms": pos,
+            "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                       "snapshot": None, "db": "app", "table": "t", "ts_ms": pos},
+            "transaction": None,
+        }
+
+    def payload(path, content):
+        return {"repo": "r0", "path": path, "commit": "x", "lang": "py",
+                "content": content}
+
+    batch = spark.createDataFrame([
+        # a pre-slice event for f0 (the slice load at pos 5 overwrites it)
+        row(1, "c", None, payload("f0", "stale")),
+        # the PATH record: content column carries the slice location
+        row(5, "p", None, payload("_", sdir)),
+        # post-slice update wins over the slice row
+        row(9, "u", payload("f1", "body1"), payload("f1", "updated")),
+    ], env_schema)
+    engine.apply_envelope_batch(batch, batch_id="b0")
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert len(state) == 40
+    assert state["f0"] == "body0"      # slice overwrote the stale pre-event
+    assert state["f1"] == "updated"    # post-slice event overwrote the slice
+    assert table.fence() == ("binlog.000001", 9)
+    # idempotent re-apply
+    assert engine.apply_envelope_batch(batch, batch_id="b0-again") is None
+    assert {r["path"]: r["content"] for r in table.read().collect()} == state
+
+
 def test_full_migration_uses_existing_spark(spark, monkeypatch, tmp_path):
     """cmd_* reuse the active session (getOrCreate) — no second JVM."""
     import tools.full_migration as fm

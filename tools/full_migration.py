@@ -53,10 +53,8 @@ def cmd_export(args) -> None:
 
 
 def cmd_load(args) -> None:
-    from pyspark.sql import functions as F
-
     from debezium_spark.plans.table import LakeTable
-    from debezium_spark.sources.slices import load_csv_slices
+    from debezium_spark.sources.slices import load_csv_slices, snapshot_envelope
     from debezium_spark.streaming.engine import CdcEngine
 
     spark = make_spark("full-migration-load")
@@ -67,27 +65,7 @@ def cmd_load(args) -> None:
         table.create(rows.schema)
     engine = CdcEngine(spark, table)
     # snapshot rows -> op='r' envelope pinned at the handoff fence
-    pay_t = rows.schema
-    env = rows.select(
-        F.lit(None).cast(
-            "struct<" + ",".join(f"{f.name}:{f.dataType.simpleString()}" for f in pay_t.fields) + ">"
-        ).alias("before"),
-        F.struct(*[F.col(c) for c in rows.columns]).alias("after"),
-        F.lit("r").alias("op"),
-        F.lit(0).cast("long").alias("ts_ms"),
-        F.struct(
-            F.lit(args.fence_file).alias("file"),
-            F.lit(args.fence_pos).cast("long").alias("pos"),
-            F.lit(None).cast("string").alias("gtid"),
-            F.lit("true").alias("snapshot"),
-            F.lit(None).cast("string").alias("db"),
-            F.lit(None).cast("string").alias("table"),
-            F.lit(0).cast("long").alias("ts_ms"),
-        ).alias("source"),
-        F.lit(None).cast(
-            "struct<id:string,total_order:bigint,data_collection_order:bigint>"
-        ).alias("transaction"),
-    )
+    env = snapshot_envelope(rows, args.fence_file, args.fence_pos)
     engine.bootstrap(env, fence=(args.fence_file, args.fence_pos))
     print(f"loaded {table.read().count()} rows, fence={table.fence()}")
     if args.binlog:
