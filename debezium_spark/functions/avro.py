@@ -209,6 +209,17 @@ def to_avro(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     rec_schema = StructType([f for f in sub.schema.fields])
     enc = _enc_for(rec_schema)
     header = MAGIC + schema_id(rec_schema).to_bytes(4, "big")
+    # int64 exactness: Spark's Arrow->pandas turns a nullable long column
+    # into float64, silently rounding values above 2^53 before the encoder
+    # ever sees them. Ship top-level integer columns as STRINGS across the
+    # boundary (the encoder's int() parses them exactly); struct columns
+    # arrive as dicts of Python objects and are already exact.
+    transport = [
+        F.col(f.name).cast("string").alias(f.name)
+        if isinstance(f.dataType, (LongType, IntegerType)) else F.col(f.name)
+        for f in rec_schema.fields
+    ]
+    sub = sub.select(*transport)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -247,7 +258,12 @@ def from_avro(frames: DataFrame, schema: StructType, col: str = "avro") -> DataF
                     )
                 rec, _ = dec(buf, 5)
                 rows.append(rec)
-            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+            # dtype=object keeps decoded longs as exact Python ints —
+            # pandas would otherwise infer float64 for an int column with
+            # any None, rounding values above 2^53 in the Arrow cast back
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields], dtype=object
+            )
 
     return frames.mapInPandas(decode, schema=ddl)
 

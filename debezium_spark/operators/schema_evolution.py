@@ -216,6 +216,38 @@ def _qualified(g1: str, g2: str | None) -> tuple[str | None, str]:
     return _unquote(g1), _unquote(g2)
 
 
+#: permissive dotted name (1..3 quoted-or-bare parts) for statement headers
+_QTBL_ANY = (
+    r'((?:[\w$]+|`[^`]+`|"[^"]+"|\[[^\]]+\])'
+    r'(?:\s*\.\s*(?:[\w$]+|`[^`]+`|"[^"]+"|\[[^\]]+\])){0,2})'
+)
+
+
+def _qualified_any(raw: str) -> tuple[str | None, str]:
+    """Dotted name with up to three parts (db[.schema].table, quote-aware
+    split) → (db|None, table); a middle schema part is dropped — the lake
+    namespace is two-level, matching the engine's (db, table) identity."""
+    parts, cur, quote = [], [], None
+    for ch in raw:
+        if quote is not None:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "`\"[":
+            quote = "]" if ch == "[" else ch
+            cur.append(ch)
+        elif ch == ".":
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    parts = [_unquote(p) for p in parts if p]
+    if len(parts) == 1:
+        return None, parts[0]
+    return parts[0], parts[-1]
+
+
 def _parse_create_table(s: str) -> list[DdlOp]:
     """CREATE TABLE [IF NOT EXISTS] name (col defs..., PRIMARY KEY (...))
     → one ("create_table", db, table, columns, pk) op. Mirrors the
@@ -338,11 +370,11 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
                 ops.append(("rename_table", odb, otbl, ndb, ntbl))
         return ops
 
-    m = re.match(rf"(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?{_QTBL}\s+(.*)$", s)
+    m = re.match(rf"(?is)^ALTER\s+TABLE\s+(?:ONLY\s+)?{_QTBL_ANY}\s+(.*)$", s)
     if not m:
         return []
-    hdr_db, hdr_tbl = _qualified(m.group(1), m.group(2))
-    body = m.group(3)
+    hdr_db, hdr_tbl = _qualified_any(m.group(1))
+    body = m.group(2)
     ops: list[DdlOp] = []
     for clause in _split_clauses(body):
         c = clause.strip()

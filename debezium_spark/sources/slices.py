@@ -59,7 +59,7 @@ def export_csv_slices(
     independent."""
     n = df.count()
     n_slices = max(1, (n + slice_size - 1) // slice_size)
-    schema_ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     line = F.to_csv(F.struct(*[F.col(c) for c in df.columns]))
     sliced = df.select(
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_slices))
@@ -79,10 +79,10 @@ def export_csv_slices(
         )
     )
     spark = df.sparkSession
-    body = body.persist()
     # eof carries the ACTUAL slice count (a hash bucket can come up empty,
-    # so the a-priori n_slices is an upper bound, not the check value)
-    k_actual = body.count()
+    # so the a-priori n_slices is an upper bound, not the check value);
+    # counted over the narrow index column — no caching of the CSV body
+    k_actual = sliced.select(F.countDistinct("index")).first()[0]
 
     def _marker(msg: str, total: int, ddl: str | None):
         return spark.range(1).select(
@@ -127,7 +127,7 @@ def load_csv_slices(slices: DataFrame, schema: StructType | None = None) -> Data
             f"incomplete slice set: have {stats['k']}/{eof['totalSlice']} slices, "
             f"{stats['rows']} of {eof['sliceSize']} rows"
         )
-    ddl = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     return (
         body.select(F.explode(F.col("csv")).alias("_line"))
         .select(F.from_csv(F.col("_line"), ddl).alias("_r"))

@@ -162,10 +162,27 @@ class MultiTableEngine:
         for spec in specs:
             self._register(spec)
 
-    def _register(self, spec: TableSpec) -> None:
+    def _live_roots(self) -> set[str]:
+        return {e.table.root for e in self.engines.values()}
+
+    def _alloc_root(self, key: tuple[str, str]) -> str:
+        """Lake directory for a NEW incarnation of ``key``: the default
+        ``root/db/table`` path unless that directory is the live root of
+        ANOTHER capture (a renamed table keeps writing to its original
+        directory) — then a fresh ``@gen.N`` sibling."""
+        default = os.path.join(self.root, *key)
+        owned = self._live_roots()
+        if default not in owned:
+            return default
+        i = 0
+        while os.path.exists(f"{default}@gen.{i}") or f"{default}@gen.{i}" in owned:
+            i += 1
+        return f"{default}@gen.{i}"
+
+    def _register(self, spec: TableSpec, root: str | None = None) -> None:
         t = LakeTable(
             self.spark,
-            os.path.join(self.root, spec.db, spec.table),
+            root or os.path.join(self.root, spec.db, spec.table),
             spec.key_cols,
             n_buckets=spec.n_buckets,
             mode=spec.mode,
@@ -265,6 +282,11 @@ class MultiTableEngine:
         path = os.path.join(self.root, key[0], key[1])
         if not os.path.isdir(path):
             return
+        if path in self._live_roots():
+            # the default path for this NAME is a LIVE capture's directory
+            # (a renamed table keeps its original dir) — never archive a
+            # running table out from under its engine
+            return
         i = 0
         while os.path.exists(f"{path}@dropped.{i}"):
             i += 1
@@ -317,7 +339,7 @@ class MultiTableEngine:
         ).agg(
             F.max("source.pos").alias("p"),
             F.max("source.file").alias("f"),
-            F.max(F.col("op").isin(["l", "t", "tc"]).cast("int")).alias("nd"),
+            F.max(F.col("op").isin(["l", "t", "tc", "p"]).cast("int")).alias("nd"),
             F.max(bad.cast("int")).alias("nb"),
         )
 
@@ -370,6 +392,9 @@ class MultiTableEngine:
             # one registers fresh (never inheriting the old manifest/keys).
             new_keys: set[tuple[str, str]] = set()
             pending_drops: list[tuple[str, str]] = []
+            # same-batch aliases: after a RENAME, this batch's rows under
+            # the OLD name still belong to the renamed capture
+            batch_aliases: dict[tuple[str, str], set[tuple[str, str]]] = {}
             if self.auto_register and any(r["nd"] for r in stats):
                 known_dbs = {db for db, _ in self.specs} | {db for db, _ in self.retired}
                 for op in self._collect_catalog_ddl(wire):
@@ -383,6 +408,11 @@ class MultiTableEngine:
                         if key in self.specs and new_key not in self.specs:
                             self._rename_table(key, new_key)
                             new_keys.add(new_key)
+                            batch_aliases.setdefault(new_key, set()).add(key)
+                            # chained renames: rows under even older names
+                            # follow the capture to its newest identity
+                            if key in batch_aliases:
+                                batch_aliases[new_key] |= batch_aliases.pop(key)
                         continue
                     _, db, tbl, cols, pk = op
                     if key in pending_drops:
@@ -395,7 +425,8 @@ class MultiTableEngine:
                         continue  # only databases this engine captures
                     if key in self.retired:
                         # re-CREATE after an earlier DROP: never resurrect
-                        # the stale LakeTable under the new spec
+                        # the stale LakeTable under the new spec (archive
+                        # skips directories owned by a live capture)
                         self._archive_dir(key)
                         self.retired.discard(key)
                     schema = StructType.fromDDL(
@@ -408,7 +439,10 @@ class MultiTableEngine:
                         TableSpec(
                             db, tbl, schema, key_cols,
                             n_buckets=self.default_buckets, mode=self.default_mode,
-                        )
+                        ),
+                        # a fresh @gen dir when the default path is owned by
+                        # a renamed live capture of the same name
+                        root=self._alloc_root(key),
                     )
                     new_keys.add(key)
 
@@ -425,24 +459,31 @@ class MultiTableEngine:
             )
 
             def apply_one(key) -> tuple[str, int | None]:
-                db, tbl = key
                 eng = self.engines[key]
                 spec = self.specs[key]
-                row = present.get(key)
-                if row is None:
+                # a renamed capture also owns this batch's rows under its
+                # former name(s)
+                match_keys = {key} | batch_aliases.get(key, set())
+                rows = [present[k] for k in match_keys if k in present]
+                if not rows:
                     # idle table this batch: offset-bearing heartbeat (only
                     # if some registered table established a global fence)
                     if global_fence is None:
                         return spec.fqn, None
                     return spec.fqn, eng.heartbeat(global_fence)
-                sub = wire.filter(
-                    (F.col("source.db") == db) & (F.col("source.table") == tbl)
-                )
-                env = wire_to_envelope(sub, spec.payload_schema)
+                cond = F.lit(False)
+                for kdb, ktbl in match_keys:
+                    cond = cond | (
+                        (F.col("source.db") == kdb) & (F.col("source.table") == ktbl)
+                    )
+                env = wire_to_envelope(wire.filter(cond), spec.payload_schema)
                 # null max-pos ⇒ every row in this table's group has a null
                 # offset: hand the engine fence=None/has_bad=None so its own
                 # probe quarantines the rows instead of fencing on None
-                all_null_pos = row["p"] is None
+                fences = [(r["f"], r["p"]) for r in rows if r["p"] is not None]
+                all_null_pos = not fences
+                nd = any(r["nd"] for r in rows)
+                nb = any(r["nb"] for r in rows)
                 # mid-batch-registered tables were not in the pre-pass spec
                 # loop, so their fused validity flag is meaningless — force
                 # the engine's own probe
@@ -450,11 +491,11 @@ class MultiTableEngine:
                 return spec.fqn, eng.apply_envelope_batch(
                     env,
                     batch_id=f"{batch_id}/{spec.fqn}",
-                    fence=None if all_null_pos else (row["f"], row["p"]),
-                    has_ddl=bool(row["nd"]),
+                    fence=None if all_null_pos else max(fences),
+                    has_ddl=bool(nd),
                     # the fused flag reflects pre-SMT rows; with SMTs the
                     # engine re-probes post-transform
-                    has_bad=None if probe else bool(row["nb"]),
+                    has_bad=None if probe else bool(nb),
                 )
 
             keys = list(self.engines)

@@ -69,6 +69,20 @@ def test_envelope_roundtrip_exact(spark):
     assert back.filter((F.col("op") == "d") & F.col("after").isNotNull()).count() == 0
 
 
+def test_longs_above_2_53_roundtrip_exactly(spark):
+    """Review regression: nullable long columns crossed the Arrow->pandas
+    boundary as float64, silently rounding values above 2^53 (PG LSN-scale
+    offsets). The codec ships integers as strings outbound and decodes to
+    Python-int object columns inbound."""
+    big = 9007199254740993  # 2^53 + 1: float64 rounds this to ...992
+    df = spark.createDataFrame(
+        [(1, big), (2, None), (3, -big)], "k long, v long"
+    )
+    out = {r["k"]: r["v"] for r in from_avro(
+        to_avro(df), StructType.fromDDL("k long, v long")).collect()}
+    assert out == {1: big, 2: None, 3: -big}
+
+
 def test_schema_mismatch_rejected(spark):
     df = spark.createDataFrame([(1, "x")], "k long, v string")
     frames = to_avro(df)

@@ -258,6 +258,111 @@ def test_rename_table_moves_capture_and_data(spark, tmp_path):
     assert mte.table("app", "members").read().count() == 2
 
 
+def test_rename_same_batch_old_name_rows_follow_the_capture(spark, tmp_path):
+    """Review regression: RENAME was applied to the catalog before dispatch,
+    so same-batch events under the OLD name were silently dropped. They now
+    alias to the renamed capture — including bundled column DDL addressed
+    to the old name."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [users])
+
+    def row(pos, table, op, after):
+        return {
+            "before_json": None, "after_json": after, "op": op, "ts_ms": pos,
+            "source": {"file": "f", "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": table, "ts_ms": pos},
+            "transaction": None,
+        }
+
+    ddl = lambda pos, table, sql: row(pos, table, "l", json.dumps({"content": sql}))  # noqa: E731
+    mte.apply_wire_batch(spark.createDataFrame([
+        row(1, "users", "c", '{"uid": 1, "name": "ada"}'),       # old name, pre-rename
+        ddl(2, "users", "ALTER TABLE app.users RENAME TO app.members"),
+        row(3, "members", "c", '{"uid": 2, "name": "bob"}'),     # new name
+    ], WIRE_SCHEMA), "b0")
+    got = {r["uid"]: r["name"] for r in mte.table("app", "members").read().collect()}
+    assert got == {1: "ada", 2: "bob"}  # pos-1 row was NOT dropped
+    assert mte.table("app", "members").fence()[1] == 3
+
+
+def test_recreate_old_name_after_rename_gets_fresh_table(spark, tmp_path):
+    """Review regression: after RENAME users->members (members keeps the
+    users/ directory), CREATE TABLE users must NOT adopt members' live
+    manifest — the new incarnation allocates a fresh @gen directory."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [users], default_buckets=2)
+
+    def row(pos, table, op, after):
+        return {
+            "before_json": None, "after_json": after, "op": op, "ts_ms": pos,
+            "source": {"file": "f", "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": table, "ts_ms": pos},
+            "transaction": None,
+        }
+
+    ddl = lambda pos, table, sql: row(pos, table, "l", json.dumps({"content": sql}))  # noqa: E731
+    mte.apply_wire_batch(spark.createDataFrame([
+        row(1, "users", "c", '{"uid": 1, "name": "ada"}'),
+        ddl(2, "users", "ALTER TABLE app.users RENAME TO app.members"),
+    ], WIRE_SCHEMA), "b0")
+    members_root = mte.table("app", "members").root
+
+    # new table reusing the old NAME, different schema/key
+    mte.apply_wire_batch(spark.createDataFrame([
+        ddl(3, "users", "CREATE TABLE app.users (id INT, qty INT, PRIMARY KEY(id))"),
+        row(4, "users", "c", '{"id": 9, "qty": 2}'),
+    ], WIRE_SCHEMA), "b1")
+    assert mte.table("app", "users").root != members_root  # fresh @gen dir
+    assert [(r["id"], r["qty"]) for r in mte.table("app", "users").read().collect()] == [(9, 2)]
+    # the renamed capture is untouched
+    assert {r["uid"] for r in mte.table("app", "members").read().collect()} == {1}
+    assert mte.table("app", "members").root == members_root
+
+
+def test_path_record_in_wire_batch_loads_slices(spark, tmp_path):
+    """Review regression: the pre-pass barrier flag omitted op='p', so PATH
+    records in multi-table wire batches bypassed the barrier machinery."""
+    import json
+    from debezium_spark.sources.slices import export_csv_slices
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, v string"
+    )
+    sdir = str(tmp_path / "slices")
+    export_csv_slices(src, ["k"], slice_size=5).write.parquet(sdir)
+
+    spec = TableSpec("app", "t", StructType.fromDDL("k long, v string"), ["k"],
+                     n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [spec])
+    batch = spark.createDataFrame([
+        {"before_json": None,
+         "after_json": json.dumps({"content": sdir}),
+         "op": "p", "ts_ms": 1,
+         "source": {"file": "f", "pos": 1, "gtid": None, "snapshot": None,
+                    "db": "app", "table": "t", "ts_ms": 1},
+         "transaction": None},
+        {"before_json": None, "after_json": '{"k": 3, "v": "updated"}',
+         "op": "u", "ts_ms": 2,
+         "source": {"file": "f", "pos": 2, "gtid": None, "snapshot": None,
+                    "db": "app", "table": "t", "ts_ms": 2},
+         "transaction": None},
+    ], WIRE_SCHEMA)
+    mte.apply_wire_batch(batch, "b0")
+    state = {r["k"]: r["v"] for r in mte.table("app", "t").read().collect()}
+    assert len(state) == 20           # slice set loaded
+    assert state[3] == "updated"      # post-PATH event wins
+    assert mte.table("app", "t").fence()[1] == 2
+
+
 def test_unregistered_traffic_still_heartbeats_captured_tables(spark, tmp_path):
     """Review regression: restricting the global fence to registered tables
     starved idle captured fences when a batch carried only filtered-table

@@ -37,6 +37,15 @@ def test_roundtrip_exact_with_hostile_values(spark):
     assert sum(sizes) == 500 and max(sizes) < 500
 
 
+def test_roundtrip_with_hostile_column_names(spark):
+    """Review regression: unquoted schema_ddl broke the load of tables with
+    reserved-word or spaced column names."""
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["order", "select"])
+    back = load_csv_slices(export_csv_slices(df, ["order"], slice_size=10))
+    assert back.columns == ["order", "select"]
+    assert {(r["order"], r["select"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
 def test_incomplete_slice_set_fails_loudly(spark):
     df = spark.range(100).select(F.col("id").alias("k"), F.lit("v").alias("v"))
     sl = export_csv_slices(df, ["k"], slice_size=10).persist()
