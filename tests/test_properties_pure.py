@@ -1,0 +1,83 @@
+"""Property-based hardening (hypothesis) for the pure-Python codecs and
+parsers — no SparkSession needed, so these run in milliseconds."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from debezium_spark.functions.avro import _zigzag_decode, _zigzag_encode
+from debezium_spark.operators.schema_evolution import (
+    _split_clauses,
+    _split_statements,
+    parse_ddl_sql,
+    sql_type_to_spark,
+)
+
+_RESERVED = {"KEY", "INDEX", "PRIMARY", "UNIQUE", "FOREIGN", "CONSTRAINT",
+             "FULLTEXT", "SPATIAL", "CHECK", "PARTITION", "ADD", "DROP",
+             "RENAME", "CHANGE", "MODIFY", "ALTER", "COLUMN", "TO", "AS"}
+IDENT = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,20}", fullmatch=True).filter(
+    lambda s: s.upper() not in _RESERVED  # unquoted reserved words aren't legal column names
+)
+SQL_TYPES = st.sampled_from(
+    ["INT", "BIGINT", "VARCHAR(32)", "TEXT", "DECIMAL(10,2)", "DOUBLE",
+     "BOOLEAN", "DATE", "TIMESTAMP", "MEDIUMBLOB", "ENUM('a','b')", "UUID"]
+)
+
+
+@given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+@settings(max_examples=300)
+def test_zigzag_roundtrip_any_64bit(n):
+    enc = _zigzag_encode(n)
+    dec, off = _zigzag_decode(enc, 0)
+    assert dec == n and off == len(enc)
+    assert len(enc) <= 10  # spec bound for 64-bit varints
+
+
+@given(st.lists(st.tuples(IDENT, SQL_TYPES), min_size=1, max_size=6,
+                unique_by=lambda t: t[0]))
+@settings(max_examples=100)
+def test_create_table_roundtrips_arbitrary_columns(cols):
+    pk = cols[0][0]
+    body = ", ".join(f"{n} {t}" for n, t in cols) + f", PRIMARY KEY ({pk})"
+    ops = parse_ddl_sql(f"CREATE TABLE db1.t1 ({body})")
+    assert len(ops) == 1
+    op = ops[0]
+    assert op[0] == "create_table" and op[1] == "db1" and op[2] == "t1"
+    assert [c[0] for c in op[3]] == [n for n, _ in cols]
+    assert all(sql_type_to_spark(t) == parsed for (_, t), (_, parsed) in zip(cols, op[3]))
+    assert op[4] == [pk]
+
+
+@given(st.lists(st.tuples(IDENT, SQL_TYPES), min_size=1, max_size=5,
+                unique_by=lambda t: t[0]))
+@settings(max_examples=100)
+def test_multi_statement_alter_adds_parse_in_order(cols):
+    script = "; ".join(f"ALTER TABLE t ADD COLUMN {n} {t}" for n, t in cols) + ";"
+    ops = parse_ddl_sql(script)
+    assert [o[1] for o in ops] == [n for n, _ in cols]
+    assert all(o[0] == "add" for o in ops)
+
+
+@given(st.lists(st.text(alphabet="ab,()'\"; ", max_size=12), min_size=1, max_size=5))
+@settings(max_examples=200)
+def test_clause_and_statement_splitters_never_crash(parts):
+    """Splitters are total functions over arbitrary hostile input (unclosed
+    quotes, unbalanced parens) — they may split oddly, never raise, and
+    never invent characters outside the input."""
+    text = ",".join(parts)
+    for out in (_split_clauses(text), _split_statements(text.replace(",", ";"))):
+        assert isinstance(out, list)
+        for piece in out:
+            assert set(piece) <= set(text) | {";"}
+
+
+@given(st.text(alphabet=st.characters(codec="utf-8"), max_size=80))
+@settings(max_examples=200)
+def test_parse_ddl_sql_total_on_arbitrary_text(s):
+    """The SQL front-end never raises on arbitrary text — unparseable
+    statements are history-only (empty op list), matching the reference's
+    tolerant-parse contract."""
+    ops = parse_ddl_sql(s)
+    assert isinstance(ops, list)
