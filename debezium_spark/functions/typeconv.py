@@ -158,6 +158,13 @@ def decimal_from_unscaled_bytes(col: Column, scale: int) -> Column:
     ).otherwise(wide)
     if scale == 0:
         return signed
+    if scale < 0:
+        # negative wire scale (BigDecimal-legal, e.g. NUMBER(p, -2)):
+        # value = unscaled × 10^|scale| — append zeros as string surgery
+        # ("-5" + "00" → "-500"; appending keeps the sign prefix intact)
+        return F.concat(signed.cast("string"), F.lit("0" * (-scale))).cast(
+            "decimal(38,0)"
+        )
     # exact decimal-point placement via string surgery — decimal *division*
     # would trip Spark's precision-loss rounding (allowPrecisionLoss caps
     # the result scale at 6 when 38 digits overflow)
@@ -185,14 +192,22 @@ def variable_scale_decimal(struct_col: Column) -> Column:
     raw = decimal_from_unscaled_bytes(struct_col["value"], 0)
     sc = struct_col["scale"].cast("int")
     mag0 = F.regexp_replace(raw.cast("string"), "^-", "")
-    pad = F.greatest(F.lit(0), sc + 1 - F.length(mag0))
+    # negative wire scale ⇒ value = unscaled × 10^|scale|: append zeros to
+    # the magnitude and run the surgery with an effective scale of 0 (the
+    # old substr arithmetic silently DROPPED the factor — a 100× error for
+    # scale=-2)
+    mag0 = F.when(
+        sc < 0, F.concat(mag0, F.lit("0" * 39).substr(F.lit(1), -sc))
+    ).otherwise(mag0)
+    scp = F.greatest(sc, F.lit(0))
+    pad = F.greatest(F.lit(0), scp + 1 - F.length(mag0))
     mag = F.concat(F.lit("0" * 39).substr(F.lit(1), pad), mag0)
-    int_part = mag.substr(F.lit(1), F.length(mag) - sc)
-    frac = mag.substr(F.length(mag) - sc + 1, sc)
+    int_part = mag.substr(F.lit(1), F.length(mag) - scp)
+    frac = mag.substr(F.length(mag) - scp + 1, scp)
     res = F.concat(
         F.when(raw < 0, F.lit("-")).otherwise(F.lit("")),
         int_part,
-        F.when(sc > 0, F.concat(F.lit("."), frac)).otherwise(F.lit("")),
+        F.when(scp > 0, F.concat(F.lit("."), frac)).otherwise(F.lit("")),
     )
     return res.cast("decimal(38,18)")
 
@@ -226,4 +241,9 @@ def bits_to_long(col: Column) -> Column:
     hx = F.hex(col)
     idx = F.sequence(F.lit(1), (F.length(hx) / 2).cast("int"))
     pairs = F.transform(idx, lambda i: hx.substr(i * 2 - 1, F.lit(2)))
-    return F.conv(F.array_join(F.reverse(pairs), ""), 16, 10).cast("long")
+    # toBase -10 = SIGNED 64-bit interpretation: with +10 a value whose top
+    # bit is set renders as an unsigned decimal string (> Long.MAX) and the
+    # long cast overflows to null — silent loss of the whole upper half of
+    # the 64-bit range (Java longs are two's-complement, like the Bits
+    # field's natural long mapping)
+    return F.conv(F.array_join(F.reverse(pairs), ""), 16, -10).cast("long")

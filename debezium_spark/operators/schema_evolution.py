@@ -436,7 +436,22 @@ def parse_ddl(text: str) -> list[DdlOp]:
 def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
     """Apply one DDL (either form) to the target and append the history
     ledger row (offset_file, offset_pos, ops, raw) — FIXTURES.md F5. Every
-    alter is idempotent, so replay across a crash is safe."""
+    alter is idempotent, so replay across a crash is safe.
+
+    Exact-replay guard: a ledger entry at this offset with this raw text
+    means the WHOLE op list already applied (the ledger appends last) —
+    skip instead of re-running. Individually-idempotent alters are not
+    enough for replay of SELF-UNDOING sequences ('ADD c; DROP c',
+    'RENAME a TO b; RENAME b TO c'): re-running the first op hits the
+    burned-name / missing-column guards and a crash-resume would wedge in
+    a permanent ValueError loop."""
+    for entry in schema_history(table):
+        if (
+            entry.get("offset_file") == offset[0]
+            and entry.get("offset_pos") == offset[1]
+            and entry.get("raw") == text
+        ):
+            return  # already fully applied + ledgered
     ops = parse_ddl(text)
     for op in ops:
         if op[0] == "add":

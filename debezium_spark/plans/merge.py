@@ -88,7 +88,8 @@ def _merge_mor(
     This is the 10^10-event apply path: cost is O(batch) however big the
     table has grown."""
     keys = table.key_cols
-    payload_cols = [f.name for f in table.schema().fields]
+    schema = table.schema()  # one manifest read; reused by the null-fill loop
+    payload_cols = [f.name for f in schema.fields]
 
     changes = changes.withColumn("_bucket", bucket_expr(keys, table.n_buckets)).persist()
     lin = (
@@ -120,7 +121,7 @@ def _merge_mor(
     out = changes
     for name in payload_cols:
         if name not in out.columns:
-            out = out.withColumn(name, F.lit(None).cast(table.schema()[name].dataType))
+            out = out.withColumn(name, F.lit(None).cast(schema[name].dataType))
     out = out.select(*payload_cols, F.col(OP_COL).alias("_op"), F.col("_pos"), F.col("_bucket"))
 
     out_dir = os.path.join(table.root, "data", f"d-{uuid.uuid4().hex}")

@@ -83,6 +83,18 @@ class LakeTable:
         self.n_buckets = n_buckets
         self.mode = mode
         self._mdir = os.path.join(self.root, "_manifests")
+        # Reopening an existing table: the MANIFEST is authoritative for the
+        # physical table properties. A caller that forgot the original
+        # n_buckets would otherwise hash keys with the wrong modulus — the
+        # bucket-pruned anti-join and compaction then silently miss/drop
+        # rows. key_cols/n_buckets/mode were not recorded before round 3;
+        # legacy manifests fall back to the constructor args.
+        if self.exists():
+            meta = self.manifest().get("table_meta")
+            if meta:
+                self.key_cols = meta["key_cols"]
+                self.n_buckets = meta["n_buckets"]
+                self.mode = meta["mode"]
 
     # ---- manifest bookkeeping -------------------------------------------
 
@@ -100,6 +112,11 @@ class LakeTable:
                 "fence": None,
                 "lineage": [],
                 "parent": None,
+                "table_meta": {
+                    "key_cols": list(self.key_cols),
+                    "n_buckets": self.n_buckets,
+                    "mode": self.mode,
+                },
             }
         )
 
@@ -261,13 +278,14 @@ class LakeTable:
             buckets[str(b)] = new_bucket_dirs.get(b, [])
         new_man = {
             "version": man["version"] + 1,
-            "schema": (schema or self.schema()).json(),
+            "schema": schema.json() if schema is not None else man["schema"],
             "buckets": buckets,
             "fence": {"file": fence[0], "pos": fence[1]} if fence else man["fence"],
             "lineage": lineage,
             # schema-evolution ledgers survive data commits
             "renames": man.get("renames", {}),
             "dropped": man.get("dropped", []),
+            "table_meta": man.get("table_meta"),
             "parent": man["version"],
         }
         self._publish(new_man)
@@ -372,6 +390,7 @@ class LakeTable:
             ],
             "renames": man.get("renames", {}),
             "dropped": man.get("dropped", []),
+            "table_meta": man.get("table_meta"),
             "parent": man["version"],
         }
         self._publish(new_man)

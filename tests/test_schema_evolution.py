@@ -56,6 +56,64 @@ def test_parse_alter_variants():
     assert parse_ddl_sql("INSERT INTO t VALUES (1)") == []
 
 
+def test_ddl_crash_replay_of_self_undoing_script_is_idempotent(spark, tmp_path):
+    """Review regression: re-running apply_ddl after a crash wedged forever
+    on self-undoing scripts ('ADD c; DROP c' / chained renames) — the
+    burned-name guard raised on replay. An exact ledger entry (same offset
+    + raw text) now short-circuits the whole op list."""
+    from debezium_spark import LakeTable
+    from debezium_spark.operators.schema_evolution import apply_ddl
+    from pyspark.sql.types import StructType
+
+    table = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    table.create(StructType.fromDDL("k long, v string"))
+    script = "ALTER TABLE t ADD COLUMN c INT; ALTER TABLE t DROP COLUMN c"
+    apply_ddl(table, script, ("binlog.000001", 10))
+    cols_after = [f.name for f in table.schema().fields]
+    v_after = table.manifest()["version"]
+
+    # crash-resume re-applies the SAME barrier: must be a no-op, not a raise
+    apply_ddl(table, script, ("binlog.000001", 10))
+    assert [f.name for f in table.schema().fields] == cols_after
+    assert table.manifest()["version"] == v_after
+
+    # chained rename variant
+    apply_ddl(table, "ALTER TABLE t RENAME COLUMN v TO v2;"
+                     " ALTER TABLE t RENAME COLUMN v2 TO v3", ("binlog.000001", 11))
+    apply_ddl(table, "ALTER TABLE t RENAME COLUMN v TO v2;"
+                     " ALTER TABLE t RENAME COLUMN v2 TO v3", ("binlog.000001", 11))
+    assert "v3" in [f.name for f in table.schema().fields]
+
+    # a DIFFERENT statement re-adding a burned name must still be rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        apply_ddl(table, "ALTER TABLE t ADD COLUMN c INT", ("binlog.000001", 12))
+
+
+def test_reopen_adopts_manifest_table_meta(spark, tmp_path):
+    """Review regression: reopening an existing table with different
+    n_buckets/key_cols silently corrupted bucketing (pruned reads missed
+    rows). The manifest is now authoritative on reopen."""
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=41, n_repos=6)
+    t1 = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=32, mode="cow")
+    CdcEngine(spark, t1).apply_envelope_batch(gen.events(400), batch_id="b0")
+    state = {(r["repo"], r["path"]): r["content"] for r in t1.read().collect()}
+
+    # "operator forgot the original parameters"
+    t2 = LakeTable(spark, str(tmp_path / "t"), ["repo"], n_buckets=4, mode="mor")
+    assert t2.n_buckets == 32 and t2.key_cols == ["repo", "path"] and t2.mode == "cow"
+    CdcEngine(spark, t2).apply_envelope_batch(
+        gen.events(400, start_pos=400), batch_id="b1"
+    )
+    # correct continued state (no duplicate keys from modulus mismatch)
+    t3 = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"])
+    keys = [(r["repo"], r["path"]) for r in t3.read().collect()]
+    assert len(keys) == len(set(keys))
+    assert len(keys) >= len(state)
+
+
 def test_parse_table_level_statements():
     """CREATE/DROP/TRUNCATE TABLE + multi-statement scripts — the
     MySqlAntlrDdlParserTest create/drop variants the regex grammar covers

@@ -144,3 +144,36 @@ def test_decimal_16byte_full_range_boundaries(spark):
             .first()["d"]
         )
         assert out is not None and int(out) == v
+
+
+def test_bits_to_long_full_64bit_range(spark):
+    """Review regression: unsigned conv + cast('long') overflowed to NULL
+    for any value with bit 63 set — the whole upper half of the range."""
+    cases = [
+        (bytes([0, 0, 0, 0, 0, 0, 0, 0x80]), -(2**63)),   # little-endian MSB set
+        (bytes([0xFF] * 8), -1),
+        (bytes([0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0xFF, 0x7F]), 2**63 - 1),
+        (bytes([0x0A]), 10),
+    ]
+    out = spark.createDataFrame([(b,) for b, _ in cases], "b binary").select(
+        tc.bits_to_long(F.col("b")).alias("v")).collect()
+    assert [r["v"] for r in out] == [w for _, w in cases]
+
+
+def test_negative_wire_scale_decimals(spark):
+    """Review regression: BigDecimal-legal negative scales (NUMBER(p,-2))
+    silently dropped the 10^|scale| factor."""
+    df = spark.createDataFrame(
+        [(bytes([5]), -2), (bytes([0xFB]), -3), (bytes([5]), 2)],
+        "v binary, sc int",
+    )
+    out = df.select(
+        tc.variable_scale_decimal(
+            F.struct(F.col("sc").alias("scale"), F.col("v").alias("value"))
+        ).cast("string").alias("vsd"),
+        tc.decimal_from_unscaled_bytes(F.col("v"), -2).cast("long").alias("fixed"),
+    ).collect()
+    assert [r["vsd"] for r in out] == [
+        "500.000000000000000000", "-5000.000000000000000000", "0.050000000000000000",
+    ]
+    assert [r["fixed"] for r in out] == [500, -500, 500]
