@@ -41,7 +41,11 @@ def _norm(a):
 
 
 def cosine(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity, null for zero-norm inputs: 0/0 is IEEE NaN, and
+    Spark sorts NaN ABOVE every real value — an unguarded zero vector would
+    rank as the #1 neighbor of every query and pass >= thresholds."""
+    denom = _norm(a) * _norm(b)
+    return F.when(denom != 0, _dot(a, b) / denom)
 
 
 def brute_force_topk(
@@ -54,10 +58,17 @@ def brute_force_topk(
     """Exact top-k neighbors for each query id (queries drawn from the
     corpus). Broadcast the query side; rank by rounded cosine with id
     tie-break for full determinism."""
+    # norms are per-ROW: compute them once per side before the join, not
+    # once per pair inside it (the pair-side work drops to the dot product)
     q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_n"),
     )
-    c = embeddings.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    c = embeddings.select(
+        F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_n"),
+    )
+    denom = F.col("q_n") * F.col("n_n")
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -65,7 +76,9 @@ def brute_force_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+            F.round(
+                F.when(denom != 0, _dot(F.col("q_vec"), F.col("n_vec")) / denom), 6
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql.window import Window
@@ -144,6 +157,11 @@ def assign_cells(
     per row (multi-probe, for the query side). Distances round to 6dp with
     centroid-id tie-break — fully deterministic. Broadcast join: k rows.
 
+    ``id_col`` must be UNIQUE: the nprobe=1 groupBy collapses duplicate
+    ids to one row (one cell per vector is the aggregation key), so a
+    corpus with repeated ids silently loses the extra vectors here while
+    brute_force_topk would still see them — dedupe upstream.
+
     nprobe=1 (the corpus side — the big one) aggregates with ``min_by``
     over the k candidate cells: partial-aggregable, map-side combined, no
     window sort of n·k rows. Multi-probe (query side, small) keeps the
@@ -200,6 +218,10 @@ def bucketed_ann_topk(
         ),
         cents, id_col="q_id", vec_col="q_vec", nprobe=nprobe,
     )
+    # per-row norms before the join (pair-side work = dot product only)
+    corpus = corpus.withColumn("n_n", _norm(F.col("n_vec")))
+    queries = queries.withColumn("q_n", _norm(F.col("q_vec")))
+    denom = F.col("q_n") * F.col("n_n")
     scored = (
         F.broadcast(queries)
         .join(corpus, on="cell")
@@ -207,7 +229,9 @@ def bucketed_ann_topk(
         .select(
             "q_id",
             "n_id",
-            F.round(cosine(F.col("q_vec"), F.col("n_vec")), 6).alias("cos_sim"),
+            F.round(
+                F.when(denom != 0, _dot(F.col("q_vec"), F.col("n_vec")) / denom), 6
+            ).alias("cos_sim"),
         )
         .distinct()  # a neighbor reachable via 2 probed cells counts once
     )
@@ -250,8 +274,13 @@ def embedding_near_duplicates(
             "b", F.concat(F.col("b").cast("string"), F.lit("#"),
                           F.pmod(F.xxhash64(F.col("id")), shards).cast("string"))
         ).drop("_n")
-    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "b")
-    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "b")
+    # per-row norms before the O(s²) join — norms are per-row, not per-pair
+    e = e.withColumn("_n", _norm(F.col("v")))
+    a = e.select(F.col("id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("_n").alias("na"), "b")
+    b = e.select(F.col("id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("_n").alias("nb"), "b")
+    denom = F.col("na") * F.col("nb")
     return (
         a.join(b, on="b")
         .filter(F.col("id_a") < F.col("id_b"))
@@ -259,7 +288,11 @@ def embedding_near_duplicates(
             "id_a",
             "id_b",
             # +0.0 canonicalizes IEEE -0.0 → 0.0 (engines render them apart)
-            (F.round(cosine(F.col("va"), F.col("vb")), 2) + F.lit(0.0)).alias("cos2"),
+            (
+                F.round(
+                    F.when(denom != 0, _dot(F.col("va"), F.col("vb")) / denom), 2
+                ) + F.lit(0.0)
+            ).alias("cos2"),
         )
         .filter(F.col("cos2") >= min_round_sim)
     )

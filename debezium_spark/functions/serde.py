@@ -14,22 +14,27 @@ the JVM, no Python per row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from debezium_spark.schema import REPO_PAYLOAD_SCHEMA, envelope_schema
+from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA, envelope_schema
 
 ENVELOPE_COLS = ["before", "after", "op", "ts_ms", "source", "transaction"]
 
 
-def envelope_to_json(env: DataFrame) -> DataFrame:
+def envelope_to_json(env: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """Serialize each envelope row to one JSON string (key, value) — the
-    wire format a Kafka-bound deployment would produce."""
+    wire format a Kafka-bound deployment would produce. ``key_cols`` names
+    the payload key fields (defaults to the repo-content table's key) — the
+    serde is otherwise payload-generic, matching the decode side."""
+    key_cols = key_cols or list(REPO_KEY_COLS)
     key = F.to_json(
         F.struct(
-            F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
-            F.coalesce(F.col("after.path"), F.col("before.path")).alias("path"),
+            *[
+                F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+                for c in key_cols
+            ]
         )
     )
     value = F.to_json(F.struct(*[F.col(c) for c in ENVELOPE_COLS]))
@@ -62,11 +67,11 @@ def to_cloudevents(env: DataFrame, source_uri: str = "/debezium_spark/inventory"
     )
 
 
-def to_byte_buffer(env: DataFrame) -> DataFrame:
+def to_byte_buffer(env: DataFrame, key_cols: list[str] | None = None) -> DataFrame:
     """ByteBufferConverter (``debezium-api/.../ByteBufferConverter``): the
     record value as raw bytes — here the UTF-8 bytes of the JSON wire form
     (key stays JSON). Pure cast, JVM-side."""
-    wire = envelope_to_json(env)
+    wire = envelope_to_json(env, key_cols=key_cols)
     return wire.select(
         F.col("key_json"), F.col("value_json").cast("binary").alias("value_bytes")
     )
@@ -80,7 +85,3 @@ def from_byte_buffer(df: DataFrame, payload: StructType = REPO_PAYLOAD_SCHEMA,
     )
 
 
-def masked(col: Column, salt: str = "") -> Column:
-    """MaskStrings hash mode (relational/mapping/MaskStrings.java): salted
-    sha-256 replacement, JVM-side."""
-    return F.sha2(F.concat(F.lit(salt), col), 256)

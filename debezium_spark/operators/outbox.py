@@ -29,9 +29,11 @@ def outbox_route(
     With ``payload_schema`` the JSON payload column is expanded into typed
     ``payload_<field>`` columns (EventRouterDelegate's expand-json-payload);
     without it the raw JSON string passes through as ``payload``.
-    Deletes/tombstones on the outbox table are skipped (the reference routes
-    only the insert; the outbox row is immutable)."""
-    out = env.filter((F.col("op") != "d") & F.col("after").isNotNull()).select(
+    ONLY inserts route (op='c'): the outbox row is immutable — updates are
+    anomalies, deletes are housekeeping, and snapshot reads (op='r') would
+    re-deliver the entire event history to consumers on every re-snapshot
+    (EventRouterDelegate routes the CREATE and marks the rest for drop)."""
+    out = env.filter((F.col("op") == "c") & F.col("after").isNotNull()).select(
         F.col("source.pos").alias("pos"),
         F.col(f"after.{route_by_field}").alias("aggregatetype"),
         F.col(f"after.{key_field}").alias("aggregateid"),
@@ -41,8 +43,11 @@ def outbox_route(
         "topic", F.concat_ws(".", F.lit(topic_prefix), F.col("aggregatetype"))
     )
     if payload_schema is not None:
-        parsed = F.from_json(F.col("payload"), payload_schema)
-        for f in payload_schema.fields:
-            out = out.withColumn(f"payload_{f.name}", parsed[f.name])
-        out = out.drop("payload")
+        # parse ONCE into a named column, then project the fields — not one
+        # embedded from_json per expanded column
+        out = out.withColumn("_p", F.from_json(F.col("payload"), payload_schema))
+        out = out.select(
+            *[c for c in out.columns if c not in ("_p", "payload")],
+            *[F.col("_p")[f.name].alias(f"payload_{f.name}") for f in payload_schema.fields],
+        )
     return out

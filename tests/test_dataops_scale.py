@@ -85,6 +85,25 @@ def test_kmeans_deterministic_across_partitionings(spark):
     assert {r["cid"]: r["cvec"] for r in c1} == {r["cid"]: r["cvec"] for r in c2}
 
 
+def test_zero_norm_embedding_never_ranks_or_pairs(spark):
+    """Review regression: 0/0 cosine is IEEE NaN and Spark sorts NaN above
+    every real value — an all-zeros embedding ranked as the #1 neighbor of
+    every query and passed >= thresholds. Zero-norm cosine is now null."""
+    from debezium_spark.dataops.similarity import (
+        brute_force_topk,
+        embedding_near_duplicates,
+    )
+
+    rows = [(0, [0.0, 0.0, 0.0], "a"), (1, [1.0, 0.0, 0.0], "a"),
+            (2, [0.9, 0.1, 0.0], "a"), (3, [0.0, 1.0, 0.0], "a")]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    top = brute_force_topk(emb, query_ids=[1], k=2).collect()
+    assert [r["n_id"] for r in top] == [2, 3]  # zero vector not ranked first
+    assert all(r["cos_sim"] == r["cos_sim"] for r in top)  # no NaN
+    pairs = embedding_near_duplicates(emb, min_round_sim=0.5).collect()
+    assert all(0 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+
 def test_near_dup_block_cap_bounds_pair_count(spark):
     # one giant block of 200 vectors: uncapped = C(200,2) = 19900 pairs
     import math
