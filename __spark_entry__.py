@@ -918,6 +918,105 @@ SELECT repo, path, sha256(content) AS content_sha, cents AS score
 FROM r WHERE rn = 1 AND op <> 'd'"""
 
 
+def q_ddl_add_default(spark, sf_dir):
+    """ALTER TABLE ADD COLUMN ... DEFAULT mid-stream (§2.8; reference
+    relational/Column.java:136 defaultValueExpression +
+    DefaultValueParserListener): the stream starts without `score`, a DDL
+    barrier adds it with DEFAULT 42, the tail of the stream carries real
+    values. Iceberg initial-default semantics: keys last touched BEFORE the
+    ADD surface 42 (pre-ADD files fill the default in the reader via
+    EXISTS_DEFAULT metadata); keys touched after carry their value."""
+    from debezium_spark.plans.table import LakeTable
+    from debezium_spark.streaming.engine import CdcEngine
+    from pyspark.sql.types import StructType
+
+    e = _env(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    max_pos = e.select(F.max("pos")).first()[0] or 0
+    split = max(1, max_pos - 99)  # late split: most keys resolve pre-ADD
+
+    def mk_env(df, with_score):
+        fields = [F.col("repo"), F.col("path"), F.col("content")]
+        if with_score:
+            fields.append(cents.alias("score"))
+        payload = F.struct(*fields)
+        return df.select(
+            F.when(F.col("op") != "c", payload).alias("before"),
+            F.when(F.col("op") != "d", payload).alias("after"),
+            "op",
+            "ts_ms",
+            F.struct(
+                F.lit("binlog.000001").alias("file"),
+                F.col("pos").alias("pos"),
+                F.lit(None).cast("string").alias("gtid"),
+                F.lit(None).cast("string").alias("snapshot"),
+                F.col("db"),
+                F.lit("repo_files").alias("table"),
+                F.col("ts_ms").alias("ts_ms"),
+            ).alias("source"),
+            F.lit(None).cast(
+                "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+            ).alias("transaction"),
+        )
+
+    env_a = mk_env(e.filter(F.col("pos") < split), False)
+    env_b = mk_env(e.filter(F.col("pos") >= split), True)
+
+    def ddl_batch(pos, sql, tmpl_env):
+        payload_t = tmpl_env.schema["after"].dataType
+        after_ddl = F.struct(
+            *[
+                F.lit(sql).alias("content") if f.name == "content"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in payload_t.fields
+            ]
+        )
+        return spark.range(1).select(
+            F.lit(None).cast(payload_t).alias("before"),
+            after_ddl.alias("after"),
+            F.lit("l").alias("op"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            F.struct(
+                F.lit("binlog.000001").alias("file"),
+                F.lit(pos).cast("long").alias("pos"),
+                F.lit(None).cast("string").alias("gtid"),
+                F.lit(None).cast("string").alias("snapshot"),
+                F.lit("app").alias("db"),
+                F.lit("repo_files").alias("table"),
+                F.lit(0).cast("long").alias("ts_ms"),
+            ).alias("source"),
+            F.lit(None).cast(
+                "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+            ).alias("transaction"),
+        )
+
+    schema = StructType.fromDDL("repo string, path string, content string")
+    tmp = tempfile.mkdtemp(prefix="cdc_ddl_def_")
+    table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
+    table.create(schema)
+    engine = CdcEngine(spark, table, compact_depth=0)
+    engine.apply_envelope_batch(env_a, batch_id="a")
+    engine.apply_envelope_batch(
+        ddl_batch(split, "ALTER TABLE app.repo_files ADD COLUMN score BIGINT DEFAULT 42", env_a),
+        batch_id="ddl",
+    )
+    engine.apply_envelope_batch(env_b, batch_id="b")
+    return table.read().select(
+        "repo", "path", F.sha2(F.col("content"), 256).alias("content_sha"), "score"
+    )
+
+
+SQL_ddl_add_default = f"""WITH {ENV_SQL},
+r AS (SELECT repo, path, content, op, pos,
+             CAST(ROUND(value*100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY pos DESC) AS rn,
+             GREATEST(1, MAX(pos) OVER () - 99) AS split
+      FROM env)
+SELECT repo, path, sha256(content) AS content_sha,
+       CASE WHEN pos >= split THEN cents ELSE 42 END AS score
+FROM r WHERE rn = 1 AND op <> 'd'"""
+
+
 def q_typed_payload_roundtrip(spark, sf_dir):
     """Typed payloads end-to-end (§1.4 type matrix, reference
     jdbc/JdbcValueConverters.java + time/* + SpecialValueDecimal): a payload
@@ -2069,7 +2168,7 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "skipped_operations": (q_skipped_operations, SQL_skipped_operations),
     "table_include_filter": (q_table_include_filter, SQL_table_include_filter),
     "column_mask_sha256": (q_column_mask_sha256, SQL_column_mask_sha256),
-    "column_truncate": (q_column_truncate, SQL_column_truncate),
+    "ddl_add_default": (q_ddl_add_default, SQL_ddl_add_default),
     "logical_table_router": (q_logical_table_router, SQL_logical_table_router),
     "content_based_router": (q_content_based_router, SQL_content_based_router),
     "transaction_metadata": (q_transaction_metadata, SQL_transaction_metadata),
@@ -2114,6 +2213,7 @@ assert len(_REGISTRY) == 50, f"driver registry must stay at 50, got {len(_REGIST
 #: (TPC-H, event aggs). Same (spark_fn, oracle_sql) contract; verified by
 #: tools/check_oracle.py --extras and tests/test_extra_oracle.py.
 _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "column_truncate": (q_column_truncate, SQL_column_truncate),
     "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
     "avro_envelope_roundtrip": (q_avro_envelope_roundtrip, SQL_avro_envelope_roundtrip),
     "snapshot_read": (q_snapshot_read, SQL_snapshot_read),

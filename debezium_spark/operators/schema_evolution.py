@@ -36,13 +36,16 @@ from debezium_spark.plans.table import LakeTable
 
 DDL_OP = "l"
 
-# op tuples: ("add", name, spark_type) | ("drop", name)
+# op tuples: ("add", name, spark_type[, default_sql]) | ("drop", name)
 #            ("rename", old, new)      | ("widen", name, spark_type)
+#            ("set_pk", [col, ...])    | ("drop_pk",)
 # table-level statements (catalog mutations, relational/Tables.java):
-#            ("create_table", db|None, table, [(col, spark_type), ...], [pk, ...])
+#            ("create_table", db|None, table, [(col, spark_type[, default]), ...], [pk, ...])
 #            ("drop_table", db|None, table)
 #            ("truncate_table", db|None, table)
 #            ("rename_table", db|None, old, db|None, new)
+# ``default_sql`` is a Spark-SQL literal string (the reference's
+# defaultValueExpression, relational/Column.java:136) or None.
 DdlOp = tuple
 
 #: ops that mutate the CATALOG (table set), not one table's columns —
@@ -100,7 +103,7 @@ def parse_table_changes(tc_json: str) -> list[DdlOp]:
         return []
     ops: list[DdlOp] = []
     for c in doc.get("add_columns", []):
-        ops.append(("add", c["name"], c.get("type", "string")))
+        ops.append(("add", c["name"], c.get("type", "string"), c.get("default")))
     for name in doc.get("drop_columns", []):
         ops.append(("drop", name))
     for r in doc.get("rename_columns", []):
@@ -118,6 +121,36 @@ _TYPE = (
     r"([A-Za-z]+(?:\s+(?:PRECISION|VARYING|VARCHAR|CHAR))?"
     r"(?:\s*\(\s*[^()]*\))?(?:\s+UNSIGNED)?)"
 )
+
+
+#: DEFAULT <literal> inside a column definition (the subset the lake can
+#: evaluate at read time — Iceberg initial-defaults are likewise
+#: literal-only). Non-literal defaults (CURRENT_TIMESTAMP, expressions,
+#: sequences) parse to None: the DDL still applies and the raw text rides
+#: the history ledger, but pre-ADD rows surface null, matching the
+#: reference's behavior when a default expression cannot be evaluated
+#: (DefaultValueParserListener converts what it can, skips the rest).
+_DEFAULT_RE = re.compile(
+    r"(?is)\bDEFAULT\s+("
+    r"'(?:[^']|'')*'"                       # string literal ('' escape)
+    r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"    # numeric literal
+    r"|TRUE|FALSE|NULL"
+    r")(?=\s|,|\)|$)"
+)
+
+
+def _extract_default(clause: str) -> str | None:
+    """Column-definition tail → Spark-SQL literal string for DEFAULT, or
+    None (no default / NULL default / non-literal default)."""
+    m = _DEFAULT_RE.search(clause)
+    if not m:
+        return None
+    lit = m.group(1)
+    if lit.upper() == "NULL":
+        return None
+    if lit.upper() in ("TRUE", "FALSE"):
+        return lit.upper()
+    return lit
 
 
 def _split_clauses(body: str) -> list[str]:
@@ -289,7 +322,7 @@ def _parse_create_table(s: str) -> list[DdlOp]:
         i += 1
     if end < 0:
         return []
-    cols: list[tuple[str, str]] = []
+    cols: list[tuple[str, str, str | None]] = []
     pk: list[str] = []
     for clause in _split_clauses(s[start + 1:end]):
         c = clause.strip()
@@ -302,10 +335,11 @@ def _parse_create_table(s: str) -> list[DdlOp]:
         m2 = re.match(rf"(?is)^{_IDENT}\s+{_TYPE}", c)
         if m2:
             name = m2.group(1)
+            default = _extract_default(c[m2.end():])
             try:
-                cols.append((name, sql_type_to_spark(m2.group(2))))
+                cols.append((name, sql_type_to_spark(m2.group(2)), default))
             except ValueError:
-                cols.append((name, "string"))  # unmapped type: carry as text
+                cols.append((name, "string", default))  # unmapped type: carry as text
             if re.search(r"(?is)\bPRIMARY\s+KEY\b", c):
                 pk.append(name)
     if not cols:
@@ -379,16 +413,46 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
     for clause in _split_clauses(body):
         c = clause.strip()
         kw = r"(?!(?:CONSTRAINT|INDEX|KEY|PRIMARY|UNIQUE|FOREIGN|FULLTEXT|SPATIAL|PARTITION|CHECK)\b)"
+        # PK mutations parse EXPLICITLY (MySqlAntlrDdlParserTest's
+        # ADD PRIMARY KEY / ADD CONSTRAINT ... PRIMARY KEY variants): a PK
+        # change re-keys the table, which the apply path must either verify
+        # as a no-op or reject loudly — silently skipping it (the old
+        # "unrelated clause" fall-through) was the dangerous case.
+        m2 = re.match(
+            rf"(?is)^ADD\s+(?:CONSTRAINT\s+(?:{_IDENT}\s+)?)?PRIMARY\s+KEY\s*\(([^()]*)\)", c
+        )
+        if m2:
+            ops.append(
+                ("set_pk", [_unquote(p.strip()) for p in m2.group(2).split(",") if p.strip()])
+            )
+            continue
+        if re.match(r"(?is)^DROP\s+PRIMARY\s+KEY\s*$", c):
+            # keyless until a set_pk follows (MySQL requires DROP before
+            # re-ADD); the apply path treats the pair as one mutation
+            ops.append(("drop_pk",))
+            continue
+        if re.match(
+            rf"(?is)^ADD\s+(?:CONSTRAINT\s+(?:{_IDENT}\s+)?)?"
+            r"(?:FOREIGN\s+KEY|UNIQUE|CHECK)\b", c
+        ):
+            continue  # non-PK constraints don't change the lake schema
         m2 = re.match(rf"(?is)^ADD\s+(?:COLUMN\s+)?{kw}{_IDENT}\s+{_TYPE}", c)
         if m2:
-            ops.append(("add", m2.group(1), sql_type_to_spark(m2.group(2))))
+            ops.append(
+                ("add", m2.group(1), sql_type_to_spark(m2.group(2)),
+                 _extract_default(c[m2.end():]))
+            )
             continue
         m2 = re.match(r"(?is)^ADD\s*\((.*)\)\s*$", c)
         if m2:  # ADD (a INT, b TEXT)
             for sub in _split_clauses(m2.group(1)):
-                m3 = re.match(rf"(?is)^{_IDENT}\s+{_TYPE}", sub.strip())
+                sub = sub.strip()
+                m3 = re.match(rf"(?is)^{_IDENT}\s+{_TYPE}", sub)
                 if m3:
-                    ops.append(("add", m3.group(1), sql_type_to_spark(m3.group(2))))
+                    ops.append(
+                        ("add", m3.group(1), sql_type_to_spark(m3.group(2)),
+                         _extract_default(sub[m3.end():]))
+                    )
             continue
         m2 = re.match(rf"(?is)^DROP\s+(?:COLUMN\s+)?{_IDENT}(?:\s+(?:RESTRICT|CASCADE))?\s*$", c)
         if m2:
@@ -455,7 +519,10 @@ def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
     ops = parse_ddl(text)
     for op in ops:
         if op[0] == "add":
-            table.alter_add_columns([(op[1], op[2])])
+            # 3-tuples come from pre-default ledgers/TableChanges; 4th
+            # element is the DEFAULT literal (Iceberg initial-default:
+            # pre-ADD files surface it instead of null)
+            table.alter_add_columns([tuple(op[1:4])])
         elif op[0] == "drop":
             table.alter_drop_columns([op[1]])
         elif op[0] == "rename":
@@ -463,6 +530,21 @@ def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
         elif op[0] == "widen":
             # CHANGE/MODIFY to the same type is a no-op inside alter_widen
             table.alter_widen_column(op[1], op[2])
+        elif op[0] == "set_pk":
+            # a PK identical to the capture key is the idempotent replay /
+            # re-add-after-drop case; anything else is a RE-KEY, which
+            # cannot apply to a bucketed-by-key lake table without a full
+            # rewrite — fail loudly (the silent no-op was the dangerous
+            # case: downstream merges would keep the stale key)
+            if sorted(op[1]) != sorted(table.key_cols):
+                raise ValueError(
+                    f"DDL changes the primary key to {op[1]} but the table "
+                    f"is keyed/bucketed by {table.key_cols}; re-keying "
+                    "requires a full table rebuild (create a new capture)"
+                )
+        # drop_pk: paired with a following set_pk (MySQL drop-then-re-add);
+        # alone it leaves the capture key in force (message.key.columns
+        # semantics — the capture key need not equal the source PK)
     ledger = os.path.join(table.root, "_schema_history.jsonl")
     with open(ledger, "a") as f:
         f.write(

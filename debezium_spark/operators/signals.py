@@ -44,3 +44,76 @@ def read_signals(signals: DataFrame) -> list[SignalAction]:
             data = {}
         out.append(SignalAction(signal_id=str(r["id"]), type=r["type"], data=data))
     return out
+
+
+def signal_log(engine, action: SignalAction) -> int:
+    """``log`` action (reference ``signal/Log.java``: interpolates and logs
+    the message). Here the message lands durably as a lineage row on the
+    table's next manifest version — a metadata-only commit (no data files,
+    fence untouched), so the operator's audit trail rides the same channel
+    as batch metrics. Returns the committed version."""
+    return engine.table.commit_buckets(
+        {},
+        [],
+        None,
+        [{
+            "batch": f"signal/{action.signal_id}",
+            "bucket": -1, "events": 0, "deletes": 0, "upserts": 0,
+            "signal": "log",
+            "message": str(action.data.get("message", "")),
+        }],
+    )
+
+
+def signal_schema_changes(engine, action: SignalAction) -> DataFrame:
+    """``schema-changes`` action (reference ``signal/SchemaChanges.java``:
+    re-emits schema change events so a consumer can rebuild its schema
+    history). Returns the table's ``_schema_history.jsonl`` ledger as
+    schema-change envelope rows — op='l', the raw DDL text, the offset it
+    applied at, and the post-apply schema version — ordered by offset."""
+    from debezium_spark.operators.schema_evolution import schema_history
+
+    entries = schema_history(engine.table)
+    rows = [
+        (
+            e.get("offset_file"),
+            e.get("offset_pos"),
+            "l",
+            e.get("raw"),
+            json.dumps(e.get("ops", [])),
+            e.get("schema_version"),
+        )
+        for e in entries
+    ]
+    schema = (
+        "offset_file string, offset_pos long, op string, ddl string,"
+        " ops_json string, schema_version long"
+    )
+    return engine.spark.createDataFrame(rows, schema).orderBy("offset_pos")
+
+
+def dispatch_signals(engine, signals: DataFrame, snapshot_provider=None) -> list[tuple]:
+    """Drive every signal-table action against an engine (the reference's
+    ``Signal.process`` loop, Signal.java:100-111). Returns one
+    ``(signal_id, type, result)`` per handled action:
+
+    - ``log`` → lineage commit (result = manifest version);
+    - ``schema-changes`` → schema-history envelope DataFrame;
+    - ``execute-snapshot`` → chunked incremental snapshot (DBLog);
+      ``snapshot_provider(data) -> DataFrame`` supplies the op='r' source
+      rows for the requested data-collections (the reference likewise
+      re-reads the source via its JDBC connection). Skipped if no provider.
+    """
+    out: list[tuple] = []
+    for a in read_signals(signals):
+        if a.type == "log":
+            out.append((a.signal_id, a.type, signal_log(engine, a)))
+        elif a.type == "schema-changes":
+            out.append((a.signal_id, a.type, signal_schema_changes(engine, a)))
+        elif a.type == "execute-snapshot" and snapshot_provider is not None:
+            src = snapshot_provider(a.data)
+            out.append(
+                (a.signal_id, a.type,
+                 engine.incremental_snapshot(src, batch_id=f"signal-{a.signal_id}"))
+            )
+    return out

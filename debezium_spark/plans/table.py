@@ -204,8 +204,17 @@ class LakeTable:
         out_fields = (
             self._delta_schema(payload).fields if with_delta_cols else payload.fields
         )
+        # aliases FIRST in the coalesce: each file physically carries at most
+        # one of the names (so the order is neutral for plain renames), but a
+        # column with an EXISTS_DEFAULT gets default-FILLED under its current
+        # name whenever the file lacks it — including pre-rename files whose
+        # real value sits under the old name; alias-first lets the stored
+        # value win. (Residual corner: an EXPLICIT null stored under an old
+        # name of a defaulted column surfaces the default — name-based
+        # projection cannot distinguish it from column-absent; Iceberg
+        # resolves this with column IDs.)
         cols = [
-            F.coalesce(F.col(f.name), *[F.col(o) for o in alias_of[f.name]]).alias(f.name)
+            F.coalesce(*[F.col(o) for o in alias_of[f.name]], F.col(f.name)).alias(f.name)
             if f.name in alias_of
             else F.col(f.name)
             for f in out_fields
@@ -415,19 +424,30 @@ class LakeTable:
             burned.update(olds)
         return burned
 
-    def alter_add_columns(self, cols: list[tuple[str, str]]) -> None:
+    def alter_add_columns(self, cols: list[tuple]) -> None:
         """Schema evolution barrier — Iceberg ``ALTER TABLE ADD COLUMN``
         equivalent (SURVEY §2.8). Idempotent: re-adding an existing column is
         a no-op, so DDL replay after crash is safe. Re-adding a name that was
         previously dropped or renamed away is rejected — old files still
         carry bytes under that name and name-based projection would
-        resurrect them."""
+        resurrect them.
+
+        Each entry is ``(name, spark_ddl_type[, default_sql])``. A default
+        (the reference's ``defaultValueExpression``, relational/
+        Column.java:136) is recorded as ``EXISTS_DEFAULT`` field metadata —
+        Spark's parquet reader then fills the column with the default for
+        files written BEFORE the ADD, while post-ADD files keep their
+        explicit values including nulls: exactly Iceberg's initial-default
+        semantics, at zero read-path cost (the fill happens in the
+        vectorized reader for absent columns only)."""
         man = self.manifest()
         schema = StructType.fromJson(json.loads(man["schema"]))
         existing = {f.name for f in schema.fields}
         burned = self._burned_names(man)
         changed = False
-        for name, dtype in cols:
+        for col in cols:
+            name, dtype = col[0], col[1]
+            default = col[2] if len(col) > 2 else None
             if name not in existing and name in burned:
                 raise ValueError(
                     f"cannot re-add column {name!r}: the name was previously "
@@ -437,7 +457,25 @@ class LakeTable:
             if name not in existing:
                 from pyspark.sql.types import _parse_datatype_string
 
-                schema = schema.add(name, _parse_datatype_string(dtype), True)
+                meta = None
+                if default is not None:
+                    # fail fast on an unevaluable default: the read path
+                    # would otherwise error on every scan of a pre-ADD file
+                    try:
+                        self.spark.createDataFrame([(1,)], "x int").select(
+                            F.expr(default).cast(dtype)
+                        ).first()
+                    except Exception as e:
+                        raise ValueError(
+                            f"DEFAULT {default!r} for column {name!r} does "
+                            f"not evaluate as {dtype}: {e}"
+                        ) from e
+                    meta = {"EXISTS_DEFAULT": default, "CURRENT_DEFAULT": default}
+                schema = StructType(
+                    list(schema.fields)
+                    + [StructField(name, _parse_datatype_string(dtype), True,
+                                   metadata=meta)]
+                )
                 changed = True
         if not changed:
             return
@@ -492,7 +530,8 @@ class LakeTable:
                 "coalesce would resurrect them; pick a fresh name"
             )
         fields = [
-            StructField(new, f.dataType, f.nullable) if f.name == old else f
+            StructField(new, f.dataType, f.nullable, metadata=f.metadata)
+            if f.name == old else f
             for f in schema.fields
         ]
         renames = {k: list(v) for k, v in man.get("renames", {}).items()}
@@ -531,7 +570,8 @@ class LakeTable:
                 f"{new_t.simpleString()} for column {name!r} (safe widenings only)"
             )
         fields = [
-            StructField(f.name, new_t if f.name == name else f.dataType, f.nullable)
+            StructField(f.name, new_t if f.name == name else f.dataType, f.nullable,
+                        metadata=f.metadata)
             for f in schema.fields
         ]
         self._publish_schema(man, StructType(fields))

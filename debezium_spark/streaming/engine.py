@@ -448,10 +448,18 @@ class CdcEngine:
                 v = self.table.compact(buckets=deep, batch_id=f"{batch_id}/compact") or v
         return v
 
+    #: auto-sizing floor/shape for incremental-snapshot chunks: each chunk is
+    #: one fence commit, so the commit count must stay bounded at any table
+    #: size — chunks auto-size to rows/(defaultParallelism × MULT), floored
+    #: (at 10^10 rows on 1000 executors×8 slots that is ~4×8000 commits of
+    #: ~300k rows each, vs 10^5 serial commits at a fixed 100k chunk_size)
+    CHUNK_SIZE_FLOOR = 100_000
+    CHUNK_PAR_MULT = 4
+
     def incremental_snapshot(
         self,
         source_rows: DataFrame,
-        chunk_size: int = 100_000,
+        chunk_size: int | None = None,
         batch_id: str = "incr-snap",
     ) -> int:
         """DBLog-style chunked re-snapshot of a live table, mid-stream: the
@@ -461,6 +469,14 @@ class CdcEngine:
         is split into chunks; each chunk goes through ``backfill``
         (fence-pinned, sub-positioned — stream events newer than the window
         still win). Returns the number of chunks.
+
+        ``chunk_size=None`` (default) auto-sizes: ``max(CHUNK_SIZE_FLOOR,
+        rows / (defaultParallelism × CHUNK_PAR_MULT))`` — the chunk count
+        (= serial fence-commit count, the scaling bottleneck of this loop)
+        is then bounded by parallelism × CHUNK_PAR_MULT at ANY table size,
+        while small tables keep full-floor chunks. An explicit chunk_size
+        is honored verbatim (the reference's incremental.snapshot.chunk.size
+        knob).
 
         ``source_rows`` is an op='r' envelope DataFrame (same shape as
         ``bootstrap``'s input). Chunks are assigned by *key hash*, not a
@@ -472,6 +488,10 @@ class CdcEngine:
         n = source_rows.count()
         if n == 0:
             return 0
+        if chunk_size is None:
+            par = max(1, self.spark.sparkContext.defaultParallelism)
+            chunk_size = max(self.CHUNK_SIZE_FLOOR,
+                             -(-n // (par * self.CHUNK_PAR_MULT)))
         n_chunks = max(1, (n + chunk_size - 1) // chunk_size)
         key_hash = F.xxhash64(*[F.col(f"after.{c}") for c in self.table.key_cols])
         chunked = source_rows.withColumn(
@@ -546,7 +566,8 @@ class CdcEngine:
             for op in e.get("ops", []):
                 kind = op[0]
                 if kind == "add":
-                    self.table.alter_add_columns([(op[1], op[2])])
+                    # 4-element ops carry a DEFAULT literal (r4+ ledgers)
+                    self.table.alter_add_columns([tuple(op[1:4])])
                 elif kind == "drop":
                     self.table.alter_drop_columns([op[1]])
                 elif kind == "rename":

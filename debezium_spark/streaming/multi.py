@@ -87,6 +87,24 @@ def wire_to_envelope(wire: DataFrame, payload: StructType) -> DataFrame:
     )
 
 
+def _schema_from_cols(cols: list[tuple]) -> StructType:
+    """CREATE TABLE column triples ``(name, spark_ddl_type[, default])`` →
+    StructType; DEFAULT literals ride as EXISTS_DEFAULT/CURRENT_DEFAULT
+    field metadata (same contract as LakeTable.alter_add_columns)."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    fields = []
+    for c in cols:
+        name, t = c[0], c[1]
+        default = c[2] if len(c) > 2 else None
+        meta = (
+            {"EXISTS_DEFAULT": default, "CURRENT_DEFAULT": default}
+            if default is not None else None
+        )
+        fields.append(StructField(name, _parse_datatype_string(t), True, metadata=meta))
+    return StructType(fields)
+
+
 @dataclass
 class TableSpec:
     """One captured table: identity, value schema, key.
@@ -429,12 +447,10 @@ class MultiTableEngine:
                         # skips directories owned by a live capture)
                         self._archive_dir(key)
                         self.retired.discard(key)
-                    schema = StructType.fromDDL(
-                        ", ".join(f"`{n}` {t}" for n, t in cols)
-                    )
+                    schema = _schema_from_cols(cols)
                     # no declared PK: full-row key (degenerate but safe —
                     # the reference likewise captures keyless tables)
-                    key_cols = pk or [n for n, _ in cols]
+                    key_cols = pk or [c[0] for c in cols]
                     self._register(
                         TableSpec(
                             db, tbl, schema, key_cols,

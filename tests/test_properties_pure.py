@@ -46,7 +46,7 @@ def test_create_table_roundtrips_arbitrary_columns(cols):
     op = ops[0]
     assert op[0] == "create_table" and op[1] == "db1" and op[2] == "t1"
     assert [c[0] for c in op[3]] == [n for n, _ in cols]
-    assert all(sql_type_to_spark(t) == parsed for (_, t), (_, parsed) in zip(cols, op[3]))
+    assert all(sql_type_to_spark(t) == c[1] for (_, t), c in zip(cols, op[3]))
     assert op[4] == [pk]
 
 

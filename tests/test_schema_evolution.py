@@ -29,11 +29,11 @@ def test_sql_type_mapping():
 
 def test_parse_alter_variants():
     assert parse_ddl_sql("ALTER TABLE db.t ADD COLUMN license VARCHAR(64)") == [
-        ("add", "license", "string")
+        ("add", "license", "string", None)
     ]
     assert parse_ddl_sql("alter table t add (a INT, b TEXT)") == [
-        ("add", "a", "int"),
-        ("add", "b", "string"),
+        ("add", "a", "int", None),
+        ("add", "b", "string", None),
     ]
     assert parse_ddl_sql("ALTER TABLE t DROP COLUMN old_col;") == [("drop", "old_col")]
     assert parse_ddl_sql("ALTER TABLE t RENAME COLUMN a TO b") == [("rename", "a", "b")]
@@ -50,9 +50,20 @@ def test_parse_alter_variants():
     # multi-clause, nested parens in types
     assert parse_ddl_sql(
         "ALTER TABLE t ADD COLUMN d DECIMAL(10,2), DROP COLUMN e, RENAME COLUMN f TO g"
-    ) == [("add", "d", "decimal(10,2)"), ("drop", "e"), ("rename", "f", "g")]
-    # unrelated statements: no ops
-    assert parse_ddl_sql("ALTER TABLE t ADD CONSTRAINT pk PRIMARY KEY (a)") == []
+    ) == [("add", "d", "decimal(10,2)", None), ("drop", "e"), ("rename", "f", "g")]
+    # PK mutations now parse explicitly (silent skip was the dangerous case)
+    assert parse_ddl_sql("ALTER TABLE t ADD CONSTRAINT pk PRIMARY KEY (a)") == [
+        ("set_pk", ["a"])
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD PRIMARY KEY (a, b)") == [("set_pk", ["a", "b"])]
+    assert parse_ddl_sql("ALTER TABLE t DROP PRIMARY KEY") == [("drop_pk",)]
+    # non-PK constraints stay history-only
+    assert parse_ddl_sql("ALTER TABLE t ADD CONSTRAINT fk FOREIGN KEY (a) REFERENCES r(id)") == []
+    assert parse_ddl_sql("ALTER TABLE t ADD UNIQUE (a)") == []
+    # generated columns parse as plain adds (payloads carry the computed value)
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN g INT GENERATED ALWAYS AS (a + b) STORED"
+    ) == [("add", "g", "int", None)]
     assert parse_ddl_sql("INSERT INTO t VALUES (1)") == []
 
 
@@ -130,16 +141,18 @@ def test_parse_table_level_statements():
     )
     assert ops == [(
         "create_table", "inventory", "orders",
-        [("order_no", "long"), ("region", "string"), ("amount", "decimal(10,2)")],
+        [("order_no", "long", None), ("region", "string", "'eu'"),
+         ("amount", "decimal(10,2)", None)],
         ["order_no", "region"],
     )]
     # inline PRIMARY KEY; quoted identifiers; IF NOT EXISTS
     assert parse_ddl_sql(
         "CREATE TABLE IF NOT EXISTS `db1`.`t1` (`id` INT PRIMARY KEY, v TEXT)"
-    ) == [("create_table", "db1", "t1", [("id", "int"), ("v", "string")], ["id"])]
+    ) == [("create_table", "db1", "t1",
+           [("id", "int", None), ("v", "string", None)], ["id"])]
     # unqualified name → db resolved by the caller from source.db
     assert parse_ddl_sql("CREATE TABLE t (a INT)") == [
-        ("create_table", None, "t", [("a", "int")], [])
+        ("create_table", None, "t", [("a", "int", None)], [])
     ]
     # DROP TABLE: IF EXISTS, multi-name, qualified + bare
     assert parse_ddl_sql("DROP TABLE IF EXISTS a.b, c") == [
@@ -152,8 +165,8 @@ def test_parse_table_level_statements():
         "CREATE TABLE t (v VARCHAR(10) DEFAULT 'a;b', id INT, PRIMARY KEY (id));"
         " ALTER TABLE t ADD COLUMN c TEXT; DROP TABLE old_t;"
     ) == [
-        ("create_table", None, "t", [("v", "string"), ("id", "int")], ["id"]),
-        ("add", "c", "string"),
+        ("create_table", None, "t", [("v", "string", "'a;b'"), ("id", "int", None)], ["id"]),
+        ("add", "c", "string", None),
         ("drop_table", None, "old_t"),
     ]
     # CREATE ... LIKE / AS SELECT have no parseable column list: history-only
@@ -164,7 +177,8 @@ def test_parse_table_level_statements():
         "CREATE TABLE t (note VARCHAR(100) DEFAULT 'a, b INT', id INT,"
         " par VARCHAR(10) DEFAULT ')', PRIMARY KEY(id))"
     ) == [("create_table", None, "t",
-           [("note", "string"), ("id", "int"), ("par", "string")], ["id"])]
+           [("note", "string", "'a, b INT'"), ("id", "int", None),
+            ("par", "string", "')'")], ["id"])]
     # table RENAME (both MySQL forms)
     assert parse_ddl_sql("ALTER TABLE app.orders RENAME TO app.orders_v2") == [
         ("rename_table", "app", "orders", "app", "orders_v2")
@@ -179,16 +193,17 @@ def test_parse_table_level_statements():
         "CREATE TABLE t (s ENUM('a','b') NOT NULL, y YEAR, b MEDIUMBLOB,"
         " n NATIONAL VARCHAR(20), u UUID, m MONEY, PRIMARY KEY(s))"
     ) == [("create_table", None, "t",
-           [("s", "string"), ("y", "int"), ("b", "binary"),
-            ("n", "string"), ("u", "string"), ("m", "decimal(19,2)")], ["s"])]
+           [("s", "string", None), ("y", "int", None), ("b", "binary", None),
+            ("n", "string", None), ("u", "string", None),
+            ("m", "decimal(19,2)", None)], ["s"])]
     assert parse_ddl_sql("ALTER TABLE t ADD COLUMN tags SET('x','y') DEFAULT 'x'") == [
-        ("add", "tags", "string")
+        ("add", "tags", "string", "'x'")
     ]
 
 
 def test_parse_dispatches_json_and_sql():
     assert parse_ddl('{"type": "ALTER", "add_columns": [{"name": "x", "type": "int"}]}') == [
-        ("add", "x", "int")
+        ("add", "x", "int", None)
     ]
     assert parse_ddl(
         '{"type": "ALTER", "rename_columns": [{"from": "a", "to": "b"}],'
@@ -324,12 +339,14 @@ def test_parse_constraints_not_swallowed():
     """Review regression: the type regex must stop before column
     constraints — 'INT NOT NULL' wedged the stream with an unmapped-type
     ValueError inside apply_ddl."""
-    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT NOT NULL") == [("add", "c", "int")]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT NOT NULL") == [
+        ("add", "c", "int", None)
+    ]
     assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c BIGINT UNSIGNED NOT NULL DEFAULT 0") == [
-        ("add", "c", "long")
+        ("add", "c", "long", "0")
     ]
     assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c VARCHAR(64) DEFAULT NULL COMMENT 'x'") == [
-        ("add", "c", "string")
+        ("add", "c", "string", None)
     ]
     assert parse_ddl_sql("ALTER TABLE t CHANGE a b BIGINT UNSIGNED NOT NULL") == [
         ("rename", "a", "b"), ("widen", "b", "long")
@@ -382,3 +399,129 @@ def test_rename_onto_burned_name_is_rejected(spark, tmp_path):
     t.alter_rename_column("val", "val2")
     with pytest.raises(ValueError):
         t.alter_rename_column("c", "val")
+
+
+def test_parse_default_literals():
+    """DEFAULT literal capture (reference DefaultValueParserListener /
+    Column.defaultValueExpression): numbers, strings with '' escapes,
+    booleans, NULL (=no default), non-literal expressions (=no default)."""
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN n INT DEFAULT 5") == [
+        ("add", "n", "int", "5")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN n INT DEFAULT -3") == [
+        ("add", "n", "int", "-3")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN r DOUBLE DEFAULT 2.5e2") == [
+        ("add", "r", "double", "2.5e2")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN s VARCHAR(20) DEFAULT 'it''s'") == [
+        ("add", "s", "string", "'it''s'")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN b BOOLEAN DEFAULT true") == [
+        ("add", "b", "boolean", "TRUE")
+    ]
+    # parenthesized add list carries per-column defaults
+    assert parse_ddl_sql("ALTER TABLE t ADD (a INT DEFAULT 1, b TEXT DEFAULT 'x')") == [
+        ("add", "a", "int", "1"), ("add", "b", "string", "'x'")
+    ]
+    # non-literal defaults are not evaluable at read time: column adds, no default
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN ts TIMESTAMP DEFAULT CURRENT_TIMESTAMP"
+    ) == [("add", "ts", "timestamp", None)]
+
+
+def test_add_column_default_fills_pre_add_files(spark, tmp_path):
+    """Iceberg initial-default semantics via EXISTS_DEFAULT metadata: rows
+    written BEFORE the ADD surface the default; rows written after keep
+    their explicit values including null."""
+    from pyspark.sql.types import StructType
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2, mode="mor")
+    t.create(StructType.fromDDL("k string, content string"))
+    eng = CdcEngine(spark, t, compact_depth=0)
+    gen = ChangeLogGenerator(spark, seed=7, n_repos=4)
+
+    def env(df, with_score, score_col):
+        pay = lambda side: F.when(
+            F.col(side).isNotNull(),
+            F.struct(
+                F.col(f"{side}.path").alias("k"),
+                F.col(f"{side}.content").alias("content"),
+                *( [score_col.alias("score")] if with_score else [] ),
+            ),
+        )
+        return df.withColumn("after", pay("after")).withColumn("before", pay("before"))
+
+    base = gen.events(200)
+    eng.apply_envelope_batch(env(base.filter(F.col("source.pos") < 100), False, None),
+                             batch_id="a")
+    eng.apply_envelope_batch(
+        _ddl_row(spark, env(base, False, None).schema, 100,
+                 "ALTER TABLE inventory.repo_files ADD COLUMN score BIGINT DEFAULT 42"),
+        batch_id="ddl")
+    # post-ADD rows: score = pos, except pos % 10 == 0 carries EXPLICIT null
+    score = F.when(F.pmod(F.col("source.pos"), F.lit(10)) == 0,
+                   F.lit(None).cast("long")).otherwise(F.col("source.pos"))
+    eng.apply_envelope_batch(env(base.filter(F.col("source.pos") >= 100), True, score),
+                             batch_id="b")
+
+    out = t.read().collect()
+    assert len(out) > 0
+    # build expected last-touch per key from the raw envelope
+    last = {
+        r["k"]: r
+        for r in env(base, True, score)
+        .filter(F.col("op") != "d")
+        .select(F.coalesce("after.k", "before.k").alias("k"),
+                F.col("source.pos").alias("pos"),
+                F.col("after.score").alias("score"))
+        .withColumn("rn", F.expr(
+            "row_number() over (partition by k order by pos desc)"))
+        .filter("rn = 1").collect()
+    }
+    phase_a_keys = phase_b_keys = explicit_null_keys = 0
+    for r in out:
+        exp = last.get(r["k"])
+        if exp is None:
+            continue
+        if exp["pos"] < 100:
+            assert r["score"] == 42, f"pre-ADD row must default: {r}"
+            phase_a_keys += 1
+        elif exp["pos"] % 10 == 0:
+            assert r["score"] is None, f"explicit null must survive: {r}"
+            explicit_null_keys += 1
+        else:
+            assert r["score"] == exp["pos"], r
+            phase_b_keys += 1
+    assert phase_a_keys > 0 and phase_b_keys > 0 and explicit_null_keys > 0
+    # the default survives the manifest round-trip and a reopen
+    t2 = LakeTable(spark, str(tmp_path / "t"), ["k"])
+    assert t2.schema()["score"].metadata["EXISTS_DEFAULT"] == "42"
+
+
+def test_add_default_bad_literal_rejected(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string"))
+    with pytest.raises(ValueError, match="does not evaluate"):
+        t.alter_add_columns([("c", "int", "not_a_function(")])
+
+
+def test_pk_mutation_guard(spark, tmp_path):
+    """ADD PRIMARY KEY matching the capture key is an idempotent no-op;
+    a RE-KEY raises loudly (the silent skip was the dangerous case)."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import apply_ddl
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k1", "k2"], n_buckets=2)
+    t.create(StructType.fromDDL("k1 string, k2 string, v string"))
+    v0 = t.manifest()["version"]
+    # same PK (any order) — fine; DROP-then-re-ADD pair — fine
+    apply_ddl(t, "ALTER TABLE t ADD PRIMARY KEY (k2, k1)", ("f", 1))
+    apply_ddl(t, "ALTER TABLE t DROP PRIMARY KEY, ADD PRIMARY KEY (k1, k2)", ("f", 2))
+    assert t.manifest()["version"] == v0  # schema untouched
+    with pytest.raises(ValueError, match="re-keying"):
+        apply_ddl(t, "ALTER TABLE t ADD CONSTRAINT pk PRIMARY KEY (v)", ("f", 3))
+    # bare DROP PRIMARY KEY alone: capture key stays in force (history-only)
+    apply_ddl(t, "ALTER TABLE t DROP PRIMARY KEY", ("f", 4))

@@ -180,3 +180,92 @@ def test_incremental_snapshot_chunks_interleave_with_stream(spark, tmp_path):
         .join(post_keys, ["repo", "path"], "left_semi").count()
     )
     assert leftover == 0
+
+
+def test_signal_log_and_schema_changes_actions(spark, tmp_path):
+    """The two remaining Signal.java actions (signal/Log.java,
+    signal/SchemaChanges.java): `log` lands the message as a durable
+    lineage row; `schema-changes` re-emits the schema-history ledger as
+    ordered schema-change envelope rows."""
+    from debezium_spark.operators.schema_evolution import apply_ddl
+    from debezium_spark.operators.signals import dispatch_signals
+
+    gen = ChangeLogGenerator(spark, seed=5, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    engine.apply_envelope_batch(gen.events(100), batch_id="b0")
+    apply_ddl(table, "ALTER TABLE t ADD COLUMN c1 INT DEFAULT 7", ("binlog.000001", 100))
+    apply_ddl(table, "ALTER TABLE t RENAME COLUMN c1 TO c2", ("binlog.000001", 101))
+
+    signals = spark.createDataFrame(
+        [
+            ("sig-1", "log", json.dumps({"message": "checkpoint A reached"})),
+            ("sig-2", "schema-changes", None),
+            ("sig-3", "bogus", None),
+        ],
+        "id string, type string, data string",
+    )
+    results = dispatch_signals(engine, signals)
+    assert [(r[0], r[1]) for r in results] == [
+        ("sig-1", "log"), ("sig-2", "schema-changes")
+    ]
+
+    # log: durable lineage row, fence untouched
+    fence = table.fence()
+    logs = [r for r in table.lineage() if r.get("signal") == "log"]
+    assert logs and logs[-1]["message"] == "checkpoint A reached"
+    assert logs[-1]["batch"] == "signal/sig-1"
+    assert table.fence() == fence
+
+    # schema-changes: the ledger as envelope rows, in offset order
+    hist = results[1][2].collect()
+    assert [(r["offset_pos"], r["op"]) for r in hist] == [(100, "l"), (101, "l")]
+    assert "ADD COLUMN c1" in hist[0]["ddl"]
+    assert json.loads(hist[0]["ops_json"]) == [["add", "c1", "int", "7"]]
+    assert hist[1]["schema_version"] > hist[0]["schema_version"]
+
+
+def test_signal_execute_snapshot_via_dispatch(spark, tmp_path):
+    from debezium_spark.operators.signals import dispatch_signals
+
+    gen = ChangeLogGenerator(spark, seed=13, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    engine.apply_envelope_batch(gen.events(300), batch_id="b0")
+
+    chunk_src = gen.snapshot(100).withColumn(
+        "after", F.col("after").withField("content", F.lit("SIGSNAP"))
+    )
+    signals = spark.createDataFrame(
+        [("s9", "execute-snapshot",
+          json.dumps({"data-collections": ["inventory.repo_files"]}))],
+        "id string, type string, data string",
+    )
+    seen = {}
+    results = dispatch_signals(
+        engine, signals, snapshot_provider=lambda data: seen.setdefault("d", data) and chunk_src or chunk_src
+    )
+    assert seen["d"]["data-collections"] == ["inventory.repo_files"]
+    assert results[0][1] == "execute-snapshot" and results[0][2] >= 1
+    assert table.read().filter(F.col("content") == "SIGSNAP").count() > 0
+
+
+def test_incremental_snapshot_autosizes_chunks(spark, tmp_path):
+    """chunk_size=None bounds the serial commit count by parallelism ×
+    CHUNK_PAR_MULT regardless of table size (each chunk is one fence
+    commit — the 100-TB posture is a bounded commit count)."""
+    gen = ChangeLogGenerator(spark, seed=17, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    engine.apply_envelope_batch(gen.events(200), batch_id="b0")
+
+    src = gen.snapshot(150)
+    n = engine.incremental_snapshot(src)  # auto-sized
+    par = max(1, spark.sparkContext.defaultParallelism)
+    assert 1 <= n <= par * CdcEngine.CHUNK_PAR_MULT
+    # 150 rows < CHUNK_SIZE_FLOOR → exactly one chunk
+    assert n == 1
+    # the bound formula itself, driver-side (no need for a 10^10-row table):
+    for rows in (10**6, 10**9, 10**10):
+        size = max(CdcEngine.CHUNK_SIZE_FLOOR, -(-rows // (par * CdcEngine.CHUNK_PAR_MULT)))
+        assert -(-rows // size) <= par * CdcEngine.CHUNK_PAR_MULT + 1
