@@ -1041,6 +1041,32 @@ def q_typed_payload_roundtrip(spark, sf_dir):
         F.lpad(F.pmod(cents, 100).cast("string"), 2, "0"),
     )
     days = F.floor(F.col("ts_ms") / 86400000).cast("int")
+    # the five r4 temporal classes (time/{Year,ZonedTime,Interval,
+    # MicroDuration,NanoDuration}.java), wire forms derived deterministically
+    # from the event stream
+    from debezium_spark.functions.typeconv import (
+        from_debezium_year,
+        from_micro_duration,
+        from_nano_duration,
+        from_zoned_time,
+        interval_micros,
+    )
+
+    sec_day = F.pmod(F.floor(F.col("ts_ms") / 1000), F.lit(86400)).cast("long")
+    p2 = lambda c: F.lpad(c.cast("long").cast("string"), 2, "0")
+    znt_wire = F.concat(
+        p2(F.floor(sec_day / 3600)), F.lit(":"),
+        p2(F.floor(F.pmod(sec_day, 3600) / 60)), F.lit(":"),
+        p2(F.pmod(sec_day, 60)), F.lit("+01:00"),
+    )
+    pos_ = F.col("pos")
+    itv_wire = F.concat(
+        F.lit("P0Y"), F.pmod(pos_, 12).cast("string"), F.lit("M"),
+        F.pmod(pos_, 28).cast("string"), F.lit("DT"),
+        F.pmod(pos_, 24).cast("string"), F.lit("H"),
+        F.pmod(pos_, 60).cast("string"), F.lit("M"),
+        F.pmod(pos_, 60).cast("string"), F.lit(".5S"),
+    )
     payload = F.struct(
         F.col("repo"),
         F.col("path"),
@@ -1049,6 +1075,11 @@ def q_typed_payload_roundtrip(spark, sf_dir):
         from_debezium_timestamp_ms(F.col("ts_ms")).alias("ts"),
         from_debezium_date(days).alias("day"),
         F.unhex(F.substring(F.sha2(F.col("content"), 256), 1, 16)).alias("blob"),
+        from_debezium_year(F.lit(1970) + F.pmod(cents, F.lit(200))).alias("yr"),
+        from_zoned_time(znt_wire).alias("zt_us"),
+        from_nano_duration(F.col("ts_ms") * 1_000_000 + 123_456).alias("nd_us"),
+        from_micro_duration(cents.cast("double")).alias("md_us"),
+        interval_micros(itv_wire).alias("itv_us"),
     )
     env = e.select(
         F.when(F.col("op") != "c", payload).alias("before"),
@@ -1068,7 +1099,8 @@ def q_typed_payload_roundtrip(spark, sf_dir):
     )
     schema = StructType.fromDDL(
         "repo string, path string, content string, amount decimal(12,2),"
-        " ts timestamp, day date, blob binary"
+        " ts timestamp, day date, blob binary, yr int, zt_us long,"
+        " nd_us long, md_us long, itv_us long"
     )
     tmp = tempfile.mkdtemp(prefix="cdc_typed_")
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
@@ -1091,18 +1123,26 @@ def q_typed_payload_roundtrip(spark, sf_dir):
         F.unix_millis(F.col("ts")).alias("ts_ms"),
         F.col("day").cast("string").alias("day_str"),
         F.lower(F.hex(F.col("blob"))).alias("blob_hex"),
+        "yr", "zt_us", "nd_us", "md_us", "itv_us",
     )
 
 
 SQL_typed_payload_roundtrip = f"""WITH {ENV_SQL},
-r AS (SELECT repo, path, content, op, value, ts_ms,
+r AS (SELECT repo, path, content, op, value, ts_ms, pos,
              ROW_NUMBER() OVER (PARTITION BY repo, path ORDER BY pos DESC) AS rn FROM env),
-last AS (SELECT *, CAST(ROUND(value*100) AS BIGINT) AS cents FROM r WHERE rn = 1 AND op <> 'd')
+last AS (SELECT *, CAST(ROUND(value*100) AS BIGINT) AS cents,
+                (ts_ms // 1000) % 86400 AS sec_day FROM r WHERE rn = 1 AND op <> 'd')
 SELECT repo, path, sha256(content) AS content_sha,
        CAST(cents // 100 AS VARCHAR) || '.' || lpad(CAST(cents % 100 AS VARCHAR), 2, '0') AS amount_str,
        ts_ms,
        CAST(DATE '1970-01-01' + CAST(ts_ms // 86400000 AS INTEGER) AS VARCHAR) AS day_str,
-       substr(sha256(content), 1, 16) AS blob_hex
+       substr(sha256(content), 1, 16) AS blob_hex,
+       CAST(1970 + cents % 200 AS INTEGER) AS yr,
+       (((sec_day - 3600) % 86400 + 86400) % 86400) * 1000000 AS zt_us,
+       ts_ms * 1000 + 123 AS nd_us,
+       cents AS md_us,
+       (((((pos % 12) * 30 + pos % 28) * 24 + pos % 24) * 60 + pos % 60) * 60
+        + pos % 60) * 1000000 + 500000 AS itv_us
 FROM last"""
 
 

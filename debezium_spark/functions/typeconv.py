@@ -22,6 +22,13 @@ io.debezium.time.ZonedTimestamp        ISO-8601 string         → timestamp
 io.debezium.time.Time                  int32 millis past 00:00 → long micros
 io.debezium.time.MicroTime             int64 micros past 00:00 → long micros
 io.debezium.time.NanoTime              int64 nanos past 00:00  → long micros
+io.debezium.time.ZonedTime             ISO-8601 offset time    → long micros
+                                       string                    past 00:00 UTC
+io.debezium.time.Year                  int32 year              → int
+io.debezium.time.Interval              ISO-8601 duration       → struct /
+                                       string "PnYnMnDTnHnMnS"   long micros
+io.debezium.time.MicroDuration         float64 micros          → long micros
+io.debezium.time.NanoDuration          int64 nanos             → long micros
 connect Decimal (decimal.handling.mode)
   =string                              "123.45"                → decimal(p,s)
   =double                              123.45                  → decimal(p,s)
@@ -87,6 +94,83 @@ def time_micros(col: Column, unit: str = "micros") -> Column:
         d = c.cast("decimal(38,0)")  # exact integer division (see ns ts)
         return ((d - F.pmod(d, F.lit(1000))) / F.lit(1000)).cast("long")
     raise ValueError(f"unknown time unit {unit!r}")
+
+
+def from_debezium_year(col: Column) -> Column:
+    """io.debezium.time.Year: int32 year number (``time/Year.java`` —
+    INT32 literal type carrying the year as-is) → int."""
+    return col.cast("int")
+
+
+def from_zoned_time(col: Column) -> Column:
+    """io.debezium.time.ZonedTime: ISO-8601 offset-time string
+    (``time/ZonedTime.java`` — OffsetTime.toIsoString, e.g.
+    ``10:15:30.123+01:00``) → long micros past midnight, normalized to UTC
+    (pinned to the epoch date; offsets crossing midnight wrap into
+    [0, 86400e6))."""
+    ts = F.to_timestamp(F.concat(F.lit("1970-01-01T"), col))
+    return F.pmod(F.unix_micros(ts), F.lit(86_400_000_000))
+
+
+def from_micro_duration(col: Column) -> Column:
+    """io.debezium.time.MicroDuration: float64 approximate micros
+    (``time/MicroDuration.java`` — FLOAT64 literal type) → long micros
+    (truncation toward zero, the Java ``(long)`` cast)."""
+    return col.cast("double").cast("long")
+
+
+def from_nano_duration(col: Column) -> Column:
+    """io.debezium.time.NanoDuration: int64 nanos (``time/
+    NanoDuration.java``) → long micros (exact integer division — see the
+    nano-timestamp note on double-division precision)."""
+    d = col.cast("decimal(38,0)")
+    return ((d - F.pmod(d, F.lit(1000))) / F.lit(1000)).cast("long")
+
+
+#: ISO-8601 duration as Interval.toIsoString emits it: every component
+#: optional, seconds possibly fractional (``time/Interval.java``)
+_ISO8601_INTERVAL = (
+    r"^P(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)D)?"
+    r"(?:T(?:(-?\d+)H)?(?:(-?\d+)M)?(?:(-?\d+(?:\.\d+)?)S)?)?$"
+)
+
+
+def interval_parse(col: Column) -> Column:
+    """io.debezium.time.Interval: ISO-8601 duration string
+    (``Interval.toIsoString`` — ``PnYnMnDTnHnMnS``) → struct of components
+    (years/months/days/hours/minutes int, seconds decimal(18,9)). The
+    lossless form: months and days have no exact micros equivalent, exactly
+    why the reference keeps Interval as a STRING schema."""
+    def g(i: int) -> Column:
+        return F.regexp_extract(col, _ISO8601_INTERVAL, i)
+
+    def num(i: int) -> Column:
+        return F.when(g(i) == "", F.lit(0)).otherwise(g(i).cast("int"))
+
+    secs = F.when(g(6) == "", F.lit("0")).otherwise(g(6)).cast("decimal(18,9)")
+    return F.struct(
+        num(1).alias("years"), num(2).alias("months"), num(3).alias("days"),
+        num(4).alias("hours"), num(5).alias("minutes"), secs.alias("seconds"),
+    )
+
+
+def interval_micros(col: Column, days_per_month: float = 30.0) -> Column:
+    """Interval string → approximate long micros, the reference's
+    ``MicroDuration.durationMicros`` formula (``MicroDuration.java``:
+    days = (years*12 + months) * daysPerMonthAvg + days; seconds rolled up;
+    ``(long)`` truncation). ``days_per_month`` defaults to 30 — the
+    ``ChronoUnit.MONTHS.getDuration().toDays()`` fallback; pass
+    ``MicroDuration.DAYS_PER_MONTH_AVG`` = 365.25/12 for plugin parity."""
+    p = interval_parse(col)
+    ndays = (
+        (p["years"] * 12 + p["months"]).cast("double") * F.lit(float(days_per_month))
+        + p["days"]
+    )
+    nsec = (
+        ((ndays * 24 + p["hours"]) * 60 + p["minutes"]) * 60
+        + p["seconds"].cast("double")
+    )
+    return (nsec * F.lit(1e6)).cast("long")
 
 
 # ---- decimal (JdbcValueConverters + SpecialValueDecimal) ------------------

@@ -177,3 +177,64 @@ def test_negative_wire_scale_decimals(spark):
         "500.000000000000000000", "-5000.000000000000000000", "0.050000000000000000",
     ]
     assert [r["fixed"] for r in out] == [500, -500, 500]
+
+
+def test_year_zoned_time_durations(spark):
+    """The five r4 temporal classes (time/{Year,ZonedTime,MicroDuration,
+    NanoDuration}.java): wire forms → canonical Spark values."""
+    df = spark.createDataFrame(
+        [
+            (2024, "10:15:30+01:00", 1.5e6, 1_234_567_891),
+            (1901, "00:30:00+01:00", -2.7e6, 999),       # offset wraps past midnight
+            (2155, "23:59:59.250-08:30", 0.0, -1_234_567_891),
+        ],
+        "y int, zt string, md double, nd long",
+    )
+    out = df.select(
+        tc.from_debezium_year(F.col("y")).alias("yr"),
+        tc.from_zoned_time(F.col("zt")).alias("zt"),
+        tc.from_micro_duration(F.col("md")).alias("md"),
+        tc.from_nano_duration(F.col("nd")).alias("nd"),
+    ).collect()
+    assert [r["yr"] for r in out] == [2024, 1901, 2155]
+    # 10:15:30+01:00 → 09:15:30 UTC; 00:30+01:00 → 23:30 previous day wraps;
+    # 23:59:59.25-08:30 → 08:29:59.25 next day wraps
+    assert out[0]["zt"] == ((10 * 3600 + 15 * 60 + 30) - 3600) * 1_000_000
+    assert out[1]["zt"] == (23 * 3600 + 30 * 60) * 1_000_000
+    assert out[2]["zt"] == (8 * 3600 + 29 * 60 + 59) * 1_000_000 + 250_000
+    assert [r["md"] for r in out] == [1_500_000, -2_700_000, 0]
+    # nanos → micros floors toward -inf for negatives (1000-grid floor)
+    assert [r["nd"] for r in out] == [1_234_567, 0, -1_234_568]
+
+
+def test_interval_parse_and_micros(spark):
+    """io.debezium.time.Interval ISO strings (Interval.toIsoString forms and
+    sparse variants) → components + the MicroDuration.durationMicros
+    approximation (days_per_month default 30)."""
+    df = spark.createDataFrame(
+        [
+            ("P1Y2M3DT4H5M6.5S",),
+            ("P0Y0M0DT0H0M0S",),
+            ("PT15M",),            # sparse: only minutes
+            ("P7D",),              # sparse: only days
+            ("P-1Y14MT0.000000001S",),  # negative + >12 months + nano frac
+        ],
+        "s string",
+    )
+    parsed = df.select(tc.interval_parse(F.col("s")).alias("p")).collect()
+    assert parsed[0]["p"].asDict() | {} == {
+        "years": 1, "months": 2, "days": 3, "hours": 4, "minutes": 5,
+        "seconds": __import__("decimal").Decimal("6.500000000"),
+    }
+    assert parsed[2]["p"]["minutes"] == 15 and parsed[2]["p"]["days"] == 0
+    assert parsed[3]["p"]["days"] == 7
+    assert parsed[4]["p"]["years"] == -1 and parsed[4]["p"]["months"] == 14
+
+    micros = [r["m"] for r in df.select(tc.interval_micros(F.col("s")).alias("m")).collect()]
+    def ref(y, mo, d, h, mi, s):  # MicroDuration.durationMicros, dpm=30
+        ndays = (y * 12 + mo) * 30.0 + d
+        return int((((ndays * 24 + h) * 60 + mi) * 60 + s) * 1e6)
+    assert micros == [
+        ref(1, 2, 3, 4, 5, 6.5), 0, ref(0, 0, 0, 0, 15, 0),
+        ref(0, 0, 7, 0, 0, 0), ref(-1, 14, 0, 0, 0, 1e-9),
+    ]
