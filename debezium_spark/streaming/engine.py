@@ -45,7 +45,9 @@ from debezium_spark.sources.batches import list_batches, read_batch
 Smt = Callable[[DataFrame], DataFrame]
 
 
-def split_open_tail_tx(env: DataFrame) -> tuple[DataFrame | None, DataFrame | None, int | None]:
+def split_open_tail_tx(
+    env: DataFrame, probe: dict | None = None
+) -> tuple[DataFrame | None, DataFrame | None, int | None]:
     """Transaction-aligned batch segmentation (reference: whole transactions
     are assembled before apply, ``sink/replay/transaction/
     TransactionReplayTask.java``; the fork's binlog patch switches parse
@@ -62,19 +64,29 @@ def split_open_tail_tx(env: DataFrame) -> tuple[DataFrame | None, DataFrame | No
 
     Returns (closed, deferred, boundary_pos): ``closed`` = rows with pos <=
     boundary (None if the whole batch is one open transaction), ``deferred``
-    = the open tail run (None if nothing defers)."""
-    agg = env.select(
-        F.max("source.pos").alias("p"),
-        F.max_by(F.col("transaction.id"), F.col("source.pos")).alias("tt"),
-    ).first()
-    if agg["p"] is None or agg["tt"] is None:
+    = the open tail run (None if nothing defers).
+
+    ``probe`` (optional) carries the answers precomputed by the caller's
+    fused per-batch aggregation (``{"p", "tt", "boundary"}`` — see
+    ``CdcEngine.replay``), making this a zero-job pure plan transform; when
+    absent, two narrow driver aggregations compute them here."""
+    if probe is not None:
+        p, tail_tx, boundary = probe["p"], probe["tt"], probe["boundary"]
+    else:
+        agg = env.select(
+            F.max("source.pos").alias("p"),
+            F.max_by(F.col("transaction.id"), F.col("source.pos")).alias("tt"),
+        ).first()
+        p, tail_tx = agg["p"], agg["tt"]
+        boundary = (
+            env.filter(~F.col("transaction.id").eqNullSafe(F.lit(tail_tx)))
+            .select(F.max("source.pos"))
+            .first()[0]
+            if p is not None and tail_tx is not None
+            else None
+        )
+    if p is None or tail_tx is None:
         return env, None, None
-    tail_tx = agg["tt"]
-    boundary = (
-        env.filter(~F.col("transaction.id").eqNullSafe(F.lit(tail_tx)))
-        .select(F.max("source.pos"))
-        .first()[0]
-    )
     if boundary is None:
         return None, env, None  # entire batch is one still-open transaction
     # null-pos poison records ride with the CLOSED part — a bare pos<=b
@@ -100,7 +112,12 @@ def _carry_versions(root: str) -> list[tuple[int, str]]:
     return sorted(out)
 
 
-def persist_tx_carry(spark: SparkSession, carry: DataFrame | None, root: str) -> DataFrame | None:
+def persist_tx_carry(
+    spark: SparkSession,
+    carry: DataFrame | None,
+    root: str,
+    meta: dict | None = None,
+) -> DataFrame | None:
     """Materialize the open-tail-transaction carry under
     ``<root>/_tx_carry/vN``.
 
@@ -117,7 +134,15 @@ def persist_tx_carry(spark: SparkSession, carry: DataFrame | None, root: str) ->
     vN, and (b) the caller persists AFTER its commits, so a crash mid-epoch
     leaves vN intact for the redelivered epoch to resume from (the correct
     recovery point is the PRE-epoch carry). ``None`` clears everything.
-    Returns the re-read (flat-scan) DataFrame."""
+    Returns the re-read (flat-scan) DataFrame.
+
+    ``meta`` (optional): the carry's fused-probe facts ``{"tx", "p", "nd",
+    "nb"}`` — its transaction id, max pos, and barrier/bad flags — written
+    as ``_carry_meta.json`` inside the version dir (underscore-prefixed
+    files are invisible to the parquet reader). They let the NEXT batch's
+    split stay a zero-job plan transform (see ``CdcEngine.replay``); a
+    carry without meta is handled by the probing fallback."""
+    import json as _json
     import shutil
 
     versions = _carry_versions(root)
@@ -128,6 +153,9 @@ def persist_tx_carry(spark: SparkSession, carry: DataFrame | None, root: str) ->
     nxt = (versions[-1][0] + 1) if versions else 1
     d = os.path.join(root, "_tx_carry", f"v{nxt}")
     carry.write.mode("overwrite").parquet(d)  # reads vN while writing vN+1
+    if meta is not None:
+        with open(os.path.join(d, "_carry_meta.json"), "w") as f:
+            _json.dump(meta, f)
     for _, p in versions:
         shutil.rmtree(p, ignore_errors=True)
     return spark.read.parquet(d)
@@ -139,6 +167,21 @@ def load_tx_carry(spark: SparkSession, root: str) -> DataFrame | None:
     if versions:
         return spark.read.parquet(versions[-1][1])
     return None
+
+
+def load_tx_carry_meta(root: str) -> dict | None:
+    """The persisted carry's fused-probe facts (see ``persist_tx_carry``),
+    or None for a missing/legacy carry."""
+    import json as _json
+
+    versions = _carry_versions(root)
+    if not versions:
+        return None
+    path = os.path.join(versions[-1][1], "_carry_meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)
 
 
 class CdcEngine:
@@ -177,6 +220,9 @@ class CdcEngine:
         self.tombstones_on_delete = tombstones_on_delete
         #: open-tail-transaction rows deferred across replay calls
         self._tx_carry: DataFrame | None = None
+        #: fused-probe facts about _tx_carry ({"tx","p","nd","nb"}) — lets
+        #: the replay loop split carry-prefixed batches with zero extra jobs
+        self._carry_meta: dict | None = None
         if not table.exists():
             table.create(REPO_PAYLOAD_SCHEMA)
 
@@ -610,24 +656,48 @@ class CdcEngine:
         re-carried duplicate rows collapse in the merge's last-wins
         dedupe)."""
         versions = []
-        # open-tail tx awaiting its END — reload from disk after a restart
+        # open-tail tx awaiting its END — reload from disk after a restart,
+        # together with its fused-probe meta (tx id, max pos, flags)
         carry: DataFrame | None = self._tx_carry
+        cm: dict | None = self._carry_meta
         if carry is None:
             carry = load_tx_carry(self.spark, self.table.root)
+            cm = load_tx_carry_meta(self.table.root) if carry is not None else None
         paths = list_batches(batch_dir)
         for i, path in enumerate(paths):
             is_final_batch = final and i == len(paths) - 1
             env = read_batch(self.spark, path)
-            # one narrow-column pass: offset fence + DDL presence + malformed
-            # -row presence + tail-transaction id together (per-batch serial
-            # driver time is the scaling bottleneck, so every probe rides
-            # this single job)
-            mm = env.select(
+            # ONE narrow-column pass answers every per-batch probe: offset
+            # fence, DDL presence, malformed-row presence, tail-transaction
+            # id AND the tail-transaction boundary (per-batch serial driver
+            # time is the scaling bottleneck, so everything rides this
+            # single job). Shape: a per-transaction partial aggregate (tiny
+            # shuffle, one row per tx in the batch) then a global fold —
+            # the tail tx is the group owning the global max pos, and since
+            # transactions are contiguous pos runs, the boundary is that
+            # group's min pos - 1. ``ng`` counts groups holding real
+            # offsets: ng <= 1 means every positioned row belongs to the
+            # tail tx (whole batch open).
+            per_tx = env.groupBy(F.col("transaction.id").alias("_tx")).agg(
                 F.max("source.pos").alias("p"),
+                F.min("source.pos").alias("pmin"),
                 F.max("source.file").alias("f"),
                 F.max(F.col("op").isin(BARRIER_OPS).cast("int")).alias("nd"),
-                F.max(_reason_col(env, self.table.key_cols).isNotNull().cast("int")).alias("nb"),
-                F.max_by(F.col("transaction.id"), F.col("source.pos")).alias("tt"),
+                F.max(
+                    _reason_col(env, self.table.key_cols).isNotNull().cast("int")
+                ).alias("nb"),
+            )
+            mm = per_tx.select(
+                F.max("p").alias("p"),
+                F.max("f").alias("f"),
+                F.max("nd").alias("nd"),
+                F.max("nb").alias("nb"),
+                F.max_by(
+                    F.struct(F.col("_tx").alias("tx"), F.col("pmin").alias("pmin"),
+                             F.col("nd").alias("nd"), F.col("nb").alias("nb")),
+                    F.col("p"),
+                ).alias("tail"),
+                F.count(F.when(F.col("p").isNotNull(), 1)).alias("ng"),
             ).first()
             cur = self.table.fence()
             if mm["p"] is None or (carry is None and cur is not None and mm["p"] <= cur[1]):
@@ -638,30 +708,75 @@ class CdcEngine:
             # transform could corrupt a row, so fall back to the
             # post-SMT probe in that case
             has_bad: bool | None = bool(mm["nb"]) if not self.smt_chain else None
-            tx_engaged = tx_aligned and (carry is not None or mm["tt"] is not None)
+            tail_tx = mm["tail"]["tx"] if mm["tail"] is not None else None
+            tx_engaged = tx_aligned and (carry is not None or tail_tx is not None)
             if tx_engaged:
                 had_carry = carry is not None
+                fused = not had_carry or cm is not None  # legacy carry: probe
                 if had_carry:
                     env = carry.unionByName(env)
-                    # rows moved across the batch boundary: the fused flags
-                    # no longer describe what commits — let the engine probe
-                    has_ddl = None
-                    has_bad = None
+                    # the union's flags = this batch's OR the carry's (the
+                    # carry meta recorded its own); True is a safe over-
+                    # approximation (costs one empty control-plane pass),
+                    # False is exact. A meta-less legacy carry → re-probe.
+                    if fused:
+                        has_ddl = bool(mm["nd"]) or bool(cm["nd"])
+                        has_bad = (
+                            (bool(mm["nb"]) or bool(cm["nb"]))
+                            if not self.smt_chain else None
+                        )
+                    else:
+                        has_ddl = None
+                        has_bad = None
                 if is_final_batch:
                     # log complete: the last batch's tail transaction is
                     # closed by end-of-log — commit it in THIS batch (no
                     # separate flush commit; disk carry clears after the
                     # apply below, which still lazily reads it)
-                    carry = None
+                    carry, cm = None, None
                 else:
-                    closed, carry, boundary = split_open_tail_tx(env)
-                    if carry is not None:
-                        has_ddl = None
-                        has_bad = None
-                    if closed is None:
+                    # zero-job split: the fused probe already knows the tail
+                    # tx and its run start. Boundary cases (transactions are
+                    # contiguous pos runs, and every carry pos < every batch
+                    # pos): other positioned groups in the batch → the tail
+                    # run starts at its own pmin; batch all-one-tx over a
+                    # DIFFERENT carried tx → the new tx's existence proves
+                    # the carried one closed at its max pos; same tx (or no
+                    # carry) → still open end-to-end.
+                    probe = None
+                    if fused:
+                        if tail_tx is None:
+                            boundary0 = None  # autocommit tail: all closed
+                        elif mm["ng"] > 1:
+                            boundary0 = mm["tail"]["pmin"] - 1
+                        elif had_carry and cm["tx"] != tail_tx:
+                            boundary0 = cm["p"]
+                        else:
+                            boundary0 = None  # whole union still open
+                        probe = {"p": mm["p"], "tt": tail_tx, "boundary": boundary0}
+                    closed, carry, boundary = split_open_tail_tx(env, probe=probe)
+                    whole_open = closed is None
+                    if carry is not None and fused:
+                        # meta for the NEW carry: the deferred run is the
+                        # batch's tail group (+ the old carry when the same
+                        # tx straddles); whole-union deferral folds the
+                        # global flags in
+                        nd_c = bool(mm["nd"] if whole_open else mm["tail"]["nd"])
+                        nb_c = bool(mm["nb"] if whole_open else mm["tail"]["nb"])
+                        if had_carry and (whole_open or cm["tx"] == tail_tx):
+                            nd_c = nd_c or bool(cm["nd"])
+                            nb_c = nb_c or bool(cm["nb"])
+                        cm = {"tx": tail_tx, "p": mm["p"], "nd": nd_c, "nb": nb_c}
+                    elif carry is not None:
+                        cm = None  # legacy carry stays legacy until flushed
+                    else:
+                        cm = None
+                    if whole_open:
                         # whole batch = one still-open transaction; nothing
                         # commits, so materialize the carry immediately
-                        carry = persist_tx_carry(self.spark, carry, self.table.root)
+                        carry = persist_tx_carry(
+                            self.spark, carry, self.table.root, meta=cm
+                        )
                         continue
                     env = closed
                     if carry is not None:
@@ -681,10 +796,11 @@ class CdcEngine:
                 # carry that went back to None must CLEAR the disk version
                 # — a stale persisted carry would re-merge old events over
                 # newer table state on restart.
-                carry = persist_tx_carry(self.spark, carry, self.table.root)
+                carry = persist_tx_carry(self.spark, carry, self.table.root, meta=cm)
             if v is not None:
                 versions.append(v)
         self._tx_carry = carry
+        self._carry_meta = cm if carry is not None else None
         if final and carry is not None:
             # only reachable when the directory was empty or every batch
             # was skipped — flush whatever was carried in from before
@@ -710,6 +826,7 @@ class CdcEngine:
         if had_carry:
             env = carry.unionByName(env)
         closed, carry, _ = split_open_tail_tx(env)
+        self._carry_meta = None  # stream-path carries have no fused meta
         engaged = had_carry or carry is not None
         if closed is None:
             self._tx_carry = persist_tx_carry(self.spark, carry, self.table.root)
@@ -725,6 +842,7 @@ class CdcEngine:
         known complete (a binlog only ever contains committed transactions,
         so end-of-log closes it). No-op if nothing is carried."""
         carry, self._tx_carry = self._tx_carry, None
+        self._carry_meta = None
         if carry is None:
             carry = load_tx_carry(self.spark, self.table.root)
         if carry is None:

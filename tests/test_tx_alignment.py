@@ -226,3 +226,78 @@ def test_multi_table_tx_carry(spark, tmp_path):
     mte.flush_tx_carry()
     assert {r["k"] for r in mte.table("app", "t").read().collect()} == {1, 2, 3, 4}
     assert mte.table("app", "t").fence()[1] == 4
+
+
+def test_replay_probe_is_one_job_per_batch(spark, tmp_path):
+    """VERDICT r3 item 5: the tail-tx boundary rides the SAME fused
+    aggregation as fence/ddl/bad — exactly ONE driver aggregation action
+    (.first) per applied batch on the tx-aligned path, including batches
+    prefixed by a carried transaction (the carry meta makes the split a
+    zero-job plan transform)."""
+    import pyspark.sql
+
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    # every batch ends with an open tx, so batches 1 and 2 are carry-prefixed
+    _write_batch(spark, bdir, 0, [
+        (1, "c", "a", "v1", "tx1"), (2, "c", "b", "v1", "tx1"),
+        (3, "c", "c", "v1", "tx2"),
+    ])
+    _write_batch(spark, bdir, 1, [
+        (4, "u", "c", "v2", "tx2"), (5, "u", "a", "v2", "tx3"),
+        (6, "u", "b", "v2", "tx3"),
+    ])
+    _write_batch(spark, bdir, 2, [
+        (7, "u", "c", "v3", "tx3"), (8, "c", "d", "v1", "tx4"),
+    ])
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = CdcEngine(spark, table)
+
+    calls = {"first": 0}
+    cls = type(spark.range(1))  # the concrete (classic) DataFrame class
+    orig_first = cls.first
+
+    def counting_first(self):
+        calls["first"] += 1
+        return orig_first(self)
+
+    cls.first = counting_first
+    try:
+        engine.replay(bdir, final=False)
+    finally:
+        cls.first = orig_first
+    assert calls["first"] == 3, f"expected 1 probe job per batch, got {calls['first']}"
+
+    # and the result is still the correct tx-aligned state: tx4 deferred
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state == {"a": "v2", "b": "v2", "c": "v3"}
+    assert table.fence() == ("binlog.000001", 7)
+    engine.flush_tx_carry()
+    assert {r["path"]: r["content"] for r in table.read().collect()}["d"] == "v1"
+
+
+def test_carry_meta_survives_restart(spark, tmp_path):
+    """The persisted carry's meta reloads on restart, so a restarted engine
+    keeps the single-probe path AND the same split semantics."""
+    from debezium_spark.streaming.engine import load_tx_carry_meta
+
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    _write_batch(spark, bdir, 0, [
+        (1, "c", "a", "v1", "tx1"), (2, "c", "b", "v1", "tx2"),
+    ])
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    CdcEngine(spark, table).replay(bdir, final=False)
+    meta = load_tx_carry_meta(str(tmp_path / "t"))
+    assert meta == {"tx": "tx2", "p": 2, "nd": False, "nb": False}
+
+    # fresh engine (restart): batch1 closes tx2, opens tx3
+    _write_batch(spark, bdir, 1, [
+        (3, "u", "b", "v2", "tx2"), (4, "c", "c", "v1", "tx3"),
+    ])
+    e2 = CdcEngine(spark, LakeTable(spark, str(tmp_path / "t"), ["repo", "path"]))
+    e2.replay(bdir, final=False)
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state == {"a": "v1", "b": "v2"}  # tx3 deferred
+    meta = load_tx_carry_meta(str(tmp_path / "t"))
+    assert meta["tx"] == "tx3" and meta["p"] == 4
