@@ -209,22 +209,34 @@ def to_avro(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     rec_schema = StructType([f for f in sub.schema.fields])
     enc = _enc_for(rec_schema)
     header = MAGIC + schema_id(rec_schema).to_bytes(4, "big")
-    # int64 exactness: Spark's Arrow->pandas turns a nullable long column
-    # into float64, silently rounding values above 2^53 before the encoder
-    # ever sees them. Ship top-level integer columns as STRINGS across the
-    # boundary (the encoder's int() parses them exactly); struct columns
-    # arrive as dicts of Python objects and are already exact.
+    # Value exactness across the Arrow/pandas boundary — ship top-level
+    # numeric columns as STRINGS:
+    # - int64: Spark's Arrow->pandas turns a nullable long column into
+    #   float64, silently rounding values above 2^53 before the encoder
+    #   ever sees them; the encoder's int() parses the string exactly.
+    # - float/double (ADVICE r3 #4): in a float64 pandas column a genuine
+    #   IEEE NaN payload value is indistinguishable from a null, so the
+    #   notna normalization below used to ship NaN down the union's null
+    #   branch — a silent value change the spec encoding represents
+    #   exactly. As strings, null stays None and NaN becomes "NaN", which
+    #   the encoder's float() parses back to the IEEE value (Spark's
+    #   float->string cast is shortest-roundtrip, so finite values are
+    #   bit-exact too).
+    # Struct columns arrive as dicts of Python objects and are already
+    # exact for both concerns.
     transport = [
         F.col(f.name).cast("string").alias(f.name)
-        if isinstance(f.dataType, (LongType, IntegerType)) else F.col(f.name)
+        if isinstance(f.dataType, (LongType, IntegerType, FloatType, DoubleType))
+        else F.col(f.name)
         for f in rec_schema.fields
     ]
     sub = sub.select(*transport)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # nullable numeric columns surface their nulls as pandas NaN —
-            # normalize to None so they take the union's null branch
+            # nulls surface as pandas NA — normalize to None so they take
+            # the union's null branch (numeric columns are strings here, so
+            # no real NaN value can be mistaken for a null)
             pdf = pdf.astype(object).where(pdf.notna(), None)
             frames = []
             for row in pdf.to_dict("records"):
@@ -242,7 +254,29 @@ def from_avro(frames: DataFrame, schema: StructType, col: str = "avro") -> DataF
     ``to_avro``). Verifies the frame header (magic + schema id)."""
     dec = _dec_for(schema)
     want_id = schema_id(schema)
-    ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    # top-level float/double fields travel back as canonical STRINGS and
+    # cast JVM-side: pyarrow's object-array conversion treats a Python
+    # float('nan') as a NULL, so a decoded IEEE NaN payload value would
+    # silently become null on the way back into Spark (the mirror image of
+    # the to_avro transport rule — ADVICE r3 #4)
+    float_fields = {
+        f.name for f in schema.fields if isinstance(f.dataType, (FloatType, DoubleType))
+    }
+    ddl = ", ".join(
+        f"`{f.name}` {'string' if f.name in float_fields else f.dataType.simpleString()}"
+        for f in schema.fields
+    )
+
+    def fstr(v):
+        if v is None:
+            return None
+        if v != v:  # NaN
+            return "NaN"
+        if v == float("inf"):
+            return "Infinity"
+        if v == float("-inf"):
+            return "-Infinity"
+        return repr(float(v))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -257,6 +291,8 @@ def from_avro(frames: DataFrame, schema: StructType, col: str = "avro") -> DataF
                         f"avro schema id mismatch: frame {sid}, reader {want_id}"
                     )
                 rec, _ = dec(buf, 5)
+                for name in float_fields:
+                    rec[name] = fstr(rec.get(name))
                 rows.append(rec)
             # dtype=object keeps decoded longs as exact Python ints —
             # pandas would otherwise infer float64 for an int column with
@@ -265,7 +301,16 @@ def from_avro(frames: DataFrame, schema: StructType, col: str = "avro") -> DataF
                 rows, columns=[f.name for f in schema.fields], dtype=object
             )
 
-    return frames.mapInPandas(decode, schema=ddl)
+    out = frames.mapInPandas(decode, schema=ddl)
+    if float_fields:
+        out = out.select(
+            *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                if f.name in float_fields else F.col(f.name)
+                for f in schema.fields
+            ]
+        )
+    return out
 
 
 def envelope_to_avro(env: DataFrame) -> DataFrame:

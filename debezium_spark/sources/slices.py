@@ -47,17 +47,29 @@ _SLICE_COLS = ["msgType", "index", "totalSlice", "sliceSize", "csv", "schema_ddl
 
 
 def export_csv_slices(
-    df: DataFrame, key_cols: list[str], slice_size: int = 10_000
+    df: DataFrame, key_cols: list[str], slice_size: int = 10_000,
+    n: int | None = None,
 ) -> DataFrame:
     """Table → CSV-slice records: one ``metadata`` record (schema DDL), N
     ``full`` records (index, totalSlice, sliceSize, csv block), one ``eof``
-    record (totalSlice doubles as the row-count check on eof).
+    record.
 
     Slices are key-hash partitions (deterministic, parallel, skew-free) of
     ~``slice_size`` rows; rows inside a slice sort lexicographically by
     their CSV line so the emitted bytes are engine- and partitioning-
-    independent."""
-    n = df.count()
+    independent.
+
+    Scan count (ADVICE r3 #5 — the old shape re-scanned the table three
+    times): markers carry the a-priori slice-count UPPER BOUND (hash
+    buckets can come up empty) plus the exact row count; the loader's
+    completeness gate is row-count equality, which any missing slice
+    breaks (every shipped slice is non-empty), so no separate
+    count-distinct pass is needed. That leaves ONE narrow row-count scan
+    here plus the caller's single evaluation of the returned body — and
+    the count scan also drops if the caller passes ``n`` (e.g. from an
+    up-to-date catalog statistic)."""
+    if n is None:
+        n = df.count()
     n_slices = max(1, (n + slice_size - 1) // slice_size)
     schema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
     line = F.to_csv(F.struct(*[F.col(c) for c in df.columns]))
@@ -79,25 +91,21 @@ def export_csv_slices(
         )
     )
     spark = df.sparkSession
-    # eof carries the ACTUAL slice count (a hash bucket can come up empty,
-    # so the a-priori n_slices is an upper bound, not the check value);
-    # counted over the narrow index column — no caching of the CSV body
-    k_actual = sliced.select(F.countDistinct("index")).first()[0]
 
-    def _marker(msg: str, total: int, ddl: str | None):
+    def _marker(msg: str, ddl: str | None):
         return spark.range(1).select(
             F.lit(msg).alias("msgType"),
             F.lit(-1).cast("long").alias("index"),
-            F.lit(total).cast("long").alias("totalSlice"),
+            F.lit(n_slices).cast("long").alias("totalSlice"),
             F.lit(n).cast("long").alias("sliceSize"),
             F.lit(None).cast("array<string>").alias("csv"),
             F.lit(ddl).alias("schema_ddl"),
         )
 
     return (
-        _marker(MSG_METADATA, k_actual, schema_ddl)
+        _marker(MSG_METADATA, schema_ddl)
         .unionByName(body)
-        .unionByName(_marker(MSG_EOF, k_actual, None))
+        .unionByName(_marker(MSG_EOF, None))
     )
 
 
@@ -122,7 +130,10 @@ def load_csv_slices(slices: DataFrame, schema: StructType | None = None) -> Data
     stats = body.select(
         F.count("*").alias("k"), F.sum("sliceSize").alias("rows")
     ).first()
-    if stats["k"] != eof["totalSlice"] or (stats["rows"] or 0) != eof["sliceSize"]:
+    # completeness gate: exact ROW-count equality (every shipped slice is
+    # non-empty, so a missing slice always breaks it); the eof's totalSlice
+    # is an upper bound — hash buckets can legitimately come up empty
+    if stats["k"] > eof["totalSlice"] or (stats["rows"] or 0) != eof["sliceSize"]:
         raise ValueError(
             f"incomplete slice set: have {stats['k']}/{eof['totalSlice']} slices, "
             f"{stats['rows']} of {eof['sliceSize']} rows"

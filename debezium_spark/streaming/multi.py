@@ -179,6 +179,68 @@ class MultiTableEngine:
         self.retired: set[tuple[str, str]] = set()
         for spec in specs:
             self._register(spec)
+        # replay persisted catalog mutations (mid-stream CREATE/DROP/RENAME
+        # survive a restart — ADVICE r3 #1: without this a dropped table
+        # silently resumed capture and a created/renamed table's events
+        # silently vanished under include-list semantics)
+        self.recover_catalog()
+
+    # ---- catalog persistence (reference: schema-history recovery of
+    # ---- Tables, AbstractDatabaseHistory.java) ---------------------------
+
+    @property
+    def _catalog_path(self) -> str:
+        return os.path.join(self.root, "_catalog.jsonl")
+
+    def _catalog_append(self, entry: dict) -> None:
+        """Durably ledger one catalog mutation BEFORE applying it in memory
+        (crash after append → recovery replays it; crash before → the
+        mutation never happened anywhere). Append-only JSONL, like the
+        engine's schema-history ledger."""
+        import json as _json
+
+        os.makedirs(self.root, exist_ok=True)
+        with open(self._catalog_path, "a") as f:
+            f.write(_json.dumps(entry) + "\n")
+
+    def recover_catalog(self) -> int:
+        """Replay ``_catalog.jsonl`` over the constructor's static spec list
+        (the reference recovers its ``Tables`` catalog by replaying the
+        schema history topic). Idempotent: each entry re-applies only where
+        it still makes sense (create of a registered key skips, drop of an
+        absent key only marks it retired, rename needs the old key live).
+        Returns the number of entries read."""
+        import json as _json
+
+        if not os.path.exists(self._catalog_path):
+            return 0
+        with open(self._catalog_path) as f:
+            entries = [_json.loads(line) for line in f if line.strip()]
+        for e in entries:
+            key = (e["db"], e["table"])
+            if e["op"] == "create":
+                self.retired.discard(key)
+                if key in self.specs:
+                    continue
+                self._register(
+                    TableSpec(
+                        e["db"], e["table"], _schema_from_cols(e["cols"]),
+                        list(e["pk"]),
+                        n_buckets=e.get("n_buckets", self.default_buckets),
+                        mode=e.get("mode", self.default_mode),
+                    ),
+                    root=e.get("root"),
+                )
+            elif e["op"] == "drop":
+                if key in self.specs:
+                    self._retire(key)
+                else:
+                    self.retired.add(key)
+            elif e["op"] == "rename":
+                new_key = (e["new_db"], e["new_table"])
+                if key in self.specs and new_key not in self.specs:
+                    self._rename_table(key, new_key)
+        return len(entries)
 
     def _live_roots(self) -> set[str]:
         return {e.table.root for e in self.engines.values()}
@@ -459,6 +521,10 @@ class MultiTableEngine:
                     if op[0] == "rename":
                         new_key = (op[3], op[4])
                         if key in self.specs and new_key not in self.specs:
+                            self._catalog_append({
+                                "op": "rename", "db": key[0], "table": key[1],
+                                "new_db": new_key[0], "new_table": new_key[1],
+                            })
                             self._rename_table(key, new_key)
                             new_keys.add(new_key)
                             batch_aliases.setdefault(new_key, set()).add(key)
@@ -472,6 +538,7 @@ class MultiTableEngine:
                         # same-batch DROP;CREATE: the old incarnation
                         # retires now (its dir archives) so the new one
                         # starts clean
+                        self._catalog_append({"op": "drop", "db": key[0], "table": key[1]})
                         self._retire(key, archive=True)
                         pending_drops.remove(key)
                     if key in self.specs or db not in known_dbs:
@@ -486,14 +553,21 @@ class MultiTableEngine:
                     # no declared PK: full-row key (degenerate but safe —
                     # the reference likewise captures keyless tables)
                     key_cols = pk or [c[0] for c in cols]
+                    # a fresh @gen dir when the default path is owned by
+                    # a renamed live capture of the same name
+                    new_root = self._alloc_root(key)
+                    self._catalog_append({
+                        "op": "create", "db": db, "table": tbl,
+                        "cols": [list(c) for c in cols], "pk": key_cols,
+                        "n_buckets": self.default_buckets,
+                        "mode": self.default_mode, "root": new_root,
+                    })
                     self._register(
                         TableSpec(
                             db, tbl, schema, key_cols,
                             n_buckets=self.default_buckets, mode=self.default_mode,
                         ),
-                        # a fresh @gen dir when the default path is owned by
-                        # a renamed live capture of the same name
-                        root=self._alloc_root(key),
+                        root=new_root,
                     )
                     new_keys.add(key)
 
@@ -580,6 +654,7 @@ class MultiTableEngine:
             # above still applied); lake data stays on disk until a
             # re-CREATE of the same name archives it
             for key in pending_drops:
+                self._catalog_append({"op": "drop", "db": key[0], "table": key[1]})
                 self._retire(key)
             if tx_engaged:
                 # materialize AFTER the per-table commits (the dispatched

@@ -48,6 +48,15 @@ def stream_replay(
     stops (the batch-replay-as-stream mode used in tests and backfills);
     ``False`` runs until ``query.stop()`` — the production tail.
 
+    **Flush contract (tx alignment is ON by default)**: the final epoch's
+    open tail transaction is DEFERRED to the engine's persisted carry — a
+    drained stream has applied everything EXCEPT that tail. Call
+    ``engine.flush_tx_carry()`` once the log is known complete (end of a
+    binlog = every transaction in it committed), or use ``drain(query,
+    engine)`` which awaits termination and flushes in one step. A reader
+    before the flush sees a consistent-but-older state (whole transactions
+    only) — never a partial transaction.
+
     Ordering contract: each ``batch_NNNNN.parquet`` directory must appear
     atomically (write elsewhere, rename in) and in offset order — then every
     trigger sees only whole batches and epochs are offset-monotone, which is
@@ -101,7 +110,13 @@ def stream_replay_multi(
     exactly-once as ``stream_replay``: checkpoint dedupe at the source,
     per-table offset fences at each sink (a redelivered epoch is a no-op
     per table). Idle tables heartbeat every epoch, so every fence stays
-    fresh even when one table gets all the traffic."""
+    fresh even when one table gets all the traffic.
+
+    Same flush contract as ``stream_replay``: with tx alignment on (the
+    MultiTableEngine default), the last epoch's open tail transaction sits
+    in the persisted carry until ``engine.flush_tx_carry()`` — call it (or
+    ``drain(query, engine)``) after an ``availableNow`` drain before
+    reading final table states."""
     reader = spark.readStream.schema(WIRE_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
@@ -116,3 +131,13 @@ def stream_replay_multi(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def drain(query, engine) -> None:
+    """Await a streaming query's termination, then flush the engine's
+    deferred open-tail transaction (see the flush contract on
+    ``stream_replay``/``stream_replay_multi``). Use after an
+    ``availableNow`` drain when the source log is complete; works with both
+    ``CdcEngine`` and ``MultiTableEngine``."""
+    query.awaitTermination()
+    engine.flush_tx_carry()

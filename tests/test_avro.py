@@ -102,3 +102,25 @@ def test_writer_schema_is_valid_avro_json(spark):
     # every field is a nullable union
     assert all(isinstance(f["type"], list) and f["type"][0] == "null"
                for f in doc["fields"])
+
+
+def test_float_nan_distinct_from_null_roundtrip(spark):
+    """ADVICE r3 #4: a real IEEE NaN payload value must round-trip as NaN
+    (the spec encodes it exactly), while a null keeps the union's null
+    branch; infinities and non-dyadic doubles stay bit-exact."""
+    import math
+
+    from debezium_spark.functions.avro import from_avro, to_avro
+    from pyspark.sql.types import StructType
+
+    df = spark.createDataFrame(
+        [(1, float("nan"), 1.5), (2, None, float("inf")),
+         (3, 0.1, float("-inf")), (4, -2.5e-300, None)],
+        "id long, d double, f double",
+    )
+    schema = StructType.fromDDL("id long, d double, f double")
+    back = {r["id"]: r for r in from_avro(to_avro(df), schema).collect()}
+    assert math.isnan(back[1]["d"]) and back[1]["f"] == 1.5
+    assert back[2]["d"] is None and back[2]["f"] == float("inf")
+    assert back[3]["d"] == 0.1 and back[3]["f"] == float("-inf")
+    assert back[4]["d"] == -2.5e-300 and back[4]["f"] is None

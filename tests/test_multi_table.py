@@ -546,3 +546,70 @@ def test_prepass_expression_bounded_at_high_table_counts(spark, tmp_path):
     # provability: all-string keys exact, long-bearing keys hint-only
     assert mte._prepass_key_provable(mte.specs[("app", "t0")])
     assert not mte._prepass_key_provable(mte.specs[("app", "t1")])
+
+
+def test_catalog_mutations_survive_restart(spark, tmp_path):
+    """ADVICE r3 #1: mid-stream CREATE/DROP/RENAME persist to _catalog.jsonl
+    and replay on construction — a restarted engine must not resume a
+    dropped capture, must keep capturing a mid-stream-created table, and
+    must route a renamed table's events to its original data."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    aud = TableSpec("app", "audit", StructType.fromDDL("aid long, msg string"),
+                    ["aid"], n_buckets=2)
+    lake = str(tmp_path / "lake")
+    mte = MultiTableEngine(spark, lake, [users, aud], default_buckets=2)
+
+    def row(pos, table, op, after, before=None):
+        return {
+            "before_json": before, "after_json": after, "op": op, "ts_ms": 1000 + pos,
+            "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                       "snapshot": None, "db": "app", "table": table,
+                       "ts_ms": 1000 + pos},
+            "transaction": None,
+        }
+
+    b0 = [
+        row(1, "users", "c", '{"uid": 1, "name": "ada"}'),
+        row(2, "audit", "c", '{"aid": 10, "msg": "boot"}'),
+        row(3, "orders", "l", json.dumps({"content":
+            "CREATE TABLE app.orders (order_no BIGINT, v VARCHAR(10) DEFAULT 'n',"
+            " PRIMARY KEY (order_no))"})),
+        row(4, "orders", "c", '{"order_no": 7, "v": "a"}'),
+        row(5, "audit", "l", json.dumps({"content": "DROP TABLE app.audit"})),
+        row(6, "users", "l", json.dumps({"content":
+            "RENAME TABLE app.users TO app.accounts"})),
+    ]
+    mte.apply_wire_batch(spark.createDataFrame(b0, WIRE_SCHEMA), "b0")
+    assert ("app", "orders") in mte.specs and ("app", "audit") not in mte.specs
+    assert ("app", "accounts") in mte.specs and ("app", "users") not in mte.specs
+
+    # ---- RESTART with the ORIGINAL static spec list ----
+    mte2 = MultiTableEngine(spark, lake, [users, aud], default_buckets=2)
+    assert ("app", "orders") in mte2.specs, "created capture must survive restart"
+    assert ("app", "audit") not in mte2.specs, "dropped capture must stay retired"
+    assert ("app", "accounts") in mte2.specs and ("app", "users") not in mte2.specs
+    # the created table's DEFAULT metadata survived the ledger round-trip
+    assert mte2.specs[("app", "orders")].payload_schema["v"].metadata[
+        "EXISTS_DEFAULT"] == "'n'"
+
+    b1 = [
+        row(7, "orders", "c", '{"order_no": 8, "v": "b"}'),
+        row(8, "accounts", "u", '{"uid": 1, "name": "ada2"}',
+            '{"uid": 1, "name": "ada"}'),
+        row(9, "audit", "c", '{"aid": 11, "msg": "ghost"}'),  # must be dropped
+    ]
+    mte2.apply_wire_batch(spark.createDataFrame(b1, WIRE_SCHEMA), "b1")
+    assert {r["order_no"] for r in mte2.table("app", "orders").read().collect()} == {7, 8}
+    acc = mte2.table("app", "accounts").read().collect()
+    assert [(r["uid"], r["name"]) for r in acc] == [(1, "ada2")]  # same data lineage
+    # audit stayed retired: its lake state is untouched by the ghost row
+    from debezium_spark.plans.table import LakeTable as LT
+    assert LT(spark, f"{lake}/app/audit", ["aid"]).read().count() == 1
+
+    # double-restart is stable (idempotent replay)
+    mte3 = MultiTableEngine(spark, lake, [users, aud], default_buckets=2)
+    assert set(mte3.specs) == set(mte2.specs)
