@@ -39,6 +39,7 @@ DDL_OP = "l"
 # op tuples: ("add", name, spark_type[, default_sql]) | ("drop", name)
 #            ("rename", old, new)      | ("widen", name, spark_type)
 #            ("set_pk", [col, ...])    | ("drop_pk",)
+#            ("set_default", name, default_sql|None)   # SET/DROP DEFAULT
 # table-level statements (catalog mutations, relational/Tables.java):
 #            ("create_table", db|None, table, [(col, spark_type[, default]), ...], [pk, ...])
 #            ("drop_table", db|None, table)
@@ -484,6 +485,17 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
         if m2:
             ops.append(("widen", m2.group(1), sql_type_to_spark(m2.group(2))))
             continue
+        # MySQL/PG ALTER [COLUMN] x SET DEFAULT <lit> / DROP DEFAULT —
+        # mutates the column's CURRENT default (future writers), never its
+        # initial/EXISTS default (already-written files keep their fill)
+        m2 = re.match(rf"(?is)^ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+SET\s+DEFAULT\s+(..*)$", c)
+        if m2:
+            ops.append(("set_default", m2.group(1), _extract_default("DEFAULT " + m2.group(2))))
+            continue
+        m2 = re.match(rf"(?is)^ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+DROP\s+DEFAULT\s*$", c)
+        if m2:
+            ops.append(("set_default", m2.group(1), None))
+            continue
         # unrelated clause (constraints, defaults, indexes): history-only
     return ops
 
@@ -530,6 +542,8 @@ def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
         elif op[0] == "widen":
             # CHANGE/MODIFY to the same type is a no-op inside alter_widen
             table.alter_widen_column(op[1], op[2])
+        elif op[0] == "set_default":
+            table.alter_set_default(op[1], op[2])
         elif op[0] == "set_pk":
             # a PK identical to the capture key is the idempotent replay /
             # re-add-after-drop case; anything else is a RE-KEY, which

@@ -539,6 +539,35 @@ class LakeTable:
         renames[new] = aliases + [old]
         self._publish_schema(man, StructType(fields), renames)
 
+    def alter_set_default(self, name: str, default_sql: str | None) -> None:
+        """``ALTER COLUMN x SET DEFAULT <lit>`` / ``DROP DEFAULT`` —
+        mutates only the column's CURRENT default (``CURRENT_DEFAULT``
+        metadata, informational for writers that omit the column). The
+        ``EXISTS_DEFAULT`` (initial default) is immutable by design: files
+        written before the column existed must keep surfacing the default
+        in force AT ADD TIME, exactly Iceberg/Spark initial-default
+        semantics — retroactively changing it would rewrite history.
+        Idempotent; unknown column raises."""
+        man = self.manifest()
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        if name not in [f.name for f in schema.fields]:
+            raise ValueError(f"set_default: column {name!r} not found")
+        fields = []
+        changed = False
+        for f in schema.fields:
+            if f.name == name:
+                meta = dict(f.metadata or {})
+                if default_sql is None:
+                    changed = meta.pop("CURRENT_DEFAULT", None) is not None
+                else:
+                    changed = meta.get("CURRENT_DEFAULT") != default_sql
+                    meta["CURRENT_DEFAULT"] = default_sql
+                fields.append(StructField(f.name, f.dataType, f.nullable, metadata=meta))
+            else:
+                fields.append(f)
+        if changed:
+            self._publish_schema(man, StructType(fields))
+
     #: widening promotions the parquet reader performs across old files
     #: (Spark 4 type-widening; anything else would corrupt or fail reads)
     _WIDENINGS = {

@@ -99,6 +99,51 @@ def split_open_tail_tx(
     return closed, deferred, boundary
 
 
+def fused_tail_probe(env: DataFrame) -> dict:
+    """ONE driver job answering the tail-transaction questions for a batch:
+    ``{"p": max pos, "tt": tail tx id, "pmin": tail run start, "ng": number
+    of tx groups holding real offsets}``. Per-tx partial aggregate (tiny
+    shuffle: one row per transaction) + global fold — the building block of
+    the replay loop's fused probe, reusable by callers (MultiTableEngine)
+    that need only the tx facts."""
+    per_tx = env.groupBy(F.col("transaction.id").alias("_tx")).agg(
+        F.max("source.pos").alias("p"),
+        F.min("source.pos").alias("pmin"),
+    )
+    row = per_tx.select(
+        F.max("p").alias("p"),
+        F.max_by(
+            F.struct(F.col("_tx").alias("tx"), F.col("pmin").alias("pmin")),
+            F.col("p"),
+        ).alias("tail"),
+        F.count(F.when(F.col("p").isNotNull(), 1)).alias("ng"),
+    ).first()
+    tail = row["tail"]
+    return {
+        "p": row["p"],
+        "tt": tail["tx"] if tail is not None else None,
+        "pmin": tail["pmin"] if tail is not None else None,
+        "ng": row["ng"],
+    }
+
+
+def derive_tx_boundary(probe: dict, carry_meta: dict | None, had_carry: bool) -> int | None:
+    """Tail-run boundary from a batch's ``fused_tail_probe`` facts + the
+    carried transaction's meta (transactions are contiguous pos runs and
+    every carry pos < every batch pos — see ``CdcEngine.replay``):
+    other positioned groups in the batch → the tail run starts at its own
+    pmin; batch all-one-tx over a DIFFERENT carried tx → the new tx proves
+    the carried one closed at its max pos; same tx (or no carry) → still
+    open end-to-end (None)."""
+    if probe["tt"] is None:
+        return None
+    if probe["ng"] > 1:
+        return probe["pmin"] - 1
+    if had_carry and carry_meta is not None and carry_meta["tx"] != probe["tt"]:
+        return carry_meta["p"]
+    return None
+
+
 def _carry_versions(root: str) -> list[tuple[int, str]]:
     base = os.path.join(root, "_tx_carry")
     out = []
@@ -620,6 +665,8 @@ class CdcEngine:
                     self.table.alter_rename_column(op[1], op[2])
                 elif kind == "widen":
                     self.table.alter_widen_column(op[1], op[2])
+                elif kind == "set_default":
+                    self.table.alter_set_default(op[1], op[2])
                 # table-level ops are catalog history, not column state
         return len(entries)
 

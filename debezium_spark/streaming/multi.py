@@ -172,6 +172,9 @@ class MultiTableEngine:
         self.default_mode = default_mode
         self.tx_aligned = tx_aligned
         self._tx_carry: DataFrame | None = None
+        #: fused-probe facts about _tx_carry (tx id + max pos) — lets the
+        #: dispatcher split carry-prefixed batches with one probe job
+        self._carry_meta: dict | None = None
         self.salt_factor = salt_factor
         self.compact_depth = compact_depth
         self.specs: dict[tuple[str, str], TableSpec] = {}
@@ -470,7 +473,10 @@ class MultiTableEngine:
         tx_engaged = False
         if self.tx_aligned:
             from debezium_spark.streaming.engine import (
+                derive_tx_boundary,
+                fused_tail_probe,
                 load_tx_carry,
+                load_tx_carry_meta,
                 persist_tx_carry,
                 split_open_tail_tx,
             )
@@ -479,15 +485,42 @@ class MultiTableEngine:
                 # restart recovery: a streaming checkpoint will not
                 # redeliver the epoch whose tail we deferred
                 self._tx_carry = load_tx_carry(self.spark, self.root)
+                self._carry_meta = (
+                    load_tx_carry_meta(self.root) if self._tx_carry is not None else None
+                )
             had_carry = self._tx_carry is not None
+            # ONE probe job on the incoming batch (carry facts ride its
+            # persisted meta), instead of two aggregations over the union
+            bp = fused_tail_probe(wire)
             if had_carry:
                 wire = self._tx_carry.unionByName(wire)
-            closed, carry, _ = split_open_tail_tx(wire)
+            cm = self._carry_meta
+            probe = None
+            if (not had_carry or cm is not None) and bp["p"] is not None:
+                probe = {
+                    "p": bp["p"], "tt": bp["tt"],
+                    "boundary": derive_tx_boundary(bp, cm, had_carry),
+                }
+            elif not had_carry:
+                probe = {"p": bp["p"], "tt": bp["tt"], "boundary": None}
+            closed, carry, _ = split_open_tail_tx(wire, probe=probe)
+            if (carry is not None and bp["p"] is not None
+                    and (not had_carry or cm is not None)):
+                # nd/nb are conservative placeholders: the multi pre-pass
+                # re-derives per-table flags from the dispatched part, so
+                # only tx/p are consumed here
+                self._carry_meta = {"tx": bp["tt"], "p": bp["p"],
+                                    "nd": True, "nb": True}
+            else:
+                # empty batch or legacy (meta-less) carry: keep what we had
+                self._carry_meta = None if carry is None else cm
             tx_engaged = had_carry or carry is not None
             if closed is None:
                 # whole batch = one still-open transaction: nothing
                 # dispatches, materialize the carry now
-                self._tx_carry = persist_tx_carry(self.spark, carry, self.root)
+                self._tx_carry = persist_tx_carry(
+                    self.spark, carry, self.root, meta=self._carry_meta
+                )
                 return {}
             self._tx_carry = carry  # materialized AFTER dispatch below
             wire = closed
@@ -663,7 +696,9 @@ class MultiTableEngine:
                 # carry gone back to None clears the disk version
                 from debezium_spark.streaming.engine import persist_tx_carry
 
-                self._tx_carry = persist_tx_carry(self.spark, self._tx_carry, self.root)
+                self._tx_carry = persist_tx_carry(
+                    self.spark, self._tx_carry, self.root, meta=self._carry_meta
+                )
             return versions
         finally:
             wire.unpersist()
@@ -680,6 +715,7 @@ class MultiTableEngine:
         from debezium_spark.streaming.engine import load_tx_carry, persist_tx_carry
 
         c, self._tx_carry = self._tx_carry, None
+        self._carry_meta = None
         if c is None:
             c = load_tx_carry(self.spark, self.root)
         if c is None:

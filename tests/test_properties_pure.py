@@ -81,3 +81,61 @@ def test_parse_ddl_sql_total_on_arbitrary_text(s):
     tolerant-parse contract."""
     ops = parse_ddl_sql(s)
     assert isinstance(ops, list)
+
+
+@given(
+    st.integers(-5, 40), st.integers(-5, 40), st.integers(-5, 40),
+    st.integers(0, 30), st.integers(0, 90),
+    st.integers(0, 10**6), st.integers(0, 999_999_999),
+)
+@settings(max_examples=200)
+def test_interval_regex_matches_toIsoString_forms(y, mo, d, h, mi, s, ns):
+    """Interval.toIsoString emits P{y}Y{mo}M{d}DT{h}H{mi}M{s}S with any
+    magnitudes (months can exceed 12, seconds fractional, components
+    negative) — the parser regex must match every such form."""
+    import re
+    from debezium_spark.functions.typeconv import _ISO8601_INTERVAL
+
+    frac = f".{ns:09d}".rstrip("0") if ns else ""
+    text = f"P{y}Y{mo}M{d}DT{h}H{mi}M{s}{frac}S"
+    m = re.match(_ISO8601_INTERVAL, text)
+    assert m is not None
+    assert int(m.group(1)) == y and int(m.group(2)) == mo and int(m.group(3)) == d
+    assert float(m.group(6)) == float(f"{s}{frac}")
+
+
+@given(st.text(alphabet="abc'() ,0123456789DEFAULT", max_size=40))
+@settings(max_examples=300)
+def test_default_extractor_total(junk):
+    """_extract_default never raises on hostile clause tails and only ever
+    returns a literal the grammar accepts."""
+    import re
+    from debezium_spark.operators.schema_evolution import _DEFAULT_RE, _extract_default
+
+    out = _extract_default(junk)
+    if out is not None:
+        assert out == "TRUE" or out == "FALSE" or re.match(
+            r"^(?:'(?:[^']|'')*'|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)$", out)
+
+
+@given(st.lists(st.sampled_from(
+    ["ADD COLUMN x INT DEFAULT 5", "DROP COLUMN y", "ADD PRIMARY KEY (k)",
+     "DROP PRIMARY KEY", "RENAME COLUMN a TO b", "MODIFY COLUMN c BIGINT",
+     "ALTER COLUMN c SET DEFAULT 'z'", "ALTER COLUMN c DROP DEFAULT"]),
+    min_size=1, max_size=5))
+@settings(max_examples=100)
+def test_alter_clause_lists_parse_in_order_without_crash(clauses):
+    ops = parse_ddl_sql("ALTER TABLE t " + ", ".join(clauses))
+    # every clause produces at least zero ops and parsing is total;
+    # clause order is preserved for the op-producing ones
+    kinds = [o[0] for o in ops]
+    expect = {"ADD COLUMN": "add", "DROP COLUMN": "drop", "ADD PRIMARY": "set_pk",
+              "DROP PRIMARY": "drop_pk", "RENAME": "rename", "MODIFY": "widen",
+              "SET DEFAULT": "set_default", "DROP DEFAULT": "set_default"}
+    want = []
+    for c in clauses:
+        for pref, k in expect.items():
+            if pref in c:
+                want.append(k)
+                break
+    assert kinds == want

@@ -525,3 +525,33 @@ def test_pk_mutation_guard(spark, tmp_path):
         apply_ddl(t, "ALTER TABLE t ADD CONSTRAINT pk PRIMARY KEY (v)", ("f", 3))
     # bare DROP PRIMARY KEY alone: capture key stays in force (history-only)
     apply_ddl(t, "ALTER TABLE t DROP PRIMARY KEY", ("f", 4))
+
+
+def test_set_drop_default_mutates_current_only(spark, tmp_path):
+    """SET DEFAULT / DROP DEFAULT mutate the CURRENT default only — the
+    initial (EXISTS) default stays frozen so pre-ADD files keep surfacing
+    the default in force at ADD time (Iceberg initial-default rule)."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import apply_ddl
+
+    assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c SET DEFAULT 9") == [
+        ("set_default", "c", "9")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ALTER c SET DEFAULT 'x'") == [
+        ("set_default", "c", "'x'")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c DROP DEFAULT") == [
+        ("set_default", "c", None)
+    ]
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, content string"))
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN c INT DEFAULT 5", ("f", 1))
+    apply_ddl(t, "ALTER TABLE t ALTER COLUMN c SET DEFAULT 9", ("f", 2))
+    m = t.schema()["c"].metadata
+    assert m["EXISTS_DEFAULT"] == "5" and m["CURRENT_DEFAULT"] == "9"
+    apply_ddl(t, "ALTER TABLE t ALTER COLUMN c DROP DEFAULT", ("f", 3))
+    m = t.schema()["c"].metadata
+    assert m["EXISTS_DEFAULT"] == "5" and "CURRENT_DEFAULT" not in m
+    with pytest.raises(ValueError, match="not found"):
+        t.alter_set_default("ghost", "1")
