@@ -47,6 +47,7 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     StringType,
+    StructField,
     StructType,
 )
 
@@ -249,34 +250,72 @@ def to_avro(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return sub.mapInPandas(encode, schema="avro binary")
 
 
+def _fstr(v):
+    """Canonical string for an IEEE value — Spark's string→double cast
+    accepts NaN/Infinity/-Infinity, and repr() is shortest-roundtrip."""
+    if v is None:
+        return None
+    if v != v:  # NaN
+        return "NaN"
+    if v == float("inf"):
+        return "Infinity"
+    if v == float("-inf"):
+        return "-Infinity"
+    return repr(float(v))
+
+
+def _float_transport_type(dt: DataType) -> DataType | None:
+    """The Arrow-transport type for ``dt`` with every float/double field
+    (at ANY nesting depth) replaced by string, or None if unchanged."""
+    if isinstance(dt, (FloatType, DoubleType)):
+        return StringType()
+    if isinstance(dt, StructType):
+        changed = False
+        fields = []
+        for f in dt.fields:
+            t = _float_transport_type(f.dataType)
+            changed = changed or t is not None
+            fields.append(StructField(f.name, t or f.dataType, True))
+        return StructType(fields) if changed else None
+    return None
+
+
+def _stringify_floats(v, dt: DataType):
+    """Decoded Python value → transport value (floats → canonical strings,
+    recursively through nested record dicts)."""
+    if v is None:
+        return None
+    if isinstance(dt, (FloatType, DoubleType)):
+        return _fstr(v)
+    if isinstance(dt, StructType):
+        for f in dt.fields:
+            if _float_transport_type(f.dataType) is not None:
+                v[f.name] = _stringify_floats(v.get(f.name), f.dataType)
+        return v
+    return v
+
+
 def from_avro(frames: DataFrame, schema: StructType, col: str = "avro") -> DataFrame:
     """Avro frames → typed rows under ``schema`` (the writer schema used by
-    ``to_avro``). Verifies the frame header (magic + schema id)."""
+    ``to_avro``). Verifies the frame header (magic + schema id).
+
+    Float/double fields — at EVERY nesting depth, not just top level
+    (review r4: the envelope path nests all payload values under
+    before/after, where the original top-level-only fix didn't reach) —
+    travel back as canonical strings and cast JVM-side: pyarrow's
+    object-array conversion treats a Python float('nan') as a NULL, so a
+    decoded IEEE NaN would otherwise silently become null on the way back
+    into Spark (the mirror image of the to_avro transport rule)."""
     dec = _dec_for(schema)
     want_id = schema_id(schema)
-    # top-level float/double fields travel back as canonical STRINGS and
-    # cast JVM-side: pyarrow's object-array conversion treats a Python
-    # float('nan') as a NULL, so a decoded IEEE NaN payload value would
-    # silently become null on the way back into Spark (the mirror image of
-    # the to_avro transport rule — ADVICE r3 #4)
-    float_fields = {
-        f.name for f in schema.fields if isinstance(f.dataType, (FloatType, DoubleType))
+    transports = {
+        f.name: _float_transport_type(f.dataType) for f in schema.fields
     }
     ddl = ", ".join(
-        f"`{f.name}` {'string' if f.name in float_fields else f.dataType.simpleString()}"
+        f"`{f.name}` {(transports[f.name] or f.dataType).simpleString()}"
         for f in schema.fields
     )
-
-    def fstr(v):
-        if v is None:
-            return None
-        if v != v:  # NaN
-            return "NaN"
-        if v == float("inf"):
-            return "Infinity"
-        if v == float("-inf"):
-            return "-Infinity"
-        return repr(float(v))
+    touched = [f for f in schema.fields if transports[f.name] is not None]
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,8 +330,8 @@ def from_avro(frames: DataFrame, schema: StructType, col: str = "avro") -> DataF
                         f"avro schema id mismatch: frame {sid}, reader {want_id}"
                     )
                 rec, _ = dec(buf, 5)
-                for name in float_fields:
-                    rec[name] = fstr(rec.get(name))
+                for f in touched:
+                    rec[f.name] = _stringify_floats(rec.get(f.name), f.dataType)
                 rows.append(rec)
             # dtype=object keeps decoded longs as exact Python ints —
             # pandas would otherwise infer float64 for an int column with
@@ -302,11 +341,12 @@ def from_avro(frames: DataFrame, schema: StructType, col: str = "avro") -> DataF
             )
 
     out = frames.mapInPandas(decode, schema=ddl)
-    if float_fields:
+    if touched:
+        # struct→struct cast is field-wise (string→double per float field)
         out = out.select(
             *[
                 F.col(f.name).cast(f.dataType).alias(f.name)
-                if f.name in float_fields else F.col(f.name)
+                if transports[f.name] is not None else F.col(f.name)
                 for f in schema.fields
             ]
         )

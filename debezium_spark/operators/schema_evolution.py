@@ -104,7 +104,15 @@ def parse_table_changes(tc_json: str) -> list[DdlOp]:
         return []
     ops: list[DdlOp] = []
     for c in doc.get("add_columns", []):
-        ops.append(("add", c["name"], c.get("type", "string"), c.get("default")))
+        # TableChanges 'default' is the reference's raw defaultValueExpression
+        # (arbitrary SQL text) — gate it through the same literal grammar as
+        # the SQL front-end; non-literals drop to None (history keeps the
+        # raw JSON) instead of reaching EXISTS_DEFAULT unvalidated
+        raw = c.get("default")
+        default = (
+            _extract_default("DEFAULT " + str(raw)) if raw is not None else None
+        )
+        ops.append(("add", c["name"], c.get("type", "string"), default))
     for name in doc.get("drop_columns", []):
         ops.append(("drop", name))
     for r in doc.get("rename_columns", []):
@@ -131,27 +139,53 @@ _TYPE = (
 #: the history ledger, but pre-ADD rows surface null, matching the
 #: reference's behavior when a default expression cannot be evaluated
 #: (DefaultValueParserListener converts what it can, skips the rest).
+# NOTE: used via .match(clause, pos) — implicit anchoring at pos (an
+# explicit ^ would anchor at string start and never match mid-clause)
 _DEFAULT_RE = re.compile(
-    r"(?is)\bDEFAULT\s+("
+    r"(?is)DEFAULT\s+("
     r"'(?:[^']|'')*'"                       # string literal ('' escape)
     r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"    # numeric literal
     r"|TRUE|FALSE|NULL"
     r")(?=\s|,|\)|$)"
 )
 
+# used via .match(clause, pos): anchoring is implicit at pos (see above)
+_DEFAULT_WORD = re.compile(r"(?i)DEFAULT\b")
+
 
 def _extract_default(clause: str) -> str | None:
     """Column-definition tail → Spark-SQL literal string for DEFAULT, or
-    None (no default / NULL default / non-literal default)."""
-    m = _DEFAULT_RE.search(clause)
-    if not m:
-        return None
-    lit = m.group(1)
-    if lit.upper() == "NULL":
-        return None
-    if lit.upper() in ("TRUE", "FALSE"):
-        return lit.upper()
-    return lit
+    None (no default / NULL default / non-literal default).
+
+    The DEFAULT keyword is located with a quote-aware scan, never inside a
+    string literal — ``COMMENT 'DEFAULT 7 means auto'`` must not fabricate
+    a default (review r4 finding: the naive regex search attached bogus
+    defaults from quoted text, permanently corrupting pre-ADD rows)."""
+    quote: str | None = None
+    i, n = 0, len(clause)
+    while i < n:
+        ch = clause[i]
+        if quote is not None:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and clause[i + 1] == "'":
+                    i += 1
+                else:
+                    quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+        elif (ch in "Dd" and _DEFAULT_WORD.match(clause, i)
+              and (i == 0 or not (clause[i - 1].isalnum() or clause[i - 1] in "_$"))):
+            m = _DEFAULT_RE.match(clause, i)
+            if not m:
+                return None  # non-literal default (expression/function)
+            lit = m.group(1)
+            if lit.upper() == "NULL":
+                return None
+            if lit.upper() in ("TRUE", "FALSE"):
+                return lit.upper()
+            return lit
+        i += 1
+    return None
 
 
 def _split_clauses(body: str) -> list[str]:
@@ -490,7 +524,14 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
         # initial/EXISTS default (already-written files keep their fill)
         m2 = re.match(rf"(?is)^ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+SET\s+DEFAULT\s+(..*)$", c)
         if m2:
-            ops.append(("set_default", m2.group(1), _extract_default("DEFAULT " + m2.group(2))))
+            lit = _extract_default("DEFAULT " + m2.group(2))
+            if lit is None and m2.group(2).strip().rstrip(";").upper() != "NULL":
+                # non-literal default (CURRENT_TIMESTAMP, expression):
+                # history-only — emitting (set_default, col, None) would
+                # execute SET as its opposite (DROP), erasing a recorded
+                # literal default (review r4 finding)
+                continue
+            ops.append(("set_default", m2.group(1), lit))
             continue
         m2 = re.match(rf"(?is)^ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+DROP\s+DEFAULT\s*$", c)
         if m2:

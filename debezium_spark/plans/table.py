@@ -460,10 +460,14 @@ class LakeTable:
                 meta = None
                 if default is not None:
                     # fail fast on an unevaluable default: the read path
-                    # would otherwise error on every scan of a pre-ADD file
+                    # would otherwise error on every scan of a pre-ADD
+                    # file. Evaluated driver-side with ZERO input columns
+                    # (spark.sql over no relation), so a stray column
+                    # reference can never spuriously resolve against a
+                    # probe column (review r4 finding)
                     try:
-                        self.spark.createDataFrame([(1,)], "x int").select(
-                            F.expr(default).cast(dtype)
+                        self.spark.sql(
+                            f"SELECT CAST({default} AS {dtype})"
                         ).first()
                     except Exception as e:
                         raise ValueError(

@@ -783,24 +783,18 @@ class CdcEngine:
                     carry, cm = None, None
                 else:
                     # zero-job split: the fused probe already knows the tail
-                    # tx and its run start. Boundary cases (transactions are
-                    # contiguous pos runs, and every carry pos < every batch
-                    # pos): other positioned groups in the batch → the tail
-                    # run starts at its own pmin; batch all-one-tx over a
-                    # DIFFERENT carried tx → the new tx's existence proves
-                    # the carried one closed at its max pos; same tx (or no
-                    # carry) → still open end-to-end.
+                    # tx and its run start; boundary cases live in ONE place
+                    # (derive_tx_boundary, shared with MultiTableEngine)
                     probe = None
                     if fused:
-                        if tail_tx is None:
-                            boundary0 = None  # autocommit tail: all closed
-                        elif mm["ng"] > 1:
-                            boundary0 = mm["tail"]["pmin"] - 1
-                        elif had_carry and cm["tx"] != tail_tx:
-                            boundary0 = cm["p"]
-                        else:
-                            boundary0 = None  # whole union still open
-                        probe = {"p": mm["p"], "tt": tail_tx, "boundary": boundary0}
+                        bp = {
+                            "p": mm["p"], "tt": tail_tx, "ng": mm["ng"],
+                            "pmin": mm["tail"]["pmin"] if mm["tail"] is not None else None,
+                        }
+                        probe = {
+                            "p": mm["p"], "tt": tail_tx,
+                            "boundary": derive_tx_boundary(bp, cm, had_carry),
+                        }
                     closed, carry, boundary = split_open_tail_tx(env, probe=probe)
                     whole_open = closed is None
                     if carry is not None and fused:

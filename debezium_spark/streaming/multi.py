@@ -243,6 +243,22 @@ class MultiTableEngine:
                 new_key = (e["new_db"], e["new_table"])
                 if key in self.specs and new_key not in self.specs:
                     self._rename_table(key, new_key)
+                elif new_key not in self.specs and e.get("schema_json"):
+                    # old name absent (the restart's spec list may already
+                    # reflect the rename-away): register the capture under
+                    # its NEW name at the recorded root — its events must
+                    # not vanish under include-list semantics
+                    self.retired.discard(new_key)
+                    self._register(
+                        TableSpec(
+                            new_key[0], new_key[1],
+                            StructType.fromJson(_json.loads(e["schema_json"])),
+                            list(e["key_cols"]),
+                            n_buckets=e.get("n_buckets", self.default_buckets),
+                            mode=e.get("mode", self.default_mode),
+                        ),
+                        root=e.get("root"),
+                    )
         return len(entries)
 
     def _live_roots(self) -> set[str]:
@@ -427,17 +443,21 @@ class MultiTableEngine:
         )
         after_m, before_m = F.col("_am"), F.col("_bm")
         if self.specs:
-            # one flat literal: fqn -> array of key column names
+            # one flat literal: identity -> array of key column names. The
+            # lookup key joins (db, table) with NUL, not '.' — dotted names
+            # would otherwise alias two distinct identities onto one map
+            # key (('a.b','c') vs ('a','b.c')), which under ANSI's
+            # duplicate-map-key EXCEPTION policy fails the whole batch
             entries = []
             for (db_, tbl_), spec_ in self.specs.items():
-                entries.append(F.lit(f"{db_}.{tbl_}"))
+                entries.append(F.lit(f"{db_}\x00{tbl_}"))
                 entries.append(F.array(*[F.lit(k) for k in spec_.key_cols]))
             key_lookup = F.create_map(*entries)
             # try_element_at: ANSI-safe null (plain element_at THROWS on a
             # missing map key under Spark 4's default ANSI mode)
             spec_keys = F.try_element_at(
                 key_lookup,
-                F.concat_ws(".", F.col("source.db"), F.col("source.table")),
+                F.concat_ws("\x00", F.col("source.db"), F.col("source.table")),
             )
             # null for unregistered tables -> exists() yields null -> the
             # validity when-clause skips (those rows are dropped anyway)
@@ -554,9 +574,21 @@ class MultiTableEngine:
                     if op[0] == "rename":
                         new_key = (op[3], op[4])
                         if key in self.specs and new_key not in self.specs:
+                            # the entry carries the full spec + live root so
+                            # recovery can register the NEW name even when
+                            # the restart's static spec list no longer
+                            # mentions the old one (review r4 finding: the
+                            # rename silently dropped and the renamed
+                            # table's events vanished)
+                            spec_ = self.specs[key]
                             self._catalog_append({
                                 "op": "rename", "db": key[0], "table": key[1],
                                 "new_db": new_key[0], "new_table": new_key[1],
+                                "schema_json": spec_.payload_schema.json(),
+                                "key_cols": list(spec_.key_cols),
+                                "n_buckets": spec_.n_buckets,
+                                "mode": spec_.mode,
+                                "root": self.engines[key].table.root,
                             })
                             self._rename_table(key, new_key)
                             new_keys.add(new_key)

@@ -124,3 +124,29 @@ def test_float_nan_distinct_from_null_roundtrip(spark):
     assert back[2]["d"] is None and back[2]["f"] == float("inf")
     assert back[3]["d"] == 0.1 and back[3]["f"] == float("-inf")
     assert back[4]["d"] == -2.5e-300 and back[4]["f"] is None
+
+
+def test_nested_float_nan_roundtrip(spark):
+    """Review r4 #1: a NaN nested inside a struct column (the envelope
+    before/after shape) must round-trip as NaN, not null — at every
+    nesting depth."""
+    import math
+
+    from debezium_spark.functions.avro import from_avro, to_avro
+    from pyspark.sql.types import StructType
+
+    df = spark.range(2).selectExpr(
+        "id",
+        "CASE WHEN id = 0 THEN named_struct('amount', double('NaN'), "
+        "  'inner', named_struct('f', 1.5D)) "
+        "ELSE named_struct('amount', CAST(NULL AS DOUBLE), "
+        "  'inner', named_struct('f', double('-Infinity'))) END AS payload",
+    )
+    schema = StructType.fromDDL(
+        "id long, payload struct<amount: double, inner: struct<f: double>>"
+    )
+    back = {r["id"]: r for r in from_avro(to_avro(df), schema).collect()}
+    assert math.isnan(back[0]["payload"]["amount"])
+    assert back[0]["payload"]["inner"]["f"] == 1.5
+    assert back[1]["payload"]["amount"] is None
+    assert back[1]["payload"]["inner"]["f"] == float("-inf")

@@ -613,3 +613,67 @@ def test_catalog_mutations_survive_restart(spark, tmp_path):
     # double-restart is stable (idempotent replay)
     mte3 = MultiTableEngine(spark, lake, [users, aud], default_buckets=2)
     assert set(mte3.specs) == set(mte2.specs)
+
+
+def test_rename_recovery_without_old_spec_in_static_list(spark, tmp_path):
+    """Review r4 #7: restart whose static spec list no longer mentions the
+    OLD name (it was renamed away, after all) must still register the
+    capture under its NEW name from the ledgered spec — its events must
+    not vanish."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    lake = str(tmp_path / "lake")
+    mte = MultiTableEngine(spark, lake, [users])
+
+    def row(pos, table, op, after, before=None):
+        return {"before_json": before, "after_json": after, "op": op,
+                "ts_ms": 1000 + pos,
+                "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                           "snapshot": None, "db": "app", "table": table,
+                           "ts_ms": 1000 + pos},
+                "transaction": None}
+
+    mte.apply_wire_batch(spark.createDataFrame([
+        row(1, "users", "c", '{"uid": 1, "name": "ada"}'),
+        row(2, "users", "l", json.dumps(
+            {"content": "RENAME TABLE app.users TO app.accounts"})),
+    ], WIRE_SCHEMA), "b0")
+
+    # restart with NO static specs at all — ledger alone must restore the
+    # renamed capture
+    mte2 = MultiTableEngine(spark, lake, [])
+    assert ("app", "accounts") in mte2.specs
+    mte2.apply_wire_batch(spark.createDataFrame([
+        row(3, "accounts", "u", '{"uid": 1, "name": "ada2"}',
+            '{"uid": 1, "name": "ada"}'),
+    ], WIRE_SCHEMA), "b1")
+    got = mte2.table("app", "accounts").read().collect()
+    assert [(r["uid"], r["name"]) for r in got] == [(1, "ada2")]
+
+
+def test_prepass_dotted_identities_do_not_collide(spark, tmp_path):
+    """Review r4 #5: ('a.b','c') and ('a','b.c') must stay distinct in the
+    pre-pass lookup (a '.'-joined key aliased them, which ANSI's duplicate
+    map-key EXCEPTION policy turned into a whole-batch failure)."""
+    s1 = TableSpec("a.b", "c", StructType.fromDDL("k string, v string"), ["k"], n_buckets=2)
+    s2 = TableSpec("a", "b.c", StructType.fromDDL("m string, v string"), ["m"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [s1, s2],
+                           auto_register=False)
+    rows = [
+        {"before_json": None, "after_json": '{"k": "x", "v": "1"}', "op": "c",
+         "ts_ms": 0, "source": {"file": "f", "pos": 1, "gtid": None,
+                                "snapshot": None, "db": "a.b", "table": "c",
+                                "ts_ms": 0}, "transaction": None},
+        {"before_json": None, "after_json": '{"v": "no-m-key"}', "op": "c",
+         "ts_ms": 0, "source": {"file": "f", "pos": 2, "gtid": None,
+                                "snapshot": None, "db": "a", "table": "b.c",
+                                "ts_ms": 0}, "transaction": None},
+    ]
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+    stats = {(r["db"], r["t"]): r for r in
+             mte._prepass_stats(spark.createDataFrame(rows, WIRE_SCHEMA)).collect()}
+    assert stats[("a.b", "c")]["nb"] == 0      # has its key 'k'
+    assert stats[("a", "b.c")]["nb"] == 1      # missing its key 'm'

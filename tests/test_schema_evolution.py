@@ -555,3 +555,55 @@ def test_set_drop_default_mutates_current_only(spark, tmp_path):
     assert m["EXISTS_DEFAULT"] == "5" and "CURRENT_DEFAULT" not in m
     with pytest.raises(ValueError, match="not found"):
         t.alter_set_default("ghost", "1")
+
+
+def test_default_not_extracted_from_quoted_text():
+    """Review r4 #2: the word DEFAULT inside a quoted COMMENT (or any
+    string) must not fabricate a column default."""
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN note VARCHAR(100) COMMENT 'DEFAULT 7 means auto'"
+    ) == [("add", "note", "string", None)]
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN note VARCHAR(100) COMMENT 'x DEFAULT 1' DEFAULT 'real'"
+    ) == [("add", "note", "string", "'real'")]
+    # CREATE TABLE path shares the extractor
+    assert parse_ddl_sql(
+        "CREATE TABLE t (n VARCHAR(10) COMMENT 'DEFAULT 9', id INT, PRIMARY KEY(id))"
+    ) == [("create_table", None, "t",
+           [("n", "string", None), ("id", "int", None)], ["id"])]
+
+
+def test_set_default_non_literal_is_history_only(spark, tmp_path):
+    """Review r4 #6: SET DEFAULT <non-literal> must not execute as DROP
+    DEFAULT — a recorded literal default survives."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import apply_ddl
+
+    assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c SET DEFAULT CURRENT_TIMESTAMP") == []
+    assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c SET DEFAULT NULL") == [
+        ("set_default", "c", None)
+    ]
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string"))
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN c INT DEFAULT 5", ("f", 1))
+    apply_ddl(t, "ALTER TABLE t ALTER COLUMN c SET DEFAULT now()", ("f", 2))
+    assert t.schema()["c"].metadata["CURRENT_DEFAULT"] == "5"  # untouched
+
+
+def test_table_changes_json_default_gated_to_literals(spark, tmp_path):
+    """Review r4 #4: a TableChanges JSON default is raw defaultValueExpression
+    text — non-literals must not reach EXISTS_DEFAULT (they'd poison every
+    pre-ADD scan with an unresolved reference)."""
+    from debezium_spark.operators.schema_evolution import parse_table_changes
+
+    assert parse_table_changes(
+        '{"type": "ALTER", "add_columns": [{"name": "c", "type": "int", "default": "5"}]}'
+    ) == [("add", "c", "int", "5")]
+    assert parse_table_changes(
+        '{"type": "ALTER", "add_columns": [{"name": "c", "type": "int", "default": "x"}]}'
+    ) == [("add", "c", "int", None)]
+    # a quoted string literal passes the gate verbatim
+    assert parse_table_changes(
+        '{"type": "ALTER", "add_columns": [{"name": "c", "type": "string",'
+        ' "default": "\'eu\'"}]}'
+    ) == [("add", "c", "string", "\'eu\'")]

@@ -108,13 +108,11 @@ def main() -> None:
                 # lineage proof: the measured commit touched O(batch) events
                 lin = [r for r in table.lineage() if r.get("batch", "").startswith("measured")]
                 lineage_events = sum(r.get("events", 0) for r in lin)
-                commit_bytes = _data_bytes(table) - (
-                    0 if mode == "cow" else bytes_before
-                )
-                if mode == "cow":
-                    # CoW rewrites touched buckets: the commit's write volume
-                    # is the NEW total of rewritten buckets (old dirs retired)
-                    commit_bytes = _data_bytes(table)
+                after_bytes = _data_bytes(table)
+                # MoR appends deltas (new bytes on top of the base); CoW
+                # rewrites touched buckets, so its commit's write volume is
+                # the new total (old dirs are retired from the manifest)
+                commit_bytes = after_bytes if mode == "cow" else after_bytes - bytes_before
                 r = {
                     "mode": mode,
                     "base_rows": base_rows,
