@@ -409,6 +409,10 @@ class LakeTable:
         man2 = dict(man)
         man2["version"] = man["version"] + 1
         man2["schema"] = schema.json()
+        # a schema commit carries NO batch metrics — copying the parent's
+        # lineage verbatim would double-count it in lineage() (which
+        # concatenates across versions)
+        man2["lineage"] = []
         if renames is not None:
             man2["renames"] = renames
         man2["parent"] = man["version"]

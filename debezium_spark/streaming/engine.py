@@ -99,32 +99,62 @@ def split_open_tail_tx(
     return closed, deferred, boundary
 
 
-def fused_tail_probe(env: DataFrame) -> dict:
+def fused_tail_probe(
+    env: DataFrame, flags: dict | None = None, with_file: bool = False
+) -> dict:
     """ONE driver job answering the tail-transaction questions for a batch:
     ``{"p": max pos, "tt": tail tx id, "pmin": tail run start, "ng": number
-    of tx groups holding real offsets}``. Per-tx partial aggregate (tiny
-    shuffle: one row per transaction) + global fold — the building block of
-    the replay loop's fused probe, reusable by callers (MultiTableEngine)
-    that need only the tx facts."""
-    per_tx = env.groupBy(F.col("transaction.id").alias("_tx")).agg(
+    of tx groups holding real offsets, "ngrp": total tx groups (>0 ⇔ the
+    batch has rows, even if every offset is null)}``. Per-tx partial
+    aggregate (tiny shuffle: one row per transaction) + global fold — THE
+    per-batch probe, shared by ``CdcEngine.replay`` and
+    ``MultiTableEngine``.
+
+    ``flags``: optional named boolean columns (e.g. barrier presence,
+    malformed-row presence) folded into the SAME job — each yields a global
+    max under its name plus the tail group's own value under
+    ``tail_<name>`` (the deferred run's flags feed the carry meta).
+    ``with_file=True`` adds the global max source file as ``f``."""
+    flags = flags or {}
+    aggs = [
         F.max("source.pos").alias("p"),
         F.min("source.pos").alias("pmin"),
+    ]
+    if with_file:
+        aggs.append(F.max("source.file").alias("f"))
+    for name, c in flags.items():
+        aggs.append(F.max(c.cast("int")).alias(name))
+    per_tx = env.groupBy(F.col("transaction.id").alias("_tx")).agg(*aggs)
+
+    tail_struct = F.struct(
+        F.col("_tx").alias("tx"), F.col("pmin").alias("pmin"),
+        *[F.col(n).alias(n) for n in flags],
     )
-    row = per_tx.select(
+    sel = [
         F.max("p").alias("p"),
-        F.max_by(
-            F.struct(F.col("_tx").alias("tx"), F.col("pmin").alias("pmin")),
-            F.col("p"),
-        ).alias("tail"),
+        F.max_by(tail_struct, F.col("p")).alias("tail"),
         F.count(F.when(F.col("p").isNotNull(), 1)).alias("ng"),
-    ).first()
+        F.count(F.lit(1)).alias("ngrp"),
+    ]
+    if with_file:
+        sel.append(F.max("f").alias("f"))
+    for name in flags:
+        sel.append(F.max(name).alias(name))
+    row = per_tx.select(*sel).first()
     tail = row["tail"]
-    return {
+    out = {
         "p": row["p"],
         "tt": tail["tx"] if tail is not None else None,
         "pmin": tail["pmin"] if tail is not None else None,
         "ng": row["ng"],
+        "ngrp": row["ngrp"],
     }
+    if with_file:
+        out["f"] = row["f"]
+    for name in flags:
+        out[name] = row[name]
+        out[f"tail_{name}"] = tail[name] if tail is not None else None
+    return out
 
 
 def derive_tx_boundary(probe: dict, carry_meta: dict | None, had_carry: bool) -> int | None:
@@ -308,7 +338,10 @@ class CdcEngine:
         crash is idempotent (same rows, same encoded positions)."""
         cur = self.table.fence()
         file = cur[0] if cur else "binlog.000000"
-        pos = cur[1] if cur else 0
+        # -1 = "nothing applied yet" (the snapshot-fence convention: events
+        # start at pos 0) — a 0 here would claim event 0 as applied and the
+        # fence skip would silently drop it on the next replay
+        pos = cur[1] if cur else -1
         chunk = chunk_env.withColumn(
             "source",
             F.col("source")
@@ -710,6 +743,17 @@ class CdcEngine:
         if carry is None:
             carry = load_tx_carry(self.spark, self.table.root)
             cm = load_tx_carry_meta(self.table.root) if carry is not None else None
+        if not tx_aligned and carry is not None:
+            # a previously deferred transaction predates every batch here
+            # (ordered log) — flush it FIRST: applying the new batches would
+            # advance the fence past the carry's offsets and the end-of-loop
+            # flush would then fence-skip it into oblivion (review r4: the
+            # carried transaction's rows were permanently lost)
+            self._tx_carry, self._carry_meta = carry, cm
+            v = self.flush_tx_carry()
+            if v is not None:
+                versions.append(v)
+            carry, cm = None, None
         paths = list_batches(batch_dir)
         for i, path in enumerate(paths):
             is_final_batch = final and i == len(paths) - 1
@@ -718,36 +762,25 @@ class CdcEngine:
             # fence, DDL presence, malformed-row presence, tail-transaction
             # id AND the tail-transaction boundary (per-batch serial driver
             # time is the scaling bottleneck, so everything rides this
-            # single job). Shape: a per-transaction partial aggregate (tiny
-            # shuffle, one row per tx in the batch) then a global fold —
-            # the tail tx is the group owning the global max pos, and since
-            # transactions are contiguous pos runs, the boundary is that
-            # group's min pos - 1. ``ng`` counts groups holding real
-            # offsets: ng <= 1 means every positioned row belongs to the
-            # tail tx (whole batch open).
-            per_tx = env.groupBy(F.col("transaction.id").alias("_tx")).agg(
-                F.max("source.pos").alias("p"),
-                F.min("source.pos").alias("pmin"),
-                F.max("source.file").alias("f"),
-                F.max(F.col("op").isin(BARRIER_OPS).cast("int")).alias("nd"),
-                F.max(
-                    _reason_col(env, self.table.key_cols).isNotNull().cast("int")
-                ).alias("nb"),
+            # single job — fused_tail_probe, shared with MultiTableEngine).
+            mm = fused_tail_probe(
+                env,
+                flags={
+                    "nd": F.col("op").isin(BARRIER_OPS),
+                    "nb": _reason_col(env, self.table.key_cols).isNotNull(),
+                },
+                with_file=True,
             )
-            mm = per_tx.select(
-                F.max("p").alias("p"),
-                F.max("f").alias("f"),
-                F.max("nd").alias("nd"),
-                F.max("nb").alias("nb"),
-                F.max_by(
-                    F.struct(F.col("_tx").alias("tx"), F.col("pmin").alias("pmin"),
-                             F.col("nd").alias("nd"), F.col("nb").alias("nb")),
-                    F.col("p"),
-                ).alias("tail"),
-                F.count(F.when(F.col("p").isNotNull(), 1)).alias("ng"),
-            ).first()
             cur = self.table.fence()
-            if mm["p"] is None or (carry is None and cur is not None and mm["p"] <= cur[1]):
+            if mm["p"] is None:
+                # no positioned row in the whole batch — but ngrp > 0 means
+                # the batch HAS rows (all-null-offset poison): they must
+                # reach quarantine, not silently vanish with the skip
+                # ('one bad row never wedges OR vanishes')
+                if mm["ngrp"]:
+                    self.apply_envelope_batch(env, batch_id=f"batch_{i:05d}")
+                continue
+            if carry is None and cur is not None and mm["p"] <= cur[1]:
                 continue
             fence = (mm["f"], mm["p"])
             has_ddl: bool | None = bool(mm["nd"])
@@ -755,7 +788,7 @@ class CdcEngine:
             # transform could corrupt a row, so fall back to the
             # post-SMT probe in that case
             has_bad: bool | None = bool(mm["nb"]) if not self.smt_chain else None
-            tail_tx = mm["tail"]["tx"] if mm["tail"] is not None else None
+            tail_tx = mm["tt"]
             tx_engaged = tx_aligned and (carry is not None or tail_tx is not None)
             if tx_engaged:
                 had_carry = carry is not None
@@ -787,13 +820,9 @@ class CdcEngine:
                     # (derive_tx_boundary, shared with MultiTableEngine)
                     probe = None
                     if fused:
-                        bp = {
-                            "p": mm["p"], "tt": tail_tx, "ng": mm["ng"],
-                            "pmin": mm["tail"]["pmin"] if mm["tail"] is not None else None,
-                        }
                         probe = {
                             "p": mm["p"], "tt": tail_tx,
-                            "boundary": derive_tx_boundary(bp, cm, had_carry),
+                            "boundary": derive_tx_boundary(mm, cm, had_carry),
                         }
                     closed, carry, boundary = split_open_tail_tx(env, probe=probe)
                     whole_open = closed is None
@@ -802,8 +831,8 @@ class CdcEngine:
                         # batch's tail group (+ the old carry when the same
                         # tx straddles); whole-union deferral folds the
                         # global flags in
-                        nd_c = bool(mm["nd"] if whole_open else mm["tail"]["nd"])
-                        nb_c = bool(mm["nb"] if whole_open else mm["tail"]["nb"])
+                        nd_c = bool(mm["nd"] if whole_open else mm["tail_nd"])
+                        nb_c = bool(mm["nb"] if whole_open else mm["tail_nb"])
                         if had_carry and (whole_open or cm["tx"] == tail_tx):
                             nd_c = nd_c or bool(cm["nd"])
                             nb_c = nb_c or bool(cm["nb"])

@@ -472,12 +472,14 @@ class MultiTableEngine:
         bad = validity_reason(
             F.col("op"), F.col("source.pos"), after_m, before_m, key_null
         ).isNotNull()
+        from debezium_spark.streaming.engine import BARRIER_OPS
+
         return parsed.groupBy(
             F.col("source.db").alias("db"), F.col("source.table").alias("t")
         ).agg(
             F.max("source.pos").alias("p"),
             F.max("source.file").alias("f"),
-            F.max(F.col("op").isin(["l", "t", "tc", "p"]).cast("int")).alias("nd"),
+            F.max(F.col("op").isin(BARRIER_OPS).cast("int")).alias("nd"),
             F.max(bad.cast("int")).alias("nb"),
         )
 

@@ -607,3 +607,16 @@ def test_table_changes_json_default_gated_to_literals(spark, tmp_path):
         '{"type": "ALTER", "add_columns": [{"name": "c", "type": "string",'
         ' "default": "\'eu\'"}]}'
     ) == [("add", "c", "string", "\'eu\'")]
+
+
+def test_schema_commit_does_not_duplicate_lineage(spark, tmp_path):
+    """Review r4 deep-pass: a schema-only commit must publish EMPTY lineage
+    — copying the parent's rows double-counted every batch metric after an
+    ALTER."""
+    gen = ChangeLogGenerator(spark, seed=3, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    CdcEngine(spark, table).apply_envelope_batch(gen.events(100), batch_id="b0")
+    events_before = sum(r.get("events", 0) for r in table.lineage())
+    table.alter_add_columns([("extra", "int")])
+    table.alter_rename_column("extra", "extra2")
+    assert sum(r.get("events", 0) for r in table.lineage()) == events_before

@@ -269,3 +269,23 @@ def test_incremental_snapshot_autosizes_chunks(spark, tmp_path):
     for rows in (10**6, 10**9, 10**10):
         size = max(CdcEngine.CHUNK_SIZE_FLOOR, -(-rows // (par * CdcEngine.CHUNK_PAR_MULT)))
         assert -(-rows // size) <= par * CdcEngine.CHUNK_PAR_MULT + 1
+
+
+def test_backfill_on_fresh_table_does_not_claim_event_zero(spark, tmp_path):
+    """Review r4 deep-pass: backfill on a table with NO committed fence
+    must pin at -1 (nothing applied), not 0 — a 0 fence made the replay
+    skip drop the real event at pos 0."""
+    gen = ChangeLogGenerator(spark, seed=2, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = CdcEngine(spark, table)
+    chunk = gen.snapshot(20).withColumn(
+        "after", F.col("after").withField("content", F.lit("CHUNK")))
+    engine.backfill(chunk, batch_id="bf")
+    assert table.fence()[1] == -1
+    # event at pos 0 must still apply
+    first = gen.events(1, start_pos=0).withColumn(
+        "after", F.col("after").withField("content", F.lit("EVENT-0"))
+    ).withColumn("op", F.lit("u"))
+    v = engine.apply_envelope_batch(first, batch_id="b0")
+    assert v is not None and table.fence()[1] == 0
+    assert table.read().filter(F.col("content") == "EVENT-0").count() == 1

@@ -301,3 +301,52 @@ def test_carry_meta_survives_restart(spark, tmp_path):
     assert state == {"a": "v1", "b": "v2"}  # tx3 deferred
     meta = load_tx_carry_meta(str(tmp_path / "t"))
     assert meta["tx"] == "tx3" and meta["p"] == 4
+
+
+def test_unaligned_replay_flushes_preexisting_carry_first(spark, tmp_path):
+    """Review r4 deep-pass: replay(tx_aligned=False) over a table with a
+    previously persisted carry must flush the carried transaction BEFORE
+    applying new batches — applying first would advance the fence past the
+    carry and the end-of-loop flush would fence-skip it into oblivion."""
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    _write_batch(spark, bdir, 0, [
+        (1, "c", "a", "v1", "tx1"), (2, "c", "b", "v1", "tx2"),
+    ])
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    CdcEngine(spark, table).replay(bdir, final=False)  # tx2 deferred to carry
+    assert table.read().count() == 1
+
+    bdir2 = str(tmp_path / "b2")
+    os.makedirs(bdir2)
+    _write_batch(spark, bdir2, 0, [(3, "c", "c", "v1", None)])
+    # fresh engine, alignment OFF: the carried tx2 row must still land
+    e2 = CdcEngine(spark, LakeTable(spark, str(tmp_path / "t"), ["repo", "path"]))
+    e2.replay(bdir2, tx_aligned=False)
+    state = {r["path"]: r["content"] for r in table.read().collect()}
+    assert state == {"a": "v1", "b": "v1", "c": "v1"}, state
+
+
+def test_all_null_pos_batch_quarantines_in_replay(spark, tmp_path):
+    """Review r4 deep-pass: a batch file whose every row has a null offset
+    must route through quarantine in the replay loop, not silently skip."""
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    import json as _json
+    from pyspark.sql import Row
+    rows = [
+        {"before": None, "after": {"repo": "r0", "path": "x", "content": "v"},
+         "op": "c", "ts_ms": 1,
+         "source": {"file": "binlog.000001", "pos": None, "gtid": None,
+                    "snapshot": None, "db": "app", "table": "t", "ts_ms": 1},
+         "transaction": None},
+    ]
+    nullable = ENV_DDL  # pos is bigint nullable in this DDL
+    spark.createDataFrame(rows, nullable).write.mode("overwrite").parquet(
+        os.path.join(bdir, "batch_00000.parquet"))
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = CdcEngine(spark, table)
+    engine.replay(bdir)
+    assert table.read().count() == 0
+    q = engine.read_quarantine()
+    assert q.count() == 1 and q.first()["reason"] == "null_offset"
