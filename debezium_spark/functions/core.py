@@ -16,8 +16,18 @@ def content_sha256(col: str = "content") -> Column:
 
 def row_digest(cols: list[str]) -> Column:
     """sha256 over a canonical pipe-joined row rendering (F6 secondary
-    invariant)."""
-    return F.sha2(F.concat_ws("|", *[F.col(c) for c in cols]), 256)
+    invariant). Canonical = injective: NULLs render as an explicit sentinel
+    (``concat_ws`` silently SKIPS nulls, colliding ('a',NULL,'b') with
+    ('a','b',NULL)) and backslash/pipe are escaped so values containing the
+    delimiter cannot collide either (review r4)."""
+    def canon(c: str) -> Column:
+        s = F.col(c).cast("string")
+        esc = F.replace(
+            F.replace(s, F.lit("\\"), F.lit("\\\\")), F.lit("|"), F.lit("\\|")
+        )
+        return F.coalesce(esc, F.lit("\x00NULL"))
+
+    return F.sha2(F.concat_ws("|", *[canon(c) for c in cols]), 256)
 
 
 def table_digest_agg(cols: list[str]) -> Column:

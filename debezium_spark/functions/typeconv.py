@@ -128,9 +128,12 @@ def from_nano_duration(col: Column) -> Column:
 
 
 #: ISO-8601 duration as Interval.toIsoString emits it: every component
-#: optional, seconds possibly fractional (``time/Interval.java``)
+#: optional — but at least ONE required (the lookahead rejects the
+#: degenerate "P"/"PT", which toIsoString never emits: zero is "PT0S" —
+#: they are corrupt wire values and must surface as null, not zero),
+#: seconds possibly fractional (``time/Interval.java``)
 _ISO8601_INTERVAL = (
-    r"^P(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)D)?"
+    r"^P(?!T?$)(?:(-?\d+)Y)?(?:(-?\d+)M)?(?:(-?\d+)D)?"
     r"(?:T(?:(-?\d+)H)?(?:(-?\d+)M)?(?:(-?\d+(?:\.\d+)?)S)?)?$"
 )
 

@@ -20,7 +20,13 @@ def extract_new_record_state(
     """Flatten the envelope: take ``after.*`` (or ``before.*`` for deletes),
     optionally rewrite deletes with ``__deleted`` and append ``__source_*``."""
     if drop_tombstones:
-        # tombstone = key-only record with null value (after & before null, op 'd')
+        # engine-emitted tombstones carry the key in `before` and the
+        # `_tombstone` marker (tombstones.with_tombstones / the PK-change
+        # split) — filter on the marker, not on both-null (which never
+        # matched and duplicated every delete in the flat output, review
+        # r4); the both-null filter stays for external key-only records
+        if "_tombstone" in env.columns:
+            env = env.filter(~F.coalesce(F.col("_tombstone"), F.lit(False)))
         env = env.filter(~(F.col("after").isNull() & F.col("before").isNull()))
 
     if delete_mode == "drop":

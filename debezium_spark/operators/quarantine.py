@@ -42,7 +42,10 @@ def validity_reason(op, pos, after, before, key_null) -> "F.Column":
     in parsed wire JSON in the multi-table path)."""
     data_op = ~op.isin(_PAYLOAD_FREE)
     return (
-        F.when(~op.isin(KNOWN_OPS), F.lit("unknown_op"))
+        # null-safe: op IS NULL must flag, not three-value-logic its way
+        # past every check (a wire doc missing "op" would otherwise apply
+        # as an upsert via compute_changes's otherwise('u') — review r4)
+        F.when(~F.coalesce(op.isin(KNOWN_OPS), F.lit(False)), F.lit("unknown_op"))
         .when(pos.isNull(), F.lit("null_offset"))
         .when(data_op & (after.isNull() & before.isNull()), F.lit("null_payload"))
         .when(data_op & key_null, F.lit("null_key"))

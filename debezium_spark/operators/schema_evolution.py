@@ -96,6 +96,18 @@ def sql_type_to_spark(sql_type: str) -> str:
     raise ValueError(f"unmapped SQL type: {sql_type!r}")
 
 
+def _type_or_none(sql_type: str) -> str | None:
+    """Map a SQL type, or None for unmapped exotics — a raise here would
+    crash-loop the stream forever on one DDL event (apply_ddl parses BEFORE
+    the ledger write, so the exact-replay guard never engages — review r4);
+    callers degrade per-op: ADD carries the column as text, MODIFY/CHANGE
+    retypes stay history-only."""
+    try:
+        return sql_type_to_spark(sql_type)
+    except ValueError:
+        return None
+
+
 def parse_table_changes(tc_json: str) -> list[DdlOp]:
     """Structured TableChanges JSON → op list (the serializer's column
     arrays, JsonTableChangeSerializer.java:187-233)."""
@@ -186,6 +198,35 @@ def _extract_default(clause: str) -> str | None:
             return lit
         i += 1
     return None
+
+
+def _strip_quoted(text: str) -> str:
+    """Blank out quoted string/identifier literals (quote chars preserved,
+    contents replaced by spaces) so keyword searches (PRIMARY KEY, DEFAULT)
+    can never match inside a COMMENT/DEFAULT string — the quote-awareness
+    fix class of review r4, shared by every naive ``re.search`` here."""
+    out = []
+    quote: str | None = None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote is not None:
+            if ch == quote:
+                if quote == "'" and i + 1 < n and text[i + 1] == "'":
+                    out.append("  ")
+                    i += 2
+                    continue
+                quote = None
+                out.append(ch)
+            else:
+                out.append(" ")
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            out.append(ch)
+        else:
+            out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _split_clauses(body: str) -> list[str]:
@@ -375,7 +416,7 @@ def _parse_create_table(s: str) -> list[DdlOp]:
                 cols.append((name, sql_type_to_spark(m2.group(2)), default))
             except ValueError:
                 cols.append((name, "string", default))  # unmapped type: carry as text
-            if re.search(r"(?is)\bPRIMARY\s+KEY\b", c):
+            if re.search(r"(?is)\bPRIMARY\s+KEY\b", _strip_quoted(c)):
                 pk.append(name)
     if not cols:
         return []
@@ -474,7 +515,8 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
         m2 = re.match(rf"(?is)^ADD\s+(?:COLUMN\s+)?{kw}{_IDENT}\s+{_TYPE}", c)
         if m2:
             ops.append(
-                ("add", m2.group(1), sql_type_to_spark(m2.group(2)),
+                ("add", m2.group(1),
+                 _type_or_none(m2.group(2)) or "string",  # unmapped: as text
                  _extract_default(c[m2.end():]))
             )
             continue
@@ -485,7 +527,8 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
                 m3 = re.match(rf"(?is)^{_IDENT}\s+{_TYPE}", sub)
                 if m3:
                     ops.append(
-                        ("add", m3.group(1), sql_type_to_spark(m3.group(2)),
+                        ("add", m3.group(1),
+                         _type_or_none(m3.group(2)) or "string",
                          _extract_default(sub[m3.end():]))
                     )
             continue
@@ -504,20 +547,25 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
             continue
         m2 = re.match(rf"(?is)^CHANGE\s+(?:COLUMN\s+)?{_IDENT}\s+{_IDENT}\s+{_TYPE}", c)
         if m2:  # MySQL CHANGE: rename + retype in one clause
-            old, new, t = m2.group(1), m2.group(2), sql_type_to_spark(m2.group(3))
+            old, new, t = m2.group(1), m2.group(2), _type_or_none(m2.group(3))
             if old != new:
                 ops.append(("rename", old, new))
-            ops.append(("widen", new, t))
+            if t is not None:  # unmapped retype: rename applies, retype is history-only
+                ops.append(("widen", new, t))
             continue
         m2 = re.match(rf"(?is)^MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+{_TYPE}", c)
         if m2:
-            ops.append(("widen", m2.group(1), sql_type_to_spark(m2.group(2))))
+            t = _type_or_none(m2.group(2))
+            if t is not None:
+                ops.append(("widen", m2.group(1), t))
             continue
         m2 = re.match(
             rf"(?is)^ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+(?:SET\s+DATA\s+)?TYPE\s+{_TYPE}", c
         )
         if m2:
-            ops.append(("widen", m2.group(1), sql_type_to_spark(m2.group(2))))
+            t = _type_or_none(m2.group(2))
+            if t is not None:
+                ops.append(("widen", m2.group(1), t))
             continue
         # MySQL/PG ALTER [COLUMN] x SET DEFAULT <lit> / DROP DEFAULT —
         # mutates the column's CURRENT default (future writers), never its

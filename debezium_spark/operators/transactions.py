@@ -36,10 +36,15 @@ def stamp_transaction(env: DataFrame, tx_size: int) -> DataFrame:
     """Stamp/repair the per-event transaction block from offsets (used when a
     source lacks tx framing): id = pos div tx_size, orders = pos mod."""
     pos = F.col("source.pos")
+    # exact integer division via decimal — `long / int` in Spark is a DOUBLE
+    # divide, which loses exactness above 2^53 and stamps the tail event of
+    # a transaction into the next one (same rule as typeconv's ns handling)
+    p = pos.cast("decimal(38,0)")
+    tx_id = ((p - F.pmod(p, F.lit(tx_size))) / F.lit(tx_size)).cast("long")
     return env.withColumn(
         "transaction",
         F.struct(
-            F.concat(F.lit("tx-"), (pos / tx_size).cast("long").cast("string")).alias("id"),
+            F.concat(F.lit("tx-"), tx_id.cast("string")).alias("id"),
             F.pmod(pos, F.lit(tx_size)).alias("total_order"),
             F.pmod(pos, F.lit(tx_size)).alias("data_collection_order"),
         ),

@@ -45,6 +45,27 @@ MSG_EOF = "eof"
 
 _SLICE_COLS = ["msgType", "index", "totalSlice", "sliceSize", "csv", "schema_ddl"]
 
+#: CSV null sentinel (the MySQL LOAD DATA convention). Spark's default
+#: options collapse empty string and NULL into one token, so a migrated
+#: empty-string value (e.g. an empty file's content — whose sha256 is the
+#: north-rule invariant) silently became NULL on load (review r4). With the
+#: sentinel, '' round-trips as quoted "" and NULL as \N; the one remaining
+#: ambiguity — a real cell value of backslashes+N — is removed by an
+#: injective escape (export prefixes one more backslash, load strips it).
+_CSV_OPTS = {"nullValue": "\\N"}
+_NULLISH = r"^\\+N$"        # values that would collide with the sentinel
+_ESCAPED_NULLISH = r"^\\\\+N$"  # ...after the export escape (2+ backslashes)
+
+
+def _escape_nullish(col):
+    return F.when(col.rlike(_NULLISH), F.concat(F.lit("\\"), col)).otherwise(col)
+
+
+def _unescape_nullish(col):
+    return F.when(
+        col.rlike(_ESCAPED_NULLISH), F.substring(col, 2, 1 << 30)
+    ).otherwise(col)
+
 
 def export_csv_slices(
     df: DataFrame, key_cols: list[str], slice_size: int = 10_000,
@@ -72,7 +93,14 @@ def export_csv_slices(
         n = df.count()
     n_slices = max(1, (n + slice_size - 1) // slice_size)
     schema_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields)
-    line = F.to_csv(F.struct(*[F.col(c) for c in df.columns]))
+    from pyspark.sql.types import StringType
+
+    cells = [
+        _escape_nullish(F.col(f.name)).alias(f.name)
+        if isinstance(f.dataType, StringType) else F.col(f.name)
+        for f in df.schema.fields
+    ]
+    line = F.to_csv(F.struct(*cells), _CSV_OPTS)
     sliced = df.select(
         F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_slices))
         .cast("long").alias("index"),
@@ -138,11 +166,18 @@ def load_csv_slices(slices: DataFrame, schema: StructType | None = None) -> Data
             f"incomplete slice set: have {stats['k']}/{eof['totalSlice']} slices, "
             f"{stats['rows']} of {eof['sliceSize']} rows"
         )
+    from pyspark.sql.types import StringType
+
     ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    out_cols = [
+        _unescape_nullish(F.col(f"_r.{f.name}")).alias(f.name)
+        if isinstance(f.dataType, StringType) else F.col(f"_r.{f.name}").alias(f.name)
+        for f in schema.fields
+    ]
     return (
         body.select(F.explode(F.col("csv")).alias("_line"))
-        .select(F.from_csv(F.col("_line"), ddl).alias("_r"))
-        .select("_r.*")
+        .select(F.from_csv(F.col("_line"), ddl, _CSV_OPTS).alias("_r"))
+        .select(*out_cols)
     )
 
 

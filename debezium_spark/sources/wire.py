@@ -43,11 +43,18 @@ _NULL = 0xFFFFFFFF
 #: pos so the engine's quarantine validity rules (null offset = poison) see
 #: the record intact instead of the encoder aborting the whole Arrow task
 _NULL_POS = -(1 << 63)
+#: sentinel op byte for a NULL op (same poison-record contract: ord(None)
+#: would abort the whole Arrow task; decode restores None and the null-safe
+#: validity rule routes the record to quarantine as unknown_op)
+_NULL_OP = 0
 
 
 def _pack_one(op: str, pos: int, ts_ms: int, file: str, db: str, table: str,
               before: str | None, after: str | None) -> bytes:
-    out = [struct.pack(">BBqq", MAGIC, ord(op), pos, ts_ms if ts_ms is not None else 0)]
+    out = [struct.pack(
+        ">BBqq", MAGIC, _NULL_OP if op is None else ord(op), pos,
+        ts_ms if ts_ms is not None else 0,
+    )]
     for s in (file or "", db or "", table or ""):
         b = s.encode("utf-8")
         out.append(struct.pack(">H", len(b)))
@@ -82,7 +89,8 @@ def _unpack_one(buf: bytes) -> tuple:
         else:
             jsons.append(buf[off:off + n].decode("utf-8"))
             off += n
-    return (chr(opb), None if pos == _NULL_POS else pos, ts_ms,
+    return (None if opb == _NULL_OP else chr(opb),
+            None if pos == _NULL_POS else pos, ts_ms,
             strs[0], strs[1], strs[2], jsons[0], jsons[1])
 
 
@@ -107,7 +115,7 @@ def encode_binary_wire(env: DataFrame) -> DataFrame:
             # the sink-side quarantine, not fail the batch (same poison-record
             # contract as operators/quarantine.validity_reason)
             frames = [
-                _pack_one(r.op,
+                _pack_one(None if pd.isna(r.op) else r.op,
                           _NULL_POS if pd.isna(r.pos) else int(r.pos),
                           0 if pd.isna(r.ts_ms) else int(r.ts_ms),
                           r.file, r.db, r.table,

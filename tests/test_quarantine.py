@@ -75,3 +75,37 @@ def test_malformed_wire_json_quarantines_in_multi_table(spark, tmp_path):
     eng = mte.engines[("app", "t")]
     q = eng.read_quarantine().collect()
     assert len(q) == 1 and q[0]["pos"] == 1
+
+
+def test_null_op_is_quarantined_not_applied(spark, tmp_path):
+    """Review r4 deep-pass: op IS NULL slipped through validity_reason's
+    three-valued logic and applied as an UPSERT; it must flag unknown_op."""
+    from pyspark.sql.types import StructType
+    import json as _json
+    from debezium_spark import CdcEngine, LakeTable
+    from debezium_spark.operators.quarantine import read_quarantine
+
+    ddl_nullable = (
+        "before struct<repo:string,path:string,content:string>, "
+        "after struct<repo:string,path:string,content:string>, "
+        "op string, ts_ms long, "
+        "source struct<file:string,pos:bigint,gtid:string,snapshot:string,"
+        "db:string,table:string,ts_ms:bigint>, "
+        "transaction struct<id:string,total_order:bigint,data_collection_order:bigint>"
+    )
+    rows = [
+        {"before": None, "after": {"repo": "r", "path": "p1", "content": "ok"},
+         "op": "c", "ts_ms": 1,
+         "source": {"file": "f", "pos": 1, "gtid": None, "snapshot": None,
+                    "db": "d", "table": "t", "ts_ms": 1}, "transaction": None},
+        {"before": None, "after": {"repo": "r", "path": "p2", "content": "evil"},
+         "op": None, "ts_ms": 2,
+         "source": {"file": "f", "pos": 2, "gtid": None, "snapshot": None,
+                    "db": "d", "table": "t", "ts_ms": 2}, "transaction": None},
+    ]
+    env = spark.createDataFrame(rows, ddl_nullable)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    CdcEngine(spark, table).apply_envelope_batch(env, batch_id="b0")
+    assert {r["path"] for r in table.read().collect()} == {"p1"}
+    q = read_quarantine(spark, str(tmp_path / "t")).collect()
+    assert len(q) == 1 and q[0]["reason"] == "unknown_op"

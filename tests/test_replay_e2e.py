@@ -227,3 +227,49 @@ def test_orphan_data_files_are_invisible_after_crash(spark, tmp_path):
     # the real batch for those offsets applies normally afterwards
     v = engine.apply_envelope_batch(gen.events(50, start_pos=300), batch_id="b1")
     assert v is not None and table.fence()[1] == 349
+
+
+def test_flatten_drops_engine_tombstones(spark):
+    """Review r4 deep-pass: engine tombstones carry the key in `before`, so
+    the both-null filter never matched and every delete came out twice."""
+    from debezium_spark import ChangeLogGenerator
+    from debezium_spark.operators.flatten import extract_new_record_state
+    from debezium_spark.operators.tombstones import with_tombstones
+    from pyspark.sql import functions as F
+
+    gen = ChangeLogGenerator(spark, seed=21, n_repos=4)
+    env = with_tombstones(gen.events(200))
+    n_deletes = env.filter((F.col("op") == "d") & ~F.col("_tombstone")).count()
+    flat = extract_new_record_state(env, delete_mode="rewrite", drop_tombstones=True)
+    assert flat.filter(F.col("__deleted") == "true").count() == n_deletes
+    # keep mode retains them
+    kept = extract_new_record_state(env, delete_mode="rewrite", drop_tombstones=False)
+    assert kept.filter(F.col("__deleted") == "true").count() == 2 * n_deletes
+
+
+def test_stamp_transaction_exact_above_2_53(spark):
+    """Review r4 deep-pass: double division mis-stamped the tail event of a
+    transaction at pos > 2^53 into the next transaction."""
+    from debezium_spark.operators.transactions import stamp_transaction
+    from pyspark.sql import functions as F
+
+    big = 999_999_999_999_999_999
+    env = spark.createDataFrame(
+        [(big,), (big + 1,)], "pos long"
+    ).select(
+        F.lit(None).cast("struct<k:string>").alias("before"),
+        F.named_struct(F.lit("k"), F.lit("x")).alias("after"),
+        F.lit("c").alias("op"), F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(F.lit("f").alias("file"), F.col("pos").alias("pos"),
+                 F.lit(None).cast("string").alias("gtid"),
+                 F.lit(None).cast("string").alias("snapshot"),
+                 F.lit("d").alias("db"), F.lit("t").alias("table"),
+                 F.lit(0).cast("long").alias("ts_ms")).alias("source"),
+        F.lit(None).cast(
+            "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+        ).alias("transaction"),
+    )
+    out = {r["source"]["pos"]: r["transaction"]["id"]
+           for r in stamp_transaction(env, 10).collect()}
+    assert out[big] == f"tx-{big // 10}"
+    assert out[big + 1] == f"tx-{(big + 1) // 10}"

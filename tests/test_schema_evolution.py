@@ -620,3 +620,25 @@ def test_schema_commit_does_not_duplicate_lineage(spark, tmp_path):
     table.alter_add_columns([("extra", "int")])
     table.alter_rename_column("extra", "extra2")
     assert sum(r.get("events", 0) for r in table.lineage()) == events_before
+
+
+def test_unmapped_alter_type_degrades_instead_of_wedging():
+    """Review r4 deep-pass: an exotic type in ALTER crash-looped the stream
+    (parse raised before the ledger write). ADD carries the column as text;
+    retypes to unmapped types stay history-only."""
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN g GEOMETRY") == [
+        ("add", "g", "string", None)
+    ]
+    assert parse_ddl_sql("ALTER TABLE t MODIFY COLUMN c GEOMETRY") == []
+    assert parse_ddl_sql("ALTER TABLE t CHANGE a b GEOMETRY") == [("rename", "a", "b")]
+    assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c TYPE GEOGRAPHY") == []
+
+
+def test_inline_primary_key_not_matched_in_strings():
+    """Review r4 deep-pass: PRIMARY KEY inside a COMMENT string fabricated
+    a wrong key column for CREATE TABLE."""
+    ops = parse_ddl_sql(
+        "CREATE TABLE t (id INT PRIMARY KEY,"
+        " note VARCHAR(20) COMMENT 'the PRIMARY KEY surrogate')"
+    )
+    assert ops[0][4] == ["id"]

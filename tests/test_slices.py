@@ -157,3 +157,18 @@ def test_full_migration_uses_existing_spark(spark, monkeypatch, tmp_path):
     import tools.full_migration as fm
 
     assert fm.make_spark("x") is spark
+
+
+def test_empty_string_and_sentinel_values_roundtrip(spark):
+    """Review r4 deep-pass: '' became NULL through the CSV round-trip
+    (sha256('') is the north-rule invariant for empty files); the \\N null
+    sentinel plus the nullish escape keeps '' / NULL / literal '\\N' all
+    distinct."""
+    from debezium_spark.sources.slices import export_csv_slices, load_csv_slices
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "x"), (4, "\\N"), (5, "\\\\N"), (6, "a,b\nc")],
+        "k long, v string",
+    )
+    back = {r["k"]: r["v"] for r in load_csv_slices(export_csv_slices(df, ["k"], 3)).collect()}
+    assert back == {1: "", 2: None, 3: "x", 4: "\\N", 5: "\\\\N", 6: "a,b\nc"}
