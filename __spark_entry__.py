@@ -1527,7 +1527,8 @@ FROM documents GROUP BY sha256(text)"""
 
 _SHINGLE_SQL = """toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+7], ' ') AS s
-       FROM toks, unnest(generate_series(1, greatest(1, len(t)-7))) AS u(i))"""
+       FROM toks, unnest(generate_series(1, greatest(1, len(t)-7))) AS u(i)
+       WHERE len(t) > 0)"""
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
@@ -1802,7 +1803,8 @@ def q_token_stats(spark, sf_dir):
 
 
 SQL_token_stats = """SELECT doc_id,
-  CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+  CAST(CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS ws_tokens,
   CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS word_tokens,
   CAST(CEIL(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))/4.0) AS BIGINT) AS bpe_est_tokens
 FROM documents"""
@@ -1859,7 +1861,7 @@ s AS (SELECT vec_id, v,
       FROM e),
 q AS (SELECT vec_id, scale,
         CASE WHEN scale > 0
-             THEN list_transform(v, x -> CAST(ROUND(x / scale, 0) AS INTEGER))
+             THEN list_transform(v, x -> CAST(GREATEST(-127, LEAST(127, ROUND(x / scale, 0))) AS INTEGER))
              ELSE list_transform(v, x -> 0) END AS qvec
       FROM s)
 SELECT vec_id, CAST(ROUND(scale * 1e9) AS BIGINT) AS scale_e9,

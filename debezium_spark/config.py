@@ -284,7 +284,12 @@ class EngineConfig:
         from debezium_spark.functions import typeconv as tc
 
         decimal = {
-            "precise": lambda col, p=38, s=9: tc.decimal_from_unscaled_bytes(col, s),
+            # cast down to the declared (p, s): the bytes decoder works in
+            # decimal(38, s) internally, but the facade contract is that all
+            # three handling modes yield the SAME schema for the same call
+            "precise": lambda col, p=38, s=9: tc.decimal_from_unscaled_bytes(
+                col, s
+            ).cast(f"decimal({p},{s})"),
             "string": tc.decimal_from_string,
             "double": tc.decimal_from_double,
         }[self.decimal_mode]

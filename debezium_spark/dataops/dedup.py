@@ -21,13 +21,22 @@ def tokens_col(text_col: str = "text") -> "F.Column":
 
 
 def shingles_col(k: int, text_col: str = "text") -> "F.Column":
-    """Distinct k-word shingles (space-joined); short docs yield one
-    (possibly shorter) shingle."""
+    """Distinct k-word shingles (space-joined); short docs (0 < n < k)
+    yield one shorter shingle; docs with NO tokens yield an EMPTY set —
+    they then generate no signatures and no candidate pairs. Without this,
+    every distinct zero-token document (CJK/Cyrillic/symbol-only text under
+    the [a-z0-9] tokenizer) collapsed onto the single shingle [""] and
+    near-dup marked them all as verified duplicates of one survivor
+    (review r4). Token-less docs are exact-dedup territory (identical
+    content still groups by sha256); near-dup similarity over an empty
+    token set is undefined, so they opt out of LSH/SimHash entirely."""
     toks = tokens_col(text_col)
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(F.lit(1), n - F.lit(k) + 1))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    return F.when(n == 0, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+        )
     )
 
 
@@ -62,6 +71,13 @@ def minhash_lsh_candidates(
     partial-aggregated mins → short-key equi-join on (band_idx, band_val);
     no cross product.
     """
+    if band_size <= 0 or n_hashes % band_size != 0:
+        # a non-dividing band_size silently discarded trailing signature
+        # elements (recall loss) and band_size > n_hashes crashed — same
+        # pigeonhole-style validation as the SimHash banding path
+        raise ValueError(
+            f"band_size ({band_size}) must divide n_hashes ({n_hashes})"
+        )
     sh = docs.select(F.col(id_col).alias("did"), F.explode(shingles_col(k, text_col)).alias("s"))
     mins = [
         F.min(F.sha2(F.concat(F.lit(f"{i}:"), F.col("s")), 256)).alias(f"mh{i}")
@@ -160,7 +176,13 @@ def simhash_signatures(
     """SimHash over word tokens: each token votes ±1 per bit of
     sha256(token); signature bit = 1 iff the vote sum >= 0. Emitted as a
     16-char '0'/'1' string. Near-dups share signatures (or low Hamming
-    distance — grouping by exact signature here)."""
+    distance — grouping by exact signature here).
+
+    Zero-token docs (no [a-z0-9] runs) emit NO signature — the same
+    opt-out-of-near-dup policy as the MinHash path (see ``shingles_col``):
+    similarity over an empty token set is undefined, and a shared default
+    signature would merge every such distinct doc into one cluster; exact
+    dedup still groups identical content."""
     tok = docs.select(F.col(id_col).alias("did"), F.explode(tokens_col(text_col)).alias("t"))
     h = F.sha2(F.col("t"), 256)
     votes = []

@@ -193,7 +193,13 @@ def _decode_media_strict(payload: bytes) -> dict | None:
 
         with wave.open(io.BytesIO(payload), "rb") as wv:
             n, rate = wv.getnframes(), wv.getframerate()
+            width, nch = wv.getsampwidth(), wv.getnchannels()
             raw = wv.readframes(n)
+        if width != 2 or nch != 1:
+            # only 16-bit mono PCM decodes here; reinterpreting 8-bit or
+            # multi-channel frames as <i2 would emit garbage features —
+            # undecodable payloads must yield None (quarantine), review r4
+            return None
         s = np.frombuffer(raw, dtype="<i2").astype(np.int64)
         return {
             "fmt": "wav", "width": None, "height": None,

@@ -233,7 +233,10 @@ def bucketed_ann_topk(
                 F.when(denom != 0, _dot(F.col("q_vec"), F.col("n_vec")) / denom), 6
             ).alias("cos_sim"),
         )
-        .distinct()  # a neighbor reachable via 2 probed cells counts once
+        # no dedupe needed: corpus vectors carry exactly ONE cell
+        # (assign_cells nprobe=1), so a (q_id, n_id) pair appears at most
+        # once however many cells the query probes — a distinct() here was
+        # a full extra shuffle for zero effect (review r4)
     )
     from pyspark.sql.window import Window
 

@@ -29,21 +29,16 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     for lang, words in _LANG_MARKERS.items():
         hits = F.size(F.filter(toks, lambda t: t.isin(words)))
         scores.append((lang, hits))
+    out = docs.select(F.col(id_col), *[s.alias(f"score_{l}") for l, s in scores])
+    # argmax over the materialized score columns; fold right-to-left so
+    # earlier languages win ties
     pred = F.lit("unknown")
     best = F.lit(-1)
-    # fold right-to-left so earlier languages win ties
-    for lang, s in reversed(scores):
-        pred = F.when(s > best, F.lit(lang)).otherwise(pred)
-        best = F.greatest(best, s)
-    out = docs.select(F.col(id_col), *[s.alias(f"score_{l}") for l, s in scores])
-    # recompute argmax over the materialized score columns (clearer plan)
-    pred2 = F.lit("unknown")
-    best2 = F.lit(-1)
     for lang, _ in reversed(scores):
         c = F.col(f"score_{lang}")
-        pred2 = F.when(c > best2, F.lit(lang)).otherwise(pred2)
-        best2 = F.greatest(best2, c)
-    return out.withColumn("predicted_lang", pred2)
+        pred = F.when(c > best, F.lit(lang)).otherwise(pred)
+        best = F.greatest(best, c)
+    return out.withColumn("predicted_lang", pred)
 
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -75,7 +70,12 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     """Token counting three ways: whitespace split, word-regex count, and a
     BPE-ish subword proxy (ceil of alnum chars / 4 — the classic chars/4
     token estimate)."""
-    ws = F.size(F.split(F.trim(F.col(text_col)), "\\s+"))
+    # split('') yields [""] — an empty/whitespace-only doc must report 0
+    # whitespace tokens, not 1 (review r4)
+    trimmed = F.trim(F.col(text_col))
+    ws = F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, "\\s+"))
+    )
     words = F.size(tokens_col(text_col))
     alnum_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
     bpe_est = F.ceil(alnum_chars / F.lit(4.0)).cast("long")
@@ -214,8 +214,15 @@ def quantize_embeddings(
     )
     # round scale so both engines agree on the divisor bit-for-bit
     scale = F.round(absmax / qmax, 9)
+    # clamp to [-q, q]: dividing by the ROUNDED scale can push the max
+    # element past qmax when absmax is tiny (scale rounds DOWN) — the
+    # documented range is a hard contract for downstream int8 casts
     q = F.transform(
-        v, lambda x: F.round(x.cast("double") / scale, 0).cast("int")
+        v,
+        lambda x: F.greatest(
+            F.lit(-qmax),
+            F.least(F.lit(qmax), F.round(x.cast("double") / scale, 0).cast("int")),
+        ),
     )
     # Gate on the ROUNDED scale: for 0 < absmax < ~6.4e-8 the 9dp rounding
     # collapses scale to 0.0 and x/scale would emit Infinity garbage even

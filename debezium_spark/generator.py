@@ -92,7 +92,7 @@ class ChangeLogGenerator:
         arr = F.array(*[F.lit(w) for w in _LANGS])
         return F.element_at(arr, (F.pmod(_h(self.seed, F.lit("lang"), id_col), F.lit(len(_LANGS))) + 1).cast("int"))
 
-    def _content(self, id_col) -> "F.Column":
+    def _content(self, id_col, prev: bool = False) -> "F.Column":
         """Deterministic pseudo-source text (~7.5 chars/word), pure Catalyst.
 
         ``content_words`` sizes the payload: 16 ≈ a 120-char snippet (unit
@@ -106,19 +106,34 @@ class ChangeLogGenerator:
             for i in range(self.content_words)
         ]
         body = F.concat_ws(" ", *words)
-        # embed the event index so every version of a row is unique
-        return F.concat(body, F.lit(" #v"), id_col.cast("string"))
+        # embed the event index so every version of a row is unique; the
+        # BEFORE image gets a distinct ".prev" marker (see _payload)
+        suffix = F.lit(" #v-prev") if prev else F.lit(" #v")
+        return F.concat(body, suffix, id_col.cast("string"))
 
-    def _commit(self, id_col) -> "F.Column":
-        return F.substring(F.sha2(F.concat(F.lit(self.seed), F.lit(":"), id_col.cast("string")), 256), 1, 40)
+    def _commit(self, id_col, prev: bool = False) -> "F.Column":
+        tag = ":prev:" if prev else ":"
+        return F.substring(
+            F.sha2(F.concat(F.lit(self.seed), F.lit(tag), id_col.cast("string")), 256),
+            1, 40,
+        )
 
-    def _payload(self, id_col, path_col) -> "F.Column":
+    def _payload(self, id_col, path_col, prev: bool = False) -> "F.Column":
+        """``prev=True`` builds the BEFORE image: same row identity and word
+        body (most bytes of a row don't change between versions — realistic)
+        but a distinct content version marker and commit, so before != after
+        for every update and changed-field diffing behaves like real CDC
+        (review r4: before == after made every plain update look like a
+        no-op to diff consumers). Exact prior-version content would need
+        per-key history — out of scope for a stateless deterministic
+        generator, and irrelevant to final-state oracles (the merge consumes
+        only after + keys)."""
         return F.struct(
             self._repo(id_col).alias("repo"),
             path_col.alias("path"),
-            self._commit(id_col).alias("commit"),
+            self._commit(id_col, prev).alias("commit"),
             self._lang(id_col).alias("lang"),
-            self._content(id_col).alias("content"),
+            self._content(id_col, prev).alias("content"),
         )
 
     # ---- public API ------------------------------------------------------
@@ -147,7 +162,7 @@ class ChangeLogGenerator:
         path_before = F.when(pk_change, self._path(idc, "b")).otherwise(path_after)
 
         after = F.when(op != "d", self._payload(idc, path_after))
-        before = F.when(op != "c", self._payload(idc, path_before))
+        before = F.when(op != "c", self._payload(idc, path_before, prev=True))
 
         file_idx = (idc / F.lit(self.events_per_file)).cast("long") + 1
         source = F.struct(

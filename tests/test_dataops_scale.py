@@ -232,3 +232,78 @@ def test_unverified_band_collision_does_not_mark_duplicate(spark):
     assert verify_pairs_jaccard(docs, fake_candidates, k=3).count() == 0
     out = {r["doc_id"]: r["is_duplicate"] for r in dedup_survivors(docs, k=3).collect()}
     assert out == {1: False, 2: True, 3: False}
+
+
+def test_zero_token_docs_excluded_from_near_dup(spark):
+    """Review r4: distinct token-less docs (CJK/symbol-only under the
+    [a-z0-9] tokenizer) all collapsed onto the [""] shingle and near-dup
+    merged them into one survivor. They now opt out of LSH (exact dedup
+    still groups identical content)."""
+    from debezium_spark.dataops.dedup import (
+        dedup_survivors, minhash_lsh_candidates, shingles_col,
+    )
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "你好世界"), (2, "Привет мир"), (3, "★★★"),
+         (4, "the quick brown fox jumps over the lazy dog entirely"),
+         (5, "the quick brown fox jumps over the lazy dog entirely")],
+        "doc_id long, text string",
+    )
+    sh = docs.select(F.size(shingles_col(8)).alias("n")).collect()
+    assert [r["n"] for r in sh] == [0, 0, 0, 3, 3]  # 10 tokens, k=8 → 3
+    pairs = minhash_lsh_candidates(docs, k=8, n_hashes=8, band_size=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(4, 5)}
+    surv = {r["doc_id"]: r for r in dedup_survivors(docs).collect()}
+    # the three token-less docs each survive (distinct content)
+    assert not surv[1]["is_duplicate"] and not surv[2]["is_duplicate"]
+    assert not surv[3]["is_duplicate"]
+    assert surv[5]["is_duplicate"]  # exact dup still folds
+
+
+def test_minhash_band_size_validated(spark):
+    import pytest
+    from debezium_spark.dataops.dedup import minhash_lsh_candidates
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="band_size"):
+        minhash_lsh_candidates(docs, n_hashes=8, band_size=3)
+
+
+def test_quantize_clamps_to_range(spark):
+    """Review r4: dividing by the ROUNDED scale pushed tiny-magnitude
+    vectors past qmax; elements are now clamped to [-127, 127]."""
+    from debezium_spark.dataops.text import quantize_embeddings
+    from pyspark.sql import functions as F
+
+    emb = spark.createDataFrame(
+        [(1, [1.4999e-7, -1.4999e-7, 0.0]), (2, [1.0, -0.5, 0.25])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r["qvec"] for r in quantize_embeddings(emb).collect()}
+    assert all(-127 <= x <= 127 for v in out.values() for x in v)
+    assert out[2][0] == 127  # absmax element still maps to qmax
+
+
+def test_token_stats_empty_doc_zero_ws_tokens(spark):
+    from debezium_spark.dataops.text import token_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "two words")], "doc_id long, text string")
+    out = {r["doc_id"]: r["ws_tokens"] for r in token_stats(docs).collect()}
+    assert out == {1: 0, 2: 0, 3: 2}
+
+
+def test_generator_before_images_differ_from_after(spark):
+    """Review r4: plain updates had before == after; diff consumers saw
+    no-op updates everywhere."""
+    from debezium_spark import ChangeLogGenerator
+    from pyspark.sql import functions as F
+
+    env = ChangeLogGenerator(spark, seed=5, n_repos=4).events(300)
+    u = env.filter(F.col("op") == "u")
+    assert u.filter(F.col("before.content") == F.col("after.content")).count() == 0
+    assert u.filter(F.col("before.commit") == F.col("after.commit")).count() == 0
+    # keys stay identical for non-PK-change updates (same path ⇒ same row)
+    plain = u.filter(F.col("before.path") == F.col("after.path"))
+    assert plain.count() > 0
