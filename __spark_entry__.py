@@ -46,6 +46,27 @@ from debezium_spark.dataops.text import (
 
 SF_DEFAULT = "/root/testdata/sf0.001"
 
+#: engine-backed queries build throwaway lake tables; scratch them on
+#: /dev/shm (this sandbox's one virtio disk serializes on writeback —
+#: see bench.py) and clean them up at interpreter exit so repeated
+#: bench/oracle runs don't leak gigabytes into /tmp (review r4)
+_SCRATCH_DIRS: list[str] = []
+
+
+def _scratch(prefix: str) -> str:
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    d = tempfile.mkdtemp(prefix=prefix, dir=base)
+    if not _SCRATCH_DIRS:
+        import atexit
+        import shutil
+
+        atexit.register(
+            lambda: [shutil.rmtree(x, ignore_errors=True) for x in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(d)
+    return d
+
+
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Pin UTC so NTZ→LTZ casts are tz-independent (parquet ts is naive µs;
@@ -268,7 +289,7 @@ def q_cdc_merge_final_state(spark, sf_dir):
     max_pos = env.select(F.max("source.pos")).first()[0] or 0
     payload_schema = StructType.fromDDL("repo string, path string, content string")
 
-    tmp = tempfile.mkdtemp(prefix="cdc_final_")
+    tmp = _scratch("cdc_final_")
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="cow")
     table.create(payload_schema)
     engine = CdcEngine(spark, table)
@@ -302,7 +323,7 @@ def q_cdc_mor_final_state(spark, sf_dir):
     max_pos = env.select(F.max("source.pos")).first()[0] or 0
     payload_schema = StructType.fromDDL("repo string, path string, content string")
 
-    tmp = tempfile.mkdtemp(prefix="cdc_mor_")
+    tmp = _scratch("cdc_mor_")
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
     table.create(payload_schema)
     engine = CdcEngine(spark, table, compact_depth=2)
@@ -813,6 +834,37 @@ SELECT pos, 'outbox.event.' || tbl AS topic, tbl AS aggregatetype,
 FROM env"""
 
 
+def _ddl_barrier_row(spark, payload_t, pos: int, sql: str):
+    """One op='l' DDL barrier envelope row (source identity
+    app.repo_files) carrying ``sql`` in after.content — shared by the DDL
+    evolution queries (was duplicated inline per query)."""
+    after_ddl = F.struct(
+        *[
+            F.lit(sql).alias("content") if f.name == "content"
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in payload_t.fields
+        ]
+    )
+    return spark.range(1).select(
+        F.lit(None).cast(payload_t).alias("before"),
+        after_ddl.alias("after"),
+        F.lit("l").alias("op"),
+        F.lit(0).cast("long").alias("ts_ms"),
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.lit(pos).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.lit("app").alias("db"),
+            F.lit("repo_files").alias("table"),
+            F.lit(0).cast("long").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast(
+            "struct<id:string,total_order:bigint,data_collection_order:bigint>"
+        ).alias("transaction"),
+    )
+
+
 def q_ddl_drop_rename(spark, sf_dir):
     """SQL-text DDL mid-stream (§2.8, MySqlAntlrDdlParser parity): the
     stream carries op='l' barrier rows with raw ALTER TABLE text — RENAME
@@ -859,37 +911,12 @@ def q_ddl_drop_rename(spark, sf_dir):
     env_b = mk_env(e.filter(F.col("pos") >= split), cents, "score")
 
     def ddl_batch(pos, sql, tmpl_env):
-        payload_t = tmpl_env.schema["after"].dataType
-        # a null struct stays null under withField — build field-by-field
-        after_ddl = F.struct(
-            *[
-                F.lit(sql).alias("content") if f.name == "content"
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in payload_t.fields
-            ]
-        )
-        row = spark.range(1).select(
-            F.lit(None).cast(payload_t).alias("before"),
-            after_ddl.alias("after"),
-            F.lit("l").alias("op"),
-            F.lit(0).cast("long").alias("ts_ms"),
-            F.struct(
-                F.lit("binlog.000001").alias("file"),
-                F.lit(pos).cast("long").alias("pos"),
-                F.lit(None).cast("string").alias("gtid"),
-                F.lit(None).cast("string").alias("snapshot"),
-                F.lit("app").alias("db"),
-                F.lit("repo_files").alias("table"),
-                F.lit(0).cast("long").alias("ts_ms"),
-            ).alias("source"),
-            F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias("transaction"),
-        )
-        return row
+        return _ddl_barrier_row(spark, tmpl_env.schema["after"].dataType, pos, sql)
 
     schema = StructType.fromDDL(
         "repo string, path string, content string, val int, tag string"
     )
-    tmp = tempfile.mkdtemp(prefix="cdc_ddl_")
+    tmp = _scratch("cdc_ddl_")
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
     table.create(schema)
     engine = CdcEngine(spark, table, compact_depth=0)
@@ -963,35 +990,10 @@ def q_ddl_add_default(spark, sf_dir):
     env_b = mk_env(e.filter(F.col("pos") >= split), True)
 
     def ddl_batch(pos, sql, tmpl_env):
-        payload_t = tmpl_env.schema["after"].dataType
-        after_ddl = F.struct(
-            *[
-                F.lit(sql).alias("content") if f.name == "content"
-                else F.lit(None).cast(f.dataType).alias(f.name)
-                for f in payload_t.fields
-            ]
-        )
-        return spark.range(1).select(
-            F.lit(None).cast(payload_t).alias("before"),
-            after_ddl.alias("after"),
-            F.lit("l").alias("op"),
-            F.lit(0).cast("long").alias("ts_ms"),
-            F.struct(
-                F.lit("binlog.000001").alias("file"),
-                F.lit(pos).cast("long").alias("pos"),
-                F.lit(None).cast("string").alias("gtid"),
-                F.lit(None).cast("string").alias("snapshot"),
-                F.lit("app").alias("db"),
-                F.lit("repo_files").alias("table"),
-                F.lit(0).cast("long").alias("ts_ms"),
-            ).alias("source"),
-            F.lit(None).cast(
-                "struct<id:string,total_order:bigint,data_collection_order:bigint>"
-            ).alias("transaction"),
-        )
+        return _ddl_barrier_row(spark, tmpl_env.schema["after"].dataType, pos, sql)
 
     schema = StructType.fromDDL("repo string, path string, content string")
-    tmp = tempfile.mkdtemp(prefix="cdc_ddl_def_")
+    tmp = _scratch("cdc_ddl_def_")
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
     table.create(schema)
     engine = CdcEngine(spark, table, compact_depth=0)
@@ -1102,7 +1104,7 @@ def q_typed_payload_roundtrip(spark, sf_dir):
         " ts timestamp, day date, blob binary, yr int, zt_us long,"
         " nd_us long, md_us long, itv_us long"
     )
-    tmp = tempfile.mkdtemp(prefix="cdc_typed_")
+    tmp = _scratch("cdc_typed_")
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
     table.create(schema)
     engine = CdcEngine(spark, table, compact_depth=2)
@@ -1180,7 +1182,7 @@ def q_multi_table_replay(spark, sf_dir):
 
     s3 = StructType.fromDDL("repo string, path string, content string")
     s4 = StructType.fromDDL("repo string, path string, content string, cents long")
-    tmp = tempfile.mkdtemp(prefix="cdc_multi_")
+    tmp = _scratch("cdc_multi_")
     mte = MultiTableEngine(
         spark,
         tmp,
@@ -1326,7 +1328,7 @@ def q_multi_table_create_table(spark, sf_dir):
         F.lit(None).cast(_TX_DDL).alias("transaction"),
     )
     s3 = StructType.fromDDL("repo string, path string, content string")
-    tmp = tempfile.mkdtemp(prefix="cdc_ct_")
+    tmp = _scratch("cdc_ct_")
     mte = MultiTableEngine(
         spark, tmp,
         [TableSpec("app", "t0", s3, ["repo", "path"], n_buckets=4)],
@@ -1381,7 +1383,7 @@ def q_tx_atomic_replay(spark, sf_dir):
     # cuts at ≡5 (mod 10): tx groups are pos//10, so each cut splits a tx
     cut1 = (max_pos // 3) // 10 * 10 + 5
     cut2 = (2 * max_pos // 3) // 10 * 10 + 5
-    tmp = tempfile.mkdtemp(prefix="cdc_tx_")
+    tmp = _scratch("cdc_tx_")
     bdir = os.path.join(tmp, "binlog")
     os.makedirs(bdir)
     env.filter(F.col("source.pos") < cut1).write.parquet(
@@ -1429,7 +1431,7 @@ def q_quarantine_routing(spark, sf_dir):
             F.col("after")
         ),
     )
-    tmp = tempfile.mkdtemp(prefix="cdc_quar_")
+    tmp = _scratch("cdc_quar_")
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8)
     table.create(StructType.fromDDL("repo string, path string, content string"))
     engine = CdcEngine(spark, table)

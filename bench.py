@@ -221,11 +221,19 @@ def run_paired_scaling(batch_dir: str, n_events: int, lo: int, hi: int) -> tuple
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
     )
     outs = []
-    for p, cpus in ((p_lo, lo), (p_hi, hi)):
-        stdout, stderr = p.communicate(timeout=3600)
-        outs.append(_parse_worker(
-            subprocess.CompletedProcess(p.args, p.returncode, stdout, stderr), cpus
-        ))
+    try:
+        for p, cpus in ((p_lo, lo), (p_hi, hi)):
+            stdout, stderr = p.communicate(timeout=3600)
+            outs.append(_parse_worker(
+                subprocess.CompletedProcess(p.args, p.returncode, stdout, stderr), cpus
+            ))
+    finally:
+        # a worker failure/timeout must not orphan the OTHER pinned JVM —
+        # it would contend with every subsequent measurement (review r4)
+        for p in (p_lo, p_hi):
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return outs[0], outs[1]
 
 
@@ -258,7 +266,8 @@ def main() -> None:
         # noise-sensitive one, so it gets an extra trial and a cool-down
         # before each run; all trial times are reported, best-of used.
         scaling = {}
-        if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1":
+        scaling_on = os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "1"
+        if scaling_on:
             lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
             hi = 4 * lo
             n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_EVENTS", str(N_EVENTS)))
@@ -267,7 +276,7 @@ def main() -> None:
                 scale_dir = os.path.join(work, "binlog_scale")
                 gen_binlog(spark, scale_dir, n_scale, N_BATCHES)
             cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "20"))
-            n_trials = int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2"))
+            n_trials = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2")))
             best_eff, best_pair, trials = None, None, []
             for _t in range(n_trials):
                 time.sleep(cooldown)  # host burst-credit refill
@@ -301,7 +310,8 @@ def main() -> None:
         # runs measured 13-19 s — run-order + host-noise epoch dominated
         # the mode difference. Interleaving puts both modes in the same
         # noise epochs; best-of-2 drops the throttled trials.
-        time.sleep(int(os.environ.get("SPARK_GRAFT_COOLDOWN", "20")))
+        if scaling_on:  # the cooldown exists for the scaling phase only
+            time.sleep(int(os.environ.get("SPARK_GRAFT_COOLDOWN", "20")))
         trials: dict[str, list[float]] = {"mor": [], "cow": []}
         first = True
         for m in ("mor", "cow", "mor", "cow"):

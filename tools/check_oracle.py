@@ -37,12 +37,16 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    for i, a in enumerate(sys.argv[1:]):
+    skip = set()
+    for i, a in enumerate(argv):
         if a == "--sf":
-            sf_dir = sys.argv[1:][i + 1]
-            args = [x for x in args if x != sf_dir]
+            if i + 1 >= len(argv):
+                sys.exit("usage: check_oracle.py [name ...] [--sf DIR] [--extras|--all]")
+            sf_dir = argv[i + 1]
+            skip = {i, i + 1}  # drop the flag AND its value by POSITION
+    args = [a for i, a in enumerate(argv) if not a.startswith("--") and i not in skip]
 
     from pyspark.sql import SparkSession
 

@@ -50,7 +50,7 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("debezium-spark-replay").getOrCreate()
 
-    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+    from debezium_spark import ChangeLogGenerator, LakeTable
     from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA
 
     if args.gen_events:
@@ -75,21 +75,37 @@ def main() -> None:
     table = LakeTable(spark, args.table, key_cols, n_buckets=args.buckets)
     if not table.exists():
         table.create(REPO_PAYLOAD_SCHEMA)
-    engine = CdcEngine(
-        spark, table, smt_chain=cfg.smt_chain(), salt_factor=args.salt_factor
-    )
+    # build_engine wires the SMT chain AND tombstones.on.delete (review r4:
+    # constructing CdcEngine directly silently dropped the tombstone flag)
+    engine = cfg.build_engine(spark, table, salt_factor=args.salt_factor)
 
-    if args.snapshot_rows and table.fence() is None and cfg.snapshot_mode != "never":
+    # snapshot rows only for the modes that actually consume them —
+    # snapshot.mode semantics (incl. schema_only fence-only commits and
+    # initial_only's snapshot-and-STOP) live in CdcEngine.run (review r4:
+    # reimplementing the coordination here loaded full rows under
+    # schema_only and streamed under initial_only)
+    snap = None
+    if args.snapshot_rows and cfg.snapshot_mode in (
+        "initial", "initial_only", "when_needed"
+    ):
         gen = ChangeLogGenerator(spark, seed=42)
         snap = gen.snapshot(args.snapshot_rows)
         from debezium_spark.config import apply_snapshot_override
         # property keys may be db-qualified (overrides.<db>.<table>) or bare
         tbl = "inventory.repo_files" if cfg.snapshot_where("inventory.repo_files") else "repo_files"
         snap = apply_snapshot_override(cfg, tbl, snap)
-        engine.bootstrap(snap, fence=cfg.snapshot_offset or ("binlog.000000", -1))
 
     t0 = time.perf_counter()
-    versions = engine.replay(args.batch_dir)
+    if snap is None and cfg.snapshot_mode in ("initial", "initial_only", "when_needed"):
+        # no snapshot source supplied (--snapshot-rows absent): stream only
+        versions = engine.replay(args.batch_dir)
+    else:
+        versions = engine.run(
+            args.batch_dir,
+            snapshot_env=snap,
+            snapshot_mode=cfg.snapshot_mode,
+            snapshot_fence=cfg.snapshot_offset or ("binlog.000000", -1),
+        )
     dt = time.perf_counter() - t0
     print(json.dumps({
         "applied_batches": len(versions),
