@@ -350,3 +350,51 @@ def test_all_null_pos_batch_quarantines_in_replay(spark, tmp_path):
     assert table.read().count() == 0
     q = engine.read_quarantine()
     assert q.count() == 1 and q.first()["reason"] == "null_offset"
+
+
+def test_multi_dispatch_probe_is_one_job_per_batch(spark, tmp_path):
+    """The multi-table dispatcher splits tx-carrying batches with ONE
+    .first() probe per batch (fused_tail_probe + carry meta), mirroring the
+    single-table replay contract."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.streaming.multi import (
+        MultiTableEngine, TableSpec, WIRE_SCHEMA,
+    )
+
+    def row(pos, k, tx):
+        return {
+            "before_json": None, "after_json": f'{{"k": {k}, "v": "x"}}',
+            "op": "c", "ts_ms": 0,
+            "source": {"file": "f", "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": "t", "ts_ms": 0},
+            "transaction": {"id": tx, "total_order": 0, "data_collection_order": 0},
+        }
+
+    spec = TableSpec("app", "t", StructType.fromDDL("k string, v string"),
+                     ["k"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [spec],
+                           auto_register=False, max_parallel_tables=1)
+    b0 = spark.createDataFrame([row(1, '"a"', "tx1"), row(2, '"b"', "tx2")], WIRE_SCHEMA)
+    b1 = spark.createDataFrame([row(3, '"b2"', "tx2"), row(4, '"c"', "tx3")], WIRE_SCHEMA)
+
+    calls = {"first": 0}
+    cls = type(spark.range(1))
+    orig = cls.first
+
+    def counting(self):
+        calls["first"] += 1
+        return orig(self)
+
+    cls.first = counting
+    try:
+        mte.apply_wire_batch(b0, "b0")   # no carry yet
+        n0 = calls["first"]
+        mte.apply_wire_batch(b1, "b1")   # carry-prefixed
+        n1 = calls["first"] - n0
+    finally:
+        cls.first = orig
+    assert n0 == 1, f"fresh batch: expected 1 probe, got {n0}"
+    assert n1 == 1, f"carry-prefixed batch: expected 1 probe, got {n1}"
+    state = {r["k"]: r["v"] for r in mte.table("app", "t").read().collect()}
+    # tx1+tx2 committed (tx2 closed by tx3's appearance); tx3 deferred
+    assert state == {"a": "x", "b": "x", "b2": "x"}
