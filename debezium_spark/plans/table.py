@@ -48,6 +48,15 @@ def bucket_expr(key_cols: list[str], n_buckets: int) -> "F.Column":
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
 
 
+class DefaultEvaluationError(ValueError):
+    """A DDL DEFAULT literal failed Spark evaluation against its declared
+    type. Distinct from the structural ValueErrors (burned name, re-key)
+    so ``apply_ddl`` can catch it specifically and DEGRADE to
+    no-default-with-history instead of crash-looping the stream on one
+    malformed DDL event (ADVICE r4), while direct programmatic callers of
+    ``alter_add_columns`` still get the loud raise."""
+
+
 class LakeTable:
     """A versioned parquet table keyed by ``key_cols``.
 
@@ -474,7 +483,7 @@ class LakeTable:
                             f"SELECT CAST({default} AS {dtype})"
                         ).first()
                     except Exception as e:
-                        raise ValueError(
+                        raise DefaultEvaluationError(
                             f"DEFAULT {default!r} for column {name!r} does "
                             f"not evaluate as {dtype}: {e}"
                         ) from e

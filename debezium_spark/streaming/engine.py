@@ -429,7 +429,7 @@ class CdcEngine:
             # the driver from a malformed batch full of op='l' rows
             ddls = (
                 env.filter(F.col("op").isin(BARRIER_OPS))
-                .select("source.file", "source.pos", "op",
+                .select("source.file", "source.pos", "op", "ts_ms",
                         F.col("source.db").alias("db"),
                         F.col("source.table").alias("tbl"), text_col)
                 .orderBy("pos")
@@ -523,7 +523,11 @@ class CdcEngine:
                                 version = self.table.truncate(
                                     (d["file"], d["pos"]), batch_id=f"{batch_id}/t{i}"
                                 )
-                            apply_ddl(self.table, d["content"], (d["file"], d["pos"]))
+                            # barrier ts_ms resolves CURRENT_TIMESTAMP-class
+                            # defaults deterministically (schema_evolution.
+                            # resolve_default_marker)
+                            apply_ddl(self.table, d["content"],
+                                      (d["file"], d["pos"]), ts_ms=d["ts_ms"])
             seg_start = seg_end
         return version
 
@@ -699,7 +703,15 @@ class CdcEngine:
                 elif kind == "widen":
                     self.table.alter_widen_column(op[1], op[2])
                 elif kind == "set_default":
-                    self.table.alter_set_default(op[1], op[2])
+                    from debezium_spark.operators.schema_evolution import (
+                        CURRENT_TS_MARKER,
+                    )
+
+                    # an unresolved now-function marker is history-only
+                    # (apply_ddl had no barrier ts); replaying it would set
+                    # CURRENT_DEFAULT to the raw sentinel
+                    if op[2] != CURRENT_TS_MARKER:
+                        self.table.alter_set_default(op[1], op[2])
                 # table-level ops are catalog history, not column state
         return len(entries)
 

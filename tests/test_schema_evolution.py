@@ -212,7 +212,7 @@ def test_parse_dispatches_json_and_sql():
     assert parse_ddl("ALTER TABLE t DROP COLUMN x") == [("drop", "x")]
 
 
-def _ddl_row(spark, env_schema, pos, sql):
+def _ddl_row(spark, env_schema, pos, sql, ts_ms=0):
     payload_t = env_schema["after"].dataType
     after_ddl = F.struct(
         *[
@@ -225,7 +225,7 @@ def _ddl_row(spark, env_schema, pos, sql):
         F.lit(None).cast(payload_t).alias("before"),
         after_ddl.alias("after"),
         F.lit("l").alias("op"),
-        F.lit(0).cast("long").alias("ts_ms"),
+        F.lit(ts_ms).cast("long").alias("ts_ms"),
         F.struct(
             F.lit("binlog.000001").alias("file"),
             F.lit(pos).cast("long").alias("pos"),
@@ -414,8 +414,10 @@ def test_parse_default_literals():
     assert parse_ddl_sql("ALTER TABLE t ADD COLUMN r DOUBLE DEFAULT 2.5e2") == [
         ("add", "r", "double", "2.5e2")
     ]
+    # string literals re-encode canonically for Spark SQL (quotes
+    # backslash-escaped — source '' doubling decoded first)
     assert parse_ddl_sql("ALTER TABLE t ADD COLUMN s VARCHAR(20) DEFAULT 'it''s'") == [
-        ("add", "s", "string", "'it''s'")
+        ("add", "s", "string", r"'it\'s'")
     ]
     assert parse_ddl_sql("ALTER TABLE t ADD COLUMN b BOOLEAN DEFAULT true") == [
         ("add", "b", "boolean", "TRUE")
@@ -424,10 +426,31 @@ def test_parse_default_literals():
     assert parse_ddl_sql("ALTER TABLE t ADD (a INT DEFAULT 1, b TEXT DEFAULT 'x')") == [
         ("add", "a", "int", "1"), ("add", "b", "string", "'x'")
     ]
-    # non-literal defaults are not evaluable at read time: column adds, no default
+    # now-function defaults parse to the marker (resolved at apply time to
+    # the barrier's ts_ms); other non-literal expressions stay no-default
+    from debezium_spark.operators.schema_evolution import CURRENT_TS_MARKER
+
+    for expr in ("CURRENT_TIMESTAMP", "CURRENT_TIMESTAMP(6)", "now()",
+                 "NOW ( )", "LOCALTIMESTAMP", "CURRENT_DATE"):
+        assert parse_ddl_sql(
+            f"ALTER TABLE t ADD COLUMN ts TIMESTAMP DEFAULT {expr}"
+        ) == [("add", "ts", "timestamp", CURRENT_TS_MARKER)], expr
     assert parse_ddl_sql(
-        "ALTER TABLE t ADD COLUMN ts TIMESTAMP DEFAULT CURRENT_TIMESTAMP"
+        "ALTER TABLE t ADD COLUMN ts TIMESTAMP DEFAULT uuid()"
     ) == [("add", "ts", "timestamp", None)]
+
+
+def test_parse_default_backslash_normalization():
+    """ADVICE r4: source-dialect (standard-conforming) string literals with
+    backslashes must re-encode for Spark's backslash-escaped literals —
+    DEFAULT 'C:\\dir' must not silently become 'C:dir', and a trailing
+    backslash ('a\\', valid PG) must not be a Spark ParseException."""
+    assert parse_ddl_sql(r"ALTER TABLE t ADD COLUMN p TEXT DEFAULT 'C:\dir'") == [
+        ("add", "p", "string", r"'C:\\dir'")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN p TEXT DEFAULT 'a\\'") == [
+        ("add", "p", "string", "'a\\\\'")
+    ]
 
 
 def test_add_column_default_fills_pre_add_files(spark, tmp_path):
@@ -508,6 +531,76 @@ def test_add_default_bad_literal_rejected(spark, tmp_path):
         t.alter_add_columns([("c", "int", "not_a_function(")])
 
 
+def test_apply_ddl_degrades_unevaluable_default(spark, tmp_path):
+    """ADVICE r4: an unevaluable DEFAULT literal reached via apply_ddl must
+    DEGRADE (column added, no default, raw ledgered) instead of raising —
+    the raise happens BEFORE the ledger write, so one malformed DDL event
+    would crash-loop the stream forever. Direct alter_add_columns callers
+    still get the loud DefaultEvaluationError (previous test)."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import apply_ddl, schema_history
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string"))
+    # 9999999999999 parses as a numeric literal but overflows INT under
+    # ANSI cast — the evaluation-failure class
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN c SMALLINT DEFAULT 9999999999999", ("f", 1))
+    f = t.schema()["c"]
+    assert f.dataType.typeName() == "integer"
+    assert "EXISTS_DEFAULT" not in (f.metadata or {})
+    # ledger records the DEGRADED op (replay-stable) and keeps the raw text
+    hist = schema_history(t)
+    assert hist[-1]["ops"] == [["add", "c", "int", None]]
+    assert "9999999999999" in hist[-1]["raw"]
+
+
+def test_current_timestamp_default_resolves_to_barrier_ts(spark, tmp_path):
+    """VERDICT r4 item 6: CURRENT_TIMESTAMP-class defaults fill pre-ADD
+    rows with the DDL barrier's own ts_ms — deterministic and
+    replay-stable — instead of degrading to null. Without a barrier ts
+    (programmatic apply) the marker still degrades to no-default."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import (
+        CURRENT_TS_MARKER,
+        apply_ddl,
+        resolve_default_marker,
+        schema_history,
+    )
+
+    assert resolve_default_marker(CURRENT_TS_MARKER, None) is None
+    assert resolve_default_marker("'x'", 123) == "'x'"
+    lit = resolve_default_marker(CURRENT_TS_MARKER, 1700000000123)
+    assert lit == "TIMESTAMP '2023-11-14 22:13:20.123+00:00'"
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2, mode="mor")
+    t.create(StructType.fromDDL("k string, content string"))
+    eng = CdcEngine(spark, t, compact_depth=0)
+    gen = ChangeLogGenerator(spark, seed=11, n_repos=4)
+    base = gen.events(120)
+
+    def env(df):
+        pay = lambda side: F.when(
+            F.col(side).isNotNull(),
+            F.struct(F.col(f"{side}.path").alias("k"),
+                     F.col(f"{side}.content").alias("content")),
+        )
+        return df.withColumn("after", pay("after")).withColumn("before", pay("before"))
+
+    eng.apply_envelope_batch(env(base.filter(F.col("source.pos") < 60)), batch_id="a")
+    eng.apply_envelope_batch(
+        _ddl_row(spark, env(base).schema, 60,
+                 "ALTER TABLE inventory.repo_files ADD COLUMN seen TIMESTAMP"
+                 " DEFAULT CURRENT_TIMESTAMP",
+                 ts_ms=1700000000123),
+        batch_id="ddl")
+    rows = t.read().select(F.col("seen").cast("string").alias("s")).distinct().collect()
+    assert [r["s"] for r in rows] == ["2023-11-14 22:13:20.123"]
+    # ledger carries the RESOLVED literal — recover_schema replays without ts
+    hist = schema_history(t)
+    assert hist[-1]["ops"][-1][3] == "TIMESTAMP '2023-11-14 22:13:20.123+00:00'"
+
+
 def test_pk_mutation_guard(spark, tmp_path):
     """ADD PRIMARY KEY matching the capture key is an idempotent no-op;
     a RE-KEY raises loudly (the silent skip was the dangerous case)."""
@@ -575,11 +668,16 @@ def test_default_not_extracted_from_quoted_text():
 
 def test_set_default_non_literal_is_history_only(spark, tmp_path):
     """Review r4 #6: SET DEFAULT <non-literal> must not execute as DROP
-    DEFAULT — a recorded literal default survives."""
+    DEFAULT — a recorded literal default survives. r5: now-functions parse
+    to the marker; WITHOUT a barrier ts they stay history-only, WITH one
+    they resolve to the barrier instant."""
     from pyspark.sql.types import StructType
-    from debezium_spark.operators.schema_evolution import apply_ddl
+    from debezium_spark.operators.schema_evolution import CURRENT_TS_MARKER, apply_ddl
 
-    assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c SET DEFAULT CURRENT_TIMESTAMP") == []
+    assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c SET DEFAULT CURRENT_TIMESTAMP") == [
+        ("set_default", "c", CURRENT_TS_MARKER)
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c SET DEFAULT uuid()") == []
     assert parse_ddl_sql("ALTER TABLE t ALTER COLUMN c SET DEFAULT NULL") == [
         ("set_default", "c", None)
     ]
@@ -588,6 +686,13 @@ def test_set_default_non_literal_is_history_only(spark, tmp_path):
     apply_ddl(t, "ALTER TABLE t ADD COLUMN c INT DEFAULT 5", ("f", 1))
     apply_ddl(t, "ALTER TABLE t ALTER COLUMN c SET DEFAULT now()", ("f", 2))
     assert t.schema()["c"].metadata["CURRENT_DEFAULT"] == "5"  # untouched
+    apply_ddl(t, "ALTER TABLE t ALTER COLUMN c SET DEFAULT now()", ("f", 3),
+              ts_ms=1700000000123)
+    assert t.schema()["c"].metadata["CURRENT_DEFAULT"] == (
+        "TIMESTAMP '2023-11-14 22:13:20.123+00:00'"
+    )
+    # EXISTS_DEFAULT (initial default) stays frozen throughout
+    assert t.schema()["c"].metadata["EXISTS_DEFAULT"] == "5"
 
 
 def test_table_changes_json_default_gated_to_literals(spark, tmp_path):

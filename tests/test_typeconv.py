@@ -203,8 +203,9 @@ def test_year_zoned_time_durations(spark):
     assert out[1]["zt"] == (23 * 3600 + 30 * 60) * 1_000_000
     assert out[2]["zt"] == (8 * 3600 + 29 * 60 + 59) * 1_000_000 + 250_000
     assert [r["md"] for r in out] == [1_500_000, -2_700_000, 0]
-    # nanos → micros floors toward -inf for negatives (1000-grid floor)
-    assert [r["nd"] for r in out] == [1_234_567, 0, -1_234_568]
+    # nanos → micros truncate toward zero (Java integer division), agreeing
+    # with from_micro_duration's (long) cast on negative durations (ADVICE r4)
+    assert [r["nd"] for r in out] == [1_234_567, 0, -1_234_567]
 
 
 def test_interval_parse_and_micros(spark):
@@ -230,11 +231,55 @@ def test_interval_parse_and_micros(spark):
     assert parsed[3]["p"]["days"] == 7
     assert parsed[4]["p"]["years"] == -1 and parsed[4]["p"]["months"] == 14
 
-    micros = [r["m"] for r in df.select(tc.interval_micros(F.col("s")).alias("m")).collect()]
-    def ref(y, mo, d, h, mi, s):  # MicroDuration.durationMicros, dpm=30
-        ndays = (y * 12 + mo) * 30.0 + d
+    # default = MicroDuration.DAYS_PER_MONTH_AVG (365.25/12) parity;
+    # dpm=30.0 reproduces the ChronoUnit fallback when passed explicitly
+    assert tc.DAYS_PER_MONTH_AVG == 365.25 / 12
+    sel = df.select(
+        tc.interval_micros(F.col("s")).alias("m"),
+        tc.interval_micros(F.col("s"), days_per_month=30.0).alias("m30"),
+    ).collect()
+    def ref(y, mo, d, h, mi, s, dpm):  # MicroDuration.durationMicros
+        ndays = (y * 12 + mo) * dpm + d
         return int((((ndays * 24 + h) * 60 + mi) * 60 + s) * 1e6)
-    assert micros == [
-        ref(1, 2, 3, 4, 5, 6.5), 0, ref(0, 0, 0, 0, 15, 0),
-        ref(0, 0, 7, 0, 0, 0), ref(-1, 14, 0, 0, 0, 1e-9),
+    rows = [(1, 2, 3, 4, 5, 6.5), (0, 0, 0, 0, 0, 0), (0, 0, 0, 0, 15, 0),
+            (0, 0, 7, 0, 0, 0), (-1, 14, 0, 0, 0, 1e-9)]
+    assert [r["m"] for r in sel] == [ref(*a, 365.25 / 12) for a in rows]
+    assert [r["m30"] for r in sel] == [ref(*a, 30.0) for a in rows]
+
+
+def test_wkb_point_xy(spark):
+    """data/geometry/Point.java:70-82 parseWKBPoint parity: 21-byte WKB
+    (BOM + uint32 type 1 + two doubles) in both endiannesses, full double
+    range incl. -0.0, subnormal min, MAX_VALUE; wrong type / wrong length →
+    NULL (reference throws); NaN/Inf bit patterns → null coordinate."""
+    import math
+    import struct
+
+    def wkb(x, y, little=True):
+        if little:
+            return b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", x, y)
+        return b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", x, y)
+
+    cases = [
+        (1.0, -2.5), (0.0, -0.0), (123456.789, -1e-300),
+        (5e-324, 1.7976931348623157e308),          # min subnormal, max finite
+        (2.2250738585072014e-308, -2.225073858507201e-308),  # normal/subnormal edge
+        (math.pi, -math.e),
     ]
+    rows = [(i, wkb(x, y)) for i, (x, y) in enumerate(cases)]
+    rows += [(100, wkb(cases[0][0], cases[0][1], little=False))]  # big-endian BOM
+    rows += [(101, b"\x01" + struct.pack("<I", 2) + struct.pack("<dd", 1.0, 2.0))]  # not a Point
+    rows += [(102, wkb(1.0, 2.0)[:-1])]  # truncated
+    rows += [(103, b"\x01" + struct.pack("<I", 1) + struct.pack("<dd", float("nan"), float("inf")))]
+    df = spark.createDataFrame(rows, "i int, wkb binary")
+    out = {
+        r["i"]: r["p"]
+        for r in df.select("i", tc.wkb_point_xy(F.col("wkb")).alias("p")).collect()
+    }
+    for i, (x, y) in enumerate(cases):
+        assert out[i]["x"] == x and out[i]["y"] == y, (i, out[i])
+    # -0.0 sign preserved
+    assert math.copysign(1.0, out[1]["y"]) == -1.0
+    assert out[100]["x"] == cases[0][0] and out[100]["y"] == cases[0][1]
+    assert out[101] is None and out[102] is None
+    assert out[103]["x"] is None and out[103]["y"] is None
