@@ -671,6 +671,14 @@ def apply_ddl(
     crash-loops the stream forever on one malformed DDL event). The ledger
     records the RESOLVED/degraded ops, so ``recover_schema`` replay
     converges to the identical schema without needing ``ts_ms`` again."""
+    cp = schema_history_checkpoint(table)
+    if cp is not None and offset[1] <= cp["offset_pos"]:
+        # the barrier predates the last ledger compaction — its entry was
+        # folded into the checkpoint, so it is already fully applied (the
+        # checkpoint fence is the max offset among folded entries, and
+        # source.pos is a dense global index, same ordering the data fence
+        # uses)
+        return
     for entry in schema_history(table):
         if (
             entry.get("offset_file") == offset[0]
@@ -744,9 +752,80 @@ def apply_ddl(
         )
 
 
-def schema_history(table: LakeTable) -> list[dict]:
-    ledger = os.path.join(table.root, "_schema_history.jsonl")
-    if not os.path.exists(ledger):
+def _history_path(table: LakeTable) -> str:
+    return os.path.join(table.root, "_schema_history.jsonl")
+
+
+def _history_lines(table: LakeTable) -> list[dict]:
+    path = _history_path(table)
+    if not os.path.exists(path):
         return []
-    with open(ledger) as f:
+    with open(path) as f:
         return [json.loads(line) for line in f if line.strip()]
+
+
+def schema_history(table: LakeTable) -> list[dict]:
+    """The table's DDL op entries, in apply order — entries folded into a
+    checkpoint (see ``compact_schema_history``) are gone; use
+    ``schema_history_checkpoint`` for the folded state."""
+    return [e for e in _history_lines(table) if "checkpoint" not in e]
+
+
+def schema_history_checkpoint(table: LakeTable) -> dict | None:
+    """The ledger's checkpoint line, or None for a never-compacted ledger:
+    ``{"checkpoint": True, "offset_file", "offset_pos", "schema",
+    "renames", "schema_version", "folded"}`` — the complete schema state at
+    the fold fence."""
+    for e in _history_lines(table):
+        if "checkpoint" in e:
+            return e
+    return None
+
+
+def compact_schema_history(table: LakeTable) -> int:
+    """Checkpoint-and-truncate the schema-history ledger (VERDICT r4 #1;
+    reference analog: the breakpoint ledger expires applied offsets,
+    ``connector/breakpoint/BreakPointRecord.java:116`` ``toDeleteOffsets``
+    with the size cap at ``README.md:332``).
+
+    Folds every current entry into ONE checkpoint line carrying the
+    table's full schema state (schema JSON + rename ledger + manifest
+    version) at the max folded offset, then atomically rewrites the ledger
+    as just that line. Restart replay (``CdcEngine.recover_schema``) and
+    the ``apply_ddl`` idempotency scan both become O(entries-since-last-
+    compaction) instead of O(stream lifetime); without this the ledger
+    grows append-only forever at the 10^5–10^6-batch design point.
+
+    Crash-safe: the rewrite goes through a temp file + ``os.replace`` —
+    a crash mid-compaction leaves the previous ledger intact. Returns the
+    number of entries folded (0 = nothing to do, ledger untouched)."""
+    entries = schema_history(table)
+    if not entries:
+        return 0
+    prev = schema_history_checkpoint(table)
+    # entries append in apply order, but fold to the MAX offset so an
+    # out-of-order ledger (multi-file streams) can never fence out a
+    # not-yet-applied barrier
+    fold_pos = max(e["offset_pos"] for e in entries)
+    fold_file = max(
+        (e for e in entries), key=lambda e: e["offset_pos"]
+    )["offset_file"]
+    if prev is not None and prev["offset_pos"] > fold_pos:
+        fold_file, fold_pos = prev["offset_file"], prev["offset_pos"]
+    man = table.manifest()
+    cp = {
+        "checkpoint": True,
+        "offset_file": fold_file,
+        "offset_pos": fold_pos,
+        "schema": man["schema"],
+        "renames": man.get("renames", {}),
+        "dropped": man.get("dropped", []),
+        "schema_version": man["version"],
+        "folded": len(entries) + (prev.get("folded", 0) if prev else 0),
+    }
+    path = _history_path(table)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(json.dumps(cp) + "\n")
+    os.replace(tmp, path)
+    return len(entries)

