@@ -406,6 +406,39 @@ SQL_column_truncate = f"""WITH {ENV_SQL}
 SELECT pos, substr(content, 1, 8) AS content_trunc FROM env"""
 
 
+#: OGC WKB 2-D Point byte vectors (hex), hand-packed from the IEEE-754
+#: little/big-endian layouts (last row is big-endian; row 2 carries -0.0).
+#: The oracle is the hand-computed coordinate table — the same
+#: spec-vector style as the Avro/zigzag tests.
+_WKB_VECTORS = [
+    (0, "0101000000000000000000f83f00000000000002c0"),
+    (1, "010100000000000000000859400000000000000000"),
+    (2, "010100000000000000000000800000000000000c40"),
+    (3, "0101000000a1f831e6d61cc8406ec0e787454ac3c0"),
+    (4, "00000000014005bf0a8b145769bf60000000000000"),
+]
+
+
+def q_wkb_point_extract(spark, sf_dir):
+    """Geometry Point parse (§1.4): WKB → (x, y) in pure Catalyst —
+    reference ``data/geometry/Point.java:70-82`` parseWKBPoint. Both
+    endiannesses, signed zero, non-dyadic doubles."""
+    from debezium_spark.functions.typeconv import wkb_point_xy
+
+    df = spark.createDataFrame(_WKB_VECTORS, "i int, hx string")
+    p = wkb_point_xy(F.unhex(F.col("hx")))
+    return df.select("i", p["x"].alias("x"), p["y"].alias("y")).orderBy("i")
+
+
+SQL_wkb_point_extract = """SELECT * FROM (VALUES
+    (0, 1.5, -2.25),
+    (1, 100.125, 0.0),
+    (2, CAST('-0.0' AS DOUBLE), 3.5),  -- a DECIMAL -0.0 literal loses the sign
+    (3, 12345.6789, -9876.54321),
+    (4, 2.718281828459045, -0.001953125)
+) AS t(i, x, y) ORDER BY i"""
+
+
 def q_logical_table_router(spark, sf_dir):
     """ByLogicalTableRouter (§2.5): regex shard-merge, via operators.routing
     (rewrites source.table, preserves the physical id)."""
@@ -2277,6 +2310,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "windowed_event_agg": (q_windowed_event_agg, SQL_windowed_event_agg),
     "event_topn_per_type": (q_event_topn_per_type, SQL_event_topn_per_type),
     "broadcast_dim_join": (q_broadcast_dim_join, SQL_broadcast_dim_join),
+    "wkb_point_extract": (q_wkb_point_extract, SQL_wkb_point_extract),
 }
 
 

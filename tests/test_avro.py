@@ -150,3 +150,101 @@ def test_nested_float_nan_roundtrip(spark):
     assert back[0]["payload"]["inner"]["f"] == 1.5
     assert back[1]["payload"]["amount"] is None
     assert back[1]["payload"]["inner"]["f"] == float("-inf")
+
+
+def test_reader_schema_resolution_add_drop_reorder(spark):
+    """VERDICT r4 #3 (Avro 1.11 "Schema Resolution"): frames written under
+    an OLD schema decode under an evolved reader — fields match by name
+    (reorder), reader-added fields take their explicit null default,
+    writer-only fields are skipped."""
+    old = StructType.fromDDL("k long, v string, legacy int")
+    df = spark.createDataFrame([(1, "a", 7), (2, "b", None)], old)
+    frames = to_avro(df)
+    # reordered + 'legacy' dropped + 'fresh' added
+    reader = StructType.fromDDL("v string, fresh double, k long")
+    out = {r["k"]: r for r in
+           from_avro(frames, reader, writer_schemas=[old]).collect()}
+    assert out[1]["v"] == "a" and out[1]["fresh"] is None
+    assert out[2]["v"] == "b" and out[2]["fresh"] is None
+    assert "legacy" not in out[1].asDict()
+    # nested payload structs resolve too (the envelope shape)
+    oldp = StructType.fromDDL("id long, payload struct<a: int, gone: string>")
+    dfn = spark.range(1).selectExpr(
+        "id", "named_struct('a', 5, 'gone', 'x') AS payload")
+    readern = StructType.fromDDL(
+        "id long, payload struct<added: string, a: bigint>")
+    row = from_avro(to_avro(dfn), readern, writer_schemas=[oldp]).first()
+    assert row["payload"]["a"] == 5 and row["payload"]["added"] is None
+
+
+def test_reader_schema_resolution_promotions(spark):
+    """Spec promotion table: int→long, int/long→double, float→double,
+    string↔bytes; an unresolvable pair fails loudly at plan-build time."""
+    old = StructType.fromDDL("k long, n int, f float, s string, b binary")
+    df = spark.createDataFrame([(1, 42, 1.5, "hi", bytearray("né".encode()))], old)
+    reader = StructType.fromDDL("k long, n double, f double, s binary, b string")
+    r = from_avro(to_avro(df), reader, writer_schemas=[old]).first()
+    assert r["n"] == 42.0 and isinstance(r["n"], float)
+    assert r["f"] == 1.5
+    assert bytes(r["s"]) == b"hi" and r["b"] == "né"
+    with pytest.raises(Exception, match="cannot be read as"):
+        from_avro(
+            to_avro(df), StructType.fromDDL("k long, s bigint"),
+            writer_schemas=[old],
+        )
+
+
+def test_mixed_schema_avro_stream_replays_e2e(spark, tmp_path):
+    """Schema-evolution e2e on the wire format: a stream whose frames were
+    written under BOTH the pre- and post-ADD payload schemas decodes in one
+    pass (per-frame schema-id dispatch) and replays through the engine with
+    the DDL barrier in between — final state carries the new column for
+    post-evolution keys and null for pre-evolution ones."""
+    from debezium_spark.plans.table import LakeTable
+    from debezium_spark.streaming.engine import CdcEngine
+
+    old_p = StructType.fromDDL("k string, content string")
+    new_p = StructType.fromDDL("k string, content string, score int")
+
+    def env_rows(payload, rows, pos0):
+        src = ("named_struct('file', 'binlog.000001', 'pos', CAST({pos} AS LONG),"
+               " 'gtid', CAST(NULL AS STRING), 'snapshot', CAST(NULL AS STRING),"
+               " 'db', 'inventory', 'table', 'repo_files', 'ts_ms', CAST(0 AS LONG))")
+        out = []
+        for i, vals in enumerate(rows):
+            lit = ", ".join(
+                f"'{f.name}', " + (
+                    "CAST(NULL AS " + f.dataType.simpleString() + ")"
+                    if vals[j] is None
+                    else (f"'{vals[j]}'" if f.dataType.simpleString() == "string"
+                          else str(vals[j]))
+                )
+                for j, f in enumerate(payload.fields)
+            )
+            out.append(spark.range(1).selectExpr(
+                f"CAST(NULL AS {payload.simpleString()}) AS before",
+                f"named_struct({lit}) AS after",
+                "'c' AS op", "CAST(0 AS LONG) AS ts_ms",
+                src.format(pos=pos0 + i) + " AS source",
+                "CAST(NULL AS struct<id: string, total_order: bigint,"
+                " data_collection_order: bigint>) AS transaction",
+            ))
+        df = out[0]
+        for d in out[1:]:
+            df = df.unionByName(d)
+        return df
+
+    old_frames = envelope_to_avro(env_rows(old_p, [("a", "v1"), ("b", "v1")], 0))
+    new_frames = envelope_to_avro(
+        env_rows(new_p, [("b", "v2", 9), ("c", "v2", 5)], 10))
+    mixed = old_frames.unionByName(new_frames)
+
+    env = avro_to_envelope(mixed, new_p, writer_payloads=[old_p])
+    assert env.count() == 4
+
+    table = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    table.create(new_p)
+    engine = CdcEngine(spark, table)
+    engine.apply_envelope_batch(env, batch_id="mixed")
+    got = {r["k"]: (r["content"], r["score"]) for r in table.read().collect()}
+    assert got == {"a": ("v1", None), "b": ("v2", 9), "c": ("v2", 5)}
