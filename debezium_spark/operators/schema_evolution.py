@@ -228,6 +228,29 @@ def _extract_default(clause: str) -> str | None:
     return None
 
 
+def _extract_position(clause_tail: str) -> tuple[str | None] | None:
+    """Column-definition tail → MySQL placement suffix, or None.
+
+    Returns a 1-tuple ``(anchor,)`` — ``(None,)`` for ``... FIRST``,
+    ``("col",)`` for ``... AFTER col`` — so callers can distinguish "no
+    placement" (None) from "place first" ((None,)). Quote-aware: keywords
+    are searched in the quote-blanked text so ``COMMENT 'insert AFTER x'``
+    never fabricates a reorder (the _extract_default fix class); the
+    anchor identifier is then re-read from the ORIGINAL text at the same
+    offset (``_strip_quoted`` is length-preserving but blanks quoted
+    identifiers). Reference: MySqlAntlrDdlParserTest's FIRST/AFTER column
+    placement matrix."""
+    t = _strip_quoted(clause_tail)
+    m = re.search(r"(?is)\bAFTER\s+", t)
+    if m:
+        m2 = re.match(_IDENT, clause_tail[m.end():])
+        if m2:
+            return (m2.group(1),)
+    if re.search(r"(?is)\bFIRST\s*$", t):
+        return (None,)
+    return None
+
+
 def _strip_quoted(text: str) -> str:
     """Blank out quoted string/identifier literals (quote chars preserved,
     contents replaced by spaces) so keyword searches (PRIMARY KEY, DEFAULT)
@@ -457,7 +480,9 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
     (single + parenthesized list), DROP [COLUMN], RENAME [COLUMN] a TO b,
     MySQL CHANGE [COLUMN] a b <type> (rename+retype) and MODIFY [COLUMN]
     col <type>, PG ALTER [COLUMN] col [SET DATA] TYPE <type>.
-    Column constraints after the type (NOT NULL, DEFAULT, COMMENT, AFTER,
+    ``FIRST`` / ``AFTER col`` placement suffixes on ADD/CHANGE/MODIFY
+    parse to a ``reorder`` op (schema field order — MySQL SELECT-* order
+    parity); other column constraints after the type (NOT NULL, COMMENT,
     COLLATE, …) are ignored — they don't change the lake schema.
 
     Table-level statements parse to catalog ops: CREATE TABLE (column list
@@ -547,6 +572,9 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
                  _type_or_none(m2.group(2)) or "string",  # unmapped: as text
                  _extract_default(c[m2.end():]))
             )
+            pos = _extract_position(c[m2.end():])
+            if pos is not None:  # ADD ... FIRST / AFTER col placement
+                ops.append(("reorder", m2.group(1), pos[0]))
             continue
         m2 = re.match(r"(?is)^ADD\s*\((.*)\)\s*$", c)
         if m2:  # ADD (a INT, b TEXT)
@@ -559,6 +587,9 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
                          _type_or_none(m3.group(2)) or "string",
                          _extract_default(sub[m3.end():]))
                     )
+                    pos = _extract_position(sub[m3.end():])
+                    if pos is not None:
+                        ops.append(("reorder", m3.group(1), pos[0]))
             continue
         m2 = re.match(rf"(?is)^DROP\s+(?:COLUMN\s+)?{_IDENT}(?:\s+(?:RESTRICT|CASCADE))?\s*$", c)
         if m2:
@@ -580,12 +611,18 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
                 ops.append(("rename", old, new))
             if t is not None:  # unmapped retype: rename applies, retype is history-only
                 ops.append(("widen", new, t))
+            pos = _extract_position(c[m2.end():])
+            if pos is not None:  # CHANGE ... FIRST / AFTER col placement
+                ops.append(("reorder", new, pos[0]))
             continue
         m2 = re.match(rf"(?is)^MODIFY\s+(?:COLUMN\s+)?{_IDENT}\s+{_TYPE}", c)
         if m2:
             t = _type_or_none(m2.group(2))
             if t is not None:
                 ops.append(("widen", m2.group(1), t))
+            pos = _extract_position(c[m2.end():])
+            if pos is not None:  # MODIFY ... FIRST / AFTER col placement
+                ops.append(("reorder", m2.group(1), pos[0]))
             continue
         m2 = re.match(
             rf"(?is)^ALTER\s+(?:COLUMN\s+)?{_IDENT}\s+(?:SET\s+DATA\s+)?TYPE\s+{_TYPE}", c
@@ -720,6 +757,14 @@ def apply_ddl(
         elif op[0] == "widen":
             # CHANGE/MODIFY to the same type is a no-op inside alter_widen
             table.alter_widen_column(op[1], op[2])
+        elif op[0] == "reorder":
+            # FIRST/AFTER placement is cosmetic in a name-resolved lake
+            # (only SELECT-* order changes); a missing column/anchor must
+            # not wedge the stream — degrade to history-only
+            try:
+                table.alter_reorder_column(op[1], op[2])
+            except ValueError:
+                continue  # raw text still ledgered below; op itself is not
         elif op[0] == "set_pk":
             # a PK identical to the capture key is the idempotent replay /
             # re-add-after-drop case; anything else is a RE-KEY, which

@@ -584,6 +584,38 @@ class LakeTable:
         renames[new] = aliases + [old]
         self._publish_schema(man, StructType(fields), renames)
 
+    def alter_reorder_column(self, name: str, after: str | None) -> None:
+        """MySQL ``ALTER ... <col> ... FIRST`` / ``AFTER <anchor>``
+        placement (the reference parses these via
+        ``MySqlAntlrDdlParser``'s column-position listeners) — reorders
+        the manifest's schema field list only. Reads resolve columns by
+        name, so no data file is touched; the visible effect is the
+        ``read()`` / ``SELECT *`` column order, exactly MySQL's semantics.
+        ``after=None`` places the column first. Idempotent: replaying a
+        placement the schema already satisfies publishes nothing. Unknown
+        column or anchor raises ValueError (``apply_ddl`` degrades that to
+        history-only — placement is cosmetic and must not wedge the
+        stream)."""
+        man = self.manifest()
+        schema = StructType.fromJson(json.loads(man["schema"]))
+        names = [f.name for f in schema.fields]
+        if name not in names:
+            raise ValueError(f"reorder: column {name!r} not found")
+        if after is not None and after not in names:
+            raise ValueError(f"reorder: anchor column {after!r} not found")
+        if after == name:
+            return
+        moved = schema[name]
+        fields = [f for f in schema.fields if f.name != name]
+        if after is None:
+            fields.insert(0, moved)
+        else:
+            fields.insert([f.name for f in fields].index(after) + 1, moved)
+        reordered = StructType(fields)
+        if reordered.json() == man["schema"]:
+            return  # already in place — idempotent DDL replay
+        self._publish_schema(man, reordered)
+
     def alter_set_default(self, name: str, default_sql: str | None) -> None:
         """``ALTER COLUMN x SET DEFAULT <lit>`` / ``DROP DEFAULT`` —
         mutates only the column's CURRENT default (``CURRENT_DEFAULT``

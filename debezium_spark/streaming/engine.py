@@ -753,6 +753,13 @@ class CdcEngine:
                     self.table.alter_rename_column(op[1], op[2])
                 elif kind == "widen":
                     self.table.alter_widen_column(op[1], op[2])
+                elif kind == "reorder":
+                    # cosmetic placement: a replay onto a schema whose
+                    # anchor was later dropped must not wedge recovery
+                    try:
+                        self.table.alter_reorder_column(op[1], op[2])
+                    except ValueError:
+                        pass
                 elif kind == "set_default":
                     from debezium_spark.operators.schema_evolution import (
                         CURRENT_TS_MARKER,

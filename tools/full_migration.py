@@ -41,12 +41,36 @@ def make_spark(app: str):
     )
 
 
+def _parquet_row_count(path: str) -> int | None:
+    """Exact row count from parquet FOOTERS only — zero data scan (the
+    "known count" path of export_csv_slices; a catalog statistic would
+    serve the same way). Local filesystem only: on a remote store this
+    returns None and the export falls back to its one narrow count scan."""
+    import glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+            if os.path.isdir(path)
+            else ([path] if os.path.isfile(path) else [])
+        )
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 def cmd_export(args) -> None:
     from debezium_spark.sources.slices import export_csv_slices
 
     spark = make_spark("full-migration-export")
     df = spark.read.parquet(args.source)
-    slices = export_csv_slices(df, args.key.split(","), slice_size=args.slice_size)
+    slices = export_csv_slices(df, args.key.split(","),
+                               slice_size=args.slice_size,
+                               n=_parquet_row_count(args.source))
     slices.write.mode("overwrite").parquet(args.slices)
     n = spark.read.parquet(args.slices).filter("msgType = 'full'").count()
     print(f"exported {n} slices to {args.slices}")
