@@ -156,7 +156,8 @@ _TYPE = (
 _DEFAULT_RE = re.compile(
     r"(?is)DEFAULT\s+("
     r"'(?:[^']|'')*'"                       # string literal ('' escape)
-    r"|-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"    # numeric literal
+    r"|[bB]'[01]+'"                         # MySQL bit-string (BIT_STRING)
+    r"|[+-]?\s*\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"  # signed numeric literal
     r"|TRUE|FALSE|NULL"
     r"|(?:CURRENT_TIMESTAMP|LOCALTIMESTAMP|CURRENT_DATE)(?:\s*\(\s*\d*\s*\))?"
     r"|NOW\s*\(\s*\)"                       # evaluable now-functions (r5)
@@ -211,6 +212,15 @@ def _extract_default(clause: str) -> str | None:
                 return lit.upper()
             if _NOW_FUNCS.match(lit):
                 return CURRENT_TS_MARKER
+            if re.match(r"^[bB]'", lit):
+                # bit-string → decimal (the reference's BIT_STRING branch,
+                # DefaultValueParserListener.java:50 unquoteBinary; decimal
+                # casts cleanly to any integral/bit-carrying lake type)
+                return str(int(lit[2:-1], 2))
+            if re.match(r"^[+-]", lit):
+                # signed numeric (unaryOperator branch): normalize the
+                # MySQL-legal space after the sign and the redundant '+'
+                return re.sub(r"\s+", "", lit).lstrip("+")
             if lit.startswith("'"):
                 # Normalize the source-dialect string literal to Spark SQL
                 # (ADVICE r4): the grammar above is standard-conforming

@@ -97,6 +97,12 @@ def _schema_from_cols(cols: list[tuple]) -> StructType:
     for c in cols:
         name, t = c[0], c[1]
         default = c[2] if len(c) > 2 else None
+        if default is not None and "\x00" in default:
+            # defense-in-depth: an unresolved now-function marker (or a
+            # pre-fix catalog ledger carrying one) must never reach field
+            # metadata — Spark rejects the whole table at read time with
+            # INVALID_DEFAULT_VALUE.UNRESOLVED_EXPRESSION
+            default = None
         meta = (
             {"EXISTS_DEFAULT": default, "CURRENT_DEFAULT": default}
             if default is not None else None
@@ -439,13 +445,17 @@ class MultiTableEngine:
         source.db."""
         import json as _json
 
-        from debezium_spark.operators.schema_evolution import parse_ddl
+        from debezium_spark.operators.schema_evolution import (
+            parse_ddl,
+            resolve_default_marker,
+        )
 
         rows = (
             wire.filter(F.col("op") == "l")
             .select(
                 F.col("source.db").alias("db"),
                 F.col("source.pos").alias("pos"),
+                "ts_ms",
                 "after_json",
             )
             .orderBy("pos")
@@ -469,7 +479,19 @@ class MultiTableEngine:
                 continue
             for op in parse_ddl(content):
                 if op[0] == "create_table":
-                    ops.append(("create", op[1] or r["db"], op[2], op[3], op[4]))
+                    # resolve now-function default markers against the DDL
+                    # row's own ts_ms HERE, before the cols reach the
+                    # schema metadata or the catalog ledger — an unresolved
+                    # marker stored as EXISTS_DEFAULT poisons every read of
+                    # the new table (review r5 finding, verified: Spark
+                    # throws INVALID_DEFAULT_VALUE.UNRESOLVED_EXPRESSION)
+                    cols = [
+                        (c[0], c[1],
+                         resolve_default_marker(
+                             c[2] if len(c) > 2 else None, r["ts_ms"]))
+                        for c in op[3]
+                    ]
+                    ops.append(("create", op[1] or r["db"], op[2], cols, op[4]))
                 elif op[0] == "drop_table":
                     ops.append(("drop", op[1] or r["db"], op[2]))
                 elif op[0] == "rename_table":

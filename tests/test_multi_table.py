@@ -677,3 +677,52 @@ def test_prepass_dotted_identities_do_not_collide(spark, tmp_path):
              mte._prepass_stats(spark.createDataFrame(rows, WIRE_SCHEMA)).collect()}
     assert stats[("a.b", "c")]["nb"] == 0      # has its key 'k'
     assert stats[("a", "b.c")]["nb"] == 1      # missing its key 'm'
+
+
+def test_create_table_now_default_resolves_and_reads(spark, tmp_path):
+    """Review r5 regression (verified against Spark 4): CREATE TABLE with
+    DEFAULT CURRENT_TIMESTAMP used to embed the unresolved NUL marker as
+    EXISTS_DEFAULT in the auto-registered schema — every subsequent read of
+    the new table threw INVALID_DEFAULT_VALUE.UNRESOLVED_EXPRESSION and the
+    poisoned cols persisted to the catalog ledger. The marker now resolves
+    to the DDL row's own ts_ms before schema/ledger, and a restart replays
+    the resolved literal."""
+    import json
+
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [users], default_buckets=2)
+
+    def row(pos, table, op, after):
+        return {
+            "before_json": None, "after_json": after, "op": op, "ts_ms": 1000 + pos,
+            "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                       "snapshot": None, "db": "app", "table": table,
+                       "ts_ms": 1000 + pos},
+            "transaction": None,
+        }
+
+    create_sql = ("CREATE TABLE app.audit (id BIGINT NOT NULL, "
+                  "seen TIMESTAMP DEFAULT CURRENT_TIMESTAMP, "
+                  "n INT DEFAULT -1, PRIMARY KEY (id))")
+    b0 = [
+        row(1, "audit", "l", json.dumps({"content": create_sql})),
+        row(2, "audit", "c", '{"id": 7, "seen": null, "n": 3}'),
+    ]
+    mte.apply_wire_batch(spark.createDataFrame(b0, WIRE_SCHEMA), "b0")
+    got = mte.table("app", "audit").read().collect()  # must not raise
+    assert [(r["id"], r["n"]) for r in got] == [(7, 3)]
+    meta = dict(mte.table("app", "audit").schema()["seen"].metadata or {})
+    assert "\x00" not in (meta.get("EXISTS_DEFAULT") or "")
+    assert meta.get("EXISTS_DEFAULT", "").startswith("TIMESTAMP '")
+    # signed default survives as a plain literal
+    meta_n = dict(mte.table("app", "audit").schema()["n"].metadata or {})
+    assert meta_n.get("EXISTS_DEFAULT") == "-1"
+
+    # restart replays the catalog ledger — resolved literal, readable table
+    mte2 = MultiTableEngine(spark, str(tmp_path / "lake"), [users],
+                            default_buckets=2)
+    assert ("app", "audit") in mte2.specs
+    assert mte2.table("app", "audit").read().count() == 1

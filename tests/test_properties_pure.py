@@ -139,3 +139,38 @@ def test_alter_clause_lists_parse_in_order_without_crash(clauses):
                 want.append(k)
                 break
     assert kinds == want
+
+
+@given(st.text(alphabet="abcxyzAFTERIST_ '`,()0", max_size=40))
+@settings(max_examples=300)
+def test_position_extractor_never_fires_inside_quotes(junk):
+    """A FIRST/AFTER appearing only inside a quoted COMMENT string must
+    never fabricate a reorder op; and the extractor is total on junk."""
+    from debezium_spark.operators.schema_evolution import _extract_position
+
+    _extract_position(junk)  # total: never raises
+    comment = junk.replace("'", "''")
+    ops = parse_ddl_sql(f"ALTER TABLE t ADD COLUMN c INT COMMENT '{comment}'")
+    assert ("reorder", "c", None) not in ops
+    assert all(op[0] != "reorder" for op in ops)
+
+
+@given(IDENT)
+@settings(max_examples=100)
+def test_position_extractor_roundtrips_any_anchor(anchor):
+    """AFTER <any legal identifier> (bare or backquoted) extracts that
+    exact anchor; FIRST wins only at clause end."""
+    from debezium_spark.operators.schema_evolution import _extract_position
+
+    assert _extract_position(f" NOT NULL AFTER {anchor}") == (anchor,)
+    assert _extract_position(f" AFTER `{anchor}`") == (anchor,)
+    assert _extract_position(" NOT NULL FIRST") == (None,)
+    assert _extract_position(" NOT NULL") is None
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+@settings(max_examples=200)
+def test_bitstring_default_decimal_roundtrip(n):
+    """DEFAULT b'<bits>' normalizes to the decimal the bits encode."""
+    ops = parse_ddl_sql(f"ALTER TABLE t ADD COLUMN c BIGINT DEFAULT b'{n:b}'")
+    assert ops == [("add", "c", "long", str(n))]

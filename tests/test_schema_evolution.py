@@ -875,3 +875,29 @@ def test_recover_schema_replays_reorder(spark, tmp_path):
     # exactly that column, but the column SET must match and recovery ends
     assert set(got) == set(want)
     assert got[:2] == ["k", "c"]
+
+
+def test_parse_default_signed_and_bitstring():
+    """The reference's DefaultValueParserListener evaluated subset beyond
+    plain literals: unary sign (DefaultValueParserListener.java:40) and
+    BIT_STRING (:50, unquoteBinary → binary text; we normalize to decimal
+    so it casts into any integral lake type)."""
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT DEFAULT -1") == [
+        ("add", "c", "int", "-1")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT DEFAULT +1") == [
+        ("add", "c", "int", "1")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c DOUBLE DEFAULT - 2.5e3") == [
+        ("add", "c", "double", "-2.5e3")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN f BIGINT DEFAULT b'1010'") == [
+        ("add", "f", "long", "10")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN f BIGINT DEFAULT B'0'") == [
+        ("add", "f", "long", "0")
+    ]
+    # sign on a non-numeric stays non-literal (history-only default)
+    assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT DEFAULT -foo()") == [
+        ("add", "c", "int", None)
+    ]
