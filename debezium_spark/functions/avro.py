@@ -195,12 +195,38 @@ def avro_schema_json(schema: StructType, name: str = "Envelope") -> str:
     return json.dumps(field_type(schema, name), sort_keys=True)
 
 
+#: Parsing Canonical Form attribute whitelist + order (Avro 1.11 spec,
+#: "Transforming into Parsing Canonical Form": STRIP then ORDER).
+_PCF_ATTRS = ("name", "type", "fields", "symbols", "items", "values", "size")
+
+
+def _pcf(node):
+    """Schema JSON → Parsing Canonical Form structure: only
+    parsing-relevant attributes survive, in the spec's fixed order.
+    ``default``/``doc``/aliases are stripped — two schemas that parse the
+    same data identically canonicalize identically."""
+    if isinstance(node, list):
+        return [_pcf(v) for v in node]
+    if isinstance(node, dict):
+        return {k: _pcf(node[k]) for k in _PCF_ATTRS if k in node}
+    return node
+
+
 def schema_id(schema: StructType) -> int:
     """Deterministic 4-byte id for the Confluent-style frame header (a real
-    deployment swaps in the registry-assigned id)."""
-    return int.from_bytes(
-        hashlib.sha256(avro_schema_json(schema).encode()).digest()[:4], "big"
+    deployment swaps in the registry-assigned id — see ``from_avro``'s
+    ``(schema, id)`` writer registration for decoding such frames).
+
+    Hashed over the spec's Parsing Canonical Form, NOT the raw schema JSON
+    (review r5 finding): fingerprinting the raw JSON meant any
+    cosmetic/metadata change — e.g. making the implicit ``"default":
+    null`` explicit — silently changed every id and orphaned all frames at
+    rest. PCF strips exactly the attributes that don't affect parsing, so
+    ids move only when the wire shape does."""
+    canonical = json.dumps(
+        _pcf(json.loads(avro_schema_json(schema))), separators=(",", ":")
     )
+    return int.from_bytes(hashlib.sha256(canonical.encode()).digest()[:4], "big")
 
 
 # ---- DataFrame-level converter ---------------------------------------------
@@ -382,15 +408,20 @@ def from_avro(
 
     ``writer_schemas``: additional schemas frames in this stream may have
     been WRITTEN with (e.g. the pre-evolution envelope schemas out of the
-    schema history). Each frame dispatches on its embedded Confluent
-    schema id to the matching writer decoder, then resolves to the reader
-    schema per the spec's schema-resolution rules (``_resolution_map``:
-    fields match by name, reader-added fields take their null default,
-    writer-only fields are skipped, primitives promote) — exactly what the
-    reference delegates to the Confluent Avro deserializer's
-    writer-vs-reader resolution (fork ``README.md:393``), re-implemented
-    here because the codec is from-spec. A frame whose id matches none of
-    the known schemas still fails loudly.
+    schema history). Each entry is a StructType — registered under its
+    computed ``schema_id`` — or a ``(StructType, id)`` pair registering an
+    EXPLICIT header id (frames at rest under a registry-assigned or
+    legacy-fingerprint id; review r5: without this there was no way to
+    decode frames whose embedded id predates an id-scheme change). Each
+    frame dispatches on its embedded Confluent schema id to the matching
+    writer decoder, then resolves to the reader schema per the spec's
+    schema-resolution rules (``_resolution_map``: fields match by name,
+    reader-added fields take their null default, writer-only fields are
+    skipped, primitives promote) — exactly what the reference delegates to
+    the Confluent Avro deserializer's writer-vs-reader resolution (fork
+    ``README.md:393``), re-implemented here because the codec is
+    from-spec. A frame whose id matches none of the known schemas still
+    fails loudly.
 
     Float/double fields — at EVERY nesting depth, not just top level
     (review r4: the envelope path nests all payload values under
@@ -404,9 +435,11 @@ def from_avro(
     # beyond one dict lookup)
     codecs: dict[int, tuple] = {schema_id(schema): (_dec_for(schema), None)}
     for w in writer_schemas or []:
+        w, sid = w if isinstance(w, tuple) else (w, None)
         w = StructType(w.fields)
         codecs.setdefault(
-            schema_id(w), (_dec_for(w), _resolution_map(w, schema))
+            sid if sid is not None else schema_id(w),
+            (_dec_for(w), _resolution_map(w, schema)),
         )
     transports = {
         f.name: _float_transport_type(f.dataType) for f in schema.fields

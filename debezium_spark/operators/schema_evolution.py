@@ -160,7 +160,9 @@ _DEFAULT_RE = re.compile(
     r"|[+-]?\s*\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"  # signed numeric literal
     r"|TRUE|FALSE|NULL"
     r"|(?:CURRENT_TIMESTAMP|LOCALTIMESTAMP|CURRENT_DATE)(?:\s*\(\s*\d*\s*\))?"
-    r"|NOW\s*\(\s*\)"                       # evaluable now-functions (r5)
+    # evaluable now-functions; fsp digit allowed — MySQL NOW(6) must parse
+    # like CURRENT_TIMESTAMP(6), not silently degrade (review r5 finding)
+    r"|NOW\s*\(\s*\d*\s*\)"
     r")(?=\s|,|\)|$)"
 )
 
@@ -718,15 +720,18 @@ def apply_ddl(
     crash-loops the stream forever on one malformed DDL event). The ledger
     records the RESOLVED/degraded ops, so ``recover_schema`` replay
     converges to the identical schema without needing ``ts_ms`` again."""
-    cp = schema_history_checkpoint(table)
-    if cp is not None and offset[1] <= cp["offset_pos"]:
+    cp, history = schema_history_split(table)
+    if cp is not None and (offset[0], offset[1]) <= (
+        cp["offset_file"], cp["offset_pos"]
+    ):
         # the barrier predates the last ledger compaction — its entry was
-        # folded into the checkpoint, so it is already fully applied (the
-        # checkpoint fence is the max offset among folded entries, and
-        # source.pos is a dense global index, same ordering the data fence
-        # uses)
+        # folded into the checkpoint, so it is already fully applied. The
+        # comparison is (file, pos) file-major, the SAME ordering the data
+        # fence uses (multi.py global fence, LakeTable.fence): a pos-only
+        # compare would fence out a barrier in a LATER binlog file whose
+        # per-file pos restarted below the fold point (review r5 finding)
         return
-    for entry in schema_history(table):
+    for entry in history:
         if (
             entry.get("offset_file") == offset[0]
             and entry.get("offset_pos") == offset[1]
@@ -831,13 +836,26 @@ def schema_history_checkpoint(table: LakeTable) -> dict | None:
     ``{"checkpoint": True, "offset_file", "offset_pos", "schema",
     "renames", "schema_version", "folded"}`` — the complete schema state at
     the fold fence."""
+    return schema_history_split(table)[0]
+
+
+def schema_history_split(table: LakeTable) -> tuple[dict | None, list[dict]]:
+    """ONE ledger read → ``(checkpoint-or-None, post-checkpoint entries)``.
+    The per-batch serial path (``apply_ddl`` fence + idempotency scan,
+    compaction trigger, recovery) shares this single read instead of
+    re-reading and re-parsing the file per question (review r5 finding:
+    up to five full reads per barrier-carrying batch)."""
+    cp = None
+    entries = []
     for e in _history_lines(table):
         if "checkpoint" in e:
-            return e
-    return None
+            cp = e
+        else:
+            entries.append(e)
+    return cp, entries
 
 
-def compact_schema_history(table: LakeTable) -> int:
+def compact_schema_history(table: LakeTable, min_entries: int = 0) -> int:
     """Checkpoint-and-truncate the schema-history ledger (VERDICT r4 #1;
     reference analog: the breakpoint ledger expires applied offsets,
     ``connector/breakpoint/BreakPointRecord.java:116`` ``toDeleteOffsets``
@@ -853,19 +871,24 @@ def compact_schema_history(table: LakeTable) -> int:
 
     Crash-safe: the rewrite goes through a temp file + ``os.replace`` —
     a crash mid-compaction leaves the previous ledger intact. Returns the
-    number of entries folded (0 = nothing to do, ledger untouched)."""
-    entries = schema_history(table)
-    if not entries:
+    number of entries folded (0 = nothing to do, ledger untouched).
+
+    ``min_entries``: fold only when MORE than this many entries exist —
+    lets the engine's per-batch maintenance trigger share this function's
+    single ledger read instead of counting with a separate read first."""
+    prev, entries = schema_history_split(table)
+    if len(entries) <= min_entries or not entries:
         return 0
-    prev = schema_history_checkpoint(table)
-    # entries append in apply order, but fold to the MAX offset so an
-    # out-of-order ledger (multi-file streams) can never fence out a
+    # entries append in apply order, but fold to the MAX (file, pos) offset
+    # — file-major, the data fence's ordering — so an out-of-order ledger
+    # (multi-file streams, per-file pos) can never fence out a
     # not-yet-applied barrier
-    fold_pos = max(e["offset_pos"] for e in entries)
-    fold_file = max(
-        (e for e in entries), key=lambda e: e["offset_pos"]
-    )["offset_file"]
-    if prev is not None and prev["offset_pos"] > fold_pos:
+    fold_file, fold_pos = max(
+        (e["offset_file"], e["offset_pos"]) for e in entries
+    )
+    if prev is not None and (prev["offset_file"], prev["offset_pos"]) > (
+        fold_file, fold_pos
+    ):
         fold_file, fold_pos = prev["offset_file"], prev["offset_pos"]
     man = table.manifest()
     cp = {

@@ -556,11 +556,12 @@ class CdcEngine:
         if applied_ddl and self.history_compact_threshold:
             from debezium_spark.operators.schema_evolution import (
                 compact_schema_history,
-                schema_history,
             )
 
-            if len(schema_history(self.table)) > self.history_compact_threshold:
-                compact_schema_history(self.table)
+            # threshold check and fold share ONE ledger read (review r5)
+            compact_schema_history(
+                self.table, min_entries=self.history_compact_threshold
+            )
         if committed and self.expire_keep is not None:
             self.table.expire_versions(keep_last=self.expire_keep)
 
@@ -722,25 +723,28 @@ class CdcEngine:
         entries replayed. The ledger itself is NOT re-appended.
 
         Compacted ledgers: entries folded into a checkpoint
-        (``compact_schema_history``) no longer exist per-op; when the
-        table incarnation predates the checkpoint (its manifest version is
-        behind the checkpoint's recorded one — e.g. a recreated table
-        replaying history onto its original schema), the checkpoint's full
-        schema state restores wholesale first, then the post-checkpoint
-        entries replay on top. A current table skips the restore (its
-        manifest already includes the folded history) — recovery stays
-        O(entries-since-compaction)."""
+        (``compact_schema_history``) no longer exist per-op, so the
+        checkpoint's full schema state restores wholesale first, then the
+        post-checkpoint entries replay on top — correct from ANY starting
+        incarnation by construction (restore pins the exact state the
+        post-checkpoint entries originally applied from; every alter is
+        idempotent). The restore is UNGATED: the previous manifest-version
+        gate (version < checkpoint schema_version) was wrong because the
+        manifest version increments on every DATA commit too, so a
+        recreated table that re-ingested data before recovery skipped the
+        restore and replay wedged on post-checkpoint ops referencing folded
+        renames (review r5 finding). ``restore_schema`` no-ops when the
+        state already matches, and replaying the O(entries-since-
+        compaction) tail is the same cost either way."""
         from debezium_spark.operators.schema_evolution import (
-            schema_history,
-            schema_history_checkpoint,
+            schema_history_split,
         )
 
-        cp = schema_history_checkpoint(self.table)
-        if cp is not None and self.table.manifest()["version"] < cp["schema_version"]:
+        cp, entries = schema_history_split(self.table)
+        if cp is not None:
             self.table.restore_schema(
                 cp["schema"], renames=cp.get("renames"), dropped=cp.get("dropped")
             )
-        entries = schema_history(self.table)
         for e in entries:
             for op in e.get("ops", []):
                 kind = op[0]

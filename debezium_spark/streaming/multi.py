@@ -194,6 +194,13 @@ class MultiTableEngine:
         self.specs: dict[tuple[str, str], TableSpec] = {}
         self.engines: dict[tuple[str, str], CdcEngine] = {}
         self.retired: set[tuple[str, str]] = set()
+        #: live keys whose registration is reconstructible from the catalog
+        #: ledger alone (mid-stream CREATE, rename-with-schema, checkpoint
+        #: spec). Constructor-static specs stay out, so compact_catalog
+        #: never folds them into the checkpoint — a restart whose static
+        #: spec list drops a table must stop capturing it (include-list
+        #: semantics; review r5 finding #2)
+        self._ledgered: set[tuple[str, str]] = set()
         for spec in specs:
             self._register(spec)
         # replay persisted catalog mutations (mid-stream CREATE/DROP/RENAME
@@ -257,6 +264,10 @@ class MultiTableEngine:
         key = (e["db"], e["table"])
         if e["op"] == "create":
             self.retired.discard(key)
+            # ledger-derived even when a static spec already registered the
+            # key: a restart with a different static list would still
+            # reconstruct it from this entry
+            self._ledgered.add(key)
             if key in self.specs:
                 return
             self._register(
@@ -277,6 +288,11 @@ class MultiTableEngine:
             new_key = (e["new_db"], e["new_table"])
             if key in self.specs and new_key not in self.specs:
                 self._rename_table(key, new_key)
+                self._ledgered.discard(key)
+                if e.get("schema_json"):
+                    # apply-time rename entries carry the full spec, so the
+                    # NEW name is reconstructible from the ledger alone
+                    self._ledgered.add(new_key)
             elif (
                 key in self.specs
                 and new_key in self.specs
@@ -290,12 +306,14 @@ class MultiTableEngine:
                 # re-created later)
                 self.specs.pop(key)
                 self.engines.pop(key)
+                self._ledgered.discard(key)
             elif new_key not in self.specs and e.get("schema_json"):
                 # old name absent (the restart's spec list may already
                 # reflect the rename-away): register the capture under
                 # its NEW name at the recorded root — its events must
                 # not vanish under include-list semantics
                 self.retired.discard(new_key)
+                self._ledgered.add(new_key)
                 self._register(
                     TableSpec(
                         new_key[0], new_key[1],
@@ -320,6 +338,7 @@ class MultiTableEngine:
             for s in cp.get("specs", []):
                 key = (s["db"], s["table"])
                 self.retired.discard(key)
+                self._ledgered.add(key)
                 if key in self.specs:
                     continue
                 self._register(
@@ -349,9 +368,11 @@ class MultiTableEngine:
 
     def compact_catalog(self) -> int:
         """Checkpoint-and-truncate the catalog ledger (VERDICT r4 #1):
-        rewrite ``_catalog.jsonl`` as ONE line carrying the complete live
-        state — every live spec (current payload schema + recorded lake
-        root), the retired set, and the ordered rename-away history (old →
+        rewrite ``_catalog.jsonl`` as ONE line carrying the complete
+        ledger-derived state — every live LEDGER-DERIVED spec (current
+        payload schema + recorded lake root; constructor-static specs stay
+        out so include-list semantics survive compaction), the retired set,
+        and the ordered rename-away history (old →
         new key pairs; preserved so a restart whose STATIC spec list still
         names a renamed-away table re-keys it instead of double-capturing
         the same lake root). Restart replay cost drops from O(mutations
@@ -383,7 +404,13 @@ class MultiTableEngine:
                     "n_buckets": spec.n_buckets, "mode": spec.mode,
                     "root": self.engines[k].table.root,
                 }
+                # ledger-derived specs ONLY (review r5 finding #2): a
+                # constructor-static spec folded into the checkpoint would
+                # keep re-registering on restarts whose static list dropped
+                # it — breaking include-list semantics that hold without
+                # compaction (the ledger never mentions static specs)
                 for k, spec in self.specs.items()
+                if k in self._ledgered
             ],
             "retired": sorted(list(k) for k in self.retired),
             "renamed_away": renamed,
@@ -524,6 +551,7 @@ class MultiTableEngine:
         name)."""
         self.specs.pop(key, None)
         self.engines.pop(key, None)
+        self._ledgered.discard(key)
         self.retired.add(key)
         if archive:
             self._archive_dir(key)
@@ -744,6 +772,8 @@ class MultiTableEngine:
                                 "root": self.engines[key].table.root,
                             })
                             self._rename_table(key, new_key)
+                            self._ledgered.discard(key)
+                            self._ledgered.add(new_key)
                             new_keys.add(new_key)
                             batch_aliases.setdefault(new_key, set()).add(key)
                             # chained renames: rows under even older names
@@ -787,6 +817,7 @@ class MultiTableEngine:
                         ),
                         root=new_root,
                     )
+                    self._ledgered.add(key)
                     new_keys.add(key)
 
             # Global offsets over every group with a non-null max pos —

@@ -248,3 +248,59 @@ def test_mixed_schema_avro_stream_replays_e2e(spark, tmp_path):
     engine.apply_envelope_batch(env, batch_id="mixed")
     got = {r["k"]: (r["content"], r["score"]) for r in table.read().collect()}
     assert got == {"a": ("v1", None), "b": ("v2", 9), "c": ("v2", 5)}
+
+
+def test_schema_id_is_parsing_canonical_form_fingerprint():
+    """Review r5: hashing the raw schema JSON meant a cosmetic change
+    (e.g. making the implicit '"default": null' explicit) silently changed
+    every id and orphaned frames at rest. The id is now a fingerprint of
+    the spec's Parsing Canonical Form, which strips default/doc — two JSON
+    variants that parse identically fingerprint identically."""
+    import hashlib
+
+    from debezium_spark.functions.avro import _pcf
+
+    schema = StructType.fromDDL("k long, v string")
+    doc = json.loads(avro_schema_json(schema))
+    assert all("default" in f for f in doc["fields"])  # emitted JSON keeps it
+    pcf = _pcf(doc)
+    assert all("default" not in f for f in pcf["fields"])  # fingerprint drops it
+    # PCF attribute order is the spec's fixed one
+    assert list(pcf) == ["name", "type", "fields"]
+    canonical = json.dumps(pcf, separators=(",", ":"))
+    assert schema_id(schema) == int.from_bytes(
+        hashlib.sha256(canonical.encode()).digest()[:4], "big")
+    # a doc/default-decorated variant of the same schema fingerprints the same
+    doc2 = json.loads(json.dumps(doc))
+    doc2["doc"] = "decorated"
+    for f in doc2["fields"]:
+        f.pop("default")
+    assert _pcf(doc2) == pcf
+
+
+def test_from_avro_decodes_frames_under_explicit_legacy_id(spark):
+    """Frames at rest under a registry-assigned (or pre-id-scheme-change)
+    header id decode once the writer schema is registered as (schema, id);
+    unregistered ids still fail loudly."""
+    writer = StructType.fromDDL("k long, v string")
+    df = spark.createDataFrame([(1, "x"), (2, None)], writer)
+    legacy_id = 0x0000002A  # a registry-style small id, not our fingerprint
+
+    def swap_id(frames):
+        sid = schema_id(writer).to_bytes(4, "big")
+        out = []
+        for r in frames.collect():
+            buf = bytes(r["avro"])
+            assert buf[1:5] == sid
+            out.append((buf[:1] + legacy_id.to_bytes(4, "big") + buf[5:],))
+        return spark.createDataFrame(out, "avro binary")
+
+    legacy_frames = swap_id(to_avro(df))
+    with pytest.raises(Exception, match="schema id mismatch"):
+        from_avro(legacy_frames, writer).collect()
+
+    reader = StructType.fromDDL("k long, v string, extra long")
+    got = from_avro(legacy_frames, reader,
+                    writer_schemas=[(writer, legacy_id)]).collect()
+    assert sorted((r["k"], r["v"], r["extra"]) for r in got) == [
+        (1, "x", None), (2, None, None)]

@@ -241,3 +241,138 @@ def test_catalog_compaction_bounds_and_restart(spark, tmp_path):
     assert mte3.compact_catalog() == 1  # folds b0b's trailing create entry
     mte4 = MultiTableEngine(spark, lake, [users], default_buckets=2)
     assert set(mte4.specs) == set(mte3.specs)
+
+def test_catalog_compaction_preserves_include_list_semantics(spark, tmp_path):
+    """Review r5 finding #2: compact_catalog used to fold constructor-static
+    specs into the checkpoint, so a restart that removed a table from the
+    static spec list kept capturing it forever. Only ledger-derived specs
+    (mid-stream CREATE / rename-target) belong in the checkpoint: a static
+    spec dropped from the list must stop capturing after compaction exactly
+    as it does before compaction."""
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    orders = TableSpec("app", "orders", StructType.fromDDL("order_no long, v string"),
+                       ["order_no"], n_buckets=2)
+    lake = str(tmp_path / "lake")
+    mte = MultiTableEngine(spark, lake, [users, orders], default_buckets=2,
+                           catalog_compact_threshold=1)
+
+    def row(pos, table, op, after):
+        return {"before_json": None, "after_json": after, "op": op,
+                "ts_ms": 1000 + pos,
+                "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                           "snapshot": None, "db": "app", "table": table,
+                           "ts_ms": 1000 + pos},
+                "transaction": None}
+
+    # two dynamic mutations cross threshold 1 → fold; static specs live
+    mte.apply_wire_batch(spark.createDataFrame([
+        row(1, "users", "c", '{"uid": 1, "name": "ada"}'),
+        row(2, "orders", "c", '{"order_no": 7, "v": "x"}'),
+        row(3, "audit", "l", json.dumps({"content":
+            "CREATE TABLE app.audit (aid BIGINT, PRIMARY KEY (aid))"})),
+        row(4, "audit", "c", '{"aid": 11}'),
+        row(5, "tmp", "l", json.dumps({"content":
+            "CREATE TABLE app.tmp (tid BIGINT, PRIMARY KEY (tid))"})),
+        row(6, "tmp", "l", json.dumps({"content": "DROP TABLE app.tmp"})),
+    ], WIRE_SCHEMA), "b0")
+    with open(os.path.join(lake, "_catalog.jsonl")) as f:
+        lines = [json.loads(x) for x in f if x.strip()]
+    assert len(lines) == 1 and lines[0].get("checkpoint") is True
+    # the checkpoint names ONLY the ledger-derived spec, never the statics
+    assert [(s["db"], s["table"]) for s in lines[0]["specs"]] == [("app", "audit")]
+
+    # restart with orders REMOVED from the static list: its capture stops
+    mte2 = MultiTableEngine(spark, lake, [users], default_buckets=2,
+                            catalog_compact_threshold=1)
+    assert set(mte2.specs) == {("app", "users"), ("app", "audit")}
+    res = mte2.apply_wire_batch(spark.createDataFrame([
+        row(7, "orders", "c", '{"order_no": 8, "v": "y"}'),
+        row(8, "audit", "c", '{"aid": 12}'),
+    ], WIRE_SCHEMA), "b1")
+    assert "app.orders" not in res
+    assert sorted(r["aid"] for r in
+                  mte2.table("app", "audit").read().collect()) == [11, 12]
+    # orders' lake data is untouched on disk — capture stopped, not dropped
+    assert [r["order_no"] for r in LakeTable(
+        spark, os.path.join(lake, "app", "orders"), ["order_no"], n_buckets=2,
+    ).read().collect()] == [7]
+
+    # a second compaction on the reduced engine still excludes statics and
+    # keeps the dynamic spec; a restart with the FULL list re-adds orders
+    mte2.compact_catalog()
+    mte3 = MultiTableEngine(spark, lake, [users, orders], default_buckets=2)
+    assert set(mte3.specs) == {("app", "users"), ("app", "orders"),
+                               ("app", "audit")}
+
+def test_compaction_fence_is_file_major(spark, tmp_path):
+    """Review r5 finding #5: the post-compaction replay fence compared only
+    offset pos, so a barrier in a LATER binlog file with a smaller per-file
+    pos was silently skipped as already-applied. The fence must order
+    (file, pos) file-major, exactly like the data fence."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, v int"))
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN a INT", ("binlog.000001", 5000))
+    assert compact_schema_history(t) == 1
+    cp = schema_history_checkpoint(t)
+    assert (cp["offset_file"], cp["offset_pos"]) == ("binlog.000001", 5000)
+
+    # binlog rotated: pos restarts below the fold point — must still apply
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN b INT", ("binlog.000002", 100))
+    assert "b" in {f.name for f in t.schema().fields}
+    assert len(schema_history(t)) == 1  # ledgered past the checkpoint
+
+    # idempotent replay of the SAME later-file barrier still skips
+    before = t.manifest()["version"]
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN b INT", ("binlog.000002", 100))
+    assert t.manifest()["version"] == before
+
+    # a genuinely pre-fence barrier (same file, smaller pos) stays fenced
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN c INT", ("binlog.000001", 3))
+    assert "c" not in {f.name for f in t.schema().fields}
+
+    # re-compaction folds to the max (file, pos), file-major
+    assert compact_schema_history(t) == 1
+    cp = schema_history_checkpoint(t)
+    assert (cp["offset_file"], cp["offset_pos"]) == ("binlog.000002", 100)
+
+
+def test_recover_schema_restores_checkpoint_despite_data_commits(spark, tmp_path):
+    """Review r5 finding #3: the checkpoint-restore gate compared the
+    manifest version (which increments on every DATA commit) to the
+    checkpoint's schema_version, so a recreated table that re-ingested data
+    before recovery skipped the restore and replay wedged on a
+    post-checkpoint op referencing a folded rename. The restore is now
+    unconditional (restore_schema no-ops when state already matches)."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    engine = CdcEngine(spark, t)
+    gen = ChangeLogGenerator(spark, seed=11, n_repos=4)
+    engine.apply_envelope_batch(gen.events(30, start_pos=0), batch_id="b0")
+
+    # folded history: RENAME size -> bytes, then a post-checkpoint widen
+    apply_ddl(t, "ALTER TABLE t RENAME COLUMN lang TO language", ("binlog.000001", 29))
+    assert compact_schema_history(t) == 1
+    cp_version = schema_history_checkpoint(t)["schema_version"]
+    apply_ddl(t, "ALTER TABLE t MODIFY COLUMN language VARCHAR(64)", ("binlog.000001", 30))
+
+    # recreate the table at a fresh root with the ORIGINAL schema, replay
+    # lots of data first so the manifest version races past the
+    # checkpoint's schema_version, then recover
+    t2 = LakeTable(spark, str(tmp_path / "t2"), ["repo", "path"], n_buckets=2)
+    e2 = CdcEngine(spark, t2)
+    pos = 0
+    while t2.manifest()["version"] <= cp_version:
+        e2.apply_envelope_batch(gen.events(5, start_pos=pos), batch_id=f"d{pos}")
+        pos += 5
+    shutil.copy(_history_file(t), _history_file(t2))
+    e2.recover_schema()  # used to raise: rename 'lang' not found
+    assert t2.schema().json() == t.schema().json()
+    assert t2.manifest().get("renames") == t.manifest().get("renames")
+    # reads resolve old data through the restored rename alias
+    assert t2.read().filter(F.col("language").isNull()).count() == 0
+
+    # recover on a CURRENT table (checkpoint + tail already applied) is a
+    # stable no-op on the schema
+    before = t.schema().json()
+    CdcEngine(spark, t).recover_schema()
+    assert t.schema().json() == before

@@ -901,3 +901,15 @@ def test_parse_default_signed_and_bitstring():
     assert parse_ddl_sql("ALTER TABLE t ADD COLUMN c INT DEFAULT -foo()") == [
         ("add", "c", "int", None)
     ]
+
+
+def test_parse_default_now_with_fsp():
+    """Review r5: DEFAULT NOW(6) (MySQL fractional-seconds form) used to
+    degrade to no-default while CURRENT_TIMESTAMP(6) resolved — the two
+    spellings are the same function and must parse identically."""
+    from debezium_spark.operators.schema_evolution import CURRENT_TS_MARKER
+
+    for spelling in ("NOW(6)", "NOW()", "NOW(  3 )", "CURRENT_TIMESTAMP(6)"):
+        assert parse_ddl_sql(
+            f"ALTER TABLE t ADD COLUMN seen DATETIME(6) DEFAULT {spelling}"
+        ) == [("add", "seen", "timestamp", CURRENT_TS_MARKER)], spelling
