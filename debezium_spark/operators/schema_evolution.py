@@ -33,6 +33,7 @@ import os
 import re
 
 from debezium_spark.plans.table import DefaultEvaluationError, LakeTable
+from debezium_spark.schema import offset_key
 
 DDL_OP = "l"
 
@@ -721,15 +722,15 @@ def apply_ddl(
     records the RESOLVED/degraded ops, so ``recover_schema`` replay
     converges to the identical schema without needing ``ts_ms`` again."""
     cp, history = schema_history_split(table)
-    if cp is not None and (offset[0], offset[1]) <= (
+    if cp is not None and offset_key(offset[0], offset[1]) <= offset_key(
         cp["offset_file"], cp["offset_pos"]
     ):
         # the barrier predates the last ledger compaction — its entry was
         # folded into the checkpoint, so it is already fully applied. The
-        # comparison is (file, pos) file-major, the SAME ordering the data
-        # fence uses (multi.py global fence, LakeTable.fence): a pos-only
-        # compare would fence out a barrier in a LATER binlog file whose
-        # per-file pos restarted below the fold point (review r5 finding)
+        # comparison is file-major via offset_key, the SAME ordering every
+        # fence uses (schema.py offset-order contract) — and null-file
+        # tolerant, so a poison offset degrades instead of raising here,
+        # before the ledger write (the crash-loop class ADVICE r4 bans)
         return
     for entry in history:
         if (
@@ -877,18 +878,20 @@ def compact_schema_history(table: LakeTable, min_entries: int = 0) -> int:
     lets the engine's per-batch maintenance trigger share this function's
     single ledger read instead of counting with a separate read first."""
     prev, entries = schema_history_split(table)
-    if len(entries) <= min_entries or not entries:
+    if len(entries) <= min_entries:
         return 0
-    # entries append in apply order, but fold to the MAX (file, pos) offset
-    # — file-major, the data fence's ordering — so an out-of-order ledger
-    # (multi-file streams, per-file pos) can never fence out a
-    # not-yet-applied barrier
+    # entries append in apply order, but fold to the MAX offset — file-major
+    # via offset_key (schema.py contract, null-file tolerant: a poison
+    # offset in the ledger must not crash maintenance) — so an out-of-order
+    # ledger (multi-file streams) can never fence out a not-yet-applied
+    # barrier
     fold_file, fold_pos = max(
-        (e["offset_file"], e["offset_pos"]) for e in entries
+        ((e["offset_file"], e["offset_pos"]) for e in entries),
+        key=lambda fp: offset_key(*fp),
     )
-    if prev is not None and (prev["offset_file"], prev["offset_pos"]) > (
-        fold_file, fold_pos
-    ):
+    if prev is not None and offset_key(
+        prev["offset_file"], prev["offset_pos"]
+    ) > offset_key(fold_file, fold_pos):
         fold_file, fold_pos = prev["offset_file"], prev["offset_pos"]
     man = table.manifest()
     cp = {

@@ -19,6 +19,7 @@ import json
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -70,11 +71,35 @@ def signal_schema_changes(engine, action: SignalAction) -> DataFrame:
     re-emits schema change events so a consumer can rebuild its schema
     history). Returns the table's ``_schema_history.jsonl`` ledger as
     schema-change envelope rows — op='l', the raw DDL text, the offset it
-    applied at, and the post-apply schema version — ordered by offset."""
-    from debezium_spark.operators.schema_evolution import schema_history
+    applied at, and the post-apply schema version — in replay order
+    (file-major, the schema.py offset-order contract).
 
-    entries = schema_history(engine.table)
-    rows = [
+    Compacted ledgers: per-op entries folded into a checkpoint no longer
+    exist, so the checkpoint itself is re-emitted FIRST as a synthetic
+    baseline row (op='l', ddl null, ``ops_json`` = the complete restored
+    schema state). Without it a consumer rebuilding its history from this
+    signal would see only the post-compaction tail and silently converge
+    to the wrong schema."""
+    from debezium_spark.operators.schema_evolution import schema_history_split
+
+    cp, entries = schema_history_split(engine.table)
+    rows = []
+    if cp is not None:
+        rows.append((
+            cp.get("offset_file"),
+            cp.get("offset_pos"),
+            "l",
+            None,
+            json.dumps({
+                "checkpoint": True,
+                "schema": cp["schema"],
+                "renames": cp.get("renames", {}),
+                "dropped": cp.get("dropped", []),
+                "folded": cp.get("folded", 0),
+            }),
+            cp.get("schema_version"),
+        ))
+    rows += [
         (
             e.get("offset_file"),
             e.get("offset_pos"),
@@ -89,7 +114,9 @@ def signal_schema_changes(engine, action: SignalAction) -> DataFrame:
         "offset_file string, offset_pos long, op string, ddl string,"
         " ops_json string, schema_version long"
     )
-    return engine.spark.createDataFrame(rows, schema).orderBy("offset_pos")
+    return engine.spark.createDataFrame(rows, schema).orderBy(
+        F.coalesce(F.col("offset_file"), F.lit("")), "offset_pos"
+    )
 
 
 def dispatch_signals(engine, signals: DataFrame, snapshot_provider=None) -> list[tuple]:

@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from debezium_spark.functions.core import salted_key
 from debezium_spark.plans.table import LakeTable, bucket_expr
+from debezium_spark.schema import offset_key
 
 OP_COL = "_op"  # change-row operation: 'd' delete, anything else upsert
 
@@ -68,7 +69,7 @@ def merge_changes(
     Dispatches on the table's write mode: copy-on-write (rewrite touched
     buckets) or merge-on-read (append delta files, O(batch))."""
     cur = table.fence()
-    if fence_check and cur is not None and fence[1] <= cur[1]:
+    if fence_check and cur is not None and offset_key(*fence) <= offset_key(*cur):
         return None  # already applied — exactly-once on replay
     if table.mode == "mor":
         return _merge_mor(table, changes, fence, batch_id, salt_factor)

@@ -55,7 +55,19 @@ REPO_KEY_COLS = ["repo", "path"]
 
 # source block — mirrors the offset-bearing fields Debezium stores per event
 # (MySqlOffsetContext keys file/pos/gtid; AbstractSourceInfo db/table/ts_ms).
-# (file, pos) strictly increasing defines the total replay order.
+#
+# OFFSET-ORDER CONTRACT: ``(file, pos)`` lexicographically increasing defines
+# the total replay order, with ``pos`` monotone ACROSS files within a stream
+# (LSN / global-index semantics — openGauss & PG LSNs and the bundled
+# generator/wire sources are exactly this; ``file`` is a rotation label that
+# never decreases and ``pos`` never resets). Under this contract pos-order
+# and (file, pos)-order agree, so the data plane (dedupe max_by, MoR delta
+# resolution, intra-batch barrier segmentation) orders by the cheap long
+# ``pos`` while every control-plane fence/skip/replay comparison uses the
+# explicit file-major ``offset_key`` below. A source with per-file positions
+# (raw MySQL binlog offsets) must map them to a stream-monotone pos first,
+# e.g. ``(file_seq << 40) | pos`` — the same flattening its GTID stream
+# already provides.
 SOURCE_SCHEMA = StructType(
     [
         StructField("file", StringType(), False),
@@ -67,6 +79,16 @@ SOURCE_SCHEMA = StructType(
         StructField("ts_ms", LongType(), True),
     ]
 )
+
+def offset_key(file: str | None, pos: int) -> tuple[str, int]:
+    """Sortable control-plane key for a source offset: file-major per the
+    offset-order contract above. A null/missing file sorts FIRST (empty
+    string) so a poison offset can never raise from inside a fence
+    comparison — the quarantine path, not the fence, owns malformed rows.
+    Every fence/skip/replay-order comparison in the engine goes through
+    this one key so the ordering can never drift between subsystems."""
+    return (file or "", pos)
+
 
 # transaction block — TransactionMonitor.java:59-63
 TRANSACTION_SCHEMA = StructType(

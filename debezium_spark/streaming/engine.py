@@ -19,16 +19,18 @@ prefix after a crash is a no-op (FIXTURES.md F4 idempotency).
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from debezium_spark.operators.apply import compute_changes, split_pk_changes
 from debezium_spark.operators.quarantine import _reason_col, split_valid, write_quarantine
 from debezium_spark.operators.schema_evolution import DDL_OP, apply_ddl, parse_ddl
-from debezium_spark.schema import CONTROL_OPS
+from debezium_spark.schema import CONTROL_OPS, offset_key
 from debezium_spark.schema import OP_PATH as PATH_OP
 from debezium_spark.schema import OP_TRUNCATE as TRUNCATE_OP
 from debezium_spark.schema import OP_TRUNCATE_CASCADE as TRUNCATE_CASCADE_OP
@@ -445,7 +447,7 @@ class CdcEngine:
                 .select("source.file", "source.pos", "op", "ts_ms",
                         F.col("source.db").alias("db"),
                         F.col("source.table").alias("tbl"), text_col)
-                .orderBy("pos")
+                .orderBy(F.coalesce(F.col("file"), F.lit("")), "pos")
                 .limit(self.MAX_BARRIERS_PER_BATCH + 1)
                 .collect()
             )
@@ -467,7 +469,10 @@ class CdcEngine:
             dml = dml.drop("_ddl_text")
 
         cur = self.table.fence()
-        if fence_check and cur is not None and fence[1] <= cur[1]:
+        # every fence comparison is file-major via offset_key (schema.py
+        # offset-order contract); the intra-batch SEGMENT filters below stay
+        # on the long pos — contract-equivalent, cheaper per row
+        if fence_check and cur is not None and offset_key(*fence) <= offset_key(*cur):
             return None  # whole batch already applied (resume skip)
 
         version = None
@@ -477,14 +482,18 @@ class CdcEngine:
             seg = dml.filter(
                 (F.col("source.pos") > seg_start) & (F.col("source.pos") < seg_end)
             )
-            seg_fence = (fence[0], d["pos"] - 1) if d is not None else fence
+            # the segment's fence is the offset just below its closing
+            # barrier — in the BARRIER's file, not the batch-max file (a
+            # multi-file batch would otherwise record a (later-file,
+            # earlier-pos) pair that breaks file-major ordering)
+            seg_fence = (d["file"], d["pos"] - 1) if d is not None else fence
             version = (
                 self._merge_segment(seg, f"{batch_id}/s{i}", seg_fence, fence_check)
                 or version
             )
             if d is not None:
                 cur = self.table.fence()
-                if cur is None or d["pos"] > cur[1]:
+                if cur is None or offset_key(d["file"], d["pos"]) > offset_key(*cur):
                     if d["op"] in (TRUNCATE_OP, TRUNCATE_CASCADE_OP):
                         version = self.table.truncate(
                             (d["file"], d["pos"]), batch_id=f"{batch_id}/t{i}"
@@ -572,7 +581,7 @@ class CdcEngine:
         row SMT-filtered). Keeps the fence fresh so upstream log/slot
         retention can truncate. No-op if the fence would not advance."""
         cur = self.table.fence()
-        if cur is not None and fence[1] <= cur[1]:
+        if cur is not None and offset_key(*fence) <= offset_key(*cur):
             return None
         self.table.commit_buckets(
             {},
@@ -723,45 +732,79 @@ class CdcEngine:
         entries replayed. The ledger itself is NOT re-appended.
 
         Compacted ledgers: entries folded into a checkpoint
-        (``compact_schema_history``) no longer exist per-op, so the
-        checkpoint's full schema state restores wholesale first, then the
-        post-checkpoint entries replay on top — correct from ANY starting
-        incarnation by construction (restore pins the exact state the
-        post-checkpoint entries originally applied from; every alter is
-        idempotent). The restore is UNGATED: the previous manifest-version
-        gate (version < checkpoint schema_version) was wrong because the
-        manifest version increments on every DATA commit too, so a
-        recreated table that re-ingested data before recovery skipped the
-        restore and replay wedged on post-checkpoint ops referencing folded
-        renames (review r5 finding). ``restore_schema`` no-ops when the
-        state already matches, and replaying the O(entries-since-
-        compaction) tail is the same cost either way."""
+        (``compact_schema_history``) no longer exist per-op, so recovery
+        must start from the checkpoint's full schema state and replay the
+        post-checkpoint tail on top — correct from ANY starting incarnation
+        by construction (the checkpoint pins the exact state the tail
+        entries originally applied from; every alter is idempotent). The
+        restore+replay composes in a SCRATCH manifest dir and publishes the
+        final state to the live table in ONE ``restore_schema`` call
+        (review r5: restoring the live table first and replaying the tail
+        as separate manifest publishes opened a crash window — a current
+        table transiently reverted to the checkpoint state, and a crash
+        before the tail replay made the revert permanent because
+        ``apply_ddl``'s idempotency scan skips redelivered barriers).
+        ``restore_schema`` no-ops when the live state already matches, so
+        recovery on a current table publishes nothing."""
+        import shutil
+        import tempfile
+
         from debezium_spark.operators.schema_evolution import (
             schema_history_split,
         )
 
         cp, entries = schema_history_split(self.table)
-        if cp is not None:
-            self.table.restore_schema(
+        if cp is None:
+            # no checkpoint: replay per-op onto the live table — every
+            # alter no-ops when already applied, so there is no transient
+            # revert and no crash window on this path
+            self._replay_history_ops(self.table, entries)
+            return len(entries)
+        scratch_dir = tempfile.mkdtemp(prefix="recover_schema_")
+        try:
+            scratch = LakeTable(
+                self.spark, scratch_dir, list(self.table.key_cols),
+                n_buckets=self.table.n_buckets, mode=self.table.mode,
+            )
+            scratch.create(StructType.fromJson(json.loads(cp["schema"])))
+            scratch.restore_schema(
                 cp["schema"], renames=cp.get("renames"), dropped=cp.get("dropped")
             )
+            self._replay_history_ops(scratch, entries)
+            man = scratch.manifest()
+            final_schema = man["schema"]
+            final_renames = man.get("renames", {})
+            final_dropped = man.get("dropped", [])
+        finally:
+            shutil.rmtree(scratch_dir, ignore_errors=True)
+        self.table.restore_schema(
+            final_schema, renames=final_renames, dropped=final_dropped
+        )
+        return len(entries)
+
+    @staticmethod
+    def _replay_history_ops(table: LakeTable, entries: list[dict]) -> None:
+        """Apply schema-history ledger entries per-op onto ``table`` —
+        the shared tail-replay used by ``recover_schema`` both directly
+        (no checkpoint) and against the scratch manifest (checkpointed
+        ledgers)."""
         for e in entries:
             for op in e.get("ops", []):
                 kind = op[0]
                 if kind == "add":
                     # 4-element ops carry a DEFAULT literal (r4+ ledgers)
-                    self.table.alter_add_columns([tuple(op[1:4])])
+                    table.alter_add_columns([tuple(op[1:4])])
                 elif kind == "drop":
-                    self.table.alter_drop_columns([op[1]])
+                    table.alter_drop_columns([op[1]])
                 elif kind == "rename":
-                    self.table.alter_rename_column(op[1], op[2])
+                    table.alter_rename_column(op[1], op[2])
                 elif kind == "widen":
-                    self.table.alter_widen_column(op[1], op[2])
+                    table.alter_widen_column(op[1], op[2])
                 elif kind == "reorder":
                     # cosmetic placement: a replay onto a schema whose
                     # anchor was later dropped must not wedge recovery
                     try:
-                        self.table.alter_reorder_column(op[1], op[2])
+                        table.alter_reorder_column(op[1], op[2])
                     except ValueError:
                         pass
                 elif kind == "set_default":
@@ -773,9 +816,8 @@ class CdcEngine:
                     # (apply_ddl had no barrier ts); replaying it would set
                     # CURRENT_DEFAULT to the raw sentinel
                     if op[2] != CURRENT_TS_MARKER:
-                        self.table.alter_set_default(op[1], op[2])
+                        table.alter_set_default(op[1], op[2])
                 # table-level ops are catalog history, not column state
-        return len(entries)
 
     # ---- replay loop -------------------------------------------------------
 
@@ -854,7 +896,11 @@ class CdcEngine:
                 if mm["ngrp"]:
                     self.apply_envelope_batch(env, batch_id=f"batch_{i:05d}")
                 continue
-            if carry is None and cur is not None and mm["p"] <= cur[1]:
+            if (
+                carry is None
+                and cur is not None
+                and offset_key(mm["f"], mm["p"]) <= offset_key(*cur)
+            ):
                 continue
             fence = (mm["f"], mm["p"])
             has_ddl: bool | None = bool(mm["nd"])

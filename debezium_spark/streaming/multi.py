@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from debezium_spark.plans.table import LakeTable
-from debezium_spark.schema import SOURCE_SCHEMA, TRANSACTION_SCHEMA
+from debezium_spark.schema import SOURCE_SCHEMA, TRANSACTION_SCHEMA, offset_key
 from debezium_spark.streaming.engine import CdcEngine
 
 #: wire-format envelope: payloads as JSON strings (per-table schemas are
@@ -481,11 +481,16 @@ class MultiTableEngine:
             wire.filter(F.col("op") == "l")
             .select(
                 F.col("source.db").alias("db"),
+                F.col("source.file").alias("file"),
                 F.col("source.pos").alias("pos"),
                 "ts_ms",
                 "after_json",
             )
-            .orderBy("pos")
+            # file-major, the replay-order contract (schema.py offset_key):
+            # catalog DDL spanning a file rotation must apply in stream
+            # order — a pos-only sort could run a later file's CREATE
+            # before an earlier file's DROP of the same name
+            .orderBy(F.coalesce(F.col("file"), F.lit("")), "pos")
             .limit(self.MAX_CATALOG_DDL_PER_BATCH + 1)
             .collect()
         )
@@ -829,7 +834,12 @@ class MultiTableEngine:
             # comparison ('one poison record never wedges the stream').
             fenced = [r for r in stats if r["p"] is not None]
             global_fence = (
-                max((r["f"], r["p"]) for r in fenced) if fenced else None
+                max(
+                    ((r["f"], r["p"]) for r in fenced),
+                    key=lambda fp: offset_key(*fp),
+                )
+                if fenced
+                else None
             )
 
             def apply_one(key) -> tuple[str, int | None]:
@@ -877,7 +887,9 @@ class MultiTableEngine:
                 return spec.fqn, eng.apply_envelope_batch(
                     env,
                     batch_id=f"{batch_id}/{spec.fqn}",
-                    fence=None if all_null_pos else max(fences),
+                    fence=None
+                    if all_null_pos
+                    else max(fences, key=lambda fp: offset_key(*fp)),
                     has_ddl=bool(nd),
                     # the fused flag reflects pre-SMT rows; with SMTs the
                     # engine re-probes post-transform

@@ -376,3 +376,68 @@ def test_recover_schema_restores_checkpoint_despite_data_commits(spark, tmp_path
     before = t.schema().json()
     CdcEngine(spark, t).recover_schema()
     assert t.schema().json() == before
+
+
+def test_recover_schema_on_current_table_publishes_no_manifest(spark, tmp_path):
+    """Review r5: recovery used to restore the checkpoint state onto the
+    LIVE table first and replay the tail as separate manifest publishes —
+    a current table was transiently reverted (tail columns vanished), and
+    a crash in that window was permanent because apply_ddl's idempotency
+    scan skips redelivered barriers. Recovery now composes checkpoint +
+    tail in a scratch manifest and publishes AT MOST ONE restore: zero
+    publishes when the live table already matches."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, v int"))
+    apply_ddl(t, "ALTER TABLE t RENAME COLUMN v TO score", ("binlog.000001", 10))
+    assert compact_schema_history(t) == 1
+    # post-checkpoint tail: an ADD the crash-window bug would transiently drop
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN x INT DEFAULT 1", ("binlog.000001", 11))
+    before_version = t.manifest()["version"]
+    before_schema = t.schema().json()
+
+    n = CdcEngine(spark, t).recover_schema()
+    assert n == 1  # the one tail entry replayed (in scratch)
+    assert t.manifest()["version"] == before_version  # ZERO live publishes
+    assert t.schema().json() == before_schema
+
+    # genuine recovery (fresh incarnation) publishes exactly ONE manifest
+    # carrying the complete final state — no intermediate checkpoint-only
+    # state ever becomes visible
+    t2 = LakeTable(spark, str(tmp_path / "t2"), ["k"], n_buckets=2)
+    t2.create(StructType.fromDDL("k string, v int"))
+    shutil.copy(_history_file(t), _history_file(t2))
+    v0 = t2.manifest()["version"]
+    CdcEngine(spark, t2).recover_schema()
+    assert t2.manifest()["version"] == v0 + 1
+    assert t2.schema().json() == before_schema
+    assert {f.name for f in t2.schema().fields} >= {"k", "score", "x"}
+
+
+def test_null_file_offsets_never_crash_ledger_maintenance(spark, tmp_path):
+    """Review r5: the file-major (file, pos) comparisons raised TypeError
+    when an offset carried a null file (nullable in the wire format), where
+    the old pos-only compares tolerated it — a crash-loop in apply_ddl
+    BEFORE the ledger write, the exact wedge class the degrade design bans.
+    offset_key sorts a null file first instead."""
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, v int"))
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN a INT", ("binlog.000001", 100))
+    assert compact_schema_history(t) == 1
+
+    # null-file barrier against a checkpointed ledger: must not raise; a
+    # null file sorts FIRST, so it lands behind the fence and no-ops
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN b INT", (None, 500))
+    assert "b" not in {f.name for f in t.schema().fields}
+
+    # a null-file entry IN the ledger must not crash compaction either
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN c INT", ("binlog.000002", 10))
+    hist = _history_file(t)
+    with open(hist, "a") as f:
+        f.write(json.dumps({
+            "offset_file": None, "offset_pos": 999,
+            "ops": [["set_default", "c", "3"]], "raw": "poison", "ts_ms": 0,
+        }) + "\n")
+    assert compact_schema_history(t) == 2
+    cp = schema_history_checkpoint(t)
+    # fold fence = max under offset_key: the real file beats the null file
+    assert (cp["offset_file"], cp["offset_pos"]) == ("binlog.000002", 10)

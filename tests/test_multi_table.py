@@ -726,3 +726,45 @@ def test_create_table_now_default_resolves_and_reads(spark, tmp_path):
                             default_buckets=2)
     assert ("app", "audit") in mte2.specs
     assert mte2.table("app", "audit").read().count() == 1
+
+
+def test_catalog_ddl_replays_file_major_across_rotation(spark, tmp_path):
+    """Review r5: catalog DDL rows sorted by pos only, so a batch spanning
+    a binlog rotation replayed a later file's CREATE before the earlier
+    file's DROP of the same name — the CREATE no-opped (key still live),
+    then the DROP retired the NEW incarnation. The sort is now file-major
+    (file, pos), the schema.py offset-order contract."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [users], default_buckets=2)
+
+    def row(file, pos, table, op, after):
+        return {
+            "before_json": None, "after_json": after, "op": op, "ts_ms": pos,
+            "source": {"file": file, "pos": pos, "gtid": None, "snapshot": None,
+                       "db": "app", "table": table, "ts_ms": pos},
+            "transaction": None,
+        }
+
+    ddl = lambda f, p, t, sql: row(f, p, t, "l", json.dumps({"content": sql}))  # noqa: E731
+    mte.apply_wire_batch(spark.createDataFrame([
+        ddl("binlog.000001", 1, "orders",
+            "CREATE TABLE app.orders (order_no BIGINT, amount BIGINT, PRIMARY KEY(order_no))"),
+        row("binlog.000001", 2, "orders", "c", '{"order_no": 7, "amount": 10}'),
+    ], WIRE_SCHEMA), "b0")
+
+    # one batch spans the rotation: DROP late in file 1, re-CREATE with a
+    # NEW schema early (small per-file pos) in file 2, then an insert
+    mte.apply_wire_batch(spark.createDataFrame([
+        ddl("binlog.000001", 900, "orders", "DROP TABLE app.orders"),
+        ddl("binlog.000002", 50, "orders",
+            "CREATE TABLE app.orders (id INT, qty INT, PRIMARY KEY(id))"),
+        row("binlog.000002", 60, "orders", "c", '{"id": 1, "qty": 3}'),
+    ], WIRE_SCHEMA), "b1")
+    assert ("app", "orders") in mte.specs  # alive: DROP ordered BEFORE CREATE
+    assert mte.specs[("app", "orders")].key_cols == ["id"]
+    got = mte.table("app", "orders").read().collect()
+    assert [(r["id"], r["qty"]) for r in got] == [(1, 3)]

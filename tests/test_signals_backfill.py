@@ -224,6 +224,22 @@ def test_signal_log_and_schema_changes_actions(spark, tmp_path):
     assert json.loads(hist[0]["ops_json"]) == [["add", "c1", "int", "7"]]
     assert hist[1]["schema_version"] > hist[0]["schema_version"]
 
+    # after ledger compaction the folded per-op entries are gone — the
+    # signal re-emits the checkpoint FIRST as a synthetic baseline row
+    # (complete schema state) so a consumer can still rebuild its history
+    from debezium_spark.operators.schema_evolution import compact_schema_history
+
+    assert compact_schema_history(table) == 2
+    apply_ddl(table, "ALTER TABLE t ADD COLUMN c3 INT", ("binlog.000002", 5))
+    hist2 = dispatch_signals(engine, signals)[1][2].collect()
+    assert [(r["offset_pos"], r["ddl"] is None) for r in hist2] == [
+        (101, True),   # checkpoint baseline at the fold fence
+        (5, False),    # post-compaction tail entry (later file)
+    ]
+    baseline = json.loads(hist2[0]["ops_json"])
+    assert baseline["checkpoint"] is True and baseline["folded"] == 2
+    assert "c2" in baseline["schema"]  # the folded rename's final state
+
 
 def test_signal_execute_snapshot_via_dispatch(spark, tmp_path):
     from debezium_spark.operators.signals import dispatch_signals
