@@ -30,18 +30,22 @@ spec vectors).
 
 from __future__ import annotations
 
+import datetime
 import hashlib
 import json
 import struct
 from collections.abc import Iterator
+from decimal import Decimal
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DataType,
+    DateType,
+    DecimalType,
     DoubleType,
     FloatType,
     IntegerType,
@@ -49,6 +53,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 MAGIC = b"\x00"  # Confluent wire-format magic byte
@@ -86,10 +91,44 @@ def _zigzag_decode(buf: bytes, off: int) -> tuple[int, int]:
 # ---- schema-driven codec builders ------------------------------------------
 
 
+#: epoch anchor for the Avro ``date`` logical type (days since 1970-01-01)
+_EPOCH_DATE = datetime.date(1970, 1, 1)
+
+
+def _unscaled_bytes(unscaled: int) -> bytes:
+    """Minimal two's-complement big-endian bytes — the Avro ``decimal``
+    logical type's representation over ``bytes`` (Avro 1.11 spec,
+    "Decimal")."""
+    return unscaled.to_bytes(max(1, (unscaled.bit_length() + 8) // 8),
+                             "big", signed=True)
+
+
 def _enc_for(dt: DataType):
-    """Encoder closure for one (non-null) Spark type → bytes appender."""
-    if isinstance(dt, (LongType, IntegerType)):
+    """Encoder closure for one (non-null) Spark type → bytes appender.
+
+    Logical types (Avro 1.11 spec, "Logical Types" — the reference gets
+    these from the Confluent Avro converter, fork ``README.md:393``):
+    DecimalType → ``bytes``+``decimal`` (two's-complement unscaled int),
+    TimestampType → ``long``+``timestamp-micros`` (the value arrives as a
+    STRING of UTC epoch micros — ``to_avro`` transports timestamps via
+    ``unix_micros`` at every nesting depth, so encoding is session-timezone
+    independent), DateType → ``int``+``date`` (epoch days; ``datetime.date``
+    has no timezone, so it rides the object path exactly)."""
+    if isinstance(dt, (LongType, IntegerType, TimestampType)):
         return lambda v, out: out.extend(_zigzag_encode(int(v)))
+    if isinstance(dt, DecimalType):
+        scale = dt.scale
+
+        def enc_decimal(v, out):
+            unscaled = int(Decimal(v).scaleb(scale))
+            b = _unscaled_bytes(unscaled)
+            out.extend(_zigzag_encode(len(b)))
+            out.extend(b)
+        return enc_decimal
+    if isinstance(dt, DateType):
+        return lambda v, out: out.extend(
+            _zigzag_encode((v - _EPOCH_DATE).days)
+        )
     if isinstance(dt, StringType):
         def enc_str(v, out):
             b = str(v).encode("utf-8")
@@ -125,9 +164,28 @@ def _enc_for(dt: DataType):
 
 
 def _dec_for(dt: DataType):
-    """Decoder closure: (buf, off) -> (value, off)."""
-    if isinstance(dt, (LongType, IntegerType)):
+    """Decoder closure: (buf, off) -> (value, off).
+
+    Logical types mirror ``_enc_for``: decimal → ``Decimal`` (exact, rides
+    the object path into Arrow's decimal128), timestamp-micros → the raw
+    micros long (transported back as a string and rebuilt JVM-side with
+    ``timestamp_micros`` — session-timezone independent), date →
+    ``datetime.date``."""
+    if isinstance(dt, (LongType, IntegerType, TimestampType)):
         return _zigzag_decode
+    if isinstance(dt, DecimalType):
+        scale = dt.scale
+
+        def dec_decimal(buf, off):
+            n, off = _zigzag_decode(buf, off)
+            unscaled = int.from_bytes(buf[off:off + n], "big", signed=True)
+            return Decimal(unscaled).scaleb(-scale), off + n
+        return dec_decimal
+    if isinstance(dt, DateType):
+        def dec_date(buf, off):
+            days, off = _zigzag_decode(buf, off)
+            return _EPOCH_DATE + datetime.timedelta(days=days), off
+        return dec_date
     if isinstance(dt, StringType):
         def dec_str(buf, off):
             n, off = _zigzag_decode(buf, off)
@@ -187,6 +245,15 @@ def avro_schema_json(schema: StructType, name: str = "Envelope") -> str:
                     for f in dt.fields
                 ],
             }
+        if isinstance(dt, DecimalType):
+            # logical types annotate the underlying primitive; PCF strips
+            # the annotation, so schema ids depend only on the wire shape
+            return {"type": "bytes", "logicalType": "decimal",
+                    "precision": dt.precision, "scale": dt.scale}
+        if isinstance(dt, TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, DateType):
+            return {"type": "int", "logicalType": "date"}
         t = _AVRO_PRIM.get(dt.simpleString())
         if t is None:
             raise ValueError(f"avro converter: unsupported type {dt.simpleString()}")
@@ -202,13 +269,19 @@ _PCF_ATTRS = ("name", "type", "fields", "symbols", "items", "values", "size")
 
 def _pcf(node):
     """Schema JSON → Parsing Canonical Form structure: only
-    parsing-relevant attributes survive, in the spec's fixed order.
-    ``default``/``doc``/aliases are stripped — two schemas that parse the
-    same data identically canonicalize identically."""
+    parsing-relevant attributes survive, in the spec's fixed order, and a
+    primitive left holding only ``type`` collapses to its bare string (the
+    spec's [PRIMITIVES] rule) — so ``{"type": "bytes", "logicalType":
+    "decimal", ...}`` canonicalizes identically to plain ``"bytes"``.
+    ``default``/``doc``/``logicalType``/aliases are stripped — two schemas
+    that parse the same data identically canonicalize identically."""
     if isinstance(node, list):
         return [_pcf(v) for v in node]
     if isinstance(node, dict):
-        return {k: _pcf(node[k]) for k in _PCF_ATTRS if k in node}
+        out = {k: _pcf(node[k]) for k in _PCF_ATTRS if k in node}
+        if set(out) == {"type"} and isinstance(out["type"], str):
+            return out["type"]
+        return out
     return node
 
 
@@ -255,11 +328,20 @@ def to_avro(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     #   float->string cast is shortest-roundtrip, so finite values are
     #   bit-exact too).
     # Struct columns arrive as dicts of Python objects and are already
-    # exact for both concerns.
+    # exact for both concerns. Timestamps (top-level or nested) ship as
+    # unix_micros STRINGS — the Arrow datetime path would hand the codec a
+    # session-timezone wall clock; decimals/dates ride the object path
+    # exactly (decimal.Decimal / datetime.date).
     transport = [
         F.col(f.name).cast("string").alias(f.name)
         if isinstance(f.dataType, (LongType, IntegerType, FloatType, DoubleType))
-        else F.col(f.name)
+        else (
+            _to_transport_expr(F.col(f.name), f.dataType).alias(f.name)
+            if isinstance(f.dataType, TimestampType)
+            or (isinstance(f.dataType, StructType)
+                and _transport_type(f.dataType) is not None)
+            else F.col(f.name)
+        )
         for f in rec_schema.fields
     ]
     sub = sub.select(*transport)
@@ -295,35 +377,83 @@ def _fstr(v):
     return repr(float(v))
 
 
-def _float_transport_type(dt: DataType) -> DataType | None:
+def _transport_type(dt: DataType) -> DataType | None:
     """The Arrow-transport type for ``dt`` with every float/double field
-    (at ANY nesting depth) replaced by string, or None if unchanged."""
-    if isinstance(dt, (FloatType, DoubleType)):
+    (NaN≠null exactness) and every timestamp field (session-timezone
+    independence: the wire value is UTC epoch micros, never a wall-clock
+    datetime) — at ANY nesting depth — replaced by string, or None if
+    unchanged. Decimal and date fields ride the object path exactly and
+    need no transport."""
+    if isinstance(dt, (FloatType, DoubleType, TimestampType)):
         return StringType()
     if isinstance(dt, StructType):
         changed = False
         fields = []
         for f in dt.fields:
-            t = _float_transport_type(f.dataType)
+            t = _transport_type(f.dataType)
             changed = changed or t is not None
             fields.append(StructField(f.name, t or f.dataType, True))
         return StructType(fields) if changed else None
     return None
 
 
-def _stringify_floats(v, dt: DataType):
+def _transport_value(v, dt: DataType):
     """Decoded Python value → transport value (floats → canonical strings,
-    recursively through nested record dicts)."""
+    timestamp micros → decimal strings, recursively through nested record
+    dicts)."""
     if v is None:
         return None
     if isinstance(dt, (FloatType, DoubleType)):
         return _fstr(v)
+    if isinstance(dt, TimestampType):
+        return str(int(v))
     if isinstance(dt, StructType):
         for f in dt.fields:
-            if _float_transport_type(f.dataType) is not None:
-                v[f.name] = _stringify_floats(v.get(f.name), f.dataType)
+            if _transport_type(f.dataType) is not None:
+                v[f.name] = _transport_value(v.get(f.name), f.dataType)
         return v
     return v
+
+
+def _to_transport_expr(c: Column, dt: DataType) -> Column:
+    """Column expression mapping ``dt`` to its transport shape on the way
+    INTO the Arrow codec: timestamps → ``unix_micros`` strings (UTC,
+    session-timezone independent), structs rebuilt field-wise (floats stay
+    native here — nested dict floats are exact, and ``to_avro`` handles
+    top-level float columns with its own string cast)."""
+    if isinstance(dt, TimestampType):
+        return F.unix_micros(c).cast("string")
+    if isinstance(dt, StructType):
+        rebuilt = F.struct(*[
+            _to_transport_expr(c[f.name], f.dataType).alias(f.name)
+            for f in dt.fields
+        ])
+        # a null struct must stay null, not become a struct of nulls
+        return F.when(c.isNotNull(), rebuilt)
+    return c
+
+
+def _restore_expr(c: Column, dt: DataType) -> Column:
+    """Column expression restoring a transported field to ``dt`` on the
+    way OUT of the Arrow codec: float/double strings cast back (Spark's
+    string→double accepts NaN/Infinity), timestamp micro-strings rebuild
+    via ``timestamp_micros`` (never a wall-clock parse), structs rebuilt
+    field-wise."""
+    if isinstance(dt, (FloatType, DoubleType)):
+        return c.cast(dt)
+    if isinstance(dt, TimestampType):
+        return F.timestamp_micros(c.cast("long"))
+    if isinstance(dt, StructType):
+        rebuilt = F.struct(*[
+            (
+                _restore_expr(c[f.name], f.dataType)
+                if _transport_type(f.dataType) is not None
+                else c[f.name]
+            ).alias(f.name)
+            for f in dt.fields
+        ])
+        return F.when(c.isNotNull(), rebuilt)
+    return c
 
 
 #: writer-type → reader-type promotions the Avro spec's schema-resolution
@@ -442,7 +572,7 @@ def from_avro(
             (_dec_for(w), _resolution_map(w, schema)),
         )
     transports = {
-        f.name: _float_transport_type(f.dataType) for f in schema.fields
+        f.name: _transport_type(f.dataType) for f in schema.fields
     }
     ddl = ", ".join(
         f"`{f.name}` {(transports[f.name] or f.dataType).simpleString()}"
@@ -470,7 +600,7 @@ def from_avro(
                 if remap is not None:
                     rec = remap(rec)
                 for f in touched:
-                    rec[f.name] = _stringify_floats(rec.get(f.name), f.dataType)
+                    rec[f.name] = _transport_value(rec.get(f.name), f.dataType)
                 rows.append(rec)
             # dtype=object keeps decoded longs as exact Python ints —
             # pandas would otherwise infer float64 for an int column with
@@ -481,10 +611,11 @@ def from_avro(
 
     out = frames.mapInPandas(decode, schema=ddl)
     if touched:
-        # struct→struct cast is field-wise (string→double per float field)
+        # field-wise restore: float strings cast back, timestamp
+        # micro-strings rebuild via timestamp_micros, structs recurse
         out = out.select(
             *[
-                F.col(f.name).cast(f.dataType).alias(f.name)
+                _restore_expr(F.col(f.name), f.dataType).alias(f.name)
                 if transports[f.name] is not None else F.col(f.name)
                 for f in schema.fields
             ]

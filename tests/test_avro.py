@@ -304,3 +304,113 @@ def test_from_avro_decodes_frames_under_explicit_legacy_id(spark):
                     writer_schemas=[(writer, legacy_id)]).collect()
     assert sorted((r["k"], r["v"], r["extra"]) for r in got) == [
         (1, "x", None), (2, None, None)]
+
+
+def test_logical_types_roundtrip_non_utc_session(spark):
+    """Avro logical types (spec 1.11 "Logical Types"; the reference gets
+    them from the Confluent converter, fork README.md:393): DecimalType →
+    bytes+decimal (two's-complement unscaled), TimestampType →
+    long+timestamp-micros, DateType → int+date. Timestamps transport as
+    unix_micros strings at EVERY nesting depth, so the roundtrip is exact
+    even when the session timezone is not UTC (the Arrow datetime path
+    would otherwise hand the codec a wall clock)."""
+    import datetime
+    import math
+    from decimal import Decimal
+
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        schema = StructType.fromDDL(
+            "id long, price decimal(10,2), ts timestamp, d date,"
+            " nested struct<amt: decimal(20,4), whn: timestamp, ratio: double>"
+        )
+        rows = [
+            (1, Decimal("12.34"),
+             datetime.datetime(2024, 3, 1, 12, 30, 45, 123456),
+             datetime.date(2020, 2, 29),
+             (Decimal("-99999999999999.9999"),
+              datetime.datetime(1969, 12, 31, 23, 59, 59, 999999),
+              float("nan"))),
+            (2, Decimal("-0.01"), None, None, None),
+            (3, None, datetime.datetime(1970, 1, 1), datetime.date(1969, 12, 31),
+             (Decimal("0.0001"), None, 1.5)),
+        ]
+        df = spark.createDataFrame(rows, schema)
+        back = from_avro(to_avro(df), schema)
+        assert back.schema == schema
+
+        def norm(t):
+            return tuple(
+                norm(x) if isinstance(x, tuple)
+                else ("NaN" if isinstance(x, float) and math.isnan(x) else x)
+                for x in t
+            )
+        got = sorted(norm(tuple(r)) for r in back.collect())
+        want = sorted(norm(r) for r in rows)
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_logical_type_byte_vectors(spark):
+    """Hand-decoded datum bytes for the logical types: decimal 12.34
+    (scale 2) = unscaled 1234 → 2 bytes 0x04 0xD2; date 1970-01-02 =
+    epoch day 1 → zigzag 0x02; timestamp 1970-01-01T00:00:01Z =
+    1_000_000 µs → zigzag of 2_000_000."""
+    import datetime
+    from decimal import Decimal
+
+    schema = StructType.fromDDL("p decimal(4,2), d date, ts timestamp")
+    df = spark.createDataFrame(
+        [(Decimal("12.34"), datetime.date(1970, 1, 2),
+          datetime.datetime(1970, 1, 1, 0, 0, 1))], schema)
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        frame = bytes(to_avro(df).first()["avro"])
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+    datum = frame[5:]
+    # p: union branch 1, length 2, bytes 0x04D2
+    assert datum[0:1] == b"\x02"            # zigzag(1)
+    assert datum[1:2] == b"\x04"            # zigzag(2) = length
+    assert datum[2:4] == b"\x04\xd2"        # 1234 two's complement
+    # d: branch 1, zigzag(1) = 0x02
+    assert datum[4:6] == b"\x02\x02"
+    # ts: branch 1, zigzag(1_000_000) = varint of 2_000_000
+    assert datum[6:7] == b"\x02"
+    z = 2_000_000
+    var = bytearray()
+    while True:
+        b7 = z & 0x7F
+        z >>= 7
+        if z:
+            var.append(b7 | 0x80)
+        else:
+            var.append(b7)
+            break
+    assert datum[7:] == bytes(var)
+
+    # the emitted writer schema annotates the logical types
+    doc = json.loads(avro_schema_json(schema))
+    by_name = {f["name"]: f["type"][1] for f in doc["fields"]}
+    assert by_name["p"] == {"type": "bytes", "logicalType": "decimal",
+                            "precision": 4, "scale": 2}
+    assert by_name["d"] == {"type": "int", "logicalType": "date"}
+    assert by_name["ts"] == {"type": "long", "logicalType": "timestamp-micros"}
+
+
+def test_pcf_collapses_logical_annotations():
+    """PCF's [PRIMITIVES] rule: a primitive left holding only 'type' after
+    the strip collapses to its bare string — so a decimal column and a
+    plain binary column (same wire shape) fingerprint identically, and
+    annotating an existing bytes field as decimal does NOT orphan frames
+    at rest."""
+    s_bin = StructType.fromDDL("x binary")
+    s_dec = StructType.fromDDL("x decimal(10,2)")
+    assert schema_id(s_bin) == schema_id(s_dec)
+    s_long = StructType.fromDDL("x long")
+    s_ts = StructType.fromDDL("x timestamp")
+    assert schema_id(s_long) == schema_id(s_ts)
+    assert schema_id(s_bin) != schema_id(s_long)
