@@ -98,9 +98,46 @@ _EPOCH_DATE = datetime.date(1970, 1, 1)
 def _unscaled_bytes(unscaled: int) -> bytes:
     """Minimal two's-complement big-endian bytes — the Avro ``decimal``
     logical type's representation over ``bytes`` (Avro 1.11 spec,
-    "Decimal")."""
-    return unscaled.to_bytes(max(1, (unscaled.bit_length() + 8) // 8),
-                             "big", signed=True)
+    "Decimal"). Byte-identical to Java ``BigInteger.toByteArray`` —
+    negative exact powers of two take their tight length (-128 → 0x80,
+    one byte, not sign-extended 0xFF80; review r5)."""
+    bits = (
+        unscaled.bit_length() + 1
+        if unscaled >= 0
+        else (~unscaled).bit_length() + 1
+    )
+    return unscaled.to_bytes((bits + 7) // 8, "big", signed=True)
+
+
+def _exact_unscaled(d: Decimal, scale: int) -> int:
+    """``d`` as an unscaled int at ``scale``, context-free and exact at any
+    precision (``Decimal.scaleb`` silently ROUNDS past the default 28-digit
+    context — review r5: a decimal(38,0) value came back perturbed).
+    Raises if ``d`` carries more fractional digits than ``scale`` (a
+    typed Spark decimal column never does)."""
+    if not d.is_finite():
+        raise ValueError(f"avro decimal: non-finite value {d}")
+    sign, digits, exp = d.as_tuple()
+    unscaled = int("".join(map(str, digits))) if digits else 0
+    shift = exp + scale
+    if shift >= 0:
+        unscaled *= 10**shift
+    else:
+        q, r = divmod(unscaled, 10**-shift)
+        if r:
+            raise ValueError(
+                f"avro decimal: {d} does not fit scale {scale} exactly"
+            )
+        unscaled = q
+    return -unscaled if sign else unscaled
+
+
+def _exact_decimal(unscaled: int, scale: int) -> Decimal:
+    """Unscaled int + scale → exact ``Decimal`` at any precision,
+    context-free (the tuple constructor never consults the thread
+    context, unlike ``scaleb`` — review r5)."""
+    sign = 1 if unscaled < 0 else 0
+    return Decimal((sign, tuple(int(c) for c in str(abs(unscaled))), -scale))
 
 
 def _enc_for(dt: DataType):
@@ -120,7 +157,7 @@ def _enc_for(dt: DataType):
         scale = dt.scale
 
         def enc_decimal(v, out):
-            unscaled = int(Decimal(v).scaleb(scale))
+            unscaled = _exact_unscaled(Decimal(v), scale)
             b = _unscaled_bytes(unscaled)
             out.extend(_zigzag_encode(len(b)))
             out.extend(b)
@@ -179,7 +216,7 @@ def _dec_for(dt: DataType):
         def dec_decimal(buf, off):
             n, off = _zigzag_decode(buf, off)
             unscaled = int.from_bytes(buf[off:off + n], "big", signed=True)
-            return Decimal(unscaled).scaleb(-scale), off + n
+            return _exact_decimal(unscaled, scale), off + n
         return dec_decimal
     if isinstance(dt, DateType):
         def dec_date(buf, off):
@@ -263,18 +300,30 @@ def avro_schema_json(schema: StructType, name: str = "Envelope") -> str:
 
 
 #: Parsing Canonical Form attribute whitelist + order (Avro 1.11 spec,
-#: "Transforming into Parsing Canonical Form": STRIP then ORDER).
-_PCF_ATTRS = ("name", "type", "fields", "symbols", "items", "values", "size")
+#: "Transforming into Parsing Canonical Form": STRIP then ORDER) — PLUS
+#: the logical-type annotations that change how decoded bytes are
+#: INTERPRETED (``logicalType`` and decimal ``scale``). Spec PCF strips
+#: those because it canonicalizes parse-equivalence only; our id doubles
+#: as the decode-dispatch key, and a decimal scale change (or
+#: long→timestamp-micros) alters every value without altering the wire
+#: shape — under strict PCF both schemas hashed to the SAME id, so frames
+#: at rest silently decoded at the wrong scale (review r5). ``precision``
+#: stays stripped: it never reaches the wire or the value.
+_PCF_ATTRS = (
+    "name", "type", "fields", "symbols", "items", "values", "size",
+    "logicalType", "scale",
+)
 
 
 def _pcf(node):
-    """Schema JSON → Parsing Canonical Form structure: only
-    parsing-relevant attributes survive, in the spec's fixed order, and a
-    primitive left holding only ``type`` collapses to its bare string (the
-    spec's [PRIMITIVES] rule) — so ``{"type": "bytes", "logicalType":
-    "decimal", ...}`` canonicalizes identically to plain ``"bytes"``.
-    ``default``/``doc``/``logicalType``/aliases are stripped — two schemas
-    that parse the same data identically canonicalize identically."""
+    """Schema JSON → Parsing Canonical Form structure (extended — see
+    ``_PCF_ATTRS``): only parsing- or value-interpretation-relevant
+    attributes survive, in a fixed order, and a primitive left holding
+    only ``type`` collapses to its bare string (the spec's [PRIMITIVES]
+    rule). ``default``/``doc``/``precision``/aliases are stripped — two
+    schemas that parse AND interpret the same data identically
+    canonicalize identically, so cosmetic/metadata edits never orphan
+    frames at rest."""
     if isinstance(node, list):
         return [_pcf(v) for v in node]
     if isinstance(node, dict):
@@ -516,6 +565,24 @@ def _resolution_map(writer: DataType, reader: DataType):
             }
 
         return remap
+    if isinstance(writer, BinaryType) and isinstance(reader, DecimalType):
+        # annotating an existing bytes column as decimal: the wire bytes
+        # ARE the two's-complement unscaled int, so interpret them under
+        # the reader's scale (the id changes with the annotation — review
+        # r5 — and the old frames decode via this writer registration)
+        scale = reader.scale
+        return lambda v: _exact_decimal(
+            int.from_bytes(v, "big", signed=True), scale
+        )
+    if isinstance(writer, DecimalType) and isinstance(reader, DecimalType):
+        # the decoded value is an EXACT self-describing Decimal (writer
+        # scale already applied), so any decimal→decimal read is identity:
+        # precision widening is free (precision never reaches the wire),
+        # and a scale change is handled by the decode, not a remap. Strict
+        # simpleString equality wedged decimal(10,2)→decimal(12,2) at
+        # registration (review r5). A value exceeding the reader's
+        # precision fails loudly at the Arrow conversion.
+        return None
     wt, rt = writer.simpleString(), reader.simpleString()
     if wt == rt:
         return None

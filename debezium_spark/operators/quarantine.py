@@ -32,21 +32,29 @@ KNOWN_OPS = ["r", "c", "u", "d", "t", "l", "tc", "p", "m", "i", "ts"]
 _PAYLOAD_FREE = ["t", "l", "tc", "p", "m", "i", "ts"]
 
 
-def validity_reason(op, pos, after, before, key_null) -> "F.Column":
+def validity_reason(op, pos, after, before, key_null, file=None) -> "F.Column":
     """THE validity rule set, shared by every probe site (the quarantine
     split and the multi-table fused pre-pass — one definition, no drift).
     Null when the row is valid, else the first failed check's name.
     Barrier/control rows (truncate, DDL, message, index, slice pointer,
     table-snapshot) carry no payload key and are exempt.
     ``key_null`` is caller-built (key columns live in typed structs here,
-    in parsed wire JSON in the multi-table path)."""
+    in parsed wire JSON in the multi-table path).
+
+    ``file`` participates in ``null_offset``: under the file-major offset
+    contract (schema.py ``offset_key``) a null file sorts BEFORE every real
+    file, so a null-file row can never pass a fence once one exists — it
+    must quarantine here, not silently fence-skip (review r5: a null-file
+    barrier otherwise poisoned its segment's fence and dropped the
+    segment's valid rows)."""
     data_op = ~op.isin(_PAYLOAD_FREE)
+    offset_null = pos.isNull() if file is None else pos.isNull() | file.isNull()
     return (
         # null-safe: op IS NULL must flag, not three-value-logic its way
         # past every check (a wire doc missing "op" would otherwise apply
         # as an upsert via compute_changes's otherwise('u') — review r4)
         F.when(~F.coalesce(op.isin(KNOWN_OPS), F.lit(False)), F.lit("unknown_op"))
-        .when(pos.isNull(), F.lit("null_offset"))
+        .when(offset_null, F.lit("null_offset"))
         .when(data_op & (after.isNull() & before.isNull()), F.lit("null_payload"))
         .when(data_op & key_null, F.lit("null_key"))
     )
@@ -57,7 +65,8 @@ def _reason_col(env: DataFrame, key_cols: list[str]) -> "F.Column":
     for k in key_cols:
         key_null = key_null | F.coalesce(F.col(f"after.{k}"), F.col(f"before.{k}")).isNull()
     return validity_reason(
-        F.col("op"), F.col("source.pos"), F.col("after"), F.col("before"), key_null
+        F.col("op"), F.col("source.pos"), F.col("after"), F.col("before"),
+        key_null, file=F.col("source.file"),
     )
 
 

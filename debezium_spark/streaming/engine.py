@@ -393,8 +393,9 @@ class CdcEngine:
             mm = env.select(
                 F.max("source.pos").alias("p"), F.max("source.file").alias("f")
             ).first()
-            if mm["p"] is None:
-                # Every row has a null offset — there is nothing to fence,
+            if mm["p"] is None or mm["f"] is None:
+                # Every row is missing part of its offset (pos, or — under
+                # the file-major key — file): there is nothing to fence,
                 # but the rows themselves are poison records, not silence:
                 # route them through quarantine before declaring the batch
                 # a no-op (one bad row never wedges OR vanishes).
@@ -443,7 +444,16 @@ class CdcEngine:
             # bounded collect: barriers are control-plane rows; cap protects
             # the driver from a malformed batch full of op='l' rows
             ddls = (
-                env.filter(F.col("op").isin(BARRIER_OPS))
+                # null-file barriers are excluded: their segment fence
+                # (file-major) would sort below EVERY real fence and
+                # silently fence-skip the preceding segment's valid rows
+                # (review r5). With quarantine on they were already split
+                # out as null_offset; this guards the quarantine-off path.
+                env.filter(
+                    F.col("op").isin(BARRIER_OPS)
+                    & F.col("source.file").isNotNull()
+                    & F.col("source.pos").isNotNull()
+                )
                 .select("source.file", "source.pos", "op", "ts_ms",
                         F.col("source.db").alias("db"),
                         F.col("source.table").alias("tbl"), text_col)
@@ -888,8 +898,11 @@ class CdcEngine:
                 with_file=True,
             )
             cur = self.table.fence()
-            if mm["p"] is None:
-                # no positioned row in the whole batch — but ngrp > 0 means
+            if mm["p"] is None or mm["f"] is None:
+                # no fully-positioned row in the whole batch (null pos, or
+                # null file under the file-major key — offset_key(None, p)
+                # sorts below every real fence, so the skip below would
+                # silently drop such rows; review r5) — but ngrp > 0 means
                 # the batch HAS rows (all-null-offset poison): they must
                 # reach quarantine, not silently vanish with the skip
                 # ('one bad row never wedges OR vanishes')

@@ -654,7 +654,8 @@ class MultiTableEngine:
         else:
             key_null = F.lit(False)
         bad = validity_reason(
-            F.col("op"), F.col("source.pos"), after_m, before_m, key_null
+            F.col("op"), F.col("source.pos"), after_m, before_m, key_null,
+            file=F.col("source.file"),
         ).isNotNull()
         from debezium_spark.streaming.engine import BARRIER_OPS
 
@@ -829,10 +830,14 @@ class MultiTableEngine:
             # INCLUDING unregistered tables: their events still advance the
             # source offset, which is exactly what offset-bearing
             # heartbeats exist to propagate (a stream of filtered-table
-            # traffic must not leave captured fences stale). Null-pos
-            # poison groups are excluded so None never enters a fence
-            # comparison ('one poison record never wedges the stream').
-            fenced = [r for r in stats if r["p"] is not None]
+            # traffic must not leave captured fences stale). Null-pos AND
+            # null-file poison groups are excluded so an incomplete
+            # file-major key never enters a fence comparison ('one poison
+            # record never wedges the stream'; review r5: a null file
+            # sorts below every real fence under offset_key).
+            fenced = [
+                r for r in stats if r["p"] is not None and r["f"] is not None
+            ]
             global_fence = (
                 max(
                     ((r["f"], r["p"]) for r in fenced),
@@ -861,10 +866,16 @@ class MultiTableEngine:
                         (F.col("source.db") == kdb) & (F.col("source.table") == ktbl)
                     )
                 env = wire_to_envelope(wire.filter(cond), spec.payload_schema)
-                # null max-pos ⇒ every row in this table's group has a null
-                # offset: hand the engine fence=None/has_bad=None so its own
-                # probe quarantines the rows instead of fencing on None
-                fences = [(r["f"], r["p"]) for r in rows if r["p"] is not None]
+                # null max-pos (or max-file) ⇒ every row in this table's
+                # group is missing part of its file-major offset: hand the
+                # engine fence=None/has_bad=None so its own probe
+                # quarantines the rows instead of fencing on an incomplete
+                # key (review r5)
+                fences = [
+                    (r["f"], r["p"])
+                    for r in rows
+                    if r["p"] is not None and r["f"] is not None
+                ]
                 all_null_pos = not fences
                 nd = any(r["nd"] for r in rows)
                 nb = any(r["nb"] for r in rows)

@@ -401,16 +401,101 @@ def test_logical_type_byte_vectors(spark):
     assert by_name["ts"] == {"type": "long", "logicalType": "timestamp-micros"}
 
 
-def test_pcf_collapses_logical_annotations():
-    """PCF's [PRIMITIVES] rule: a primitive left holding only 'type' after
-    the strip collapses to its bare string — so a decimal column and a
-    plain binary column (same wire shape) fingerprint identically, and
-    annotating an existing bytes field as decimal does NOT orphan frames
-    at rest."""
+def test_schema_id_tracks_value_interpretation():
+    """The id hashes extended-PCF: parse-relevant attributes PLUS the
+    logical annotations that change value interpretation (logicalType,
+    decimal scale). A scale change must move the id — under strict PCF
+    both scales hashed identically and frames at rest silently decoded at
+    the wrong scale (review r5). Precision stays stripped (never on the
+    wire), as do cosmetic attributes (doc, explicit null default)."""
     s_bin = StructType.fromDDL("x binary")
-    s_dec = StructType.fromDDL("x decimal(10,2)")
-    assert schema_id(s_bin) == schema_id(s_dec)
+    s_dec2 = StructType.fromDDL("x decimal(10,2)")
+    s_dec4 = StructType.fromDDL("x decimal(10,4)")
+    s_dec2_wide = StructType.fromDDL("x decimal(12,2)")
+    # interpretation-changing: annotation and scale move the id
+    assert schema_id(s_bin) != schema_id(s_dec2)
+    assert schema_id(s_dec2) != schema_id(s_dec4)
+    # interpretation-preserving: precision widening keeps the id
+    assert schema_id(s_dec2) == schema_id(s_dec2_wide)
     s_long = StructType.fromDDL("x long")
     s_ts = StructType.fromDDL("x timestamp")
-    assert schema_id(s_long) == schema_id(s_ts)
+    assert schema_id(s_long) != schema_id(s_ts)
     assert schema_id(s_bin) != schema_id(s_long)
+
+
+def test_decimal_full_precision_roundtrip(spark):
+    """Review r5: Decimal.scaleb under the default 28-digit context
+    silently ROUNDED decimals wider than 28 significant digits on both
+    encode and decode. Spark supports precision 38 — the full width must
+    survive byte-exactly."""
+    from decimal import Decimal
+
+    big = Decimal("12345678901234567890123456789012345678")  # 38 digits
+    neg = Decimal("-98765432109876543210987654321.098765432")  # 38 sig figs
+    schema = StructType.fromDDL("a decimal(38,0), b decimal(38,9)")
+    df = spark.createDataFrame([(big, neg)], schema)
+    got = from_avro(to_avro(df), schema).first()
+    assert got["a"] == big
+    assert got["b"] == neg
+
+
+def test_unscaled_bytes_minimal_twos_complement():
+    """Byte-parity with Java BigInteger.toByteArray — negative exact
+    powers of two must NOT carry a sign-extended extra byte (review r5:
+    -128 encoded as 0xFF80 instead of 0x80)."""
+    from debezium_spark.functions.avro import _unscaled_bytes
+
+    vectors = {
+        0: b"\x00", 1: b"\x01", -1: b"\xff", 127: b"\x7f",
+        128: b"\x00\x80", -128: b"\x80", -129: b"\xff\x7f",
+        -256: b"\xff\x00", -32768: b"\x80\x00", 32767: b"\x7f\xff",
+    }
+    for n, b in vectors.items():
+        assert _unscaled_bytes(n) == b, n
+        assert int.from_bytes(_unscaled_bytes(n), "big", signed=True) == n
+
+
+def test_decimal_scale_change_resolves_via_writer_registration(spark):
+    """A scale change moves the schema id (extended PCF), so old frames
+    dispatch to the registered writer decoder and decode EXACTLY at the
+    writer's scale — under strict PCF both scales collided onto one id and
+    every old value silently decoded divided by 10^Δscale (review r5)."""
+    from decimal import Decimal
+
+    writer = StructType.fromDDL("k long, p decimal(10,2)")
+    reader = StructType.fromDDL("k long, p decimal(12,4)")
+    assert schema_id(writer) != schema_id(reader)
+    df = spark.createDataFrame([(1, Decimal("12.34"))], writer)
+    frames = to_avro(df)
+    # without registration: loud failure, never a wrong-scale value
+    with pytest.raises(Exception, match="schema id mismatch"):
+        from_avro(frames, reader).collect()
+    got = from_avro(frames, reader, writer_schemas=[writer]).first()
+    assert got["p"] == Decimal("12.34")
+
+
+def test_decimal_precision_widening_is_identity(spark):
+    """decimal(10,2) → decimal(12,2): precision never reaches the wire, so
+    registration must accept it (review r5: simpleString inequality raised
+    at registration) and the id must not move."""
+    from decimal import Decimal
+
+    writer = StructType.fromDDL("p decimal(10,2)")
+    reader = StructType.fromDDL("p decimal(12,2)")
+    assert schema_id(writer) == schema_id(reader)
+    df = spark.createDataFrame([(Decimal("99999999.99"),)], writer)
+    got = from_avro(to_avro(df), reader, writer_schemas=[writer]).first()
+    assert got["p"] == Decimal("99999999.99")
+
+
+def test_binary_column_annotated_as_decimal_resolves(spark):
+    """Evolving a plain bytes column into a decimal annotation: the id
+    moves (interpretation changed), and registered old frames reinterpret
+    the two's-complement bytes under the reader's scale."""
+    from decimal import Decimal
+
+    writer = StructType.fromDDL("p binary")
+    reader = StructType.fromDDL("p decimal(10,2)")
+    df = spark.createDataFrame([(b"\x04\xd2",)], writer)  # unscaled 1234
+    got = from_avro(to_avro(df), reader, writer_schemas=[writer]).first()
+    assert got["p"] == Decimal("12.34")

@@ -109,3 +109,68 @@ def test_null_op_is_quarantined_not_applied(spark, tmp_path):
     assert {r["path"] for r in table.read().collect()} == {"p1"}
     q = read_quarantine(spark, str(tmp_path / "t")).collect()
     assert len(q) == 1 and q[0]["reason"] == "unknown_op"
+
+
+def test_null_file_barrier_never_fence_skips_the_segment(spark, tmp_path):
+    """Review r5: under the file-major offset key a null file sorts BEFORE
+    every real file, so a null-file op='l' barrier row used to poison its
+    segment's fence — offset_key(None, p) compared <= the table fence and
+    the WHOLE preceding segment of valid rows silently fence-skipped
+    (data loss), with the batch-end fence then making the loss permanent.
+    The barrier must quarantine (null_offset) and the valid rows apply."""
+    gen = ChangeLogGenerator(spark, seed=7, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    # establish a real fence first
+    engine.apply_envelope_batch(gen.events(100), batch_id="b0")
+    fence0 = table.fence()
+    assert fence0 is not None and fence0[0] is not None
+    before = table.read().count()
+
+    # next batch: valid creates at pos 100..149 plus one null-file barrier
+    env = gen.events(150).filter(F.col("source.pos") >= 100)
+    barrier = env.limit(1).select(
+        F.lit(None).cast(env.schema["before"].dataType).alias("before"),
+        F.lit(None).cast(env.schema["after"].dataType).alias("after"),
+        F.lit("l").alias("op"),
+        F.lit(2000).alias("ts_ms"),
+        F.struct(
+            F.lit(None).cast("string").alias("file"),
+            F.lit(150).cast("long").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.lit("app").alias("db"), F.lit("t").alias("table"),
+            F.lit(2000).cast("long").alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast(env.schema["transaction"].dataType).alias("transaction"),
+    )
+    engine.apply_envelope_batch(env.unionByName(barrier), batch_id="b1")
+
+    # the valid rows applied — nothing fence-skipped; the fence covers the
+    # quarantined barrier's offset too (quarantine contract), in the valid
+    # rows' file
+    assert table.read().count() > before
+    assert table.fence() == (fence0[0], 150)
+    q = engine.read_quarantine()
+    assert q.filter(
+        (F.col("op") == "l") & F.col("file").isNull()
+    ).first()["reason"] == "null_offset"
+
+
+def test_all_null_file_batch_quarantines_not_skips(spark, tmp_path):
+    """Review r5 companion: a batch whose rows all carry null file but
+    valid pos used to compare offset_key('', pos) <= fence and vanish in
+    the replay skip; it must reach quarantine instead."""
+    gen = ChangeLogGenerator(spark, seed=9, n_repos=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    engine.apply_envelope_batch(gen.events(50), batch_id="b0")
+    n0 = table.read().count()
+
+    poisoned = gen.events(80).filter(F.col("source.pos") >= 50).withColumn(
+        "source", F.col("source").withField("file", F.lit(None).cast("string"))
+    )
+    engine.apply_envelope_batch(poisoned, batch_id="b1")
+    assert table.read().count() == n0  # nothing applied…
+    q = engine.read_quarantine()
+    assert q.filter(F.col("reason") == "null_offset").count() == 30  # …nothing lost
