@@ -41,6 +41,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     BooleanType,
     DataType,
@@ -50,6 +51,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -197,6 +199,44 @@ def _enc_for(dt: DataType):
                     out.extend(_zigzag_encode(1))
                     fe(fv, out)
         return enc_rec
+    if isinstance(dt, ArrayType):
+        ee = _enc_for(dt.elementType)
+
+        def enc_arr(v, out):
+            # one block of len(v) nullable-union items, then the 0
+            # terminator (Avro 1.11 "Arrays")
+            items = list(v)
+            if items:
+                out.extend(_zigzag_encode(len(items)))
+                for it in items:
+                    if it is None:
+                        out.extend(_zigzag_encode(0))
+                    else:
+                        out.extend(_zigzag_encode(1))
+                        ee(it, out)
+            out.extend(_zigzag_encode(0))
+        return enc_arr
+    if isinstance(dt, MapType):
+        ve = _enc_for(dt.valueType)
+
+        def enc_map(v, out):
+            # Arrow hands map cells over as key/value pair lists; dicts
+            # also accepted (Avro 1.11 "Maps": blocks of string key +
+            # nullable-union value, 0-terminated)
+            pairs = list(v.items()) if isinstance(v, dict) else [tuple(p) for p in v]
+            if pairs:
+                out.extend(_zigzag_encode(len(pairs)))
+                for k, mv in pairs:
+                    kb = str(k).encode("utf-8")
+                    out.extend(_zigzag_encode(len(kb)))
+                    out.extend(kb)
+                    if mv is None:
+                        out.extend(_zigzag_encode(0))
+                    else:
+                        out.extend(_zigzag_encode(1))
+                        ve(mv, out)
+            out.extend(_zigzag_encode(0))
+        return enc_map
     raise ValueError(f"avro converter: unsupported Spark type {dt.simpleString()}")
 
 
@@ -252,6 +292,53 @@ def _dec_for(dt: DataType):
                     out[name], off = fd(buf, off)
             return out, off
         return dec_rec
+    if isinstance(dt, ArrayType):
+        ed = _dec_for(dt.elementType)
+
+        def dec_arr(buf, off):
+            # spec block loop: a NEGATIVE count means abs(count) items
+            # preceded by the block's byte size (skippable fast-path other
+            # writers may emit; we read through it)
+            out = []
+            while True:
+                n, off = _zigzag_decode(buf, off)
+                if n == 0:
+                    return out, off
+                if n < 0:
+                    n = -n
+                    _, off = _zigzag_decode(buf, off)  # block byte size
+                for _ in range(n):
+                    branch, off = _zigzag_decode(buf, off)
+                    if branch == 0:
+                        out.append(None)
+                    else:
+                        v, off = ed(buf, off)
+                        out.append(v)
+        return dec_arr
+    if isinstance(dt, MapType):
+        vd = _dec_for(dt.valueType)
+
+        def dec_map(buf, off):
+            # a dict: the shape PySpark's pandas→Arrow conversion expects
+            # for a map column on the way back (it calls .items())
+            out = {}
+            while True:
+                n, off = _zigzag_decode(buf, off)
+                if n == 0:
+                    return out, off
+                if n < 0:
+                    n = -n
+                    _, off = _zigzag_decode(buf, off)
+                for _ in range(n):
+                    kl, off = _zigzag_decode(buf, off)
+                    k = buf[off:off + kl].decode("utf-8")
+                    off += kl
+                    branch, off = _zigzag_decode(buf, off)
+                    if branch == 0:
+                        out[k] = None
+                    else:
+                        out[k], off = vd(buf, off)
+        return dec_map
     raise ValueError(f"avro converter: unsupported Spark type {dt.simpleString()}")
 
 
@@ -282,9 +369,23 @@ def avro_schema_json(schema: StructType, name: str = "Envelope") -> str:
                     for f in dt.fields
                 ],
             }
+        if isinstance(dt, ArrayType):
+            # items are nullable unions, matching the module's
+            # everything-nullable field convention
+            return {"type": "array",
+                    "items": ["null", field_type(dt.elementType, f"{path}_item")]}
+        if isinstance(dt, MapType):
+            if not isinstance(dt.keyType, StringType):
+                raise ValueError(
+                    "avro converter: map keys must be strings (Avro 1.11 "
+                    f"'Maps'), got {dt.keyType.simpleString()}"
+                )
+            return {"type": "map",
+                    "values": ["null", field_type(dt.valueType, f"{path}_value")]}
         if isinstance(dt, DecimalType):
-            # logical types annotate the underlying primitive; PCF strips
-            # the annotation, so schema ids depend only on the wire shape
+            # logical types annotate the underlying primitive; the id
+            # canonical form keeps logicalType+scale (value interpretation)
+            # and strips precision (never on the wire) — see _PCF_ATTRS
             return {"type": "bytes", "logicalType": "decimal",
                     "precision": dt.precision, "scale": dt.scale}
         if isinstance(dt, TimestampType):
@@ -386,9 +487,7 @@ def to_avro(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
         if isinstance(f.dataType, (LongType, IntegerType, FloatType, DoubleType))
         else (
             _to_transport_expr(F.col(f.name), f.dataType).alias(f.name)
-            if isinstance(f.dataType, TimestampType)
-            or (isinstance(f.dataType, StructType)
-                and _transport_type(f.dataType) is not None)
+            if _transport_type(f.dataType) is not None
             else F.col(f.name)
         )
         for f in rec_schema.fields
@@ -443,6 +542,25 @@ def _transport_type(dt: DataType) -> DataType | None:
             changed = changed or t is not None
             fields.append(StructField(f.name, t or f.dataType, True))
         return StructType(fields) if changed else None
+    if isinstance(dt, ArrayType):
+        # primitive numeric elements ALSO transport as strings: Arrow's
+        # list→numpy conversion collapses a null element and a NaN into
+        # the same float64 NaN and rounds int64 above 2^53 when any null
+        # forces the float64 dtype — the list-level twin of the module's
+        # top-level long/float rule
+        et = (
+            StringType()
+            if isinstance(dt.elementType, (LongType, IntegerType))
+            else _transport_type(dt.elementType)
+        )
+        return ArrayType(et, True) if et is not None else None
+    if isinstance(dt, MapType):
+        vt = (
+            StringType()
+            if isinstance(dt.valueType, (LongType, IntegerType))
+            else _transport_type(dt.valueType)
+        )
+        return MapType(dt.keyType, vt, True) if vt is not None else None
     return None
 
 
@@ -454,13 +572,19 @@ def _transport_value(v, dt: DataType):
         return None
     if isinstance(dt, (FloatType, DoubleType)):
         return _fstr(v)
-    if isinstance(dt, TimestampType):
+    if isinstance(dt, (TimestampType, LongType, IntegerType)):
+        # long/int only reach here as array/map ELEMENTS (see
+        # _transport_type) — exact decimal strings either way
         return str(int(v))
     if isinstance(dt, StructType):
         for f in dt.fields:
             if _transport_type(f.dataType) is not None:
                 v[f.name] = _transport_value(v.get(f.name), f.dataType)
         return v
+    if isinstance(dt, ArrayType):
+        return [_transport_value(x, dt.elementType) for x in v]
+    if isinstance(dt, MapType):
+        return {k: _transport_value(x, dt.valueType) for k, x in v.items()}
     return v
 
 
@@ -479,6 +603,19 @@ def _to_transport_expr(c: Column, dt: DataType) -> Column:
         ])
         # a null struct must stay null, not become a struct of nulls
         return F.when(c.isNotNull(), rebuilt)
+    if isinstance(dt, ArrayType):
+        et = dt.elementType
+        if isinstance(et, (LongType, IntegerType, FloatType, DoubleType)):
+            # element-level string transport (see _transport_type); Spark's
+            # numeric→string cast is shortest-roundtrip and spells
+            # NaN/Infinity the way the codec's float() parses
+            return F.transform(c, lambda x: x.cast("string"))
+        return F.transform(c, lambda x: _to_transport_expr(x, et))
+    if isinstance(dt, MapType):
+        vt = dt.valueType
+        if isinstance(vt, (LongType, IntegerType, FloatType, DoubleType)):
+            return F.transform_values(c, lambda _, x: x.cast("string"))
+        return F.transform_values(c, lambda _, x: _to_transport_expr(x, vt))
     return c
 
 
@@ -488,7 +625,7 @@ def _restore_expr(c: Column, dt: DataType) -> Column:
     string→double accepts NaN/Infinity), timestamp micro-strings rebuild
     via ``timestamp_micros`` (never a wall-clock parse), structs rebuilt
     field-wise."""
-    if isinstance(dt, (FloatType, DoubleType)):
+    if isinstance(dt, (FloatType, DoubleType, LongType, IntegerType)):
         return c.cast(dt)
     if isinstance(dt, TimestampType):
         return F.timestamp_micros(c.cast("long"))
@@ -502,6 +639,12 @@ def _restore_expr(c: Column, dt: DataType) -> Column:
             for f in dt.fields
         ])
         return F.when(c.isNotNull(), rebuilt)
+    if isinstance(dt, ArrayType):
+        return F.transform(c, lambda x: _restore_expr(x, dt.elementType))
+    if isinstance(dt, MapType):
+        return F.transform_values(
+            c, lambda _, x: _restore_expr(x, dt.valueType)
+        )
     return c
 
 
@@ -565,6 +708,22 @@ def _resolution_map(writer: DataType, reader: DataType):
             }
 
         return remap
+    if isinstance(writer, ArrayType) and isinstance(reader, ArrayType):
+        m = _resolution_map(writer.elementType, reader.elementType)
+        if m is None:
+            return None
+        return lambda v: (
+            None if v is None
+            else [m(x) if x is not None else None for x in v]
+        )
+    if isinstance(writer, MapType) and isinstance(reader, MapType):
+        m = _resolution_map(writer.valueType, reader.valueType)
+        if m is None:
+            return None
+        return lambda v: (
+            None if v is None
+            else {k: m(x) if x is not None else None for k, x in v.items()}
+        )
     if isinstance(writer, BinaryType) and isinstance(reader, DecimalType):
         # annotating an existing bytes column as decimal: the wire bytes
         # ARE the two's-complement unscaled int, so interpret them under

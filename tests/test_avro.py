@@ -499,3 +499,69 @@ def test_binary_column_annotated_as_decimal_resolves(spark):
     df = spark.createDataFrame([(b"\x04\xd2",)], writer)  # unscaled 1234
     got = from_avro(to_avro(df), reader, writer_schemas=[writer]).first()
     assert got["p"] == Decimal("12.34")
+
+
+def test_array_and_map_roundtrip_exact(spark):
+    """Complex types (Avro 1.11 "Arrays"/"Maps") round-trip exactly —
+    incl. the list-level transport hazards: a NaN element stays NaN and
+    distinct from a null element (Arrow's list→numpy float64 collapses
+    them), and int64 elements above 2^53 stay exact (a null element forces
+    the float64 dtype, which rounds them)."""
+    import math
+
+    big = 9007199254740993  # 2^53 + 1
+    sch = StructType.fromDDL(
+        "k long, emb array<float>, ids array<long>, tags array<string>, "
+        "m map<string,double>, nested struct<xs: array<double>>")
+    df = spark.createDataFrame(
+        [(1, [1.5, float("nan"), None], [big, None], ["a", None],
+          {"x": 2.5, "y": float("inf")}, {"xs": [0.1, None]}),
+         (2, None, [], None, {}, None)], sch)
+    back = {r["k"]: r for r in from_avro(to_avro(df), sch).collect()}
+    r1 = back[1]
+    assert r1["emb"][0] == 1.5 and math.isnan(r1["emb"][1]) and r1["emb"][2] is None
+    assert r1["ids"] == [big, None]
+    assert r1["tags"] == ["a", None]
+    assert r1["m"] == {"x": 2.5, "y": float("inf")}
+    assert r1["nested"]["xs"] == [0.1, None]
+    r2 = back[2]
+    assert r2["emb"] is None and r2["ids"] == [] and r2["m"] == {}
+
+
+def test_array_map_schema_resolution(spark):
+    """Arrays resolve item-wise and maps value-wise (spec "Schema
+    Resolution"): array<int> written frames read as array<long>/double,
+    and a reader-added map column takes its null default."""
+    writer = StructType.fromDDL("k long, xs array<int>")
+    reader = StructType.fromDDL("k long, xs array<bigint>, m map<string,string>")
+    df = spark.createDataFrame([(1, [1, None, 3])], writer)
+    got = from_avro(to_avro(df), reader, writer_schemas=[writer]).first()
+    assert got["xs"] == [1, None, 3]
+    assert got["m"] is None
+    # unresolvable element pair fails loudly at registration
+    bad = StructType.fromDDL("k long, xs array<boolean>")
+    with pytest.raises(ValueError, match="cannot be read"):
+        from_avro(to_avro(df), bad, writer_schemas=[writer])
+
+
+def test_map_requires_string_keys():
+    """Avro maps key on strings; a non-string Spark map key must fail at
+    schema emission, not corrupt frames."""
+    with pytest.raises(ValueError, match="map keys must be strings"):
+        avro_schema_json(StructType.fromDDL("m map<int,string>"))
+
+
+def test_array_block_with_size_prefix_decodes(spark):
+    """Spec block form other writers may emit: a NEGATIVE item count means
+    abs(count) items preceded by the block's byte size."""
+    from debezium_spark.functions.avro import _dec_for, _zigzag_encode
+    from pyspark.sql.types import ArrayType, LongType
+
+    dec = _dec_for(ArrayType(LongType()))
+    # one block: count -2, byte-size 4, items union(1)+7, union(1)+9, end 0
+    items = bytes(_zigzag_encode(1) + _zigzag_encode(7)
+                  + _zigzag_encode(1) + _zigzag_encode(9))
+    buf = bytes(_zigzag_encode(-2) + _zigzag_encode(len(items))) + items \
+        + bytes(_zigzag_encode(0))
+    out, off = dec(buf, 0)
+    assert out == [7, 9] and off == len(buf)
