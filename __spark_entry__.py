@@ -1293,6 +1293,40 @@ SELECT pos, op, repo, path,
 FROM env"""
 
 
+def q_avro_complex_roundtrip(spark, sf_dir):
+    """Avro complex types (§2.6; Avro 1.11 "Arrays"/"Maps"): an
+    array<float> embedding column rides the binary codec and comes back
+    bit-exact — verified via a quantized element checksum the oracle
+    recomputes on the raw table (FLOOR, not ROUND: half-way tie-breaking
+    is engine-defined, floor is not)."""
+    from debezium_spark.functions.avro import from_avro, to_avro
+    from pyspark.sql.types import StructType
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    schema = StructType.fromDDL("vec_id long, embedding array<float>, label int")
+    back = from_avro(to_avro(emb), schema)
+    return back.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.floor(x.cast("double") * 1000).cast("long"),
+        ).alias("qsum"),
+        F.col("label").cast("long").alias("label"),
+    )
+
+
+SQL_avro_complex_roundtrip = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       CAST((SELECT SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+             FROM UNNEST(embedding) AS t(x)) AS BIGINT) AS qsum,
+       CAST(label AS BIGINT) AS label
+FROM embeddings"""
+
+
 def q_csv_slice_roundtrip(spark, sf_dir):
     """openGauss full-migration CSV-slice transport (§2.2; Envelope.java:
     126-148 csv/msgType/index/totalSlice/sliceSize): export the documents
@@ -2296,6 +2330,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "column_truncate": (q_column_truncate, SQL_column_truncate),
     "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
     "avro_envelope_roundtrip": (q_avro_envelope_roundtrip, SQL_avro_envelope_roundtrip),
+    "avro_complex_roundtrip": (q_avro_complex_roundtrip, SQL_avro_complex_roundtrip),
     "snapshot_read": (q_snapshot_read, SQL_snapshot_read),
     "transaction_stamp": (q_transaction_stamp, SQL_transaction_stamp),
     "ens_drop_deletes": (q_ens_drop_deletes, SQL_ens_drop_deletes),
