@@ -174,3 +174,36 @@ def test_bitstring_default_decimal_roundtrip(n):
     """DEFAULT b'<bits>' normalizes to the decimal the bits encode."""
     ops = parse_ddl_sql(f"ALTER TABLE t ADD COLUMN c BIGINT DEFAULT b'{n:b}'")
     assert ops == [("add", "c", "long", str(n))]
+
+
+@given(st.integers(min_value=-(10**38 - 1), max_value=10**38 - 1))
+@settings(max_examples=300)
+def test_unscaled_bytes_roundtrip_and_minimal(n):
+    """_unscaled_bytes is a bijection with int.from_bytes at any decimal-38
+    magnitude AND minimal: stripping the leading byte must change the
+    value (review r5: -128 carried a sign-extension byte)."""
+    from debezium_spark.functions.avro import _unscaled_bytes
+
+    b = _unscaled_bytes(n)
+    assert int.from_bytes(b, "big", signed=True) == n
+    if len(b) > 1:
+        assert int.from_bytes(b[1:], "big", signed=True) != n
+
+
+@given(
+    st.integers(min_value=-(10**38 - 1), max_value=10**38 - 1),
+    st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=300)
+def test_exact_decimal_unscaled_inverse(unscaled, scale):
+    """_exact_decimal/_exact_unscaled are exact inverses at ANY precision —
+    no thread-context rounding (review r5: Decimal.scaleb rounded past 28
+    significant digits)."""
+    from debezium_spark.functions.avro import _exact_decimal, _exact_unscaled
+
+    d = _exact_decimal(unscaled, scale)
+    assert _exact_unscaled(d, scale) == unscaled
+    # the rendered string re-parses to the same unscaled int too
+    from decimal import Decimal
+
+    assert _exact_unscaled(Decimal(str(d)), scale) == unscaled
