@@ -768,3 +768,34 @@ def test_catalog_ddl_replays_file_major_across_rotation(spark, tmp_path):
     assert mte.specs[("app", "orders")].key_cols == ["id"]
     got = mte.table("app", "orders").read().collect()
     assert [(r["id"], r["qty"]) for r in got] == [(1, 3)]
+
+
+def test_vector_payload_replicates_through_wire_path(spark, tmp_path):
+    """An embeddings table — array<float> vector + map<string,string> meta
+    — replicates through the wire path end-to-end: the typed from_json
+    parse materializes the complex columns, updates last-win by PK, and
+    the lake read hands back exact vectors (the CDC story for an ML
+    feature/embedding store)."""
+    emb = TableSpec(
+        "ml", "embeddings",
+        StructType.fromDDL(
+            "vec_id long, embedding array<float>, meta map<string,string>"),
+        key_cols=["vec_id"], n_buckets=2, mode="mor",
+    )
+    mte = MultiTableEngine(spark, str(tmp_path / "lake"), [emb])
+    rows = [
+        (0, "ml", "embeddings", "c", None,
+         '{"vec_id": 1, "embedding": [0.5, -1.25], "meta": {"model": "m1"}}'),
+        (1, "ml", "embeddings", "c", None,
+         '{"vec_id": 2, "embedding": [2.0, 3.5], "meta": null}'),
+        # re-embed vec 1 with a new model revision
+        (2, "ml", "embeddings", "u",
+         '{"vec_id": 1, "embedding": [0.5, -1.25], "meta": {"model": "m1"}}',
+         '{"vec_id": 1, "embedding": [9.0, 8.0], "meta": {"model": "m2"}}'),
+    ]
+    mte.apply_wire_batch(_wire(spark, rows), batch_id="b0")
+    got = {r["vec_id"]: r for r in
+           mte.table("ml", "embeddings").read().collect()}
+    assert got[1]["embedding"] == [9.0, 8.0]
+    assert got[1]["meta"] == {"model": "m2"}
+    assert got[2]["embedding"] == [2.0, 3.5] and got[2]["meta"] is None
