@@ -648,6 +648,192 @@ def _restore_expr(c: Column, dt: DataType) -> Column:
     return c
 
 
+# ---- external (Avro JSON) writer schemas ------------------------------------
+#
+# ``from_avro`` below also accepts writer schemas as **Avro JSON strings** —
+# the form a Confluent registry hands back for frames produced by OTHER
+# writers. Such schemas use the spec's full surface, not just this module's
+# own everything-is-a-nullable-union convention: plain (non-union) fields,
+# ``enum`` (→ symbol string), ``fixed`` (→ binary), named-type references,
+# and the millis-precision logical types. The parser builds a binary decoder
+# straight from the JSON (same closure style as ``_dec_for``) plus the
+# equivalent Spark type, so ``_resolution_map`` resolves external datums to
+# the reader schema with the same spec rules as internal ones.
+
+
+def _json_decoder(node, names: dict | None = None):
+    """Avro JSON schema node → ``(decoder, spark_type)``.
+
+    ``decoder(buf, off) -> (value, off)`` decodes exactly what the schema
+    declares (no implicit union wrapper). ``spark_type`` is the Spark
+    equivalent used for schema resolution: enum → string, fixed → binary,
+    ``["null", T]`` union → T; decimal/date/timestamp logical types map to
+    their typed Spark forms with the decoder normalizing values (millis →
+    micros, unscaled bytes → exact Decimal) so downstream code sees one
+    canonical shape. Unions with more than one non-null branch have no
+    Spark-type equivalent and are rejected at registration, loudly."""
+    names = {} if names is None else names
+    if isinstance(node, str):
+        if node in names:
+            return names[node]
+        prim = {
+            "null": (lambda buf, off: (None, off), None),
+            "boolean": (lambda buf, off: (bool(buf[off]), off + 1), BooleanType()),
+            "int": (_zigzag_decode, IntegerType()),
+            "long": (_zigzag_decode, LongType()),
+            "float": (
+                lambda buf, off: (struct.unpack_from("<f", buf, off)[0], off + 4),
+                FloatType(),
+            ),
+            "double": (
+                lambda buf, off: (struct.unpack_from("<d", buf, off)[0], off + 8),
+                DoubleType(),
+            ),
+            "bytes": (_dec_for(BinaryType()), BinaryType()),
+            "string": (_dec_for(StringType()), StringType()),
+        }
+        if node in prim:
+            return prim[node]
+        raise ValueError(f"avro json schema: unknown type reference {node!r}")
+    if isinstance(node, list):  # union
+        branches = [_json_decoder(b, names) for b in node]
+        non_null = [(d, t) for d, t in branches if t is not None]
+        if len(non_null) != 1:
+            raise ValueError(
+                "avro json schema: only nullable 2-branch unions map to a "
+                f"Spark type, got {len(non_null)} non-null branches"
+            )
+        decs = [d for d, _ in branches]
+
+        def dec_union(buf, off):
+            ix, off = _zigzag_decode(buf, off)
+            return decs[ix](buf, off)
+
+        return dec_union, non_null[0][1]
+    t = node["type"]
+    logical = node.get("logicalType")
+    if logical == "decimal" and t in ("bytes", "fixed"):
+        scale = node.get("scale", 0)
+        precision = node.get("precision", 38)
+        if t == "fixed":
+            size = node["size"]
+
+            def dec_dec_fixed(buf, off):
+                unscaled = int.from_bytes(buf[off:off + size], "big", signed=True)
+                return _exact_decimal(unscaled, scale), off + size
+
+            dec = dec_dec_fixed
+        else:
+            dec = _dec_for(DecimalType(precision, scale))
+        return dec, DecimalType(precision, scale)
+    if logical == "date" and t == "int":
+        return _dec_for(DateType()), DateType()
+    if logical in ("timestamp-micros", "timestamp-millis") and t == "long":
+        if logical == "timestamp-millis":
+            def dec_ts_ms(buf, off):
+                v, off = _zigzag_decode(buf, off)
+                return v * 1000, off  # canonical transport is UTC micros
+            return dec_ts_ms, TimestampType()
+        return _zigzag_decode, TimestampType()
+    if logical in ("time-micros", "time-millis", "uuid"):
+        # no dedicated Spark type: time rides as its long, uuid its string
+        base, st = _json_decoder(t, names)
+        return base, st
+    if t == "record":
+        fdecs = [
+            (f["name"], _json_decoder(f["type"], names))
+            for f in node["fields"]
+        ]
+        stype = StructType(
+            [StructField(n, st, True) for n, (_, st) in fdecs]
+        )
+
+        def dec_rec(buf, off):
+            out = {}
+            for name, (fd, _) in fdecs:
+                out[name], off = fd(buf, off)
+            return out, off
+
+        pair = (dec_rec, stype)
+        if node.get("name"):
+            names[node["name"]] = pair
+            if node.get("namespace"):
+                names[f"{node['namespace']}.{node['name']}"] = pair
+        return pair
+    if t == "enum":
+        symbols = list(node["symbols"])
+
+        def dec_enum(buf, off):
+            ix, off = _zigzag_decode(buf, off)
+            return symbols[ix], off
+
+        pair = (dec_enum, StringType())
+        if node.get("name"):
+            names[node["name"]] = pair
+        return pair
+    if t == "fixed":
+        size = node["size"]
+
+        def dec_fixed(buf, off):
+            return bytes(buf[off:off + size]), off + size
+
+        pair = (dec_fixed, BinaryType())
+        if node.get("name"):
+            names[node["name"]] = pair
+        return pair
+    if t == "array":
+        ed, et = _json_decoder(node["items"], names)
+
+        def dec_arr(buf, off):
+            out = []
+            while True:
+                n, off = _zigzag_decode(buf, off)
+                if n == 0:
+                    return out, off
+                if n < 0:
+                    n = -n
+                    _, off = _zigzag_decode(buf, off)
+                for _ in range(n):
+                    v, off = ed(buf, off)
+                    out.append(v)
+
+        return dec_arr, ArrayType(et, True)
+    if t == "map":
+        vd, vt = _json_decoder(node["values"], names)
+
+        def dec_map(buf, off):
+            out = {}
+            while True:
+                n, off = _zigzag_decode(buf, off)
+                if n == 0:
+                    return out, off
+                if n < 0:
+                    n = -n
+                    _, off = _zigzag_decode(buf, off)
+                for _ in range(n):
+                    kl, off = _zigzag_decode(buf, off)
+                    k = buf[off:off + kl].decode("utf-8")
+                    off += kl
+                    out[k], off = vd(buf, off)
+
+        return dec_map, MapType(StringType(), vt, True)
+    # {"type": <str|list|dict>} wrapper form — includes the spec rule that
+    # an UNKNOWN logicalType annotation is ignored and the base type used
+    return _json_decoder(t, names)
+
+
+def schema_id_of_json(schema_json: str) -> int:
+    """Deterministic id for an EXTERNAL Avro JSON schema — the same
+    extended-PCF fingerprint ``schema_id`` computes for internal
+    StructTypes, so a registry-less deployment gets consistent ids across
+    both forms. Frames carrying a registry-assigned id register with an
+    explicit ``(schema_json, id)`` pair instead."""
+    canonical = json.dumps(
+        _pcf(json.loads(schema_json)), separators=(",", ":")
+    )
+    return int.from_bytes(hashlib.sha256(canonical.encode()).digest()[:4], "big")
+
+
 #: writer-type → reader-type promotions the Avro spec's schema-resolution
 #: rules allow ("Schema Resolution" in the 1.11 spec), with the Python-side
 #: value mapping for each (None = the decoded value is already right)
@@ -765,10 +951,14 @@ def from_avro(
     ``writer_schemas``: additional schemas frames in this stream may have
     been WRITTEN with (e.g. the pre-evolution envelope schemas out of the
     schema history). Each entry is a StructType — registered under its
-    computed ``schema_id`` — or a ``(StructType, id)`` pair registering an
-    EXPLICIT header id (frames at rest under a registry-assigned or
-    legacy-fingerprint id; review r5: without this there was no way to
-    decode frames whose embedded id predates an id-scheme change). Each
+    computed ``schema_id`` — or an **Avro JSON string** (the form a schema
+    registry returns for frames produced by external writers: plain
+    non-union fields, enum → symbol string, fixed → binary, named-type
+    refs, timestamp-millis → micros), or a ``(schema, id)`` pair of either
+    form registering an EXPLICIT header id (frames at rest under a
+    registry-assigned or legacy-fingerprint id; review r5: without this
+    there was no way to decode frames whose embedded id predates an
+    id-scheme change). Each
     frame dispatches on its embedded Confluent schema id to the matching
     writer decoder, then resolves to the reader schema per the spec's
     schema-resolution rules (``_resolution_map``: fields match by name,
@@ -792,6 +982,17 @@ def from_avro(
     codecs: dict[int, tuple] = {schema_id(schema): (_dec_for(schema), None)}
     for w in writer_schemas or []:
         w, sid = w if isinstance(w, tuple) else (w, None)
+        if isinstance(w, str):  # external Avro JSON writer schema
+            dec, stype = _json_decoder(json.loads(w))
+            if not isinstance(stype, StructType):
+                raise ValueError(
+                    "avro json writer schema: top level must be a record"
+                )
+            codecs.setdefault(
+                sid if sid is not None else schema_id_of_json(w),
+                (dec, _resolution_map(stype, schema)),
+            )
+            continue
         w = StructType(w.fields)
         codecs.setdefault(
             sid if sid is not None else schema_id(w),
@@ -883,5 +1084,6 @@ __all__ = [
     "envelope_to_avro",
     "from_avro",
     "schema_id",
+    "schema_id_of_json",
     "to_avro",
 ]

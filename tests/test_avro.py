@@ -565,3 +565,129 @@ def test_array_block_with_size_prefix_decodes(spark):
         + bytes(_zigzag_encode(0))
     out, off = dec(buf, 0)
     assert out == [7, 9] and off == len(buf)
+
+
+# ---- external (Avro JSON) writer schemas ------------------------------------
+
+
+def _frame(sid: int, datum: bytes) -> bytes:
+    return MAGIC + sid.to_bytes(4, "big") + datum
+
+
+def test_json_writer_schema_plain_fields_enum_fixed(spark):
+    """Frames from an EXTERNAL standard Avro writer: plain (non-union)
+    fields, an enum (decodes to its symbol string), and a fixed (raw
+    bytes) — hand-encoded from the spec, decoded via a registry-style
+    (json, id) registration and resolved to the reader StructType."""
+    from debezium_spark.functions.avro import _zigzag_encode
+
+    writer_json = json.dumps({
+        "type": "record", "name": "Ext", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "op", "type": {"type": "enum", "name": "Op",
+                                    "symbols": ["c", "u", "d"]}},
+            {"name": "tag", "type": {"type": "fixed", "name": "Tag",
+                                     "size": 3}},
+        ],
+    })
+    # k=41, op=enum index 2 ('d'), tag=3 raw bytes
+    datum = bytes(_zigzag_encode(41) + _zigzag_encode(2)) + b"xyz"
+    reader = StructType.fromDDL("k long, op string, tag binary")
+    frames = spark.createDataFrame(
+        [(bytearray(_frame(1234, datum)),)], "avro binary"
+    )
+    row = from_avro(
+        frames, reader, writer_schemas=[(writer_json, 1234)]
+    ).first()
+    assert (row["k"], row["op"], bytes(row["tag"])) == (41, "d", b"xyz")
+
+
+def test_json_writer_schema_resolution_and_promotion(spark):
+    """External writer ['null', int] union field promotes to a reader
+    long; a writer-only field is skipped; a reader-added field fills
+    null — the spec resolution rules over the JSON-schema path."""
+    from debezium_spark.functions.avro import _zigzag_encode
+
+    writer_json = json.dumps({
+        "type": "record", "name": "V1", "fields": [
+            {"name": "n", "type": ["null", "int"], "default": None},
+            {"name": "gone", "type": "string"},
+        ],
+    })
+    datum = bytes(
+        _zigzag_encode(1) + _zigzag_encode(7)          # n: union(int) 7
+        + _zigzag_encode(3)
+    ) + b"old"                                          # gone: "old"
+    reader = StructType.fromDDL("n long, added string")
+    frames = spark.createDataFrame(
+        [(bytearray(_frame(7, datum)),)], "avro binary"
+    )
+    row = from_avro(frames, reader, writer_schemas=[(writer_json, 7)]).first()
+    assert (row["n"], row["added"]) == (7, None)
+    assert "gone" not in row.asDict()
+
+
+def test_json_writer_schema_timestamp_millis_and_decimal(spark):
+    """timestamp-millis longs normalize to the module's canonical UTC
+    micros; a decimal over fixed decodes exactly at the writer scale."""
+    from decimal import Decimal
+
+    from debezium_spark.functions.avro import _zigzag_encode
+
+    writer_json = json.dumps({
+        "type": "record", "name": "T", "fields": [
+            {"name": "ts", "type": {"type": "long",
+                                    "logicalType": "timestamp-millis"}},
+            {"name": "amt", "type": {"type": "fixed", "name": "Amt",
+                                     "size": 2, "logicalType": "decimal",
+                                     "precision": 4, "scale": 2}},
+        ],
+    })
+    millis = 1_700_000_000_123
+    datum = bytes(_zigzag_encode(millis)) + (-128).to_bytes(2, "big", signed=True)
+    reader = StructType.fromDDL("ts timestamp, amt decimal(4,2)")
+    frames = spark.createDataFrame(
+        [(bytearray(_frame(99, datum)),)], "avro binary"
+    )
+    out = from_avro(frames, reader, writer_schemas=[(writer_json, 99)])
+    # session-timezone independent check: compare the UTC epoch micros
+    row = out.select(
+        F.unix_micros("ts").alias("us"), "amt"
+    ).first()
+    assert row["us"] == millis * 1000
+    assert row["amt"] == Decimal("-1.28")
+
+
+def test_json_path_decodes_own_frames_identically(spark):
+    """Self-consistency: feeding our own emitted writer-schema JSON through
+    the external-JSON decoder path produces the same rows as the native
+    StructType path, and the PCF ids agree across both forms."""
+    from debezium_spark.functions.avro import schema_id_of_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, None)], "k long, v string, x double"
+    )
+    schema = StructType.fromDDL("k long, v string, x double")
+    wjson = avro_schema_json(schema)
+    assert schema_id_of_json(wjson) == schema_id(schema)
+    frames = to_avro(df)
+    native = {r["k"]: (r["v"], r["x"]) for r in from_avro(frames, schema).collect()}
+    # register the JSON form under the frames' embedded id: same decode
+    via_json = {
+        r["k"]: (r["v"], r["x"])
+        for r in from_avro(
+            frames,
+            StructType.fromDDL("k long, v string, x double, extra int"),
+            writer_schemas=[wjson],
+        ).collect()
+    }
+    assert {k: v[:2] for k, v in via_json.items()} == native
+
+
+def test_json_writer_schema_rejects_multibranch_union():
+    """A union with >1 non-null branch has no Spark-type mapping; it must
+    fail loudly at registration, not corrupt decodes."""
+    from debezium_spark.functions.avro import _json_decoder
+
+    with pytest.raises(ValueError, match="non-null branches"):
+        _json_decoder(["null", "int", "string"])
