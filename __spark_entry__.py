@@ -1825,9 +1825,10 @@ s AS (SELECT doc_id,
   CAST(len(list_filter(toks, x -> x IN ('le','la','et','les','des'))) AS BIGINT) AS score_fr
   FROM t)
 SELECT doc_id, score_en, score_de, score_es, score_fr,
-  CASE WHEN score_en > score_de AND score_en > score_es AND score_en > score_fr THEN 'en'
-       WHEN score_de > score_es AND score_de > score_fr THEN 'de'
-       WHEN score_es > score_fr THEN 'es'
+  CASE WHEN greatest(score_en, score_de, score_es, score_fr) = 0 THEN 'unknown'
+       WHEN score_en = greatest(score_en, score_de, score_es, score_fr) THEN 'en'
+       WHEN score_de = greatest(score_en, score_de, score_es, score_fr) THEN 'de'
+       WHEN score_es = greatest(score_en, score_de, score_es, score_fr) THEN 'es'
        ELSE 'fr' END AS predicted_lang
 FROM s"""
 

@@ -40,12 +40,22 @@ def _norm(a):
     )
 
 
+def _guarded_cosine(a_vec, b_vec, denom):
+    """Dot/denom with the zero-norm null guard, over HOISTED norms (every
+    caller precomputes per-row norms before its join so the pair-side work
+    is just the dot product — the guard lives here once so the NaN rule
+    can't drift between call sites; review r5). Null for zero-norm inputs:
+    0/0 is IEEE NaN, and Spark sorts NaN ABOVE every real value — an
+    unguarded zero vector would rank as the #1 neighbor of every query and
+    pass >= thresholds."""
+    return F.when(denom != 0, _dot(a_vec, b_vec) / denom)
+
+
 def cosine(a, b):
-    """Cosine similarity, null for zero-norm inputs: 0/0 is IEEE NaN, and
-    Spark sorts NaN ABOVE every real value — an unguarded zero vector would
-    rank as the #1 neighbor of every query and pass >= thresholds."""
-    denom = _norm(a) * _norm(b)
-    return F.when(denom != 0, _dot(a, b) / denom)
+    """Cosine similarity of two vector columns (self-contained form: norms
+    computed inline — use ``_guarded_cosine`` with hoisted norms inside
+    joins). Null for zero-norm inputs — see ``_guarded_cosine``."""
+    return _guarded_cosine(a, b, _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -77,7 +87,7 @@ def brute_force_topk(
             "q_id",
             "n_id",
             F.round(
-                F.when(denom != 0, _dot(F.col("q_vec"), F.col("n_vec")) / denom), 6
+                _guarded_cosine(F.col("q_vec"), F.col("n_vec"), denom), 6
             ).alias("cos_sim"),
         )
     )
@@ -230,7 +240,7 @@ def bucketed_ann_topk(
             "q_id",
             "n_id",
             F.round(
-                F.when(denom != 0, _dot(F.col("q_vec"), F.col("n_vec")) / denom), 6
+                _guarded_cosine(F.col("q_vec"), F.col("n_vec"), denom), 6
             ).alias("cos_sim"),
         )
         # no dedupe needed: corpus vectors carry exactly ONE cell
@@ -293,7 +303,7 @@ def embedding_near_duplicates(
             # +0.0 canonicalizes IEEE -0.0 → 0.0 (engines render them apart)
             (
                 F.round(
-                    F.when(denom != 0, _dot(F.col("va"), F.col("vb")) / denom), 2
+                    _guarded_cosine(F.col("va"), F.col("vb"), denom), 2
                 ) + F.lit(0.0)
             ).alias("cos2"),
         )

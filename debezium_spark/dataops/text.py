@@ -30,14 +30,17 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
         hits = F.size(F.filter(toks, lambda t: t.isin(words)))
         scores.append((lang, hits))
     out = docs.select(F.col(id_col), *[s.alias(f"score_{l}") for l, s in scores])
-    # argmax over the materialized score columns; fold right-to-left so
-    # earlier languages win ties
+    # argmax with the documented tie order: build the when-chain so the
+    # EARLIEST language is tested first against the max, and a zero max
+    # stays 'unknown' (review r5: the previous strict-> fold resolved ties
+    # to the LAST language and made 'unknown' unreachable — and the oracle
+    # mirrored the bug, so only a semantics read caught it)
+    m = F.greatest(*[F.col(f"score_{lang}") for lang, _ in scores])
     pred = F.lit("unknown")
-    best = F.lit(-1)
     for lang, _ in reversed(scores):
-        c = F.col(f"score_{lang}")
-        pred = F.when(c > best, F.lit(lang)).otherwise(pred)
-        best = F.greatest(best, c)
+        pred = F.when(
+            (F.col(f"score_{lang}") == m) & (m > 0), F.lit(lang)
+        ).otherwise(pred)
     return out.withColumn("predicted_lang", pred)
 
 

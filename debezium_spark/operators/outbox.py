@@ -39,8 +39,15 @@ def outbox_route(
         F.col(f"after.{key_field}").alias("aggregateid"),
         F.col(f"after.{payload_field}").alias("payload"),
     )
+    # plain concat, NOT concat_ws: concat_ws silently SKIPS a null
+    # aggregatetype, silently routing the event to the bare prefix topic
+    # where no consumer listens (review r5). A null routing field yields a
+    # null topic instead — poison the caller can split off and park, the
+    # quarantine pattern everywhere else in this engine (the reference's
+    # EventRouterDelegate likewise treats a missing routing field as an
+    # error, not a default route).
     out = out.withColumn(
-        "topic", F.concat_ws(".", F.lit(topic_prefix), F.col("aggregatetype"))
+        "topic", F.concat(F.lit(topic_prefix), F.lit("."), F.col("aggregatetype"))
     )
     if payload_schema is not None:
         # parse ONCE into a named column, then project the fields — not one

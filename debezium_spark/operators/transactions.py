@@ -34,7 +34,14 @@ def transaction_summary(env: DataFrame) -> DataFrame:
 
 def stamp_transaction(env: DataFrame, tx_size: int) -> DataFrame:
     """Stamp/repair the per-event transaction block from offsets (used when a
-    source lacks tx framing): id = pos div tx_size, orders = pos mod."""
+    source lacks tx framing): id = pos div tx_size, orders = pos mod.
+
+    Deriving the id from ``pos`` alone is sound ONLY under the repo's
+    offset-order contract (``schema.py``): ``pos`` is monotone ACROSS files
+    within a stream (LSN semantics), so two files never reuse a pos. A
+    source with per-file positions must flatten them to a stream-monotone
+    pos before this stamp (same note as the contract), or file-A and
+    file-B events would collide into one synthetic transaction."""
     pos = F.col("source.pos")
     # exact integer division via decimal — `long / int` in Spark is a DOUBLE
     # divide, which loses exactness above 2^53 and stamps the tail event of

@@ -142,29 +142,36 @@ def load_csv_slices(slices: DataFrame, schema: StructType | None = None) -> Data
     ``metadata`` record carries. Raises if the slice set is incomplete
     (missing eof, missing slices, or row count mismatch) — a half-shipped
     table must fail loudly, not load partially."""
-    meta = slices.filter(F.col("msgType") == MSG_METADATA).select("schema_ddl").first()
-    eof = (
-        slices.filter(F.col("msgType") == MSG_EOF)
-        .select("totalSlice", "sliceSize")
-        .first()
-    )
-    if eof is None:
+    # ONE narrow probe job folds the metadata record, the eof record, and
+    # the body stats (review r5: three separate .first() actions re-scanned
+    # a recomputed slice frame up to 3× before the body load — the loader
+    # now mirrors the export side's one-scan design). csv is never touched,
+    # so the scan is metadata-column-narrow.
+    is_full = F.col("msgType") == MSG_FULL
+    probe = slices.select(
+        F.max(F.when(F.col("msgType") == MSG_METADATA, F.col("schema_ddl")))
+        .alias("ddl"),
+        F.max(F.when(F.col("msgType") == MSG_EOF, F.col("totalSlice")))
+        .alias("eof_total"),
+        F.max(F.when(F.col("msgType") == MSG_EOF, F.col("sliceSize")))
+        .alias("eof_rows"),
+        F.count(F.when(is_full, F.lit(1))).alias("k"),
+        F.sum(F.when(is_full, F.col("sliceSize"))).alias("rows"),
+    ).first()
+    if probe["eof_total"] is None:
         raise ValueError("slice set has no eof record — transfer incomplete")
     if schema is None:
-        if meta is None or not meta["schema_ddl"]:
+        if not probe["ddl"]:
             raise ValueError("no schema: metadata record missing and none passed")
-        schema = StructType.fromDDL(meta["schema_ddl"])
-    body = slices.filter(F.col("msgType") == MSG_FULL)
-    stats = body.select(
-        F.count("*").alias("k"), F.sum("sliceSize").alias("rows")
-    ).first()
+        schema = StructType.fromDDL(probe["ddl"])
+    body = slices.filter(is_full)
     # completeness gate: exact ROW-count equality (every shipped slice is
     # non-empty, so a missing slice always breaks it); the eof's totalSlice
     # is an upper bound — hash buckets can legitimately come up empty
-    if stats["k"] > eof["totalSlice"] or (stats["rows"] or 0) != eof["sliceSize"]:
+    if probe["k"] > probe["eof_total"] or (probe["rows"] or 0) != probe["eof_rows"]:
         raise ValueError(
-            f"incomplete slice set: have {stats['k']}/{eof['totalSlice']} slices, "
-            f"{stats['rows']} of {eof['sliceSize']} rows"
+            f"incomplete slice set: have {probe['k']}/{probe['eof_total']} slices, "
+            f"{probe['rows']} of {probe['eof_rows']} rows"
         )
     from pyspark.sql.types import StringType
 
