@@ -207,3 +207,60 @@ def test_exact_decimal_unscaled_inverse(unscaled, scale):
     from decimal import Decimal
 
     assert _exact_unscaled(Decimal(str(d)), scale) == unscaled
+
+
+# --- binary wire codec (sources/wire.py) -----------------------------------
+
+from debezium_spark.sources.wire import (  # noqa: E402
+    _COLUMNS,
+    _pack_one,
+    _unpack_one,
+)
+
+_WIRE_LONG = st.none() | st.integers(min_value=-(2**63) + 1, max_value=2**63 - 1)
+# identifier fields: any unicode (incl. '', which must stay distinct from
+# null on the wire), bounded under the u16 length cap
+_WIRE_STR = st.none() | st.text(max_size=80)
+_WIRE_JSON = st.none() | st.text(max_size=200)
+
+
+@given(
+    st.tuples(*([_WIRE_LONG] * 5)),
+    st.tuples(*([_WIRE_STR] * 7)),
+    _WIRE_JSON,
+    _WIRE_JSON,
+)
+@settings(max_examples=300)
+def test_wire_frame_roundtrips_any_field_values(longs, strs, before, after):
+    """Every v2 frame field — including nulls, empty strings, negative and
+    >2^53 longs, non-ASCII text — must round-trip identically."""
+    frame = _pack_one(longs, strs, before, after)
+    assert _unpack_one(frame) == (*longs, *strs, before, after)
+
+
+@given(
+    st.binary(max_size=40),
+    st.integers(min_value=0, max_value=200),
+    st.binary(min_size=1, max_size=4),
+)
+@settings(max_examples=300)
+def test_wire_unpack_total_on_mutated_frames(prefix, cut, noise):
+    """The decoder is TOTAL: any byte mutation of a real frame (truncate,
+    splice, prepend garbage) yields either a full 16-tuple or the all-null
+    poison tuple — never an exception (one corrupt frame must quarantine,
+    not abort the Arrow task)."""
+    base = _pack_one((1, 2, 3, None, 5), ("u", "f", "db", "t", None, "", "x"),
+                     '{"a":1}', None)
+    for buf in (prefix + base, base[:cut], base[:cut] + noise + base[cut:]):
+        out = _unpack_one(buf)
+        assert isinstance(out, tuple) and len(out) == len(_COLUMNS)
+
+
+@given(st.text(max_size=30))
+@settings(max_examples=100)
+def test_wire_truncation_mid_string_poisons_not_clips(s):
+    """Dropping the last byte of a frame with a non-empty trailing field
+    must poison the row, never silently clip the value (exact-length gate)."""
+    frame = _pack_one((1, None, None, None, None),
+                      ("c", None, None, None, None, None, None), None, s + "!")
+    assert _unpack_one(frame[:-1]) == (None,) * len(_COLUMNS)
