@@ -1305,14 +1305,21 @@ def q_avro_complex_roundtrip(spark, sf_dir):
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
     schema = StructType.fromDDL("vec_id long, embedding array<float>, label int")
     back = from_avro(to_avro(emb), schema)
+    # checksum semantics pinned on BOTH sides (final sweep r5): null
+    # elements are SKIPPED (Spark's aggregate null-propagates, DuckDB's SUM
+    # null-skips — filter first so they agree), an empty array sums to 0 on
+    # both (COALESCE on the oracle side), and a null array stays NULL
     return back.select(
         "vec_id",
         F.size("embedding").alias("dim"),
-        F.aggregate(
-            "embedding",
-            F.lit(0).cast("long"),
-            lambda acc, x: acc
-            + F.floor(x.cast("double") * 1000).cast("long"),
+        F.when(
+            F.col("embedding").isNotNull(),
+            F.aggregate(
+                F.filter("embedding", lambda x: x.isNotNull()),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc
+                + F.floor(x.cast("double") * 1000).cast("long"),
+            ),
         ).alias("qsum"),
         F.col("label").cast("long").alias("label"),
     )
@@ -1321,8 +1328,10 @@ def q_avro_complex_roundtrip(spark, sf_dir):
 SQL_avro_complex_roundtrip = """
 SELECT vec_id,
        len(embedding) AS dim,
-       CAST((SELECT SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
-             FROM UNNEST(embedding) AS t(x)) AS BIGINT) AS qsum,
+       CASE WHEN embedding IS NULL THEN NULL ELSE
+         CAST(COALESCE((SELECT SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+               FROM UNNEST(embedding) AS t(x) WHERE x IS NOT NULL), 0) AS BIGINT)
+       END AS qsum,
        CAST(label AS BIGINT) AS label
 FROM embeddings"""
 

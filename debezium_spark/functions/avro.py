@@ -96,6 +96,10 @@ def _zigzag_decode(buf: bytes, off: int) -> tuple[int, int]:
 #: epoch anchor for the Avro ``date`` logical type (days since 1970-01-01)
 _EPOCH_DATE = datetime.date(1970, 1, 1)
 
+#: sentinel marking a named record whose fields are still being parsed in
+#: ``_json_decoder`` — a reference to it is recursion (see there)
+_OPEN_RECORD = object()
+
 
 def _unscaled_bytes(unscaled: int) -> bytes:
     """Minimal two's-complement big-endian bytes — the Avro ``decimal``
@@ -675,6 +679,18 @@ def _json_decoder(node, names: dict | None = None):
     names = {} if names is None else names
     if isinstance(node, str):
         if node in names:
+            if names[node] is _OPEN_RECORD:
+                # a self-reference while the record's own fields are still
+                # being parsed = a recursive schema. Spec-legal Avro, but
+                # Spark's type system has no recursive StructType, so the
+                # frame could never surface as a DataFrame column — reject
+                # with the real reason, not "unknown type reference"
+                # (final sweep r5)
+                raise ValueError(
+                    f"avro json schema: record {node!r} references itself; "
+                    "recursive schemas cannot map to Spark's (non-recursive)"
+                    " struct types"
+                )
             return names[node]
         prim = {
             "null": (lambda buf, off: (None, off), None),
@@ -740,6 +756,15 @@ def _json_decoder(node, names: dict | None = None):
         base, st = _json_decoder(t, names)
         return base, st
     if t == "record":
+        # mark the name OPEN before parsing fields so a self-reference is
+        # diagnosed as recursion (see the string branch) instead of falling
+        # through to "unknown type reference"
+        open_names = [node.get("name")]
+        if node.get("name") and node.get("namespace"):
+            open_names.append(f"{node['namespace']}.{node['name']}")
+        for rn in open_names:
+            if rn:
+                names[rn] = _OPEN_RECORD
         fdecs = [
             (f["name"], _json_decoder(f["type"], names))
             for f in node["fields"]
@@ -846,6 +871,19 @@ _PROMOTIONS = {
     ("float", "double"): None,
     ("string", "binary"): lambda v: v.encode("utf-8"),
     ("binary", "string"): lambda v: v.decode("utf-8"),
+    # logical-type (re-)annotation over the same underlying type: Avro 1.11
+    # resolution proceeds on the UNDERLYING types (logical annotations are
+    # ignored), so annotating an existing long column as timestamp-micros —
+    # the exact evolution the extended-PCF id doc calls out — must decode
+    # old frames under the registered writer (final sweep r5). Timestamps
+    # transport as raw micros longs (identity); dates decode to
+    # ``datetime.date`` so the int↔date pairs shift at the epoch.
+    ("bigint", "timestamp"): None,
+    ("timestamp", "bigint"): None,
+    ("int", "timestamp"): None,  # int→long promotion + annotation
+    ("int", "date"): lambda v: _EPOCH_DATE + datetime.timedelta(days=v),
+    ("date", "int"): lambda v: (v - _EPOCH_DATE).days,
+    ("date", "bigint"): lambda v: (v - _EPOCH_DATE).days,
 }
 
 

@@ -761,8 +761,13 @@ def apply_ddl(
             resolved = resolve_default_marker(op[2], ts_ms)
             if op[2] == CURRENT_TS_MARKER and resolved is None:
                 # no barrier timestamp to resolve against: history-only —
-                # executing as DROP DEFAULT was the review-r4 #6 regression
-                pass
+                # executing as DROP DEFAULT was the review-r4 #6 regression.
+                # continue, not pass: the UNAPPLIED op must not be recorded
+                # in the ledger's ops (raw text still ledgers below), or the
+                # NUL marker would replay into field metadata via
+                # recover_schema and re-emit through the schema-changes
+                # signal (review r5 final sweep)
+                continue
             else:
                 op = (op[0], op[1], resolved)
                 table.alter_set_default(op[1], op[2])

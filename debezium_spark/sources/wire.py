@@ -72,6 +72,13 @@ _POISON = (None,) * len(_COLUMNS)
 
 def _pack_one(longs: tuple, strs: tuple, before: str | None,
               after: str | None) -> bytes:
+    """One event → one frame. An identifier field that exceeds the u16
+    length cap (≥64 KiB in an op/file/db/table/gtid/snapshot/tx_id slot is
+    upstream corruption, not data) encodes as the ALL-NULL poison frame —
+    the row rides into quarantine as unknown_op, same as a decode-side
+    corrupt frame; raising here would abort the Arrow task and crash-loop
+    the batch on retry (final sweep r5 — the poison contract applies to
+    both codec halves)."""
     out = [struct.pack(
         ">BB5q", MAGIC, VERSION,
         *[_NULL_I64 if v is None else v for v in longs],
@@ -82,7 +89,8 @@ def _pack_one(longs: tuple, strs: tuple, before: str | None,
             continue
         b = s.encode("utf-8")
         if len(b) >= _NULL_STR:
-            raise ValueError(f"wire frame: identifier field too long ({len(b)}B)")
+            return _pack_one((None,) * len(_I64_FIELDS),
+                             (None,) * len(_STR_FIELDS), None, None)
         out.append(struct.pack(">H", len(b)))
         out.append(b)
     for s in (before, after):

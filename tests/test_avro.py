@@ -691,3 +691,64 @@ def test_json_writer_schema_rejects_multibranch_union():
 
     with pytest.raises(ValueError, match="non-null branches"):
         _json_decoder(["null", "int", "string"])
+
+
+def test_long_column_annotated_as_timestamp_resolves(spark):
+    """Annotating an existing long column as timestamp-micros — the exact
+    evolution the extended-PCF id doc names — must decode old frames under
+    the registered writer: resolution proceeds on the UNDERLYING types
+    (Avro 1.11, logical annotations ignored), and the codec transports
+    timestamps as raw micros longs, so the remap is identity (final sweep
+    r5: this pair used to raise 'writer type bigint cannot be read as
+    timestamp' at plan build)."""
+    import datetime
+
+    writer = StructType.fromDDL("k long, x long")
+    reader = StructType.fromDDL("k long, x timestamp")
+    assert schema_id(writer) != schema_id(reader)  # annotation moves the id
+    micros = 1700000000123456
+    df = spark.createDataFrame([(1, micros)], writer)
+    got = from_avro(to_avro(df), reader, writer_schemas=[writer]).first()
+    assert got["x"] == datetime.datetime.utcfromtimestamp(micros / 1e6).replace(
+        microsecond=micros % 1_000_000
+    )
+
+
+def test_int_column_annotated_as_date_resolves(spark):
+    """int → date annotation: underlying int matches, the remap shifts days
+    at the epoch (dates decode as datetime.date, ints as raw ints)."""
+    import datetime
+
+    writer = StructType.fromDDL("k long, d int")
+    reader = StructType.fromDDL("k long, d date")
+    df = spark.createDataFrame([(1, 19600)], writer)
+    got = from_avro(to_avro(df), reader, writer_schemas=[writer]).first()
+    assert got["d"] == datetime.date(1970, 1, 1) + datetime.timedelta(days=19600)
+
+
+def test_recursive_json_schema_rejected_with_reason():
+    """A self-referential record is spec-legal Avro but has no Spark
+    equivalent (StructType is non-recursive) — registration must say THAT,
+    not 'unknown type reference' (final sweep r5)."""
+    import json
+
+    from debezium_spark.functions.avro import _json_decoder
+
+    rec = {
+        "type": "record", "name": "Node",
+        "fields": [{"name": "next", "type": ["null", "Node"]}],
+    }
+    with pytest.raises(ValueError, match="references itself"):
+        _json_decoder(json.loads(json.dumps(rec)))
+    # non-recursive REUSE of a closed named type still resolves
+    reuse = {
+        "type": "record", "name": "Pair",
+        "fields": [
+            {"name": "a", "type": {"type": "record", "name": "P",
+                                   "fields": [{"name": "v", "type": "long"}]}},
+            {"name": "b", "type": "P"},
+        ],
+    }
+    dec, stype = _json_decoder(reuse)
+    assert [f.name for f in stype.fields] == ["a", "b"]
+    assert stype["b"].dataType.simpleString() == "struct<v:bigint>"

@@ -264,3 +264,13 @@ def test_wire_truncation_mid_string_poisons_not_clips(s):
     frame = _pack_one((1, None, None, None, None),
                       ("c", None, None, None, None, None, None), None, s + "!")
     assert _unpack_one(frame[:-1]) == (None,) * len(_COLUMNS)
+
+
+def test_wire_oversized_identifier_encodes_poison_not_raise():
+    """An identifier past the u16 cap is upstream corruption: it must encode
+    as the all-null poison frame (quarantines downstream), never raise and
+    abort the Arrow task (final sweep r5)."""
+    frame = _pack_one((1, 2, 3, 4, 5),
+                      ("c", "x" * 70000, None, None, None, None, None),
+                      None, '{"a":1}')
+    assert _unpack_one(frame) == (None,) * len(_COLUMNS)

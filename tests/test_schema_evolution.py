@@ -693,6 +693,18 @@ def test_set_default_non_literal_is_history_only(spark, tmp_path):
     )
     # EXISTS_DEFAULT (initial default) stays frozen throughout
     assert t.schema()["c"].metadata["EXISTS_DEFAULT"] == "5"
+    # final-sweep r5: the UNAPPLIED history-only op (no barrier ts) must not
+    # be recorded in the ledger's ops — it would replay the NUL marker into
+    # field metadata and re-emit it through the schema-changes signal
+    import json as _json
+
+    with open(tmp_path / "t" / "_schema_history.jsonl") as fh:
+        entries = [_json.loads(line) for line in fh]
+    e2 = next(e for e in entries if e["offset_pos"] == 2)
+    assert e2["ops"] == [] and "now()" in e2["raw"]
+    assert not any(
+        CURRENT_TS_MARKER in _json.dumps(e["ops"]) for e in entries
+    )
 
 
 def test_table_changes_json_default_gated_to_literals(spark, tmp_path):
