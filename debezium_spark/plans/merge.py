@@ -133,9 +133,22 @@ def _merge_mor(
     out.repartition(F.col("_bucket"), salted_key(keys, salt_factor)).write.partitionBy(
         "_bucket"
     ).mode("overwrite").parquet(out_dir)
-    stats = obs.get
+    try:
+        stats = obs.get
+    except Exception:
+        # Spark quirk: repartition(cols) + partitionBy over an EMPTY frame
+        # never materializes the CollectMetrics row and Observation.get
+        # throws (toPyRow assertion). The written dir is ground truth for
+        # emptiness — no _bucket= subdir means zero rows passed the
+        # observation, so all-zero stats; any written bucket means a REAL
+        # metrics failure, which must surface.
+        if os.path.exists(out_dir) and any(
+            s.startswith("_bucket=") for s in os.listdir(out_dir)
+        ):
+            raise
+        stats = {}
     touched = [
-        b for b in range(table.n_buckets) if (stats[f"e{b}"] or 0) > 0
+        b for b in range(table.n_buckets) if (stats.get(f"e{b}") or 0) > 0
     ]
     if not touched:
         shutil.rmtree(out_dir, ignore_errors=True)  # _SUCCESS-only dir

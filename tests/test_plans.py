@@ -160,3 +160,30 @@ def test_multi_table_prepass_is_one_aggregation(spark, tmp_path):
     # generic map, not once per registered schema — from_json count must
     # not grow with the number of tables
     assert plan.lower().count("from_json") <= 2, plan.lower().count("from_json")
+
+
+def test_merge_empty_changes_heartbeats_without_delta(spark, tmp_path):
+    """An all-filtered batch (every row quarantined/split away) must still
+    advance the fence via a heartbeat commit, leave NO delta dirs behind
+    (the write produced only _SUCCESS — the observation-era early-exit),
+    and count zero lineage events."""
+    import os as _os
+
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.plans.merge import merge_changes
+    from debezium_spark.plans.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=4, mode="mor")
+    t.create(StructType.fromDDL("k string, v long"))
+    empty = spark.createDataFrame([], "k string, v long, _op string, _pos long")
+    v = merge_changes(t, empty, ("binlog.1", 7), "b0")
+    assert v is not None and t.fence() == ("binlog.1", 7)
+    lin = t.lineage()
+    assert any(r.get("heartbeat") for r in lin)
+    assert sum(r.get("events", 0) for r in lin) == 0
+    data_root = str(tmp_path / "t" / "data")
+    leftover = _os.listdir(data_root) if _os.path.exists(data_root) else []
+    assert not any(d.startswith("d-") for d in leftover), leftover
+    # fence respected on replay: the same offset is a no-op
+    assert merge_changes(t, empty, ("binlog.1", 7), "b0") is None
