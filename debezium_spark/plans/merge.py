@@ -106,7 +106,7 @@ def _merge_mor(
     # (~4 of the 6 Spark jobs per touched table in the 50-table bench) and
     # pinned the whole deduped batch in executor memory; ONE action now
     # covers stats + delta write, so per-table serial cost is just the
-    # write's own jobs (final sweep r5 — jobs/table measured 6 → 2).
+    # write's own jobs (final sweep r5 — jobs/table measured 6 → 3).
     from pyspark.sql import Observation
 
     obs = Observation()
