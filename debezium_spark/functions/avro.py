@@ -674,8 +674,12 @@ def _json_decoder(node, names: dict | None = None):
     ``["null", T]`` union → T; decimal/date/timestamp logical types map to
     their typed Spark forms with the decoder normalizing values (millis →
     micros, unscaled bytes → exact Decimal) so downstream code sees one
-    canonical shape. Unions with more than one non-null branch have no
-    Spark-type equivalent and are rejected at registration, loudly."""
+    canonical shape. Unions with more than one non-null branch follow the
+    public Spark Avro connector's mapping: ``[int, long]`` collapses to
+    long and ``[float, double]`` to double (with or without a null
+    branch); any other mix surfaces as a ``member0``/``member1``/…
+    struct, one nullable field per non-null branch in declaration order,
+    with exactly the selected branch's field set per datum."""
     names = {} if names is None else names
     if isinstance(node, str):
         if node in names:
@@ -713,19 +717,44 @@ def _json_decoder(node, names: dict | None = None):
         raise ValueError(f"avro json schema: unknown type reference {node!r}")
     if isinstance(node, list):  # union
         branches = [_json_decoder(b, names) for b in node]
-        non_null = [(d, t) for d, t in branches if t is not None]
-        if len(non_null) != 1:
-            raise ValueError(
-                "avro json schema: only nullable 2-branch unions map to a "
-                f"Spark type, got {len(non_null)} non-null branches"
-            )
+        non_null = [(i, d, t) for i, (d, t) in enumerate(branches) if t is not None]
         decs = [d for d, _ in branches]
 
         def dec_union(buf, off):
             ix, off = _zigzag_decode(buf, off)
             return decs[ix](buf, off)
 
-        return dec_union, non_null[0][1]
+        if len(non_null) == 0:
+            raise ValueError("avro json schema: union has no non-null branch")
+        if len(non_null) == 1:
+            return dec_union, non_null[0][2]
+        # multi-branch unions, per the public Spark Avro connector's
+        # mapping: the numeric-widening pairs collapse to the wider type
+        # (every branch's decoded Python value is already valid there);
+        # everything else becomes a memberN struct
+        kinds = sorted(t.simpleString() for _, _, t in non_null)
+        if kinds == ["bigint", "int"]:
+            return dec_union, LongType()
+        if kinds == ["double", "float"]:
+            return dec_union, DoubleType()
+        members = [
+            (f"member{k}", i, t) for k, (i, _, t) in enumerate(non_null)
+        ]
+        stype = StructType(
+            [StructField(name, t, True) for name, _, t in members]
+        )
+        field_of = {i: name for name, i, _ in members}
+        mnames = [name for name, _, _ in members]
+
+        def dec_union_struct(buf, off):
+            ix, off = _zigzag_decode(buf, off)
+            v, off = decs[ix](buf, off)
+            sel = field_of.get(ix)
+            if sel is None:  # the null branch: the whole union is null
+                return None, off
+            return {name: (v if name == sel else None) for name in mnames}, off
+
+        return dec_union_struct, stype
     t = node["type"]
     logical = node.get("logicalType")
     if logical == "decimal" and t in ("bytes", "fixed"):
@@ -751,8 +780,18 @@ def _json_decoder(node, names: dict | None = None):
                 return v * 1000, off  # canonical transport is UTC micros
             return dec_ts_ms, TimestampType()
         return _zigzag_decode, TimestampType()
-    if logical in ("time-micros", "time-millis", "uuid"):
-        # no dedicated Spark type: time rides as its long, uuid its string
+    if logical == "time-millis" and t == "int":
+        # no dedicated Spark type: times ride as longs, but normalized to
+        # the module's canonical micros-past-midnight (``typeconv.
+        # time_micros``) so a millis writer and a micros reader agree
+        def dec_time_ms(buf, off):
+            v, off = _zigzag_decode(buf, off)
+            return v * 1000, off
+
+        return dec_time_ms, LongType()
+    if logical in ("time-micros", "uuid"):
+        # time-micros already matches the canonical unit; uuid rides as
+        # its string
         base, st = _json_decoder(t, names)
         return base, st
     if t == "record":

@@ -684,13 +684,122 @@ def test_json_path_decodes_own_frames_identically(spark):
     assert {k: v[:2] for k, v in via_json.items()} == native
 
 
-def test_json_writer_schema_rejects_multibranch_union():
-    """A union with >1 non-null branch has no Spark-type mapping; it must
-    fail loudly at registration, not corrupt decodes."""
-    from debezium_spark.functions.avro import _json_decoder
+def test_json_time_millis_normalizes_to_micros(spark):
+    """An external writer's time-millis int rides back as the module's
+    canonical micros-past-midnight long (``typeconv.time_micros`` unit),
+    so a millis writer resolves into a micros reader column unchanged."""
+    from debezium_spark.functions.avro import _zigzag_encode
 
-    with pytest.raises(ValueError, match="non-null branches"):
-        _json_decoder(["null", "int", "string"])
+    writer_json = json.dumps({
+        "type": "record", "name": "Tm", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "t", "type": {"type": "int",
+                                   "logicalType": "time-millis"}},
+        ],
+    })
+    millis = 82_800_123  # 23:00:00.123
+    datum = bytes(_zigzag_encode(9) + _zigzag_encode(millis))
+    reader = StructType.fromDDL("k long, t long")
+    frames = spark.createDataFrame(
+        [(bytearray(_frame(77, datum)),)], "avro binary"
+    )
+    row = from_avro(frames, reader, writer_schemas=[(writer_json, 77)]).first()
+    assert (row["k"], row["t"]) == (9, millis * 1000)
+
+
+def test_json_multibranch_union_numeric_pairs_collapse():
+    """``[int, long]`` / ``[float, double]`` unions (with or without a null
+    branch) collapse to the wider Spark type, the public Spark Avro
+    connector's mapping — each branch's decoded value is already valid in
+    the wider type."""
+    from pyspark.sql.types import DoubleType, LongType
+
+    from debezium_spark.functions.avro import _json_decoder, _zigzag_encode
+
+    dec, st = _json_decoder(["null", "int", "long"])
+    assert st == LongType()
+    assert dec(bytes(_zigzag_encode(1) + _zigzag_encode(7)), 0)[0] == 7
+    assert dec(bytes(_zigzag_encode(2) + _zigzag_encode(2**60)), 0)[0] == 2**60
+    assert dec(bytes(_zigzag_encode(0)), 0)[0] is None
+
+    dec, st = _json_decoder(["float", "double"])
+    assert st == DoubleType()
+    import struct as _s
+
+    assert dec(bytes(_zigzag_encode(0)) + _s.pack("<f", 1.5), 0)[0] == 1.5
+    assert dec(bytes(_zigzag_encode(1)) + _s.pack("<d", -2.25), 0)[0] == -2.25
+
+
+def test_json_multibranch_union_member_struct_unit():
+    """Any other multi-branch union surfaces as a member0/member1 struct
+    (one nullable field per non-null branch, declaration order), with
+    exactly the selected branch's field set — and the null branch yielding
+    a null union value, not an all-null struct."""
+    from pyspark.sql.types import IntegerType, StringType, StructType
+
+    from debezium_spark.functions.avro import _json_decoder, _zigzag_encode
+
+    dec, st = _json_decoder(["null", "string", "int"])
+    assert isinstance(st, StructType)
+    assert [f.name for f in st.fields] == ["member0", "member1"]
+    assert st["member0"].dataType == StringType()
+    assert st["member1"].dataType == IntegerType()
+    # branch 1 = string "hi"
+    v, _ = dec(bytes(_zigzag_encode(1) + _zigzag_encode(2)) + b"hi", 0)
+    assert v == {"member0": "hi", "member1": None}
+    # branch 2 = int -4
+    v, _ = dec(bytes(_zigzag_encode(2) + _zigzag_encode(-4)), 0)
+    assert v == {"member0": None, "member1": -4}
+    # branch 0 = null: the union value itself is null
+    v, _ = dec(bytes(_zigzag_encode(0)), 0)
+    assert v is None
+
+
+def test_json_multibranch_union_end_to_end(spark):
+    """Frames from an external writer whose field is a 3-branch union
+    decode through from_avro into the reader's member struct, including a
+    record branch — and resolution by member-field NAME still applies."""
+    from debezium_spark.functions.avro import _zigzag_encode
+
+    writer_json = json.dumps({
+        "type": "record", "name": "U", "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "u", "type": [
+                "null",
+                "string",
+                {"type": "record", "name": "Pt", "fields": [
+                    {"name": "x", "type": "double"},
+                    {"name": "y", "type": "double"},
+                ]},
+            ]},
+        ],
+    })
+    import struct as _s
+
+    d_str = bytes(
+        _zigzag_encode(5) + _zigzag_encode(1) + _zigzag_encode(3)
+    ) + b"abc"
+    d_rec = bytes(_zigzag_encode(6) + _zigzag_encode(2)) + _s.pack(
+        "<d", 1.5
+    ) + _s.pack("<d", -2.5)
+    d_null = bytes(_zigzag_encode(7) + _zigzag_encode(0))
+    reader = StructType.fromDDL(
+        "k long, u struct<member0: string, member1: struct<x: double, y: double>>"
+    )
+    frames = spark.createDataFrame(
+        [(bytearray(_frame(55, d)),) for d in (d_str, d_rec, d_null)],
+        "avro binary",
+    )
+    rows = {
+        r["k"]: r["u"]
+        for r in from_avro(
+            frames, reader, writer_schemas=[(writer_json, 55)]
+        ).collect()
+    }
+    assert rows[5]["member0"] == "abc" and rows[5]["member1"] is None
+    assert rows[6]["member0"] is None
+    assert (rows[6]["member1"]["x"], rows[6]["member1"]["y"]) == (1.5, -2.5)
+    assert rows[7] is None
 
 
 def test_long_column_annotated_as_timestamp_resolves(spark):
