@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from debezium_spark.dataops.dedup import (
     _NIBBLE_BIT,
+    decontaminate,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -1646,6 +1647,29 @@ FROM inter JOIN sizes sa ON sa.doc_id=doc_a JOIN sizes sb ON sb.doc_id=doc_b
 WHERE 5*inter >= 4*(sa.n + sb.n - inter)"""
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination over the documents corpus: every 7th doc
+    plays the eval set, the rest the training corpus; a training doc is
+    contaminated if it shares ≥1 distinct 8-gram shingle with any eval
+    doc. The benchmark shingle side broadcasts (eval suites are tiny next
+    to a 100 TB corpus); the corpus side is explode → broadcast-join →
+    one doc-keyed aggregation."""
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    return decontaminate(train, bench, k=8, min_hits=1)
+
+
+SQL_decontaminate = f"""WITH {_SHINGLE_SQL},
+bsh AS (SELECT doc_id AS bid, s FROM sh WHERE doc_id % 7 = 0),
+csh AS (SELECT doc_id, s FROM sh WHERE doc_id % 7 <> 0)
+SELECT c.doc_id, CAST(COUNT(DISTINCT c.s) AS BIGINT) AS hits,
+       CAST(COUNT(DISTINCT b.bid) AS BIGINT) AS bench_docs
+FROM csh c JOIN bsh b ON c.s = b.s
+GROUP BY c.doc_id
+HAVING COUNT(DISTINCT c.s) >= 1"""
+
+
 def q_dedup_simhash(spark, sf_dir):
     return simhash_signatures(_read(spark, sf_dir, "documents")).select(
         F.col("did").alias("doc_id"), "simhash"
@@ -2356,6 +2380,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "event_topn_per_type": (q_event_topn_per_type, SQL_event_topn_per_type),
     "broadcast_dim_join": (q_broadcast_dim_join, SQL_broadcast_dim_join),
     "wkb_point_extract": (q_wkb_point_extract, SQL_wkb_point_extract),
+    "decontaminate": (q_decontaminate, SQL_decontaminate),
 }
 
 

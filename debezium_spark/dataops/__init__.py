@@ -8,6 +8,7 @@ is the clearly-stubbed multimodal decode behind mapInPandas.
 """
 
 from debezium_spark.dataops.dedup import (
+    decontaminate,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -26,6 +27,7 @@ from debezium_spark.dataops.text import (
 )
 
 __all__ = [
+    "decontaminate",
     "exact_dedup",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",

@@ -160,6 +160,58 @@ def ngram_jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing at least
+    ``min_hits`` distinct k-token shingles with ANY document of an
+    evaluation/benchmark set — the published n-gram-overlap protocol for
+    training-set hygiene (GPT-3's appendix uses 13-gram collisions; The
+    Pile and successors use the same shape). ``k`` defaults to that 13.
+
+    Scale shape (100 TB corpus): the benchmark side is an eval suite —
+    10^4–10^6 documents, at most a few million distinct shingles — so its
+    shingle set BROADCASTS (``broadcast_benchmark``, on by default; flip
+    off for an unusually large right side and the join degrades to a
+    plain hash join on the shingle key). The corpus side is a stateless
+    per-row shingle explode, joined against the broadcast set and
+    re-aggregated on doc id: one shuffle, map-side combinable, no corpus
+    self-join, no all-pairs term. Rows with zero benchmark overlap drop
+    AT the join, so the output is O(contaminated docs), not O(corpus).
+
+    Returns ``(id_col, hits, bench_docs)``: the number of distinct
+    contaminated shingles and of distinct benchmark documents hit. No
+    reference analog (the reference is a CDC engine); this is
+    training-data-pipeline surface like the rest of this module."""
+    sh = docs.select(
+        F.col(id_col).alias("did"), F.explode(shingles_col(k, text_col)).alias("s")
+    )
+    bsh = benchmark.select(
+        F.col(bench_id_col).alias("bid"),
+        F.explode(shingles_col(k, bench_text_col)).alias("s"),
+    )
+    if broadcast_benchmark:
+        bsh = F.broadcast(bsh)
+    return (
+        sh.join(bsh, on="s")
+        .groupBy("did")
+        .agg(
+            F.count_distinct("s").alias("hits"),
+            F.count_distinct("bid").alias("bench_docs"),
+        )
+        .filter(F.col("hits") >= min_hits)
+        .select(F.col("did").alias(id_col), "hits", "bench_docs")
+    )
+
+
 # SimHash bit extraction from hex chars: bit j of a hex nibble c is set iff
 # c is in the j-th character class below (pure string ops — engine-agnostic).
 _NIBBLE_BIT = {

@@ -307,3 +307,70 @@ def test_generator_before_images_differ_from_after(spark):
     # keys stay identical for non-PK-change updates (same path ⇒ same row)
     plain = u.filter(F.col("before.path") == F.col("after.path"))
     assert plain.count() > 0
+
+
+def test_decontaminate_flags_overlap_and_counts(spark):
+    """A training doc sharing one 3-gram with an eval doc is flagged with
+    exact hit counts; disjoint docs never surface; min_hits gates."""
+    from debezium_spark.dataops.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated text about spark catalyst planning"),
+            (3, "quick brown fox appears here too with more words after"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox"), (101, "nothing shared at all here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["hits"], r["bench_docs"])
+        for r in decontaminate(train, bench, k=3).collect()
+    }
+    # doc 1 and doc 3 both contain the shingle "quick brown fox"
+    assert set(out) == {1, 3}
+    assert out[1] == (1, 1) and out[3] == (1, 1)
+    # raising min_hits above the overlap drops them
+    assert decontaminate(train, bench, k=3, min_hits=2).count() == 0
+
+
+def test_decontaminate_counts_distinct_shingles_and_bench_docs(spark):
+    """hits counts DISTINCT contaminated shingles (not join rows): a
+    shingle present in two bench docs counts once in hits but twice in
+    bench_docs; multiple shared shingles accumulate."""
+    from debezium_spark.dataops.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma"),          # shingle A
+            (101, "alpha beta gamma"),          # shingle A again (other doc)
+            (102, "delta epsilon zeta"),        # shingle B
+        ],
+        "doc_id long, text string",
+    )
+    row = decontaminate(train, bench, k=3).first()
+    # doc 1 shares shingles {“alpha beta gamma”, “beta gamma delta”? no —
+    # only exact 3-gram matches}: A (in 100 and 101) and B (in 102)
+    assert row["doc_id"] == 1
+    assert row["hits"] == 2
+    assert row["bench_docs"] == 3
+
+
+def test_decontaminate_zero_token_docs_never_flag(spark):
+    """Token-less docs (shingles_col yields the EMPTY set) generate no
+    shingles on either side — they can neither contaminate nor be
+    contaminated (the same opt-out as LSH/SimHash)."""
+    from debezium_spark.dataops.dedup import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "☃☃☃"), (2, "")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, "☃☃☃")], "doc_id long, text string")
+    assert decontaminate(train, bench, k=3).count() == 0
