@@ -42,6 +42,7 @@ from debezium_spark.dataops.text import (
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 
@@ -1916,6 +1917,58 @@ SQL_token_stats = """SELECT doc_id,
 FROM documents"""
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition signals: duplicate-line
+    fractions plus top-/duplicated-n-gram character fractions — the
+    published quality-filter family, per doc, no cross-document term."""
+    return repetition_stats(_read(spark, sf_dir, "documents"))
+
+
+SQL_repetition_stats = """WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM documents),
+base AS (SELECT doc_id, text, tk, length(array_to_string(tk, ' ')) AS stream_chars FROM t),
+grams AS (SELECT doc_id, nn.n AS n, array_to_string(tk[i:i+nn.n-1], ' ') AS g
+          FROM base, (VALUES (2),(3),(4),(5)) nn(n),
+               unnest(generate_series(1, len(tk)-nn.n+1)) AS u(i)
+          WHERE len(tk) >= nn.n),
+gc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS cnt, length(g) AS gl
+       FROM grams GROUP BY doc_id, n, g),
+topg AS (SELECT doc_id, n, cnt*gl AS topc FROM (
+           SELECT doc_id, n, cnt, gl,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                     ORDER BY cnt DESC, gl DESC, g DESC) AS rn
+           FROM gc) WHERE rn = 1),
+dupg AS (SELECT doc_id, n, SUM(CASE WHEN cnt > 1 THEN cnt*gl ELSE 0 END) AS dupc
+         FROM gc GROUP BY doc_id, n),
+lines AS (SELECT doc_id, l
+          FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+          WHERE l <> ''),
+lc AS (SELECT doc_id, l, COUNT(*) AS cnt, length(l) AS ll FROM lines GROUP BY doc_id, l),
+ls AS (SELECT doc_id, SUM(cnt) AS n_lines, COUNT(*) AS n_distinct,
+              SUM(ll*cnt) AS chars_total,
+              SUM(CASE WHEN cnt > 1 THEN ll*cnt ELSE 0 END) AS chars_dup
+       FROM lc GROUP BY doc_id)
+SELECT b.doc_id,
+  CASE WHEN COALESCE(ls.n_lines, 0) > 0
+       THEN ROUND((ls.n_lines - ls.n_distinct) / ls.n_lines, 4) ELSE 0.0 END AS dup_line_frac,
+  CASE WHEN COALESCE(ls.chars_total, 0) > 0
+       THEN ROUND(ls.chars_dup / ls.chars_total, 4) ELSE 0.0 END AS dup_line_char_frac,
+  CASE WHEN b.stream_chars > 0
+       THEN ROUND(COALESCE(t2.topc, 0) / b.stream_chars, 4) ELSE 0.0 END AS top2_char_frac,
+  CASE WHEN b.stream_chars > 0
+       THEN ROUND(COALESCE(t3.topc, 0) / b.stream_chars, 4) ELSE 0.0 END AS top3_char_frac,
+  CASE WHEN b.stream_chars > 0
+       THEN ROUND(COALESCE(t4.topc, 0) / b.stream_chars, 4) ELSE 0.0 END AS top4_char_frac,
+  CASE WHEN b.stream_chars > 0
+       THEN ROUND(COALESCE(d5.dupc, 0) / b.stream_chars, 4) ELSE 0.0 END AS dup5_char_frac
+FROM base b
+LEFT JOIN topg t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+LEFT JOIN topg t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+LEFT JOIN topg t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+LEFT JOIN dupg d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+LEFT JOIN ls ON ls.doc_id = b.doc_id"""
+
+
 def q_doc_chunking(spark, sf_dir):
     """RAG chunking: 256-char windows, 32 overlap, byte-stable boundaries."""
     from debezium_spark.dataops.text import chunk_documents
@@ -2381,6 +2434,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "broadcast_dim_join": (q_broadcast_dim_join, SQL_broadcast_dim_join),
     "wkb_point_extract": (q_wkb_point_extract, SQL_wkb_point_extract),
     "decontaminate": (q_decontaminate, SQL_decontaminate),
+    "repetition_stats": (q_repetition_stats, SQL_repetition_stats),
 }
 
 

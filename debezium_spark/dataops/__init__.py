@@ -23,6 +23,7 @@ from debezium_spark.dataops.text import (
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
     token_stats,
 )
 
@@ -38,5 +39,6 @@ __all__ = [
     "doc_fingerprint",
     "language_id",
     "quality_score",
+    "repetition_stats",
     "token_stats",
 ]

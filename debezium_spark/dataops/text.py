@@ -90,6 +90,134 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5,),
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", table A1 — the published quality-filter
+    family): per document,
+
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of non-empty
+      lines that are repeats of another line, by count and by characters;
+    - ``top{n}_char_frac`` for each n in ``top_ns`` — characters covered
+      by the single most frequent word n-gram (occurrences × gram length
+      over the space-joined token-stream length, overlaps counted as the
+      paper does); ties break deterministically on (count, gram length,
+      gram) descending;
+    - ``dup{n}_char_frac`` for each n in ``dup_ns`` — characters covered
+      by ALL n-grams occurring more than once.
+
+    Scale shape: both signal families are explode → count-by-(doc, key) →
+    re-aggregate-by-doc — two partial-aggregable shuffles keyed on doc id,
+    no cross-document term at all (this is per-doc analysis), so the cost
+    is a constant factor over a corpus scan at any corpus size. Zero-token
+    or single-line docs report 0.0 everywhere, never null."""
+    all_ns = sorted(set(top_ns) | set(dup_ns))
+    toks = tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("did"),
+        F.col(text_col).alias("_t"),
+        toks.alias("_toks"),
+        F.length(F.array_join(toks, " ")).alias("stream_chars"),
+    )
+
+    # one explode carries every requested n: array of (n, gram) structs.
+    # The per-n lambda MUST be built by a single-argument closure factory:
+    # a two-parameter lambda (even via a default arg like ``lambda i, n=n``)
+    # is bound by ``F.transform`` as its (element, index) form, silently
+    # turning the captured n into the array index
+    def _gram_array(n):
+        m = F.size(F.col("_toks")) - F.lit(n - 1)
+
+        def mk(i):
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.array_join(F.slice(F.col("_toks"), i, n), " ").alias("g"),
+            )
+
+        return F.when(m >= 1, F.transform(F.sequence(F.lit(1), m), mk)).otherwise(
+            F.array().cast("array<struct<n:int,g:string>>")
+        )
+
+    gram_arrays = [_gram_array(n) for n in all_ns]
+    grams = base.select("did", F.explode(F.concat(*gram_arrays)).alias("gr")).select(
+        "did", F.col("gr.n").alias("n"), F.col("gr.g").alias("g")
+    )
+    gc = (
+        grams.groupBy("did", "n", "g")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("gl", F.length("g"))
+    )
+    per = (
+        gc.groupBy("did", "n")
+        .agg(
+            F.max(F.struct("cnt", "gl", "g")).alias("top"),
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("gl") * F.col("cnt")).otherwise(F.lit(0))
+            ).alias("dupc"),
+        )
+        .select("did", "n", (F.col("top.cnt") * F.col("top.gl")).alias("topc"), "dupc")
+    )
+    piv = per.groupBy("did").pivot("n", all_ns).agg(
+        F.first("topc").alias("topc"), F.first("dupc").alias("dupc")
+    )
+
+    lines = base.select(
+        "did",
+        F.explode(F.filter(F.split(F.col("_t"), "\n"), lambda x: x != "")).alias("l"),
+    )
+    lc = lines.groupBy("did", "l").agg(F.count("*").alias("cnt")).withColumn(
+        "ll", F.length("l")
+    )
+    lstats = lc.groupBy("did").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("ll") * F.col("cnt")).alias("chars_total"),
+        F.sum(
+            F.when(F.col("cnt") > 1, F.col("ll") * F.col("cnt")).otherwise(F.lit(0))
+        ).alias("chars_dup"),
+    )
+
+    out = (
+        base.select("did", "stream_chars")
+        .join(piv, "did", "left")
+        .join(lstats, "did", "left")
+    )
+
+    def _frac(num, den):
+        return F.when(den > 0, F.round(num / den, 4)).otherwise(F.lit(0.0))
+
+    cols = [
+        F.col("did").alias(id_col),
+        _frac(
+            F.coalesce(F.col("n_lines"), F.lit(0))
+            - F.coalesce(F.col("n_distinct"), F.lit(0)),
+            F.coalesce(F.col("n_lines"), F.lit(0)),
+        ).alias("dup_line_frac"),
+        _frac(
+            F.coalesce(F.col("chars_dup"), F.lit(0)),
+            F.coalesce(F.col("chars_total"), F.lit(0)),
+        ).alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        cols.append(
+            _frac(
+                F.coalesce(F.col(f"`{n}_topc`"), F.lit(0)), F.col("stream_chars")
+            ).alias(f"top{n}_char_frac")
+        )
+    for n in dup_ns:
+        cols.append(
+            _frac(
+                F.coalesce(F.col(f"`{n}_dupc`"), F.lit(0)), F.col("stream_chars")
+            ).alias(f"dup{n}_char_frac")
+        )
+    return out.select(*cols)
+
+
 def doc_fingerprint(
     docs: DataFrame, k: int = 16, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -374,3 +374,64 @@ def test_decontaminate_zero_token_docs_never_flag(spark):
     )
     bench = spark.createDataFrame([(100, "☃☃☃")], "doc_id long, text string")
     assert decontaminate(train, bench, k=3).count() == 0
+
+
+def test_repetition_stats_exact_values(spark):
+    """Hand-computed Gopher-style repetition fractions, including the
+    overlap artifact (top/dup char fractions may exceed 1 — occurrences ×
+    gram length, as the published definition counts them) and the
+    deterministic (count, length, gram)-descending tie-break."""
+    from debezium_spark.dataops.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b a b"),                    # heavy repetition
+            (2, "one two three four five six seven"),  # none
+            (4, ""),                                    # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()}
+    # doc 1: stream "a b a b a b a b" = 15 chars; "a b"×4 → 12/15;
+    # 3-grams tie ("a b a"×3 vs "b a b"×3, both 5 chars) → same 15/15;
+    # "a b a b"×3 × 7 chars = 21/15; 5-grams each ×2 × 9 chars = 36/15
+    assert out[1]["top2_char_frac"] == 0.8
+    assert out[1]["top3_char_frac"] == 1.0
+    assert out[1]["top4_char_frac"] == 1.4
+    assert out[1]["dup5_char_frac"] == 2.4
+    # doc 2: all 2-grams unique → tie-break picks the longest then
+    # lexicographically greatest gram: "three four" (10 chars) / 33
+    assert out[2]["top2_char_frac"] == 0.303
+    assert out[2]["dup5_char_frac"] == 0.0
+    # empty doc: all-zero row, present in the output
+    assert all(v == 0.0 for k, v in out[4].items() if k != "doc_id")
+
+
+def test_repetition_stats_duplicate_lines(spark):
+    """Line stats count non-empty lines only: x\\ny\\nx\\nz\\n\\nx has 5
+    lines, 3 distinct → dup_line_frac 0.4; the 3 repeated 'x' chars out
+    of 5 line chars → dup_line_char_frac 0.6."""
+    from debezium_spark.dataops.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(3, "x\ny\nx\nz\n\nx")], "doc_id long, text string"
+    )
+    row = repetition_stats(df).first()
+    assert row["dup_line_frac"] == 0.4
+    assert row["dup_line_char_frac"] == 0.6
+
+
+def test_repetition_stats_gram_n_is_not_the_array_index(spark):
+    """Regression: the per-n gram builder must capture n by closure — a
+    two-parameter lambda (even with a default arg) binds as transform's
+    (element, index) form and silently replaces n with the array index,
+    which produced identical wrong grams for every n."""
+    from debezium_spark.dataops.text import repetition_stats
+
+    # doc where every n would give DIFFERENT values only if n is honored:
+    # "p q p q p q" — top2 = "p q"×3 (3 chars) / 11; top3 = "q p q"×2
+    # (5 chars) / 11 (tie-break: "q p q" beats "p q p" lexicographically)
+    df = spark.createDataFrame([(1, "p q p q p q")], "doc_id long, text string")
+    row = repetition_stats(df).first()
+    assert row["top2_char_frac"] == round(9 / 11, 4)
+    assert row["top3_char_frac"] == round(10 / 11, 4)
