@@ -187,3 +187,12 @@ def test_merge_empty_changes_heartbeats_without_delta(spark, tmp_path):
     assert not any(d.startswith("d-") for d in leftover), leftover
     # fence respected on replay: the same offset is a no-op
     assert merge_changes(t, empty, ("binlog.1", 7), "b0") is None
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set must ride a broadcast join (eval suites
+    are tiny next to the corpus); never a cartesian product, never a
+    row-wise Python UDF."""
+    plan = plan_of(entry.q_decontaminate(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan

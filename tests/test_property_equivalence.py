@@ -121,3 +121,60 @@ def test_engine_equals_sequential_apply(spark, tmp_path_factory, mode, op_list, 
         k: v["content"] for k, v in sequential_oracle(events).items()
     }
     assert got == want
+
+
+# ---- decontaminate vs brute-force set semantics ------------------------------
+
+import re as _re
+
+_WORDS = ["aa", "bb", "cc", "dd"]
+
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8).map(" ".join)
+
+
+def _shingle_set(text: str, k: int) -> set:
+    toks = _re.findall(r"[a-z0-9]+", text.lower())
+    if not toks:
+        return set()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    train=st.lists(_doc, min_size=1, max_size=4),
+    bench=st.lists(_doc, min_size=1, max_size=3),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_decontaminate_equals_bruteforce_set_semantics(spark, train, bench, k):
+    """For ANY corpus/benchmark pair over a tiny alphabet, decontaminate
+    must equal the brute-force definition: hits = |S_doc ∩ ∪ S_bench|,
+    bench_docs = #{b : S_doc ∩ S_b ≠ ∅}, rows only where hits ≥ 1 —
+    including the short-doc (one shorter shingle) and zero-token edges of
+    the shared shingle builder."""
+    from debezium_spark.dataops.dedup import decontaminate
+
+    tdf = spark.createDataFrame(
+        list(enumerate(train)), "doc_id long, text string"
+    )
+    bdf = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(bench)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["hits"], r["bench_docs"])
+        for r in decontaminate(tdf, bdf, k=k).collect()
+    }
+    bench_sets = {100 + i: _shingle_set(t, k) for i, t in enumerate(bench)}
+    bench_union = set().union(*bench_sets.values())
+    want = {}
+    for i, t in enumerate(train):
+        s = _shingle_set(t, k)
+        hits = len(s & bench_union)
+        if hits >= 1:
+            want[i] = (hits, sum(1 for bs in bench_sets.values() if s & bs))
+    assert got == want
