@@ -41,6 +41,7 @@ from debezium_spark.dataops.similarity import (
 from debezium_spark.dataops.text import (
     doc_fingerprint,
     language_id,
+    gopher_doc_filter,
     quality_score,
     repetition_stats,
     token_stats,
@@ -1917,6 +1918,50 @@ SQL_token_stats = """SELECT doc_id,
 FROM documents"""
 
 
+def q_gopher_doc_filter(spark, sf_dir):
+    """Gopher document-level quality rules as keep/drop + failed-rule
+    audit. Thresholds tuned to the synthetic corpus so BOTH outcomes
+    appear (min_words=40, min_stop_words=1); the operator's defaults are
+    the paper's."""
+    return gopher_doc_filter(
+        _read(spark, sf_dir, "documents"), min_words=40, min_stop_words=1
+    )
+
+
+SQL_gopher_doc_filter = """WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS words,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS wc
+  FROM documents),
+s AS (SELECT doc_id, wc,
+        list_sum(list_transform(words, x -> length(x))) AS word_chars,
+        length(text) - length(replace(text, '#', '')) AS n_hash,
+        (length(text) - length(replace(text, '...', ''))) / 3 AS n_ell,
+        len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]'))) AS alpha,
+        len(list_intersect(list_distinct(list_transform(words, x -> lower(x))),
+            ['the','be','to','of','and','that','have','with'])) AS n_stop
+      FROM w),
+c AS (SELECT doc_id, wc, n_stop,
+        CASE WHEN wc > 0 THEN word_chars / wc ELSE 0.0 END AS mean_wl,
+        CASE WHEN wc > 0 THEN (n_hash + n_ell) / wc ELSE 0.0 END AS sym,
+        CASE WHEN wc > 0 THEN alpha / wc ELSE 0.0 END AS af
+      FROM s)
+SELECT doc_id, CAST(wc AS BIGINT) AS word_count,
+  ROUND(mean_wl, 4) AS mean_word_len,
+  ROUND(sym, 4) AS symbol_ratio,
+  ROUND(af, 4) AS alpha_word_frac,
+  CAST(n_stop AS BIGINT) AS n_stop_words,
+  (wc >= 40 AND wc <= 100000 AND mean_wl >= 3.0 AND mean_wl <= 10.0
+   AND sym <= 0.1 AND af >= 0.8 AND n_stop >= 1) AS keep,
+  concat_ws(',',
+    CASE WHEN NOT (wc >= 40 AND wc <= 100000) THEN 'word_count' END,
+    CASE WHEN NOT (mean_wl >= 3.0 AND mean_wl <= 10.0) THEN 'mean_word_len' END,
+    CASE WHEN NOT (sym <= 0.1) THEN 'symbol_ratio' END,
+    CASE WHEN NOT (af >= 0.8) THEN 'alpha_word_frac' END,
+    CASE WHEN NOT (n_stop >= 1) THEN 'stop_words' END) AS reasons
+FROM c"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style within-document repetition signals: duplicate-line
     fractions plus top-/duplicated-n-gram character fractions — the
@@ -2435,6 +2480,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "wkb_point_extract": (q_wkb_point_extract, SQL_wkb_point_extract),
     "decontaminate": (q_decontaminate, SQL_decontaminate),
     "repetition_stats": (q_repetition_stats, SQL_repetition_stats),
+    "gopher_doc_filter": (q_gopher_doc_filter, SQL_gopher_doc_filter),
 }
 
 

@@ -21,6 +21,7 @@ from debezium_spark.dataops.similarity import (
 )
 from debezium_spark.dataops.text import (
     doc_fingerprint,
+    gopher_doc_filter,
     language_id,
     quality_score,
     repetition_stats,
@@ -37,6 +38,7 @@ __all__ = [
     "bucketed_ann_topk",
     "embedding_near_duplicates",
     "doc_fingerprint",
+    "gopher_doc_filter",
     "language_id",
     "quality_score",
     "repetition_stats",

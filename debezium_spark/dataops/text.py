@@ -90,6 +90,91 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+#: Gopher's stop-word list for the "must contain ≥2 of these" rule
+#: (Rae et al. 2021, A1.1) — a presence check, not a frequency table.
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_doc_filter(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """Gopher's document-level quality rules (Rae et al. 2021, A1.1 — the
+    published heuristic filter set), as a keep/drop decision with the
+    failed-rule names, so a pipeline can both filter and audit WHY:
+
+    - word count in [min_words, max_words] (whitespace words);
+    - mean word length in [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio (``#`` and ``...`` occurrences) ≤ max;
+    - ≥ min_alpha_word_frac of words contain an alphabetic character;
+    - ≥ min_stop_words DISTINCT stop words present (the/be/to/of/and/
+      that/have/with).
+
+    Everything is a per-row Catalyst expression over the split word array
+    — stateless map over a corpus scan, no shuffle, no UDF; ratios are
+    emitted rounded to 4 for engine-agnostic comparison. ``reasons`` is a
+    comma-joined string in fixed rule order (empty = keep)."""
+    trimmed = F.trim(F.col(text_col))
+    words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+    wc = F.size(words)
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(wc > 0, word_chars / wc).otherwise(F.lit(0.0))
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+    ) / F.lit(3)
+    sym_ratio = F.when(wc > 0, (n_hash + n_ellipsis) / wc).otherwise(F.lit(0.0))
+    alpha_frac = F.when(
+        wc > 0,
+        F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]"))) / wc,
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)),
+            F.array(*[F.lit(s) for s in _GOPHER_STOPS]),
+        )
+    )
+
+    rules = [
+        ("word_count", (wc >= min_words) & (wc <= max_words)),
+        ("mean_word_len", (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)),
+        ("symbol_ratio", sym_ratio <= max_symbol_ratio),
+        ("alpha_word_frac", alpha_frac >= min_alpha_word_frac),
+        ("stop_words", n_stop >= min_stop_words),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(~ok, F.lit(name)) for name, ok in rules]
+    )
+    keep = rules[0][1]
+    for _, ok in rules[1:]:
+        keep = keep & ok
+    return docs.select(
+        F.col(id_col),
+        wc.cast("long").alias("word_count"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        F.round(sym_ratio, 4).alias("symbol_ratio"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stop_words"),
+        keep.alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 def repetition_stats(
     docs: DataFrame,
     id_col: str = "doc_id",

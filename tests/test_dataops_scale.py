@@ -435,3 +435,46 @@ def test_repetition_stats_gram_n_is_not_the_array_index(spark):
     row = repetition_stats(df).first()
     assert row["top2_char_frac"] == round(9 / 11, 4)
     assert row["top3_char_frac"] == round(10 / 11, 4)
+
+
+def test_gopher_doc_filter_rules_and_reasons(spark):
+    """Each Gopher rule fires independently and reasons list the failed
+    rules in fixed order; a document passing everything keeps."""
+    from debezium_spark.dataops.text import gopher_doc_filter
+
+    good = " ".join(
+        ["the", "be", "to", "of", "and"] + ["word"] * 45
+    )  # 50 words, mean len 3.6, 5 stops, all alphabetic
+    symbols = " ".join(["the", "be"] + ["###"] * 48)  # symbol-heavy
+    short = "the with"  # word_count fails (mean word len 3.5 passes)
+    df = spark.createDataFrame(
+        [(1, good), (2, symbols), (3, short), (4, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in gopher_doc_filter(df).collect()}
+    assert out[1]["keep"] is True and out[1]["reasons"] == ""
+    assert out[1]["word_count"] == 50 and out[1]["n_stop_words"] == 5
+    # 48 '###' words → 144 hashes / 50 words = 2.88 > 0.1, and they carry
+    # no alphabetic char (2/50 alpha frac)
+    assert out[2]["keep"] is False
+    assert "symbol_ratio" in out[2]["reasons"]
+    assert "alpha_word_frac" in out[2]["reasons"]
+    assert out[3]["keep"] is False and out[3]["reasons"] == "word_count"
+    # empty doc: zero words fails word_count, mean/stop rules too — fixed
+    # rule order in the audit string
+    assert out[4]["word_count"] == 0
+    assert out[4]["reasons"].split(",")[0] == "word_count"
+
+
+def test_gopher_doc_filter_ellipsis_counts_as_symbol(spark):
+    """'...' sequences count toward the symbol ratio at one symbol per
+    three dots (the paper counts ellipses, not individual periods)."""
+    from debezium_spark.dataops.text import gopher_doc_filter
+
+    text = " ".join(["the", "be"] + ["ok..." for _ in range(48)])
+    row = gopher_doc_filter(
+        spark.createDataFrame([(1, text)], "doc_id long, text string")
+    ).first()
+    # 48 ellipses / 50 words = 0.96 > 0.1
+    assert row["symbol_ratio"] == 0.96
+    assert "symbol_ratio" in row["reasons"]
