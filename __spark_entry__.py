@@ -39,6 +39,7 @@ from debezium_spark.dataops.similarity import (
     embedding_near_duplicates,
 )
 from debezium_spark.dataops.text import (
+    c4_clean,
     doc_fingerprint,
     language_id,
     gopher_doc_filter,
@@ -1918,6 +1919,43 @@ SQL_token_stats = """SELECT doc_id,
 FROM documents"""
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning over the documents corpus. The synthetic
+    corpus is single-line unpunctuated word soup, so every doc cleans to
+    empty and drops on too_few_sentences — the oracle still exercises
+    every rule expression; meaningful line mixes live in
+    test_dataops_scale.py."""
+    return c4_clean(_read(spark, sf_dir, "documents"))
+
+
+SQL_c4_clean = """WITH l AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents),
+k AS (SELECT doc_id, text, lines,
+        list_filter(lines, x -> regexp_matches(trim(x), '[.!?"]$')
+          AND len(regexp_split_to_array(trim(x), '\\s+')) >= 5
+          AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l),
+s AS (SELECT doc_id, text, lines, kept,
+        -- array_to_string([]) is NULL in DuckDB where Spark's array_join
+        -- yields '' — coalesce for parity
+        COALESCE(array_to_string(kept, chr(10)), '') AS clean_text,
+        length(COALESCE(array_to_string(kept, chr(10)), ''))
+          - length(regexp_replace(COALESCE(array_to_string(kept, chr(10)), ''),
+                                  '[.!?]', '', 'g')) AS n_sent
+      FROM k)
+SELECT doc_id, clean_text,
+  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+  CAST(len(lines) AS BIGINT) AS n_lines_total,
+  CAST(n_sent AS BIGINT) AS n_sentences,
+  (NOT contains(lower(text), 'lorem ipsum') AND NOT contains(text, '{')
+   AND n_sent >= 3) AS keep,
+  concat_ws(',',
+    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 'lorem_ipsum' END,
+    CASE WHEN contains(text, '{') THEN 'curly_brace' END,
+    CASE WHEN NOT (n_sent >= 3) THEN 'too_few_sentences' END) AS reasons
+FROM s"""
+
+
 def q_gopher_doc_filter(spark, sf_dir):
     """Gopher document-level quality rules as keep/drop + failed-rule
     audit. Thresholds tuned to the synthetic corpus so BOTH outcomes
@@ -2481,6 +2519,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "decontaminate": (q_decontaminate, SQL_decontaminate),
     "repetition_stats": (q_repetition_stats, SQL_repetition_stats),
     "gopher_doc_filter": (q_gopher_doc_filter, SQL_gopher_doc_filter),
+    "c4_clean": (q_c4_clean, SQL_c4_clean),
 }
 
 

@@ -20,6 +20,7 @@ from debezium_spark.dataops.similarity import (
     embedding_near_duplicates,
 )
 from debezium_spark.dataops.text import (
+    c4_clean,
     doc_fingerprint,
     gopher_doc_filter,
     language_id,
@@ -29,6 +30,7 @@ from debezium_spark.dataops.text import (
 )
 
 __all__ = [
+    "c4_clean",
     "decontaminate",
     "exact_dedup",
     "minhash_lsh_candidates",

@@ -90,6 +90,59 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def c4_clean(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4's line-level cleaning rules (Raffel et al. 2020, §2.2 — the
+    published heuristics behind the C4 corpus), per document:
+
+    - keep only lines that end in terminal punctuation (``. ! ? "``);
+    - drop lines with fewer than ``min_words_per_line`` whitespace words;
+    - drop lines containing the word "javascript" (any case);
+    - drop the WHOLE document if it contains "lorem ipsum" (any case) or
+      a ``{`` anywhere, or if the cleaned text has fewer than
+      ``min_sentences`` sentences (terminal-punctuation marks in the kept
+      lines — the paper counts sentences; punctuation marks are the
+      deterministic engine-agnostic proxy).
+
+    Returns ``(id_col, clean_text, n_lines_kept, n_lines_total,
+    n_sentences, keep, reasons)`` — the cleaned text is emitted even for
+    dropped docs so a pipeline can audit what the filter saw. Stateless
+    per-row Catalyst (split → filter → re-join): a map over the corpus
+    scan, no shuffle, no UDF."""
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: F.trim(l).rlike('[.!?"]$')
+        & (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.length(clean) - F.length(F.regexp_replace(clean, r"[.!?]", ""))
+    rules = [
+        ("lorem_ipsum", ~F.lower(F.col(text_col)).contains("lorem ipsum")),
+        ("curly_brace", ~F.col(text_col).contains("{")),
+        ("too_few_sentences", n_sent >= min_sentences),
+    ]
+    reasons = F.concat_ws(",", *[F.when(~ok, F.lit(name)) for name, ok in rules])
+    keep = rules[0][1]
+    for _, ok in rules[1:]:
+        keep = keep & ok
+    return docs.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        F.size(lines).cast("long").alias("n_lines_total"),
+        n_sent.cast("long").alias("n_sentences"),
+        keep.alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
 #: Gopher's stop-word list for the "must contain ≥2 of these" rule
 #: (Rae et al. 2021, A1.1) — a presence check, not a frequency table.
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]

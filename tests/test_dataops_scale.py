@@ -478,3 +478,50 @@ def test_gopher_doc_filter_ellipsis_counts_as_symbol(spark):
     # 48 ellipses / 50 words = 0.96 > 0.1
     assert row["symbol_ratio"] == 0.96
     assert "symbol_ratio" in row["reasons"]
+
+
+def test_c4_clean_line_rules_and_doc_rules(spark):
+    """C4 rules fire as published: line-level keeps only
+    punctuation-terminated ≥5-word non-javascript lines; doc-level drops
+    on lorem ipsum, curly braces, or too few sentences — with the cleaned
+    text still emitted for dropped docs."""
+    from debezium_spark.dataops.text import c4_clean
+
+    df = spark.createDataFrame(
+        [
+            (1, "This is a good first sentence.\nShort line.\n"
+                "Another quite long sentence here!\n"
+                "And one more to clear the bar?\nno punctuation line"),
+            (2, "Uses javascript for the menu bar.\n"
+                "A perfectly fine long sentence one.\n"
+                "A perfectly fine long sentence two.\n"
+                "A perfectly fine long sentence three."),
+            (3, "Lorem Ipsum dolor sit amet is here.\n"
+                "A perfectly fine long sentence one.\n"
+                "A perfectly fine long sentence two.\n"
+                "A perfectly fine long sentence three."),
+            (4, "function f() { return 1; }\n"
+                "A perfectly fine long sentence one.\n"
+                "A perfectly fine long sentence two.\n"
+                "A perfectly fine long sentence three."),
+            (5, "Only one good sentence lives here."),
+            (6, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in c4_clean(df).collect()}
+    # doc 1: the 2-word and unpunctuated lines drop, 3 sentences remain
+    assert out[1]["keep"] is True
+    assert out[1]["n_lines_kept"] == 3 and out[1]["n_lines_total"] == 5
+    assert "Short line." not in out[1]["clean_text"]
+    assert "no punctuation line" not in out[1]["clean_text"]
+    # doc 2: the javascript line drops (case-insensitive), doc survives
+    assert out[2]["keep"] is True and out[2]["n_lines_kept"] == 3
+    assert "javascript" not in out[2]["clean_text"]
+    # docs 3/4: whole-document rules, cleaned text still emitted
+    assert out[3]["keep"] is False and out[3]["reasons"] == "lorem_ipsum"
+    assert out[4]["keep"] is False and out[4]["reasons"] == "curly_brace"
+    assert out[4]["clean_text"].count("\n") == 2  # the 3 good lines
+    # docs 5/6: sentence floor
+    assert out[5]["keep"] is False and out[5]["reasons"] == "too_few_sentences"
+    assert out[6]["clean_text"] == "" and out[6]["keep"] is False
