@@ -38,6 +38,11 @@ io.debezium.data.VariableScaleDecimal  struct{scale,value}     → decimal(38,s)
   (SpecialValueDecimal NaN/±Inf → null, per string-mode mapping)
 bytes                                  base64 string           → binary
 io.debezium.data.geometry.Geometry     struct{wkb bytes, srid} → passthrough
+io.debezium.data.EnumSet               comma-separated string  → array<string>
+io.debezium.data.{Enum,Json,Xml,Uuid}  string                  → string
+                                       (schema-name annotations only — the
+                                       reference carries no value conversion
+                                       for these; they ride as-is)
 =====================================  =====================================
 """
 
@@ -426,6 +431,20 @@ def wkb_point_xy(wkb_col: Column) -> Column:
         )
 
     return F.element_at(F.transform(F.array(F.hex(wkb_col)), build), 1)
+
+
+def enum_set_array(col: Column) -> Column:
+    """io.debezium.data.EnumSet: the wire value is a comma-separated string
+    of set members (reference ``data/EnumSet.java:17`` "string values
+    contain comma-separated values from an enumeration") → array<string>.
+    MySQL's empty SET serializes as '' — that is the empty set, not
+    [''] (``F.split('', ',')`` would yield ['']). NULL stays NULL. The
+    sibling annotations (Enum, Json, Xml, Uuid — ``data/{Enum,Json,Xml,
+    Uuid}.java``) are schema-name markers over plain strings with no value
+    transform, so they need no converter here."""
+    return F.when(col == "", F.array().cast("array<string>")).otherwise(
+        F.split(col, ",")
+    )
 
 
 def bits_to_long(col: Column) -> Column:

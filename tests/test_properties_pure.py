@@ -274,3 +274,118 @@ def test_wire_oversized_identifier_encodes_poison_not_raise():
                       ("c", "x" * 70000, None, None, None, None, None),
                       None, '{"a":1}')
     assert _unpack_one(frame) == (None,) * len(_COLUMNS)
+
+
+# ---- Avro schema-resolution fuzz (writer → random evolution → reader) ------
+#
+# The from-spec codec's riskiest surface is _resolution_map: a random
+# writer record, a random legal evolution (drop / add-with-null-default /
+# reorder / primitive promotion), and the decoded+remapped datum must equal
+# the hand-computed expectation (Avro 1.11 "Schema Resolution").
+
+import datetime as _dt
+from decimal import Decimal as _D
+
+from pyspark.sql.types import (
+    ArrayType, BinaryType, BooleanType, DateType, DecimalType, DoubleType,
+    FloatType, IntegerType, LongType, MapType, StringType, StructField,
+    StructType,
+)
+
+from debezium_spark.functions.avro import _dec_for, _enc_for, _resolution_map
+
+_ASCII = st.text(st.characters(min_codepoint=32, max_codepoint=126), max_size=12)
+
+#: base name → (writer DataType, value strategy)
+_BASES = {
+    "int": (IntegerType(), st.integers(-(10**6), 10**6)),
+    "bigint": (LongType(), st.integers(-(2**62), 2**62)),
+    "float": (FloatType(), st.integers(-1000, 1000).map(float)),
+    "double": (DoubleType(),
+               st.floats(allow_nan=False, allow_infinity=True, width=64)),
+    "string": (StringType(), st.text(max_size=12)),
+    "binary": (BinaryType(), _ASCII.map(lambda s: s.encode("ascii"))),
+    "boolean": (BooleanType(), st.booleans()),
+    "date": (DateType(), st.dates()),
+    "decimal": (DecimalType(12, 3),
+                st.integers(-(10**9), 10**9).map(lambda n: _D(n) / 1000)),
+    "arr": (ArrayType(LongType()),
+            st.lists(st.one_of(st.none(), st.integers(-(2**62), 2**62)),
+                     max_size=4)),
+    "map": (MapType(StringType(), StringType()),
+            st.dictionaries(_ASCII, st.one_of(st.none(), _ASCII), max_size=3)),
+}
+
+#: legal promotions per base: reader DataType + expected value transform
+#: (mirrors the spec rules _PROMOTIONS implements — computed independently
+#: here so the test is not tautological)
+_EVOLVE = {
+    "int": [(LongType(), lambda v: v), (DoubleType(), float),
+            (DateType(), lambda v: _dt.date(1970, 1, 1) + _dt.timedelta(days=v))],
+    "bigint": [(DoubleType(), float)],
+    "float": [(DoubleType(), lambda v: v)],
+    "string": [(BinaryType(), lambda v: v.encode("utf-8"))],
+    "binary": [(StringType(), lambda v: v.decode("utf-8"))],
+    "date": [(IntegerType(), lambda v: (v - _dt.date(1970, 1, 1)).days)],
+    "decimal": [(DecimalType(20, 3), lambda v: v)],  # precision widen: free
+    "arr": [(ArrayType(DoubleType()),
+             lambda v: [None if x is None else float(x) for x in v])],
+    "map": [],
+    "double": [], "boolean": [],
+}
+
+
+@st.composite
+def _evolution_case(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    bases = draw(st.lists(st.sampled_from(sorted(_BASES)), min_size=n,
+                          max_size=n))
+    writer = StructType(
+        [StructField(f"c{i}", _BASES[b][0]) for i, b in enumerate(bases)]
+    )
+    # evolution: keep-or-drop each field, optionally promote the kept ones
+    kept = []
+    for i, b in enumerate(bases):
+        if draw(st.booleans()):
+            continue  # writer-only: skipped by resolution
+        promos = _EVOLVE[b]
+        pick = draw(st.integers(min_value=-1, max_value=len(promos) - 1))
+        if pick < 0:
+            kept.append((f"c{i}", _BASES[b][0], lambda v: v))
+        else:
+            kept.append((f"c{i}", promos[pick][0], promos[pick][1]))
+    order = draw(st.permutations(range(len(kept))))
+    kept = [kept[i] for i in order]
+    n_new = draw(st.integers(min_value=0, max_value=2))
+    added = [
+        (f"r{j}", _BASES[draw(st.sampled_from(sorted(_BASES)))][0])
+        for j in range(n_new)
+    ]
+    reader = StructType(
+        [StructField(nm, t) for nm, t, _ in kept]
+        + [StructField(nm, t) for nm, t in added]
+    )
+    record = {
+        f"c{i}": draw(st.one_of(st.none(), _BASES[b][1]))
+        for i, b in enumerate(bases)
+    }
+    expected = {
+        nm: (None if record[nm] is None else xf(record[nm]))
+        for nm, _, xf in kept
+    }
+    expected.update({nm: None for nm, _ in added})
+    return writer, reader, record, expected
+
+
+@given(_evolution_case())
+@settings(max_examples=200, deadline=None)
+def test_avro_resolution_fuzz_decode_remap_matches_spec(case):
+    writer, reader, record, expected = case
+    out = bytearray()
+    _enc_for(writer)(record, out)
+    buf = bytes(out)
+    datum, off = _dec_for(writer)(buf, 0)
+    assert off == len(buf)  # decode consumes the frame exactly
+    remap = _resolution_map(writer, reader)
+    got = datum if remap is None else remap(datum)
+    assert got == expected

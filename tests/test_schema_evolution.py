@@ -811,6 +811,25 @@ def test_partition_and_charset_maintenance_history_only():
     assert parse_ddl_sql(
         "ALTER TABLE t CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_unicode_ci"
     ) == []
+    assert parse_ddl_sql("ALTER TABLE t COALESCE PARTITION 2") == []
+    assert parse_ddl_sql("ALTER TABLE t EXCHANGE PARTITION p0 WITH TABLE t2") == []
+    assert parse_ddl_sql("ALTER TABLE t DROP PARTITION p0, p1") == []
+    assert parse_ddl_sql("ALTER TABLE t CHARACTER SET = utf8mb4") == []
+    assert parse_ddl_sql("ALTER TABLE t ROW_FORMAT=DYNAMIC, KEY_BLOCK_SIZE=8") == []
+    # MySQL online-DDL hints ride as sibling clauses of a REAL mutation —
+    # the hint clauses must drop while the column op still parses
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN c INT, ALGORITHM=INPLACE, LOCK=NONE"
+    ) == [("add", "c", "int", None)]
+    # ENUM/SET column types land as string; the allowed-values list stays
+    # in the raw DDL on the history ledger (io.debezium.data.Enum/EnumSet
+    # are string-schema annotations, data/Enum.java:20, EnumSet.java:20)
+    assert parse_ddl_sql("ALTER TABLE t ADD flavor ENUM('a','b') DEFAULT 'a'") == [
+        ("add", "flavor", "string", "'a'")
+    ]
+    assert parse_ddl_sql("ALTER TABLE t ADD tags SET('x','y','z')") == [
+        ("add", "tags", "string", None)
+    ]
 
 
 def test_alter_reorder_column(spark, tmp_path):

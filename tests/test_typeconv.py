@@ -283,3 +283,20 @@ def test_wkb_point_xy(spark):
     assert out[100]["x"] == cases[0][0] and out[100]["y"] == cases[0][1]
     assert out[101] is None and out[102] is None
     assert out[103]["x"] is None and out[103]["y"] is None
+
+
+def test_enum_set_array(spark):
+    """io.debezium.data.EnumSet comma-separated wire string → array<string>.
+    Empty string = empty set (MySQL SET '' serialization), not [''];
+    NULL passes through; single member = one-element array."""
+    df = spark.createDataFrame(
+        [(0, "a,b,c"), (1, ""), (2, None), (3, "solo")], "i int, s string"
+    )
+    out = {
+        r["i"]: r["v"]
+        for r in df.select("i", tc.enum_set_array(F.col("s")).alias("v")).collect()
+    }
+    assert out[0] == ["a", "b", "c"]
+    assert out[1] == []
+    assert out[2] is None
+    assert out[3] == ["solo"]
