@@ -38,6 +38,11 @@ from debezium_spark.dataops.similarity import (
     bucketed_ann_topk,
     embedding_near_duplicates,
 )
+from debezium_spark.dataops.sampling import (
+    hash_split,
+    sample_by_rate,
+    temperature_mix,
+)
 from debezium_spark.dataops.text import (
     c4_clean,
     doc_fingerprint,
@@ -2168,6 +2173,69 @@ SELECT doc_id, MIN(h) AS fingerprint, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_gra
 FROM g GROUP BY doc_id"""
 
 
+#: the md5-prefix U(0,1) expression, DuckDB side — must mirror
+#: dataops.sampling.hash_fraction bit-for-bit (md5 is engine-identical;
+#: the division by 2^32 is IEEE-exact in both)
+_SQL_HASH_FRAC = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT"
+    " / 4294967296.0"
+)
+
+
+def q_corpus_sample_by_rate(spark, sf_dir):
+    """Deterministic per-language Bernoulli sample (dataops.sampling):
+    keep iff md5-fraction(doc_id) < rate[lang]. Rates chosen to exercise
+    the map hit, the default fallback, and both extremes."""
+    return sample_by_rate(
+        _read(spark, sf_dir, "documents"),
+        {"en": 0.5, "de": 1.0, "fr": 0.0},
+        group_col="lang",
+        default_rate=0.25,
+    ).select("doc_id", "lang")
+
+
+SQL_corpus_sample_by_rate = f"""SELECT doc_id, lang FROM documents
+WHERE {_SQL_HASH_FRAC} <
+  CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'fr' THEN 0.0
+            ELSE 0.25 END"""
+
+
+def q_corpus_temperature_mix(spark, sf_dir):
+    """Temperature-scaled language mixing (alpha = 0.5 so alpha-1 = -0.5
+    is exactly representable — the oracle's pow literal must be the same
+    double): per-group keep rate (n_g / n_min)^(alpha-1), smallest group
+    kept whole, deterministic hash-Bernoulli row selection."""
+    return temperature_mix(
+        _read(spark, sf_dir, "documents"), alpha=0.5, group_col="lang"
+    ).select("doc_id", "lang")
+
+
+SQL_corpus_temperature_mix = f"""WITH counts AS (
+  SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS m FROM counts),
+r AS (SELECT lang, pow(n / (SELECT m FROM mn), -0.5) AS rate FROM counts)
+SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+WHERE {_SQL_HASH_FRAC} < r.rate"""
+
+
+def q_corpus_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split: interval lookup on the same
+    md5 fraction. Boundaries 0.75 / 0.875 are exactly-representable
+    doubles, so the Python cumulative sum and the SQL literals are the
+    same values."""
+    return hash_split(
+        _read(spark, sf_dir, "documents"),
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+    ).select("doc_id", "lang", "split")
+
+
+SQL_corpus_hash_split = f"""SELECT doc_id, lang,
+  CASE WHEN {_SQL_HASH_FRAC} < 0.75 THEN 'train'
+       WHEN {_SQL_HASH_FRAC} < 0.875 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents"""
+
+
 # --------------------------------------------------------------------------
 # General analytics (bench breadth): TPC-H-style over the star schema.
 # Money compared as integer cents (per-row round before sum → exact).
@@ -2520,6 +2588,9 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "repetition_stats": (q_repetition_stats, SQL_repetition_stats),
     "gopher_doc_filter": (q_gopher_doc_filter, SQL_gopher_doc_filter),
     "c4_clean": (q_c4_clean, SQL_c4_clean),
+    "corpus_sample_by_rate": (q_corpus_sample_by_rate, SQL_corpus_sample_by_rate),
+    "corpus_temperature_mix": (q_corpus_temperature_mix, SQL_corpus_temperature_mix),
+    "corpus_hash_split": (q_corpus_hash_split, SQL_corpus_hash_split),
 }
 
 

@@ -19,6 +19,12 @@ from debezium_spark.dataops.similarity import (
     bucketed_ann_topk,
     embedding_near_duplicates,
 )
+from debezium_spark.dataops.sampling import (
+    hash_fraction,
+    hash_split,
+    sample_by_rate,
+    temperature_mix,
+)
 from debezium_spark.dataops.text import (
     c4_clean,
     doc_fingerprint,
@@ -41,6 +47,10 @@ __all__ = [
     "embedding_near_duplicates",
     "doc_fingerprint",
     "gopher_doc_filter",
+    "hash_fraction",
+    "hash_split",
+    "sample_by_rate",
+    "temperature_mix",
     "language_id",
     "quality_score",
     "repetition_stats",
