@@ -38,6 +38,7 @@ from debezium_spark.dataops.similarity import (
     bucketed_ann_topk,
     embedding_near_duplicates,
 )
+from debezium_spark.dataops.packing import pack_sequences
 from debezium_spark.dataops.sampling import (
     hash_split,
     sample_by_rate,
@@ -2182,6 +2183,43 @@ _SQL_HASH_FRAC = (
 )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing: whitespace token counts (the proven
+    token_stats expression), then the distributed prefix sum assigns each
+    doc its global token offset and spanned fixed-length sequences. The
+    oracle reproduces the (bucket, fraction, id) total order with one
+    plain global window — correct at oracle scale, the thing the
+    distributed form exists to avoid at corpus scale."""
+    docs = _read(spark, sf_dir, "documents")
+    ts = token_stats(docs).select(
+        "doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens")
+    )
+    return pack_sequences(ts, seq_len=256, tokens_col="ws_tokens")
+
+
+SQL_pack_sequences = """WITH t AS (
+  SELECT doc_id,
+    CAST(CASE WHEN trim(text) = '' THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)
+      AS n_tokens
+  FROM documents),
+h AS (SELECT doc_id, n_tokens,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS h32
+      FROM t WHERE n_tokens > 0),
+o AS (SELECT doc_id, n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (
+          ORDER BY h32 % 64, h32, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS global_start
+      FROM h)
+SELECT doc_id, n_tokens, global_start,
+  CAST(FLOOR(global_start / 256) AS BIGINT) AS first_seq,
+  CAST(FLOOR((global_start + n_tokens - 1) / 256) AS BIGINT) AS last_seq,
+  CAST(FLOOR((global_start + n_tokens - 1) / 256)
+       - FLOOR(global_start / 256) + 1 AS BIGINT) AS n_seqs
+FROM o"""
+
+
 def q_corpus_sample_by_rate(spark, sf_dir):
     """Deterministic per-language Bernoulli sample (dataops.sampling):
     keep iff md5-fraction(doc_id) < rate[lang]. Rates chosen to exercise
@@ -2591,6 +2629,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_sample_by_rate": (q_corpus_sample_by_rate, SQL_corpus_sample_by_rate),
     "corpus_temperature_mix": (q_corpus_temperature_mix, SQL_corpus_temperature_mix),
     "corpus_hash_split": (q_corpus_hash_split, SQL_corpus_hash_split),
+    "pack_sequences": (q_pack_sequences, SQL_pack_sequences),
 }
 
 

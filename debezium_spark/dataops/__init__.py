@@ -19,6 +19,7 @@ from debezium_spark.dataops.similarity import (
     bucketed_ann_topk,
     embedding_near_duplicates,
 )
+from debezium_spark.dataops.packing import pack_sequences
 from debezium_spark.dataops.sampling import (
     hash_fraction,
     hash_split,
@@ -49,6 +50,7 @@ __all__ = [
     "gopher_doc_filter",
     "hash_fraction",
     "hash_split",
+    "pack_sequences",
     "sample_by_rate",
     "temperature_mix",
     "language_id",
