@@ -52,6 +52,7 @@ from debezium_spark.dataops.text import (
     quality_score,
     repetition_stats,
     token_stats,
+    unigram_logprob,
 )
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -2183,6 +2184,38 @@ _SQL_HASH_FRAC = (
 )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM quality scoring: every doc scored against an
+    add-1-smoothed unigram model trained on the ENGLISH slice only, vocab
+    capped at 500 — so both the out-of-vocab path (non-English tokens
+    unseen in the reference) and the tail-beyond-top-k path are live in
+    the oracle comparison."""
+    docs = _read(spark, sf_dir, "documents")
+    return unigram_logprob(
+        docs, ref=docs.where(F.col("lang") == "en"), top_k=500
+    )
+
+
+SQL_unigram_logprob = """WITH tok_ref AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents WHERE lang = 'en'),
+cnt AS (SELECT term, count(*) AS c FROM tok_ref GROUP BY term),
+nv AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM tok_ref) AS n,
+              (SELECT CAST(count(*) AS DOUBLE) + 1 FROM cnt) AS v),
+top AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 500),
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents),
+sc AS (SELECT t.doc_id,
+         -ln((COALESCE(tp.c, 0) + 1.0) / (nv.n + 1.0 * nv.v)) AS nll
+       FROM tok t LEFT JOIN top tp USING (term), nv),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(avg(nll), 6) AS avg_nll
+        FROM sc GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(a.n_tokens, 0) AS n_tokens, a.avg_nll
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """GPT-style sequence packing: whitespace token counts (the proven
     token_stats expression), then the distributed prefix sum assigns each
@@ -2630,6 +2663,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_temperature_mix": (q_corpus_temperature_mix, SQL_corpus_temperature_mix),
     "corpus_hash_split": (q_corpus_hash_split, SQL_corpus_hash_split),
     "pack_sequences": (q_pack_sequences, SQL_pack_sequences),
+    "unigram_logprob": (q_unigram_logprob, SQL_unigram_logprob),
 }
 
 

@@ -34,6 +34,7 @@ from debezium_spark.dataops.text import (
     quality_score,
     repetition_stats,
     token_stats,
+    unigram_logprob,
 )
 
 __all__ = [
@@ -53,6 +54,7 @@ __all__ = [
     "pack_sequences",
     "sample_by_rate",
     "temperature_mix",
+    "unigram_logprob",
     "language_id",
     "quality_score",
     "repetition_stats",

@@ -461,6 +461,67 @@ def vocab_topk(docs, k: int = 100, text_col: str = "text"):
     )
 
 
+def unigram_logprob(
+    docs,
+    ref=None,
+    top_k: int = 50_000,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """CCNet-style language-model quality signal: score every document by
+    its mean negative log-likelihood under an add-``alpha``-smoothed
+    unigram model trained on a reference corpus (CCNet filters CommonCrawl
+    by Wikipedia-LM perplexity; this is the same signal with the LM
+    reduced to its order-1 form, trainable in two aggregations — the
+    operator SHAPE is what scales, and a higher-order external LM would
+    slot in as a scoring UDF).
+
+    Model: ``p(t) = (c(t) + alpha) / (N + alpha * V)`` where ``c`` counts
+    token occurrences in ``ref`` (default: ``docs`` itself — self-scoring
+    flags outlier documents), ``N`` is the total reference token count and
+    ``V`` is the distinct-term count plus one OOV bucket. Only the
+    ``top_k`` most frequent terms keep their counts (count desc, term asc
+    tie order — deterministic); tail terms score as OOV. That cap is the
+    scale knob: the scoring join stays broadcastable at any corpus size,
+    exactly how production pipelines bound their LM vocab.
+
+    Returns (id_col, n_tokens, avg_nll): natural-log NLL averaged per
+    token, rounded to 6 dp (float parity margin: cross-engine libm and
+    summation-order noise is ~1e-13 relative). Zero-token docs get
+    n_tokens 0 and null avg_nll. Shape: explode → broadcast-join vocab →
+    one partial-aggregable groupBy(doc); the model side is two
+    aggregations to O(top_k) and O(1) rows."""
+    from pyspark.sql import functions as F
+
+    ref = docs if ref is None else ref
+    ref_tok = ref.select(F.explode(tokens_col(text_col)).alias("term"))
+    counts = ref_tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("term")).limit(top_k)
+    model = counts.agg(
+        F.sum("cnt").alias("_n"),
+        (F.count(F.lit(1)) + F.lit(1)).alias("_v"),  # +1 = the OOV bucket
+    )
+    tok = docs.select(
+        F.col(id_col), F.explode_outer(tokens_col(text_col)).alias("term")
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.col("_n") + F.lit(float(alpha)) * F.col("_v"))
+    )
+    return (
+        tok.join(F.broadcast(top), "term", "left")
+        .crossJoin(F.broadcast(model))
+        .groupBy(id_col)
+        .agg(
+            F.count("term").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(F.when(F.col("term").isNotNull(), nll)), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
 def quantize_embeddings(
     emb,
     id_col: str = "vec_id",

@@ -525,3 +525,58 @@ def test_c4_clean_line_rules_and_doc_rules(spark):
     # docs 5/6: sentence floor
     assert out[5]["keep"] is False and out[5]["reasons"] == "too_few_sentences"
     assert out[6]["clean_text"] == "" and out[6]["keep"] is False
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus, model checked against a by-hand add-1 unigram NLL."""
+    import math
+
+    from debezium_spark.dataops.text import unigram_logprob
+
+    # ref = docs: counts {the:3, cat:2, sat:1, zyx:1, unseen:1},
+    # N=8 tokens, V=6 (5 distinct terms + the OOV bucket)
+    df = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the the cat"), (2, "zyx unseen"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict() for r in unigram_logprob(df).collect()}
+
+    def p(c):
+        return (c + 1.0) / (8 + 1.0 * 6)
+
+    exp0 = round(-(math.log(p(3)) + math.log(p(2)) + math.log(p(1))) / 3, 6)
+    exp2 = round(-2 * math.log(p(1)) / 2, 6)
+    assert out[0]["n_tokens"] == 3 and out[0]["avg_nll"] == exp0
+    assert out[2]["n_tokens"] == 2 and out[2]["avg_nll"] == exp2
+    assert out[3]["n_tokens"] == 0 and out[3]["avg_nll"] is None
+    # common words score better (lower NLL) than unseen gibberish
+    assert out[1]["avg_nll"] < out[0]["avg_nll"] < out[2]["avg_nll"]
+
+
+def test_unigram_logprob_topk_cap_sends_tail_to_oov(spark):
+    """A term in the reference but outside the top-k vocab must score with
+    count 0 (OOV), not its true count — the broadcastability contract."""
+    import math
+
+    from debezium_spark.dataops.text import unigram_logprob
+
+    # counts: aa:3, bb:2, cc:1 — top_k=2 keeps aa,bb; cc scores as OOV
+    df = spark.createDataFrame(
+        [(0, "aa aa aa bb bb cc")], "doc_id long, text string"
+    )
+    out = unigram_logprob(df, top_k=2).first()
+    n, v = 6.0, 4.0
+    exp = round(
+        -(3 * math.log(4 / (n + v)) + 2 * math.log(3 / (n + v))
+          + 1 * math.log(1 / (n + v))) / 6, 6,
+    )
+    assert out["avg_nll"] == exp
+
+
+def test_unigram_logprob_scoring_join_is_broadcast(spark):
+    from debezium_spark.dataops.text import unigram_logprob
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # the corpus side must never sort-merge
