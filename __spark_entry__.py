@@ -49,6 +49,7 @@ from debezium_spark.dataops.text import (
     doc_fingerprint,
     language_id,
     gopher_doc_filter,
+    line_dedup,
     quality_score,
     repetition_stats,
     token_stats,
@@ -2630,6 +2631,126 @@ _REGISTRY: dict[str, tuple[Callable, str | None]] = {
 
 assert len(_REGISTRY) == 50, f"driver registry must stay at 50, got {len(_REGISTRY)}"
 
+def q_line_dedup(spark, sf_dir):
+    """Corpus-level exact line dedup (RefinedWeb/CCNet boilerplate pass):
+    the synthetic corpus is single-line, so the wrapper assembles a
+    5-line document per row — a per-source boilerplate header, the
+    original (unique) text, a blank line, a per-language footer, and a
+    unique id line. Lines repeated across >= 3 documents (the source and
+    lang boilerplate) are removed from every document; unique lines and
+    blanks survive in order."""
+    from debezium_spark.dataops.text import line_dedup as _ld
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("source: "), F.col("source")),
+            F.col("text"),
+            F.lit(""),
+            F.concat(F.lit("lang="), F.col("lang")),
+            F.concat(F.lit("id:"), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return _ld(docs, min_docs=3)
+
+
+SQL_line_dedup = """WITH src AS (
+  SELECT doc_id,
+         concat_ws(chr(10), 'source: ' || source, text, '',
+                   'lang=' || lang, 'id:' || CAST(doc_id AS VARCHAR)) AS text
+  FROM documents),
+arr AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM src),
+l AS (SELECT doc_id, unnest(ls) AS line,
+             unnest(generate_series(1, len(ls))) AS pos FROM arr),
+d AS (SELECT h FROM (
+        SELECT DISTINCT sha256(trim(line)) AS h, doc_id
+        FROM l WHERE trim(line) <> '')
+      GROUP BY h HAVING count(*) >= 3),
+k AS (SELECT l.doc_id, l.pos, l.line
+      FROM l LEFT JOIN d
+        ON trim(l.line) <> '' AND sha256(trim(l.line)) = d.h
+      WHERE d.h IS NULL),
+a AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+             CAST(count(*) AS BIGINT) AS n_lines_kept
+      FROM k GROUP BY doc_id),
+t AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM l GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+       COALESCE(a.n_lines_kept, 0) AS n_lines_kept,
+       t.nt - COALESCE(a.n_lines_kept, 0) AS n_lines_dropped
+FROM t LEFT JOIN a USING (doc_id)"""
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (k-means cells + within-cell cosine >= 0.8 + components,
+    survivor = farthest-from-centroid): the corpus has no semantic
+    near-dups (within-cell max cosine ~0.51), so the wrapper unions a
+    perturbed copy of the first 50 vectors (+0.5 on dim 0, id+10000) —
+    copies land in their original's cell and pair with it above 0.8;
+    everything else survives as itself. Same quantizer as ann_ivf_topk
+    (n_cells=8, id-seeded init, 0 Lloyd iterations) so the oracle reuses
+    the proven centroid SQL."""
+    from debezium_spark.dataops.similarity import semantic_dedup as _sd
+
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    near = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.5)).otherwise(x),
+        ).alias("embedding"),
+    )
+    out = _sd(
+        emb.unionByName(near), n_cells=8, kmeans_iters=0,
+        threshold=0.8, max_cell_size=None,
+    )
+    return out.select(
+        "vec_id", "cell", "survivor_id",
+        F.col("is_duplicate").cast("string").alias("is_duplicate"),
+    )
+
+
+SQL_semantic_dedup = f"""WITH RECURSIVE base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+e AS (SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 10000, list_concat([v[1] + 0.5], v[2:]) FROM base
+      WHERE vec_id < 50),
+cent AS (SELECT vec_id % 8 AS cid, i AS dim, ROUND(AVG(v[i]), 4) AS c
+         FROM e, generate_series(1, 64) AS t(i) GROUP BY vec_id % 8, i),
+centv AS (SELECT cid, list(c ORDER BY dim) AS cv FROM cent GROUP BY cid),
+ca AS (SELECT vec_id, v, cid, {_SQDIST_SQL.format(a='v', b='cv')} AS d,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY {_SQDIST_SQL.format(a='v', b='cv')}, cid) AS r
+       FROM e, centv),
+m AS (SELECT vec_id AS id, v, cid AS cell, d AS cdist FROM ca WHERE r = 1),
+p AS (SELECT a.id AS id_a, b.id AS id_b
+      FROM m a JOIN m b ON a.cell = b.cell AND a.id < b.id
+      WHERE ROUND({_COS_SQL.format(a='a.v', b='b.v')}, 6) >= 0.8),
+edges AS (SELECT id_a AS s, id_b AS d FROM p
+          UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT s AS node FROM edges),
+reach(node, r) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.d, reach.r FROM reach JOIN edges e2 ON e2.s = reach.node),
+comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+cm AS (SELECT c.component, m.id, m.cdist FROM comp c JOIN m ON m.id = c.node),
+sv AS (SELECT component, id AS survivor FROM (
+         SELECT component, id,
+                ROW_NUMBER() OVER (PARTITION BY component
+                                   ORDER BY cdist DESC, id ASC) AS rn
+         FROM cm) WHERE rn = 1)
+SELECT m.id AS vec_id, CAST(m.cell AS BIGINT) AS cell,
+       COALESCE(sv.survivor, m.id) AS survivor_id,
+       CAST(m.id <> COALESCE(sv.survivor, m.id) AS VARCHAR) AS is_duplicate
+FROM m LEFT JOIN comp c ON c.node = m.id
+       LEFT JOIN sv ON sv.component = c.component"""
+
+
 #: beyond the driver cap: redundant variants of driver-checked operators
 #: (stub decode vs real; signatures vs pairs; read vs handoff; stamp vs
 #: metadata; drop-deletes vs rewrite flatten) and general-OLAP demos
@@ -2664,6 +2785,8 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_hash_split": (q_corpus_hash_split, SQL_corpus_hash_split),
     "pack_sequences": (q_pack_sequences, SQL_pack_sequences),
     "unigram_logprob": (q_unigram_logprob, SQL_unigram_logprob),
+    "line_dedup": (q_line_dedup, SQL_line_dedup),
+    "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
 }
 
 

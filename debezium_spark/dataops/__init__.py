@@ -18,6 +18,7 @@ from debezium_spark.dataops.similarity import (
     brute_force_topk,
     bucketed_ann_topk,
     embedding_near_duplicates,
+    semantic_dedup,
 )
 from debezium_spark.dataops.packing import pack_sequences
 from debezium_spark.dataops.sampling import (
@@ -31,6 +32,7 @@ from debezium_spark.dataops.text import (
     doc_fingerprint,
     gopher_doc_filter,
     language_id,
+    line_dedup,
     quality_score,
     repetition_stats,
     token_stats,
@@ -47,6 +49,8 @@ __all__ = [
     "brute_force_topk",
     "bucketed_ann_topk",
     "embedding_near_duplicates",
+    "semantic_dedup",
+    "line_dedup",
     "doc_fingerprint",
     "gopher_doc_filter",
     "hash_fraction",

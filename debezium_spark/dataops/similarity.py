@@ -265,9 +265,11 @@ def embedding_near_duplicates(
     block_col: str = "label",
     min_round_sim: float = 0.0,
     max_block_size: int | None = 10_000,
+    round_dp: int = 2,
 ) -> DataFrame:
-    """Blocked pairwise cosine (a<b within a block), rounded to 2dp. Emitting
-    the rounded score instead of thresholding keeps the result set exactly
+    """Blocked pairwise cosine (a<b within a block), rounded to ``round_dp``
+    decimals (default 2 — the historical "cos2" contract). Emitting the
+    rounded score instead of thresholding keeps the result set exactly
     reproducible; callers filter at whatever cut they need.
 
     ``max_block_size`` bounds the quadratic term: a block of size s is
@@ -303,9 +305,86 @@ def embedding_near_duplicates(
             # +0.0 canonicalizes IEEE -0.0 → 0.0 (engines render them apart)
             (
                 F.round(
-                    _guarded_cosine(F.col("va"), F.col("vb"), denom), 2
+                    _guarded_cosine(F.col("va"), F.col("vb"), denom), round_dp
                 ) + F.lit(0.0)
             ).alias("cos2"),
         )
         .filter(F.col("cos2") >= min_round_sim)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    n_cells: int = 8,
+    kmeans_iters: int = 0,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell_size: int | None = 10_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with the IVF coarse
+    quantizer (``kmeans_centroids`` — deterministic, id-seeded), compute
+    pairwise cosine ONLY within a cluster, connect pairs with rounded
+    cosine >= ``threshold`` into components, and keep one exemplar per
+    component. Following the paper's rule ("keep the examples with the
+    lowest cosine similarity to the cluster centroid"), the survivor is
+    the component member FARTHEST from its centroid (max rounded squared
+    L2), id-ascending tie-break — fully deterministic, so an ANSI oracle
+    reproduces the decision bit-for-bit.
+
+    Scale shape: clustering is the kmeans/assign machinery (posexplode
+    partial-agg means + broadcast-k assignment); the quadratic term is
+    confined to within-cell pairs and bounded by ``max_cell_size``
+    (hash sub-sharding via ``embedding_near_duplicates`` — a dominant
+    cluster cannot become a single-task n² bomb); survivorship is the
+    O(log diameter) pointer-doubling ``connected_components``. Nothing
+    touches the driver except the CC loop's control flow.
+
+    Output: one row per input vector —
+    (id_col, cell, survivor_id, is_duplicate)."""
+    from debezium_spark.dataops.dedup import connected_components
+
+    cents = kmeans_centroids(
+        embeddings, n_cells=n_cells, iters=kmeans_iters,
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = assign_cells(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        cents, id_col="id", vec_col="v",
+    )
+    # distance-to-own-centroid (the paper's exemplar criterion), rounded
+    # like every cross-engine float here so the survivor choice is stable
+    members = (
+        assigned.join(F.broadcast(cents), assigned.cell == cents.cid)
+        .select(
+            "id", "v", "cell",
+            F.round(_sq_dist(F.col("v"), F.col("cvec")), 6).alias("cdist"),
+        )
+    )
+    pairs = embedding_near_duplicates(
+        members, id_col="id", vec_col="v", block_col="cell",
+        min_round_sim=threshold, max_block_size=max_cell_size, round_dp=6,
+    )
+    comp = connected_components(pairs, a_col="id_a", b_col="id_b")
+    # survivor per component = max (cdist, -id): farthest from centroid,
+    # then lowest id — one partial-aggregable max_by, no window sort
+    surv = (
+        members.join(comp, members.id == comp.node)
+        .groupBy("component")
+        .agg(
+            F.max_by(
+                F.col("id"), F.struct(F.col("cdist"), (-F.col("id")).alias("negid"))
+            ).alias("survivor")
+        )
+    )
+    out = (
+        members.join(comp, members.id == comp.node, "left")
+        .join(surv, on="component", how="left")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("survivor"), F.col("id")).alias("survivor_id"),
+        )
+    )
+    return out.withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))

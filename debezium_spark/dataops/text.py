@@ -564,3 +564,72 @@ def quantize_embeddings(
             F.transform(v, lambda x: F.lit(0))
         ).alias("qvec"),
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level exact line deduplication — the RefinedWeb/CCNet
+    boilerplate-removal pass (Penedo et al. 2023 §3.4 run line-wise;
+    CCNet, Wenzek et al. 2020 §3.1, dedupes hashed lines across shards):
+    a line whose trimmed form appears in >= ``min_docs`` DISTINCT
+    documents is boilerplate (headers, nav bars, cookie banners) and is
+    removed from EVERY document; the rest of each document re-joins in
+    original line order. Blank lines never count as duplicates (they
+    would trivially collide corpus-wide and shred formatting).
+
+    Scale shape: lines ride as sha256 digests, not strings, through the
+    heavy operations — the duplicate census is distinct(digest, doc) →
+    count per digest (two partial-aggregable shuffles on a 32-byte key),
+    the removal is an equi-join on the digest (Catalyst broadcasts it
+    when the boilerplate set is small; at corpus scale it degrades to a
+    hash join, never a cartesian), and reassembly is one groupBy(doc)
+    over (pos, line) structs. No window over the full corpus, no UDF.
+
+    Output: (id_col, clean_text, n_lines_kept, n_lines_dropped) — one row
+    per input document (a fully-boilerplate doc survives with
+    clean_text = '')."""
+    if min_docs < 2:
+        raise ValueError("min_docs must be >= 2 (1 would drop every line)")
+    lines = docs.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn(
+        "h",
+        F.when(F.trim(F.col("line")) != "", F.sha2(F.trim(F.col("line")), 256)),
+    )
+    dup = (
+        lines.where(F.col("h").isNotNull())
+        .select("h", "did").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") >= min_docs)
+        .select("h")
+    )
+    kept = lines.join(dup.withColumn("_dup", F.lit(True)), on="h", how="left").where(
+        F.col("_dup").isNull()
+    )
+    agg = kept.groupBy("did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("did").agg(F.count(F.lit(1)).alias("_nt"))
+    return (
+        totals.join(agg, on="did", how="left")
+        .select(
+            F.col("did").alias(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_lines_kept"), F.lit(0)).cast("long").alias("n_lines_kept"),
+            (F.col("_nt") - F.coalesce(F.col("n_lines_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_dropped"),
+        )
+    )

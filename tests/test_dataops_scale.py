@@ -580,3 +580,118 @@ def test_unigram_logprob_scoring_join_is_broadcast(spark):
     plan = unigram_logprob(df)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan  # the corpus side must never sort-merge
+
+
+# ---------------------------------------------------------------- line dedup
+
+
+def test_line_dedup_drops_cross_doc_boilerplate_preserving_order(spark):
+    from debezium_spark.dataops.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "COOKIE BANNER\nunique one\n\nfooter text"),
+            (2, "  COOKIE BANNER  \nunique two\nfooter text"),
+            (3, "unique three\nfooter text\nCOOKIE BANNER"),
+            # all-boilerplate doc: survives with clean_text = ''
+            (4, "COOKIE BANNER\nfooter text"),
+            # a line repeated 5x within ONE doc is not corpus boilerplate
+            (5, "solo\nsolo\nsolo\nsolo\nsolo"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, min_docs=3).collect()
+    }
+    # trimmed forms match across docs: both boilerplate lines hit 3+ docs
+    assert out[1]["clean_text"] == "unique one\n"  # blank line survives
+    assert out[1]["n_lines_kept"] == 2 and out[1]["n_lines_dropped"] == 2
+    assert out[2]["clean_text"] == "unique two"
+    assert out[3]["clean_text"] == "unique three"
+    assert out[4]["clean_text"] == "" and out[4]["n_lines_kept"] == 0
+    assert out[4]["n_lines_dropped"] == 2
+    # within-doc repetition counts ONE distinct doc -> kept intact
+    assert out[5]["clean_text"] == "solo\nsolo\nsolo\nsolo\nsolo"
+    assert out[5]["n_lines_dropped"] == 0
+
+
+def test_line_dedup_min_docs_validated(spark):
+    import pytest
+
+    from debezium_spark.dataops.text import line_dedup
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        line_dedup(docs, min_docs=1)
+
+
+def test_line_dedup_census_joins_on_digest_not_line(spark):
+    """The duplicate census and removal join must ride the sha256 digest,
+    not the raw line string — at corpus scale lines are arbitrarily long
+    and the shuffle key must stay 32 bytes."""
+    from debezium_spark.dataops.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x\ny"), (2, "x\nz")], "doc_id long, text string"
+    )
+    plan = line_dedup(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert "sha2" in plan
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+def test_semantic_dedup_survivor_is_farthest_from_centroid(spark):
+    """SemDeDup keeps the component member with the LOWEST similarity to
+    its cluster centroid (= max squared distance), id tie-break."""
+    import numpy as np
+
+    from debezium_spark.dataops.similarity import semantic_dedup
+
+    vecs = {
+        0: [10.0, 0.0],     # near-dup pair with 1 (cos ~ 0.995)
+        1: [9.0, 0.9],
+        2: [0.0, 5.0],      # unrelated direction: survives alone
+    }
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in semantic_dedup(
+            emb, n_cells=1, kmeans_iters=0, threshold=0.9, max_cell_size=None
+        ).collect()
+    }
+    # single cell: centroid = elementwise mean (rounded 4dp)
+    cent = np.round(np.mean(list(vecs.values()), axis=0), 4)
+    d = {i: round(float(np.sum((np.array(v) - cent) ** 2)), 6) for i, v in vecs.items()}
+    expect_survivor = 0 if d[0] > d[1] else 1
+    assert d[0] != d[1], "fixture must not tie"
+    assert out[0]["survivor_id"] == expect_survivor
+    assert out[1]["survivor_id"] == expect_survivor
+    assert out[2]["survivor_id"] == 2 and out[2]["is_duplicate"] is False
+    dup = 1 if expect_survivor == 0 else 0
+    assert out[dup]["is_duplicate"] is True
+    assert out[expect_survivor]["is_duplicate"] is False
+
+
+def test_semantic_dedup_cell_cap_plumbs_through(spark):
+    """max_cell_size sub-shards a cell below pair formation (the
+    single-task n-squared guard reaches this operator too): pairs form
+    only within a hash shard, so a capped run finds STRICTLY fewer
+    duplicates on a corpus whose near-dups span shards — while every
+    input row still comes back exactly once."""
+    from debezium_spark.dataops.similarity import semantic_dedup
+
+    n = 12
+    emb = spark.createDataFrame(
+        [(i, [10.0 + i * 0.01, float(i) * 0.001]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    full = semantic_dedup(emb, n_cells=1, threshold=0.9, max_cell_size=None)
+    full_dups = full.where("is_duplicate").count()
+    assert full_dups == n - 1  # all mutual near-dups: one component
+    capped = semantic_dedup(emb, n_cells=1, threshold=0.9, max_cell_size=1)
+    assert capped.where("is_duplicate").count() < full_dups
+    assert capped.count() == n
