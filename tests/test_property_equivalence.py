@@ -178,3 +178,46 @@ def test_decontaminate_equals_bruteforce_set_semantics(spark, train, bench, k):
         if hits >= 1:
             want[i] = (hits, sum(1 for bs in bench_sets.values() if s & bs))
     assert got == want
+
+
+_LINE_POOL = ["alpha", " alpha ", "\talpha", "beta", "", "  ", "gamma delta", "x"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(_LINE_POOL), min_size=0, max_size=6),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(doc_lines=docs_strategy, min_docs=st.integers(min_value=2, max_value=3))
+def test_line_dedup_equals_bruteforce(spark, doc_lines, min_docs):
+    """For ANY corpus over a tiny line pool (including blank and
+    whitespace-only lines and trim-variant duplicates), line_dedup must
+    equal the brute-force definition: a line is dropped iff its TRIMMED
+    non-empty form appears in >= min_docs DISTINCT docs; survivors keep
+    original order; every doc returns exactly once. Trim is SPACE-only
+    (the Spark/ANSI trim semantic — a tab-prefixed line is a distinct
+    form, pinned by the pool's tab variant)."""
+    from debezium_spark.dataops.text import line_dedup
+
+    texts = ["\n".join(ls) for ls in doc_lines]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"], r["n_lines_dropped"])
+        for r in line_dedup(df, min_docs=min_docs).collect()
+    }
+    census: dict[str, set] = {}
+    for i, t in enumerate(texts):
+        for ln in t.split("\n"):
+            if ln.strip(" "):
+                census.setdefault(ln.strip(" "), set()).add(i)
+    boiler = {k for k, v in census.items() if len(v) >= min_docs}
+    want = {}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [ln for ln in lines if not (ln.strip(" ") and ln.strip(" ") in boiler)]
+        want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+    assert got == want
