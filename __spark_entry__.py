@@ -2751,6 +2751,53 @@ FROM m LEFT JOIN comp c ON c.node = m.id
        LEFT JOIN sv ON sv.component = c.component"""
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """SRP-LSH bucketed ANN (the hash-partitioned alternative to the IVF
+    cell path): 6-bit signed-random-projection signatures, Hamming-1
+    multi-probe, exact rounded cosine on the bucket candidates. Plane
+    weights derive from md5("i:j") — the oracle regenerates them from the
+    formula, so corpus signatures, probe sets, and ranks reproduce
+    bit-for-bit."""
+    from debezium_spark.dataops.similarity import lsh_ann_topk
+
+    out = lsh_ann_topk(
+        _read(spark, sf_dir, "embeddings"),
+        query_ids=[0, 1, 2, 3, 4],
+        k=10,
+        n_planes=6,
+        hamming_probe=1,
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_ann_lsh_topk = f"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (SELECT i, list(w ORDER BY j) AS pw FROM (
+         SELECT i, j,
+           (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::UBIGINT
+            / 4294967296.0) * 2 - 1 AS w
+         FROM generate_series(0, 5) s(i), generate_series(0, 63) t(j))
+       GROUP BY i),
+sig AS (SELECT vec_id,
+          string_agg(CASE WHEN ROUND(list_dot_product(v, pw), 6) >= 0
+                          THEN '1' ELSE '0' END, '' ORDER BY i) AS sig
+        FROM e, pl GROUP BY vec_id),
+corpus AS (SELECT e.vec_id AS n_id, e.v AS nv, sig.sig FROM e JOIN sig USING (vec_id)),
+q AS (SELECT n_id AS q_id, nv AS qv, sig AS qsig FROM corpus WHERE n_id < 5),
+probes AS (SELECT q_id, qv, qsig AS sig FROM q
+           UNION ALL
+           SELECT q_id, qv,
+                  substr(qsig, 1, p - 1)
+                  || (CASE substr(qsig, p, 1) WHEN '1' THEN '0' ELSE '1' END)
+                  || substr(qsig, p + 1)
+           FROM q, generate_series(1, 6) g(p)),
+s AS (SELECT q_id, n_id, ROUND({_COS_SQL.format(a='qv', b='nv')}, 6) AS cos_sim
+      FROM probes JOIN corpus USING (sig) WHERE n_id <> q_id),
+r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, n_id) AS BIGINT) AS rank FROM s)
+SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10"""
+
+
 #: beyond the driver cap: redundant variants of driver-checked operators
 #: (stub decode vs real; signatures vs pairs; read vs handoff; stamp vs
 #: metadata; drop-deletes vs rewrite flatten) and general-OLAP demos
@@ -2787,6 +2834,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "unigram_logprob": (q_unigram_logprob, SQL_unigram_logprob),
     "line_dedup": (q_line_dedup, SQL_line_dedup),
     "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ann_lsh_topk),
 }
 
 

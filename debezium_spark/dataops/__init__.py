@@ -18,6 +18,7 @@ from debezium_spark.dataops.similarity import (
     brute_force_topk,
     bucketed_ann_topk,
     embedding_near_duplicates,
+    lsh_ann_topk,
     semantic_dedup,
 )
 from debezium_spark.dataops.packing import pack_sequences
@@ -49,6 +50,7 @@ __all__ = [
     "brute_force_topk",
     "bucketed_ann_topk",
     "embedding_near_duplicates",
+    "lsh_ann_topk",
     "semantic_dedup",
     "line_dedup",
     "doc_fingerprint",

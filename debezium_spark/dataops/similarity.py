@@ -388,3 +388,130 @@ def semantic_dedup(
         )
     )
     return out.withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))
+
+
+def srp_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes: component
+    (i, j) = md5-fraction of "i:j" scaled to U(-1, 1) — the same
+    engine-portable md5 construction as ``dataops.sampling.hash_fraction``
+    (first 32 md5 bits / 2^32 is IEEE-exact in any engine), so an ANSI
+    oracle regenerates the identical planes from the formula alone. No
+    RNG state, no seed to ship: the (plane, dim) index IS the seed."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+            / float(1 << 32) * 2.0 - 1.0
+            for j in range(dim)
+        ]
+        for i in range(n_planes)
+    ]
+
+
+def srp_signature(vec, planes: list[list[float]]):
+    """SRP-LSH signature of a vector column: bit i = sign of the dot
+    product with plane i (Charikar 2002 — P[bits agree] = 1 - angle/pi,
+    the cosine-LSH family). Returns a '0'/'1' string column of
+    len(planes) bits. Plane weights ride as literal arrays (computed once
+    on the driver, O(planes x dim), no data touched); each bit is one
+    in-order zip_with fold — pure Catalyst, no shuffle. Dots round to 6dp
+    before the sign so cross-engine summation-order ulps cannot flip a
+    bit (the repo-wide rounding rule)."""
+    bits = [
+        F.when(
+            F.round(
+                _dot(vec, F.array(*[F.lit(w) for w in p])), 6
+            ) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_ann_topk(
+    embeddings: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_planes: int = 12,
+    hamming_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """LSH-bucketed ANN — the hash-partitioned alternative to the IVF path
+    (``bucketed_ann_topk``): corpus vectors bucket by their ``n_planes``-bit
+    SRP signature; each query probes its own bucket plus every bucket
+    within Hamming distance ``hamming_probe`` (0 disables multi-probe; 1
+    flips each bit once -> n_planes+1 probe signatures). Candidates come
+    from a signature equi-join — never an all-pairs scan — then exact
+    rounded cosine ranks top-k with id tie-break.
+
+    Approximate by construction: recall < 1 when a true neighbor's
+    signature differs in more bits than the probe radius; raise
+    ``hamming_probe`` or lower ``n_planes`` to trade cost for recall.
+    Scale shape: signatures are a per-row map (no shuffle), the bucket
+    join is an equi-join on a <=64-char key, the query side is
+    |queries| x (n_planes+1) rows and broadcasts. Unlike IVF there is no
+    training pass at all — the quantizer is the formula."""
+    if hamming_probe not in (0, 1):
+        raise ValueError("hamming_probe must be 0 or 1 (wider probing explodes: C(n,2)+ signatures)")
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty corpus; pass dim=")
+        dim = first["d"]
+    planes = srp_planes(n_planes, dim)
+    corpus = embeddings.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        _norm(F.col(vec_col)).alias("n_n"),
+        srp_signature(F.col(vec_col), planes).alias("sig"),
+    )
+    q = embeddings.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_n"),
+        srp_signature(F.col(vec_col), planes).alias("qsig"),
+    )
+    if hamming_probe == 1:
+        # own signature + each single-bit flip, via explode(0..n_planes)
+        flip = F.concat(
+            F.substring(F.col("qsig"), 1, F.col("p") - 1),
+            F.when(
+                F.substring(F.col("qsig"), F.col("p"), 1) == "1", F.lit("0")
+            ).otherwise(F.lit("1")),
+            F.substring(F.col("qsig"), F.col("p") + 1, n_planes),
+        )
+        q = q.withColumn(
+            "p", F.explode(F.sequence(F.lit(0), F.lit(n_planes)))
+        ).select(
+            "q_id", "q_vec", "q_n",
+            F.when(F.col("p") == 0, F.col("qsig")).otherwise(flip).alias("sig"),
+        )
+    else:
+        q = q.select("q_id", "q_vec", "q_n", F.col("qsig").alias("sig"))
+    denom = F.col("q_n") * F.col("n_n")
+    scored = (
+        F.broadcast(q)
+        .join(corpus, on="sig")
+        .filter(F.col("q_id") != F.col("n_id"))
+        # a (q, n) pair appears once: probe signatures are pairwise
+        # distinct (self + single-bit flips) and the corpus row has ONE
+        # signature — no dedupe shuffle needed (the IVF-path argument)
+        .select(
+            "q_id",
+            "n_id",
+            F.round(
+                _guarded_cosine(F.col("q_vec"), F.col("n_vec"), denom), 6
+            ).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )

@@ -695,3 +695,84 @@ def test_semantic_dedup_cell_cap_plumbs_through(spark):
     capped = semantic_dedup(emb, n_cells=1, threshold=0.9, max_cell_size=1)
     assert capped.where("is_duplicate").count() < full_dups
     assert capped.count() == n
+
+
+# ----------------------------------------------------------------- SRP-LSH
+
+
+def _clustered_embeddings(spark, n_centers=10, per_center=20, dim=16):
+    """Deterministic clustered corpus: LSH recall is only meaningful when
+    angular neighborhoods exist (an isotropic corpus has none)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(n_centers, dim)
+    rows = []
+    i = 0
+    for c in range(n_centers):
+        for _ in range(per_center):
+            v = centers[c] + 0.05 * rng.randn(dim)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_lsh_ann_recall_on_clustered_corpus(spark):
+    from debezium_spark.dataops.similarity import brute_force_topk, lsh_ann_topk
+
+    emb = _clustered_embeddings(spark)
+    qids = [0, 20, 40, 60, 80]
+    got = {
+        (r["q_id"], r["n_id"])
+        for r in lsh_ann_topk(
+            emb, query_ids=qids, k=5, n_planes=8, hamming_probe=1
+        ).collect()
+    }
+    want = {
+        (r["q_id"], r["n_id"])
+        for r in brute_force_topk(emb, query_ids=qids, k=5).collect()
+    }
+    assert len(got & want) / len(want) >= 0.8
+
+
+def test_lsh_ann_bucket_join_broadcasts_and_stays_jvm(spark):
+    """The probe side must broadcast (a handful of queries x n_planes+1
+    signatures) and nothing may fall to row-at-a-time Python."""
+    from debezium_spark.dataops.similarity import lsh_ann_topk
+
+    emb = _clustered_embeddings(spark, n_centers=4, per_center=5)
+    plan = lsh_ann_topk(
+        emb, query_ids=[0, 5], k=3, n_planes=6, hamming_probe=1
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lsh_ann_probe_radius_validated_and_dim_inference(spark):
+    import pytest
+
+    from debezium_spark.dataops.similarity import lsh_ann_topk
+
+    emb = _clustered_embeddings(spark, n_centers=2, per_center=3)
+    with pytest.raises(ValueError):
+        lsh_ann_topk(emb, query_ids=[0], hamming_probe=2)
+    empty = emb.where("vec_id < 0")
+    with pytest.raises(ValueError):
+        lsh_ann_topk(empty, query_ids=[0])
+    # explicit dim skips the inference scan on an empty corpus: no rows, no error
+    assert lsh_ann_topk(empty, query_ids=[0], dim=16).count() == 0
+
+
+def test_srp_planes_match_md5_formula():
+    """Plane weights must equal the md5-fraction formula exactly — the
+    oracle regenerates them engine-side, so any drift breaks every
+    signature."""
+    import hashlib
+
+    from debezium_spark.dataops.similarity import srp_planes
+
+    planes = srp_planes(3, 4)
+    assert len(planes) == 3 and all(len(p) == 4 for p in planes)
+    w = int(hashlib.md5(b"2:3").hexdigest()[:8], 16) / float(1 << 32) * 2.0 - 1.0
+    assert planes[2][3] == w
+    assert all(-1.0 <= x <= 1.0 for p in planes for x in p)
