@@ -571,6 +571,7 @@ def line_dedup(
     min_docs: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sep: str = "\n",
 ) -> DataFrame:
     """Corpus-level exact line deduplication — the RefinedWeb/CCNet
     boilerplate-removal pass (Penedo et al. 2023 §3.4 run line-wise;
@@ -580,6 +581,13 @@ def line_dedup(
     removed from EVERY document; the rest of each document re-joins in
     original line order. Blank lines never count as duplicates (they
     would trivially collide corpus-wide and shred formatting).
+
+    ``sep`` is a LITERAL unit separator (escaped before the regex split;
+    reassembly joins with it verbatim): the default ``"\\n"`` is the
+    line-wise pass; ``"\\n\\n"`` gives paragraph-level exact dedup — the
+    Dolma recipe (Soldaini et al. 2024 §2, Bloom-filter paragraph
+    dedup), here with an exact census instead of a probabilistic
+    filter.
 
     Scale shape: lines ride as sha256 digests, not strings, through the
     heavy operations — the duplicate census is distinct(digest, doc) →
@@ -594,9 +602,13 @@ def line_dedup(
     clean_text = '')."""
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would drop every line)")
+    if not sep:
+        raise ValueError("sep must be a non-empty literal separator")
+    import re as _re
+
     lines = docs.select(
         F.col(id_col).alias("did"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
     ).withColumn(
         "h",
         F.when(F.trim(F.col("line")) != "", F.sha2(F.trim(F.col("line")), 256)),
@@ -617,7 +629,7 @@ def line_dedup(
                 F.array_sort(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],
             ),
-            "\n",
+            sep,
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("n_lines_kept"),
     )

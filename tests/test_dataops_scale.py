@@ -776,3 +776,38 @@ def test_srp_planes_match_md5_formula():
     w = int(hashlib.md5(b"2:3").hexdigest()[:8], 16) / float(1 << 32) * 2.0 - 1.0
     assert planes[2][3] == w
     assert all(-1.0 <= x <= 1.0 for p in planes for x in p)
+
+
+def test_line_dedup_paragraph_mode(spark):
+    """sep='\\n\\n' dedupes PARAGRAPHS (the Dolma recipe): a paragraph
+    spanning internal newlines is one census unit, and reassembly joins
+    with the same separator."""
+    from debezium_spark.dataops.text import line_dedup
+
+    boiler = "subscribe to\nour newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler}\n\nunique para one"),
+            (2, f"unique para two\n\n{boiler}"),
+            (3, f"{boiler}\n\nanother\nmultiline para"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3, sep="\n\n").collect()}
+    assert out[1]["clean_text"] == "unique para one"
+    assert out[2]["clean_text"] == "unique para two"
+    assert out[3]["clean_text"] == "another\nmultiline para"
+    assert all(out[i]["n_lines_dropped"] == 1 for i in (1, 2, 3))
+    # single-newline mode would NOT have matched the two-line boilerplate
+    line_mode = {r["doc_id"]: r for r in line_dedup(docs, min_docs=3).collect()}
+    assert all(line_mode[i]["n_lines_dropped"] == 2 for i in (1, 2, 3))
+
+
+def test_line_dedup_sep_validated(spark):
+    import pytest
+
+    from debezium_spark.dataops.text import line_dedup
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        line_dedup(docs, sep="")
