@@ -2798,6 +2798,40 @@ r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
 SELECT q_id, n_id, cos_sim, rank FROM r WHERE rank <= 10"""
 
 
+def q_random_projection(spark, sf_dir):
+    """JL random projection 64 -> 16 dims (md5-formula plane matrix, the
+    SRP machinery without the sign): components compare as
+    round(x * 1e6) longs — sha over the int rendering, plus the first
+    component directly, sidestepping cross-engine float printing."""
+    from debezium_spark.dataops.similarity import random_projection
+
+    out = random_projection(_read(spark, sf_dir, "embeddings"), out_dim=16)
+    q = F.transform(F.col("proj"), lambda x: F.round(x * 1e6, 0).cast("long"))
+    return out.select(
+        "vec_id",
+        F.sha2(F.to_json(q), 256).alias("proj_sha"),
+        F.element_at(q, 1).alias("proj0_e6"),
+    )
+
+
+SQL_random_projection = """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pl AS (SELECT i, list(w ORDER BY j) AS pw FROM (
+         SELECT i, j,
+           (('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 8))::UBIGINT
+            / 4294967296.0) * 2 - 1 AS w
+         FROM generate_series(0, 15) s(i), generate_series(0, 63) t(j))
+       GROUP BY i),
+p AS (SELECT vec_id,
+        list(CAST(ROUND(list_dot_product(v, pw) * 0.25 * 1e6, 0) AS BIGINT)
+             ORDER BY i) AS q
+      FROM e, pl GROUP BY vec_id)
+SELECT vec_id,
+       sha256('[' || array_to_string(q, ',') || ']') AS proj_sha,
+       q[1] AS proj0_e6
+FROM p"""
+
+
 #: beyond the driver cap: redundant variants of driver-checked operators
 #: (stub decode vs real; signatures vs pairs; read vs handoff; stamp vs
 #: metadata; drop-deletes vs rewrite flatten) and general-OLAP demos
@@ -2835,6 +2869,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "line_dedup": (q_line_dedup, SQL_line_dedup),
     "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ann_lsh_topk),
+    "random_projection": (q_random_projection, SQL_random_projection),
 }
 
 

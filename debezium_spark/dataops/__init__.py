@@ -19,6 +19,7 @@ from debezium_spark.dataops.similarity import (
     bucketed_ann_topk,
     embedding_near_duplicates,
     lsh_ann_topk,
+    random_projection,
     semantic_dedup,
 )
 from debezium_spark.dataops.packing import pack_sequences
@@ -51,6 +52,7 @@ __all__ = [
     "bucketed_ann_topk",
     "embedding_near_duplicates",
     "lsh_ann_topk",
+    "random_projection",
     "semantic_dedup",
     "line_dedup",
     "doc_fingerprint",

@@ -515,3 +515,43 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos_sim", "rank")
     )
+
+
+def random_projection(
+    embeddings: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    proj_col: str = "proj",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dim -> ``out_dim`` via the
+    same md5-fraction plane matrix as the SRP-LSH signatures
+    (``srp_planes``), scaled by 1/sqrt(out_dim) so expected squared
+    distances are preserved (the JL estimator for dense U(-1,1)
+    projections). Deterministic and engine-portable: an ANSI oracle
+    regenerates the matrix from the formula — no RNG state, no matrix to
+    ship. The published use is cheap embedding compression before
+    storage/ANN (JL lemma: n points embed into O(log n / eps^2) dims
+    with (1 +- eps) distance distortion).
+
+    Scale shape: a per-row map — out_dim in-order zip_with folds against
+    literal weight arrays, no shuffle, no UDF; column pruning still
+    reaches the scan. Replaces (id, float[dim]) with (id, double[out_dim])
+    — at 100 TB the projection IS the bandwidth win."""
+    if out_dim < 1:
+        raise ValueError("out_dim must be >= 1")
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot infer dim from an empty corpus; pass dim=")
+        dim = first["d"]
+    planes = srp_planes(out_dim, dim)
+    s = 1.0 / float(out_dim) ** 0.5
+    comps = [
+        (_dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])) * F.lit(s))
+        for p in planes
+    ]
+    return embeddings.select(
+        F.col(id_col), F.array(*comps).alias(proj_col)
+    )

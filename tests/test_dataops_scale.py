@@ -811,3 +811,51 @@ def test_line_dedup_sep_validated(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with pytest.raises(ValueError):
         line_dedup(docs, sep="")
+
+
+def test_random_projection_preserves_distances_approximately(spark):
+    """JL sanity: relative pairwise squared distances survive 64 -> 16
+    (loose eps — the lemma gives (1 +- eps) distortion, and the fixed
+    md5 matrix is one draw, so assert rank preservation of a well-
+    separated triple rather than tight bounds)."""
+    import numpy as np
+
+    from debezium_spark.dataops.similarity import random_projection, srp_planes
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(64)
+    rows = [
+        (0, [float(x) for x in base]),
+        (1, [float(x) for x in base + 0.1 * rng.randn(64)]),   # near 0
+        (2, [float(x) for x in base + 5.0 * rng.randn(64)]),   # far from 0
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: np.array(r["proj"]) for r in random_projection(emb, out_dim=16).collect()}
+    d01 = float(np.sum((got[0] - got[1]) ** 2))
+    d02 = float(np.sum((got[0] - got[2]) ** 2))
+    assert d01 < d02, "projection inverted a 50x distance gap"
+    # projection equals the literal matrix product (scaled): exact math check
+    planes = np.array(srp_planes(16, 64))
+    want = planes @ np.array(rows[1][1]) / np.sqrt(16)
+    assert np.allclose(got[1], want, atol=1e-9)
+
+
+def test_random_projection_is_map_only_and_jvm(spark):
+    from debezium_spark.dataops.similarity import random_projection
+
+    emb = _clustered_embeddings(spark, n_centers=2, per_center=3)
+    plan = random_projection(emb, out_dim=4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # per-row map: no shuffle at any corpus size
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_random_projection_validates(spark):
+    import pytest
+
+    from debezium_spark.dataops.similarity import random_projection
+
+    emb = _clustered_embeddings(spark, n_centers=2, per_center=2)
+    with pytest.raises(ValueError):
+        random_projection(emb, out_dim=0)
+    with pytest.raises(ValueError):
+        random_projection(emb.where("vec_id < 0"), out_dim=4)
