@@ -2832,6 +2832,60 @@ SELECT vec_id,
 FROM p"""
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental exact dedup of a CDC-style delta against the standing
+    corpus: docs with doc_id < 400 play the lake, the rest play the new
+    batch — salted so some batch docs duplicate corpus content (text of
+    doc_id - 400), some duplicate each other (batch doc 498 copies 497),
+    and some are genuinely new."""
+    from debezium_spark.dataops.dedup import dedup_against_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    dup_of_corpus = (
+        docs.where(F.col("doc_id") < 50)
+        .select((F.col("doc_id") + 400).alias("doc_id"), "text")
+    )
+    fresh = docs.where(F.col("doc_id").between(450, 496)).select("doc_id", "text")
+    intra = (
+        docs.where(F.col("doc_id") == 497)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(F.col("doc_id") == 497)
+            .select(F.lit(498).alias("doc_id"), "text")
+        )
+    )
+    batch = dup_of_corpus.unionByName(fresh).unionByName(intra)
+    return dedup_against_corpus(batch, corpus).select(
+        "doc_id", "content_sha", "survivor_id",
+        F.col("is_duplicate").cast("string").alias("is_duplicate"),
+    )
+
+
+SQL_dedup_incremental = """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 400),
+batch AS (
+  SELECT doc_id + 400 AS doc_id, text FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id BETWEEN 450 AND 496
+  UNION ALL
+  SELECT doc_id, text FROM documents WHERE doc_id = 497
+  UNION ALL
+  SELECT 498 AS doc_id, text FROM documents WHERE doc_id = 497),
+cm AS (SELECT sha256(text) AS content_sha, MIN(doc_id) AS cs
+       FROM corpus GROUP BY sha256(text)),
+bm AS (SELECT sha256(text) AS content_sha, MIN(doc_id) AS bs
+       FROM batch GROUP BY sha256(text)),
+j AS (SELECT b.doc_id, sha256(b.text) AS content_sha,
+             COALESCE(cm.cs, bm.bs) AS survivor_id
+      FROM batch b
+      LEFT JOIN cm ON cm.content_sha = sha256(b.text)
+      LEFT JOIN bm ON bm.content_sha = sha256(b.text))
+SELECT doc_id, content_sha, survivor_id,
+       CAST(doc_id <> survivor_id AS VARCHAR) AS is_duplicate
+FROM j"""
+
+
 #: beyond the driver cap: redundant variants of driver-checked operators
 #: (stub decode vs real; signatures vs pairs; read vs handoff; stamp vs
 #: metadata; drop-deletes vs rewrite flatten) and general-OLAP demos
@@ -2870,6 +2924,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "semantic_dedup": (q_semantic_dedup, SQL_semantic_dedup),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ann_lsh_topk),
     "random_projection": (q_random_projection, SQL_random_projection),
+    "dedup_incremental": (q_dedup_incremental, SQL_dedup_incremental),
 }
 
 

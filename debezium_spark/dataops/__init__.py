@@ -9,6 +9,7 @@ is the clearly-stubbed multimodal decode behind mapInPandas.
 
 from debezium_spark.dataops.dedup import (
     decontaminate,
+    dedup_against_corpus,
     exact_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -44,6 +45,7 @@ from debezium_spark.dataops.text import (
 __all__ = [
     "c4_clean",
     "decontaminate",
+    "dedup_against_corpus",
     "exact_dedup",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",

@@ -498,3 +498,53 @@ def dedup_survivors(
         F.coalesce(F.col("component"), F.col(id_col)).alias("survivor_id"),
     )
     return out.withColumn("is_duplicate", (F.col(id_col) != F.col("survivor_id")))
+
+
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental exact dedup: mark each BATCH document against the
+    existing CORPUS plus the batch itself — the production shape when new
+    data arrives through CDC/ingest and a full-corpus recompute per delta
+    is off the table. A batch doc is a duplicate iff its sha256(text)
+    already exists in the corpus (survivor = min corpus id for that
+    digest) or an earlier batch doc shares it (survivor = min batch id).
+    Corpus wins ties by construction: the corpus survivor, when present,
+    is THE survivor — matching what ``exact_dedup`` over corpus ∪ batch
+    would decide when corpus ids precede batch ids (the CDC case:
+    monotone ids).
+
+    Scale shape: the corpus side reduces to one (digest, min id) row per
+    distinct content — a partial-aggregable groupBy the lake can maintain
+    incrementally — and the join is digest-equi (Catalyst broadcasts the
+    batch side when small, which it is per micro-batch). Nothing rescans
+    corpus text; only digests move.
+
+    Output: one row per batch doc —
+    (id_col, content_sha, survivor_id, is_duplicate)."""
+    h = F.sha2(F.col(text_col), 256)
+    corpus_min = (
+        corpus.select(h.alias("content_sha"), F.col(id_col).alias("_cid"))
+        .groupBy("content_sha")
+        .agg(F.min("_cid").alias("_corpus_survivor"))
+    )
+    batch_min = (
+        batch.select(h.alias("content_sha"), F.col(id_col).alias("_bid"))
+        .groupBy("content_sha")
+        .agg(F.min("_bid").alias("_batch_survivor"))
+    )
+    b = batch.select(F.col(id_col), h.alias("content_sha"))
+    out = (
+        b.join(corpus_min, on="content_sha", how="left")
+        .join(batch_min, on="content_sha", how="left")
+        .select(
+            F.col(id_col),
+            "content_sha",
+            F.coalesce(F.col("_corpus_survivor"), F.col("_batch_survivor"))
+            .alias("survivor_id"),
+        )
+    )
+    return out.withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))

@@ -859,3 +859,40 @@ def test_random_projection_validates(spark):
         random_projection(emb, out_dim=0)
     with pytest.raises(ValueError):
         random_projection(emb.where("vec_id < 0"), out_dim=4)
+
+
+def test_dedup_against_corpus_equals_full_recompute(spark):
+    """The incremental decision must equal exact_dedup over corpus UNION
+    batch, restricted to batch docs (corpus ids precede batch ids — the
+    CDC monotone-id case)."""
+    from debezium_spark.dataops.dedup import dedup_against_corpus, exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb"), (2, "aaa")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "aaa"),    # dup of corpus 0
+         (11, "new1"),   # fresh
+         (12, "new2"),   # fresh, duplicated by 13
+         (13, "new2"),
+         (14, "bbb")],   # dup of corpus 1
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["survivor_id"], r["is_duplicate"])
+        for r in dedup_against_corpus(batch, corpus).collect()
+    }
+    groups = {
+        r["content_sha"]: r["survivor_id"]
+        for r in exact_dedup(corpus.unionByName(batch)).collect()
+    }
+    from pyspark.sql import functions as F2
+
+    full = {
+        r["doc_id"]: groups[r["sha"]]
+        for r in batch.select("doc_id", F2.sha2("text", 256).alias("sha")).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == full
+    assert got[10] == (0, True) and got[14] == (1, True)
+    assert got[11] == (11, False)
+    assert got[12] == (12, False) and got[13] == (12, True)
