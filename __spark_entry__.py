@@ -2639,8 +2639,6 @@ def q_line_dedup(spark, sf_dir):
     unique id line. Lines repeated across >= 3 documents (the source and
     lang boilerplate) are removed from every document; unique lines and
     blanks survive in order."""
-    from debezium_spark.dataops.text import line_dedup as _ld
-
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat_ws(
@@ -2652,7 +2650,7 @@ def q_line_dedup(spark, sf_dir):
             F.concat(F.lit("id:"), F.col("doc_id").cast("string")),
         ).alias("text"),
     )
-    return _ld(docs, min_docs=3)
+    return line_dedup(docs, min_docs=3)
 
 
 SQL_line_dedup = """WITH src AS (
@@ -2823,7 +2821,7 @@ pl AS (SELECT i, list(w ORDER BY j) AS pw FROM (
          FROM generate_series(0, 15) s(i), generate_series(0, 63) t(j))
        GROUP BY i),
 p AS (SELECT vec_id,
-        list(CAST(ROUND(list_dot_product(v, pw) * 0.25 * 1e6, 0) AS BIGINT)
+        list(CAST(ROUND(list_dot_product(v, pw) * sqrt(3.0 / 16.0) * 1e6, 0) AS BIGINT)
              ORDER BY i) AS q
       FROM e, pl GROUP BY vec_id)
 SELECT vec_id,

@@ -521,25 +521,29 @@ def dedup_against_corpus(
     distinct content — a partial-aggregable groupBy the lake can maintain
     incrementally — and the join is digest-equi (Catalyst broadcasts the
     batch side when small, which it is per micro-batch). Nothing rescans
-    corpus text; only digests move.
+    corpus text; only digests move. Joins are NULL-SAFE on the digest:
+    sha2(NULL) is NULL, and exact_dedup's groupBy puts all NULL-text
+    docs in ONE group — a plain equi-join would instead leave them
+    unmatched with NULL survivor/is_duplicate (review r5), silently
+    vanishing from both the keep and the drop filter.
 
     Output: one row per batch doc —
     (id_col, content_sha, survivor_id, is_duplicate)."""
     h = F.sha2(F.col(text_col), 256)
     corpus_min = (
-        corpus.select(h.alias("content_sha"), F.col(id_col).alias("_cid"))
-        .groupBy("content_sha")
+        corpus.select(h.alias("_csha"), F.col(id_col).alias("_cid"))
+        .groupBy("_csha")
         .agg(F.min("_cid").alias("_corpus_survivor"))
     )
     batch_min = (
-        batch.select(h.alias("content_sha"), F.col(id_col).alias("_bid"))
-        .groupBy("content_sha")
+        batch.select(h.alias("_bsha"), F.col(id_col).alias("_bid"))
+        .groupBy("_bsha")
         .agg(F.min("_bid").alias("_batch_survivor"))
     )
     b = batch.select(F.col(id_col), h.alias("content_sha"))
     out = (
-        b.join(corpus_min, on="content_sha", how="left")
-        .join(batch_min, on="content_sha", how="left")
+        b.join(corpus_min, F.col("content_sha").eqNullSafe(F.col("_csha")), "left")
+        .join(batch_min, F.col("content_sha").eqNullSafe(F.col("_bsha")), "left")
         .select(
             F.col(id_col),
             "content_sha",

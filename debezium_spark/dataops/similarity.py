@@ -58,6 +58,20 @@ def cosine(a, b):
     return _guarded_cosine(a, b, _norm(a) * _norm(b))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail of every ANN path: rank (q_id, n_id, cos_sim)
+    candidates per query by rounded cosine desc with n_id tie-break —
+    one place, so the three ANN variants cannot drift on the tie rule."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos_sim", "rank")
+    )
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     query_ids: list[int],
@@ -91,14 +105,7 @@ def brute_force_topk(
             ).alias("cos_sim"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def _sq_dist(a, b):
@@ -162,10 +169,15 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     nprobe: int = 1,
+    with_dist: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment (nprobe=1) or the nprobe nearest cells
     per row (multi-probe, for the query side). Distances round to 6dp with
     centroid-id tie-break — fully deterministic. Broadcast join: k rows.
+    ``with_dist`` (nprobe=1 only) also emits the rounded squared distance
+    to the chosen centroid as ``cell_dist`` — callers that need it
+    (semantic_dedup's exemplar rule) would otherwise re-join against the
+    centroids and recompute the fold the aggregation already evaluated.
 
     ``id_col`` must be UNIQUE: the nprobe=1 groupBy collapses duplicate
     ids to one row (one cell per vector is the aggregation key), so a
@@ -180,16 +192,20 @@ def assign_cells(
         "*", F.round(_sq_dist(F.col(vec_col), F.col("cvec")), 6).alias("_d")
     )
     if nprobe == 1:
-        row = F.struct(*[F.col(c) for c in df.columns], F.col("cid"))
+        row = F.struct(*[F.col(c) for c in df.columns], F.col("cid"), F.col("_d"))
         best = (
             scored.groupBy(id_col)
             .agg(F.min_by(row, F.struct(F.col("_d"), F.col("cid"))).alias("_r"))
         )
+        extra = [F.col("_r._d").alias("cell_dist")] if with_dist else []
         return best.select(
             *[F.col(f"_r.{c}").alias(c) for c in df.columns if c != id_col],
             F.col(id_col),
             F.col("_r.cid").alias("cell"),
-        ).select(*df.columns, "cell")
+            *extra,
+        ).select(*df.columns, "cell", *(["cell_dist"] if with_dist else []))
+    if with_dist:
+        raise ValueError("with_dist is only defined for nprobe=1 (one cell per row)")
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.asc("cid"))
@@ -248,14 +264,7 @@ def bucketed_ann_topk(
         # once however many cells the query probes — a distinct() here was
         # a full extra shuffle for zero effect (review r4)
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def embedding_near_duplicates(
@@ -349,19 +358,13 @@ def semantic_dedup(
         embeddings, n_cells=n_cells, iters=kmeans_iters,
         id_col=id_col, vec_col=vec_col,
     )
-    assigned = assign_cells(
+    # distance-to-own-centroid (the paper's exemplar criterion) rides out
+    # of the assignment itself (with_dist) — rounded 6dp like every
+    # cross-engine float, and no re-join/recompute against the centroids
+    members = assign_cells(
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
-        cents, id_col="id", vec_col="v",
-    )
-    # distance-to-own-centroid (the paper's exemplar criterion), rounded
-    # like every cross-engine float here so the survivor choice is stable
-    members = (
-        assigned.join(F.broadcast(cents), assigned.cell == cents.cid)
-        .select(
-            "id", "v", "cell",
-            F.round(_sq_dist(F.col("v"), F.col("cvec")), 6).alias("cdist"),
-        )
-    )
+        cents, id_col="id", vec_col="v", with_dist=True,
+    ).withColumnRenamed("cell_dist", "cdist")
     pairs = embedding_near_duplicates(
         members, id_col="id", vec_col="v", block_col="cell",
         min_round_sim=threshold, max_block_size=max_cell_size, round_dp=6,
@@ -448,8 +451,10 @@ def lsh_ann_topk(
     rounded cosine ranks top-k with id tie-break.
 
     Approximate by construction: recall < 1 when a true neighbor's
-    signature differs in more bits than the probe radius; raise
-    ``hamming_probe`` or lower ``n_planes`` to trade cost for recall.
+    signature differs in more bits than the probe radius. The radius is
+    capped at 1 (radius r costs C(n_planes, <=r) probe signatures per
+    query — combinatorial); to trade cost for recall, LOWER ``n_planes``
+    (coarser buckets hold more candidates) instead.
     Scale shape: signatures are a per-row map (no shuffle), the bucket
     join is an equi-join on a <=64-char key, the query side is
     |queries| x (n_planes+1) rows and broadcasts. Unlike IVF there is no
@@ -507,14 +512,7 @@ def lsh_ann_topk(
             ).alias("cos_sim"),
         )
     )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("q_id", "n_id", "cos_sim", "rank")
-    )
+    return _rank_topk(scored, k)
 
 
 def random_projection(
@@ -527,9 +525,12 @@ def random_projection(
 ) -> DataFrame:
     """Johnson-Lindenstrauss random projection: dim -> ``out_dim`` via the
     same md5-fraction plane matrix as the SRP-LSH signatures
-    (``srp_planes``), scaled by 1/sqrt(out_dim) so expected squared
-    distances are preserved (the JL estimator for dense U(-1,1)
-    projections). Deterministic and engine-portable: an ANSI oracle
+    (``srp_planes``), scaled by sqrt(3/out_dim) so expected squared
+    distances are preserved: U(-1,1) entries have variance 1/3, and the
+    JL estimator needs unit-variance rows / sqrt(out_dim) — i.e.
+    E[||Rx||^2] = (out_dim * Var) * s^2 * ||x||^2 = ||x||^2 exactly when
+    s = sqrt(3/out_dim) (review r5: the 1/sqrt(out_dim) draft shrank
+    expected norms 3x). Deterministic and engine-portable: an ANSI oracle
     regenerates the matrix from the formula — no RNG state, no matrix to
     ship. The published use is cheap embedding compression before
     storage/ANN (JL lemma: n points embed into O(log n / eps^2) dims
@@ -547,7 +548,7 @@ def random_projection(
             raise ValueError("cannot infer dim from an empty corpus; pass dim=")
         dim = first["d"]
     planes = srp_planes(out_dim, dim)
-    s = 1.0 / float(out_dim) ** 0.5
+    s = (3.0 / float(out_dim)) ** 0.5
     comps = [
         (_dot(F.col(vec_col), F.array(*[F.lit(w) for w in p])) * F.lit(s))
         for p in planes

@@ -599,7 +599,10 @@ def line_dedup(
 
     Output: (id_col, clean_text, n_lines_kept, n_lines_dropped) — one row
     per input document (a fully-boilerplate doc survives with
-    clean_text = '')."""
+    clean_text = ''; NULL text reads as '' — splitting NULL explodes to
+    ZERO rows, which would silently drop the document from the output
+    (review r5), so it is pinned to the empty-string behavior: one blank
+    line, kept)."""
     if min_docs < 2:
         raise ValueError("min_docs must be >= 2 (1 would drop every line)")
     if not sep:
@@ -608,7 +611,9 @@ def line_dedup(
 
     lines = docs.select(
         F.col(id_col).alias("did"),
-        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), _re.escape(sep))
+        ).alias("pos", "line"),
     ).withColumn(
         "h",
         F.when(F.trim(F.col("line")) != "", F.sha2(F.trim(F.col("line")), 256)),
@@ -620,9 +625,8 @@ def line_dedup(
         .where(F.col("_nd") >= min_docs)
         .select("h")
     )
-    kept = lines.join(dup.withColumn("_dup", F.lit(True)), on="h", how="left").where(
-        F.col("_dup").isNull()
-    )
+    # anti-join drops boilerplate lines; null-h (blank) lines survive it
+    kept = lines.join(dup, on="h", how="left_anti")
     agg = kept.groupBy("did").agg(
         F.array_join(
             F.transform(

@@ -836,8 +836,14 @@ def test_random_projection_preserves_distances_approximately(spark):
     assert d01 < d02, "projection inverted a 50x distance gap"
     # projection equals the literal matrix product (scaled): exact math check
     planes = np.array(srp_planes(16, 64))
-    want = planes @ np.array(rows[1][1]) / np.sqrt(16)
+    want = planes @ np.array(rows[1][1]) * np.sqrt(3.0 / 16.0)
     assert np.allclose(got[1], want, atol=1e-9)
+    # norm preservation in expectation: sqrt(3/k) corrects the 1/3
+    # variance of U(-1,1) entries — the projected norm must sit near the
+    # source norm, not 3x under it (review r5 regression)
+    src_norm2 = float(np.sum(np.array(rows[0][1]) ** 2))
+    proj_norm2 = float(np.sum(got[0] ** 2))
+    assert 0.4 * src_norm2 < proj_norm2 < 2.5 * src_norm2
 
 
 def test_random_projection_is_map_only_and_jvm(spark):
@@ -896,3 +902,37 @@ def test_dedup_against_corpus_equals_full_recompute(spark):
     assert got[10] == (0, True) and got[14] == (1, True)
     assert got[11] == (11, False)
     assert got[12] == (12, False) and got[13] == (12, True)
+
+
+def test_line_dedup_null_text_keeps_the_document(spark):
+    """Review r5 regression: split(NULL) explodes to zero rows, so a
+    NULL-text doc vanished from the output entirely. NULL is pinned to
+    the empty-string behavior: one blank line, kept."""
+    from debezium_spark.dataops.text import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in line_dedup(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2]["clean_text"] == "" and out[2]["n_lines_kept"] == 1
+    assert out[3]["clean_text"] == "" and out[3]["n_lines_kept"] == 1
+
+
+def test_dedup_against_corpus_null_text_groups_like_exact_dedup(spark):
+    """Review r5 regression: sha2(NULL) join keys matched nothing, so
+    NULL-text batch docs got NULL survivor/is_duplicate and fell out of
+    both the keep and drop filters. The null-safe join groups them like
+    exact_dedup's groupBy does."""
+    from debezium_spark.dataops.dedup import dedup_against_corpus
+
+    corpus = spark.createDataFrame([(0, None), (1, "a")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, "b")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["survivor_id"], r["is_duplicate"])
+        for r in dedup_against_corpus(batch, corpus).collect()
+    }
+    assert got[10] == (0, True) and got[11] == (0, True)
+    assert got[12] == (12, False)
