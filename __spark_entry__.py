@@ -29,6 +29,7 @@ from debezium_spark.dataops.dedup import (
     _NIBBLE_BIT,
     decontaminate,
     exact_dedup,
+    exact_substring_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -2889,6 +2890,64 @@ FROM j"""
 #: metadata; drop-deletes vs rewrite flatten) and general-OLAP demos
 #: (TPC-H, event aggs). Same (spark_fn, oracle_sql) contract; verified by
 #: tools/check_oracle.py --extras and tests/test_extra_oracle.py.
+def q_dedup_exact_substring(spark, sf_dir):
+    """ExactSubstr dedup (Lee et al. 2022) over the raw corpus: every
+    50-char window occurring more than once corpus-wide is cut from all
+    but its first (doc_id, pos) occurrence, overlapping cuts merged into
+    maximal spans. The synthetic corpus's near-dup families share long
+    verbatim passages, so the pass excises real spans at sf0.01
+    (~5.7k duplicated windows) with no wrapper assembly needed."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return exact_substring_dedup(docs, k=50)
+
+
+SQL_dedup_exact_substring = """WITH d AS (
+  SELECT doc_id, COALESCE(text, '') AS t FROM documents),
+wins AS (
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         substr(t, CAST(pos + 1 AS BIGINT), 50) AS w
+  FROM d, unnest(range(0, CAST(greatest(length(t) - 49, 0) AS BIGINT))) AS u(pos)),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY w ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY w) AS c
+  FROM wins),
+flags AS (SELECT doc_id, pos FROM ranked WHERE c > 1 AND rn > 1),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 50
+              THEN 0 ELSE 1 END AS b
+  FROM flags),
+isl AS (
+  SELECT doc_id, pos,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM brk),
+nsp AS (SELECT doc_id, CAST(max(island) AS BIGINT) AS n_dup_spans
+        FROM isl GROUP BY doc_id),
+chars AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i, substr(t, CAST(i + 1 AS BIGINT), 1) AS ch
+  FROM d, unnest(range(0, CAST(length(t) AS BIGINT))) AS u(i)),
+marked AS (
+  SELECT c.doc_id, c.i, c.ch, CASE WHEN f.pos IS NULL THEN 0 ELSE 1 END AS fs
+  FROM chars c LEFT JOIN flags f ON f.doc_id = c.doc_id AND f.pos = c.i),
+cov AS (
+  SELECT doc_id, i, ch,
+         max(fs) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS covered
+  FROM marked),
+agg AS (
+  SELECT doc_id,
+         COALESCE(string_agg(ch, '' ORDER BY i) FILTER (WHERE covered = 0), '')
+           AS clean_text
+  FROM cov GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.clean_text, '') AS clean_text,
+       CAST(length(d.t) - length(COALESCE(a.clean_text, '')) AS BIGINT)
+         AS n_chars_removed,
+       COALESCE(n.n_dup_spans, 0) AS n_dup_spans
+FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN nsp n USING (doc_id)"""
+
+
 _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "column_truncate": (q_column_truncate, SQL_column_truncate),
     "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
@@ -2923,6 +2982,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ann_lsh_topk),
     "random_projection": (q_random_projection, SQL_random_projection),
     "dedup_incremental": (q_dedup_incremental, SQL_dedup_incremental),
+    "dedup_exact_substring": (q_dedup_exact_substring, SQL_dedup_exact_substring),
 }
 
 

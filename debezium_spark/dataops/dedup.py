@@ -552,3 +552,144 @@ def dedup_against_corpus(
         )
     )
     return out.withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))
+
+
+def exact_substring_dedup(
+    docs: DataFrame,
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", the ExactSubstr
+    variant): any length-``k`` character window that occurs MORE THAN
+    ONCE in the corpus — across documents or within one — is duplicated
+    text; every occurrence except the corpus-first one (smallest
+    ``(doc_id, pos)``) is cut out of its document. Overlapping and
+    adjacent cut windows merge into maximal spans before removal, so a
+    long duplicated passage is excised once as a whole, exactly like the
+    paper's span semantics. The paper builds a corpus suffix array on one
+    big-memory machine; this is the distributed equivalent — a
+    rolling-window hash census — which finds the same duplicated windows
+    (matches shorter than ``k`` are below the threshold in both).
+
+    Scale shape: the exploded window table is O(total chars) rows but
+    only (doc, pos, 2x64-bit hash) wide — the full text never leaves its
+    map task (the substring/hash projection pipelines inside the scan
+    stage). The census is one partial-aggregable shuffle on the hash
+    pair (count + min(struct)); flagging is one equi-join back on the
+    same key; span-merge and stitching are per-document array folds
+    (bounded by doc length, zero shuffle). No suffix array, no
+    cross-product, no driver state. Windows hash to a PAIR of
+    independent xxhash64 values (keyed + unkeyed): at the 10^14-window
+    design point a single 64-bit key would birthday-collide ~10^8 times
+    (each a wrongful cut); the 128-bit pair bounds expected collisions
+    below 10^-10.
+
+    Output: one row per input document —
+    (id_col, clean_text, n_chars_removed, n_dup_spans), NULL text pinned
+    to '' (explode of an empty window set yields zero rows; the final
+    left join restores the document)."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (k=1 would dedupe the alphabet)")
+    base = docs.select(
+        F.col(id_col).alias("did"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_t"),
+    )
+    wins = (
+        base.where(F.length("_t") >= k)
+        .select(
+            "did",
+            "_t",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), (F.length("_t") - k).cast("long"))
+            ).alias("pos"),
+        )
+        .select(
+            "did",
+            "pos",
+            F.xxhash64(F.expr(f"substring(_t, pos + 1, {k})")).alias("h1"),
+            F.xxhash64(F.lit(1), F.expr(f"substring(_t, pos + 1, {k})")).alias("h2"),
+        )
+    )
+    first = (
+        wins.groupBy("h1", "h2")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(F.struct("did", "pos")).alias("_first"),
+        )
+        .where(F.col("_n") > 1)
+        .select("h1", "h2", "_first")
+    )
+    flagged = (
+        wins.join(first, ["h1", "h2"])
+        .where(
+            ~(
+                (F.col("did") == F.col("_first.did"))
+                & (F.col("pos") == F.col("_first.pos"))
+            )
+        )
+        .select("did", "pos")
+    )
+    starts = flagged.groupBy("did").agg(
+        F.sort_array(F.collect_list("pos")).alias("_ps")
+    )
+    # fold sorted window starts into maximal disjoint [s, e) spans:
+    # fixed-length windows over sorted starts have sorted ends, so the
+    # running span end is always last.e and "p <= last.e" is the full
+    # overlap-or-adjacent merge condition
+    empty_spans = F.expr("CAST(array() AS array<struct<s: BIGINT, e: BIGINT>>)")
+    spans = F.aggregate(
+        F.col("_ps"),
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + k).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(acc, F.array(F.struct(p.alias("s"), (p + k).alias("e"))))
+        ),
+    )
+    # stitch: walk the spans left to right, keeping [cursor, span.s) and
+    # advancing the cursor past each span; finish keeps the tail
+    def _stitch(sp):
+        return F.aggregate(
+            sp,
+            F.struct(
+                F.lit(0).cast("long").alias("c"), F.lit("").alias("o")
+            ),
+            lambda acc, s: F.struct(
+                s["e"].alias("c"),
+                F.concat(
+                    acc["o"], F.col("_t").substr(acc["c"] + 1, s["s"] - acc["c"])
+                ).alias("o"),
+            ),
+            lambda acc: F.concat(
+                acc["o"],
+                F.col("_t").substr(acc["c"] + 1, F.length("_t") - acc["c"]),
+            ),
+        )
+
+    merged = base.join(starts, "did", "left").withColumn("_spans", spans)
+    return merged.select(
+        F.col("did").alias(id_col),
+        F.when(F.col("_ps").isNull(), F.col("_t"))
+        .otherwise(_stitch(F.col("_spans")))
+        .alias("clean_text"),
+        F.coalesce(
+            F.aggregate(
+                "_spans",
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + (s["e"] - s["s"]),
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_chars_removed"),
+        F.coalesce(F.size("_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+    )

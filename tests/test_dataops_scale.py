@@ -936,3 +936,62 @@ def test_dedup_against_corpus_null_text_groups_like_exact_dedup(spark):
     }
     assert got[10] == (0, True) and got[11] == (0, True)
     assert got[12] == (12, False)
+
+
+# ------------------------------------------------------- exact substring dedup
+
+
+def test_exact_substring_dedup_excises_shared_passage(spark):
+    """Lee et al. ExactSubstr semantics: the corpus-first occurrence of a
+    duplicated window chain keeps its text; every later copy is cut as
+    ONE merged span; self-repetition collapses to its unflagged prefix;
+    short and NULL docs pass through untouched."""
+    from debezium_spark.dataops.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog END"),
+            (2, "prefix the quick brown fox jumps over the lazy dog END suffix"),
+            (3, "aaaaaaaaaaaaaaaaaaaaaaaa"),
+            (4, "short"),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in exact_substring_dedup(docs, k=10).collect()}
+    assert out[1]["clean_text"] == "the quick brown fox jumps over the lazy dog END"
+    assert out[1]["n_dup_spans"] == 0
+    # every window of the copied passage duplicates doc 1 -> one merged span
+    assert out[2]["clean_text"] == "prefix  suffix"
+    assert out[2]["n_dup_spans"] == 1
+    assert out[2]["n_chars_removed"] == 47
+    # 'a'*24: windows 1..14 duplicate window 0; merged span [1, 24)
+    assert out[3]["clean_text"] == "a"
+    assert out[3]["n_chars_removed"] == 23
+    # below-k and NULL docs: no windows, restored by the final left join
+    assert out[4]["clean_text"] == "short" and out[4]["n_dup_spans"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_chars_removed"] == 0
+
+
+def test_exact_substring_dedup_k_validated(spark):
+    import pytest
+
+    from debezium_spark.dataops.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        exact_substring_dedup(docs, k=1)
+
+
+def test_exact_substring_dedup_census_is_partial_agg_no_python(spark):
+    """The window census must be a partial-aggregable hash aggregate on
+    the 128-bit hash pair (map-side combine before the one exchange) and
+    the whole pipeline must stay JVM-side — no Python eval anywhere."""
+    from debezium_spark.dataops.dedup import exact_substring_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 30), (2, "y" * 30)], "doc_id long, text string"
+    )
+    plan = exact_substring_dedup(docs, k=10)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_min" in plan and "partial_count" in plan

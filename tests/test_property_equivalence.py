@@ -221,3 +221,58 @@ def test_line_dedup_equals_bruteforce(spark, doc_lines, min_docs):
         kept = [ln for ln in lines if not (ln.strip(" ") and ln.strip(" ") in boiler)]
         want[i] = ("\n".join(kept), len(kept), len(lines) - len(kept))
     assert got == want
+
+
+# ----------------------------------------------- exact substring dedup
+
+
+def _brute_exact_substring(texts, k):
+    counts: dict[str, int] = {}
+    first: dict[str, tuple] = {}
+    for i, t in enumerate(texts):
+        t = t or ""
+        for p in range(len(t) - k + 1):
+            w = t[p : p + k]
+            counts[w] = counts.get(w, 0) + 1
+            first.setdefault(w, (i, p))
+    out = {}
+    for i, t in enumerate(texts):
+        t = t or ""
+        spans: list[list[int]] = []
+        for p in range(len(t) - k + 1):
+            w = t[p : p + k]
+            if counts[w] > 1 and first[w] != (i, p):
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = p + k
+                else:
+                    spans.append([p, p + k])
+        clean, c = [], 0
+        for s, e in spans:
+            clean.append(t[c:s])
+            c = e
+        clean.append(t[c:])
+        out[i] = ("".join(clean), sum(e - s for s, e in spans), len(spans))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab", min_size=0, max_size=24), min_size=1, max_size=6
+    ),
+    k=st.integers(min_value=2, max_value=5),
+)
+def test_exact_substring_dedup_equals_bruteforce(spark, texts, k):
+    """For ANY corpus over a 2-letter alphabet (maximal window-collision
+    pressure: heavy self-overlap, cross-doc chains, whole-doc erasure),
+    exact_substring_dedup must equal the brute-force definition: flag
+    every non-first occurrence of a >1-count window, merge overlapping
+    or adjacent flags into spans, excise, count."""
+    from debezium_spark.dataops.dedup import exact_substring_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_chars_removed"], r["n_dup_spans"])
+        for r in exact_substring_dedup(df, k=k).collect()
+    }
+    assert got == _brute_exact_substring(texts, k)
