@@ -944,3 +944,38 @@ def test_parse_default_now_with_fsp():
         assert parse_ddl_sql(
             f"ALTER TABLE t ADD COLUMN seen DATETIME(6) DEFAULT {spelling}"
         ) == [("add", "seen", "timestamp", CURRENT_TS_MARKER)], spelling
+
+
+def test_parse_schema_neutral_dialect_surface_is_inert():
+    """The MySQL dialect surface beyond column evolution — charset
+    conversion, partition maintenance, index DDL, ALGORITHM/LOCK hints,
+    table options (MySqlAntlrDdlParserTest's residual matrix) — must
+    parse to ZERO ops (history-only) without mis-firing any column rule
+    (e.g. RENAME INDEX a TO b must not read as a column or table rename,
+    DROP INDEX i must not drop a column), while clauses mixed with real
+    column DDL still extract the column ops."""
+    neutral = [
+        "ALTER TABLE db.t CONVERT TO CHARACTER SET utf8mb4 COLLATE utf8mb4_general_ci",
+        "ALTER TABLE t DEFAULT CHARACTER SET = utf8mb4",
+        "ALTER TABLE t ADD PARTITION (PARTITION p1 VALUES LESS THAN (10))",
+        "ALTER TABLE t DROP PARTITION p0, p1",
+        "ALTER TABLE t TRUNCATE PARTITION p2",
+        "ALTER TABLE t REORGANIZE PARTITION p0 INTO "
+        "(PARTITION p1 VALUES LESS THAN (10), PARTITION p2 VALUES LESS THAN MAXVALUE)",
+        "ALTER TABLE t COALESCE PARTITION 2",
+        "ALTER TABLE t RENAME INDEX idx_a TO idx_b",
+        "ALTER TABLE t ADD INDEX idx_c (c)",
+        "ALTER TABLE t DROP INDEX idx_c",
+        "ALTER TABLE t ADD FULLTEXT INDEX ft (text_col)",
+        "ALTER TABLE t ROW_FORMAT=DYNAMIC, ENGINE=InnoDB",
+        "ALTER TABLE t AUTO_INCREMENT = 100",
+    ]
+    for stmt in neutral:
+        assert parse_ddl_sql(stmt) == [], stmt
+    # mixed: the column ops surface, the neutral clauses stay silent
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN c INT, ALGORITHM=INPLACE, LOCK=NONE"
+    ) == [("add", "c", "int", None)]
+    assert parse_ddl_sql(
+        "ALTER TABLE t MODIFY c BIGINT AFTER b, CONVERT TO CHARACTER SET latin1"
+    ) == [("widen", "c", "long"), ("reorder", "c", "b")]
