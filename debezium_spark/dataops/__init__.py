@@ -11,10 +11,12 @@ from debezium_spark.dataops.dedup import (
     decontaminate,
     dedup_against_corpus,
     exact_dedup,
+    exact_substring_dedup,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
     simhash_signatures,
 )
+from debezium_spark.dataops.pipeline import PipelineResult, training_corpus_pipeline
 from debezium_spark.dataops.similarity import (
     brute_force_topk,
     bucketed_ann_topk,
@@ -47,6 +49,9 @@ __all__ = [
     "decontaminate",
     "dedup_against_corpus",
     "exact_dedup",
+    "exact_substring_dedup",
+    "training_corpus_pipeline",
+    "PipelineResult",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_signatures",
