@@ -578,9 +578,12 @@ def exact_substring_dedup(
     map task (the substring/hash projection pipelines inside the scan
     stage). The census is one partial-aggregable shuffle on the hash
     pair (count + min(struct)); flagging is one equi-join back on the
-    same key; span-merge and stitching are per-document array folds
-    (bounded by doc length, zero shuffle). No suffix array, no
-    cross-product, no driver state. Windows hash to a PAIR of
+    same key; span-merge and stitching are gaps-and-islands windows plus
+    aggregations that ALL cluster by document id (one exchange serves
+    the chain), with per-row state bounded by one span/piece — a
+    heavily-duplicated 100 MB document streams through instead of
+    materializing its flag positions as one array row. No suffix array,
+    no cross-product, no driver state. Windows hash to a PAIR of
     independent xxhash64 values (keyed + unkeyed): at the 10^14-window
     design point a single 64-bit key would birthday-collide ~10^8 times
     (each a wrongful cut); the 128-bit pair bounds expected collisions
@@ -631,65 +634,72 @@ def exact_substring_dedup(
         )
         .select("did", "pos")
     )
-    starts = flagged.groupBy("did").agg(
-        F.sort_array(F.collect_list("pos")).alias("_ps")
-    )
-    # fold sorted window starts into maximal disjoint [s, e) spans:
-    # fixed-length windows over sorted starts have sorted ends, so the
-    # running span end is always last.e and "p <= last.e" is the full
-    # overlap-or-adjacent merge condition
-    empty_spans = F.expr("CAST(array() AS array<struct<s: BIGINT, e: BIGINT>>)")
-    spans = F.aggregate(
-        F.col("_ps"),
-        empty_spans,
-        lambda acc, p: F.when(
-            (F.size(acc) > 0) & (p <= F.element_at(acc, -1)["e"]),
-            F.concat(
-                F.slice(acc, F.lit(1), F.size(acc) - 1),
-                F.array(
-                    F.struct(
-                        F.element_at(acc, -1)["s"].alias("s"),
-                        (p + k).alias("e"),
-                    )
-                ),
-            ),
-        ).otherwise(
-            F.concat(acc, F.array(F.struct(p.alias("s"), (p + k).alias("e"))))
-        ),
-    )
-    # stitch: walk the spans left to right, keeping [cursor, span.s) and
-    # advancing the cursor past each span; finish keeps the tail
-    def _stitch(sp):
-        return F.aggregate(
-            sp,
-            F.struct(
-                F.lit(0).cast("long").alias("c"), F.lit("").alias("o")
-            ),
-            lambda acc, s: F.struct(
-                s["e"].alias("c"),
-                F.concat(
-                    acc["o"], F.col("_t").substr(acc["c"] + 1, s["s"] - acc["c"])
-                ).alias("o"),
-            ),
-            lambda acc: F.concat(
-                acc["o"],
-                F.col("_t").substr(acc["c"] + 1, F.length("_t") - acc["c"]),
-            ),
-        )
+    # merge flagged starts into maximal disjoint [s, e) spans via
+    # gaps-and-islands windows, NOT a per-doc collect_list + fold: a
+    # heavily duplicated giant document (the exact case ExactSubstr
+    # targets) has up to one flagged start per character, and one array
+    # row of all of them plus accumulator-copying lambdas is O(doc) row
+    # size and O(n²) per-row CPU (review r5). Windows stream the same
+    # computation: fixed-length windows over sorted starts have sorted
+    # ends, so "pos - lag(pos) <= k" is the full overlap-or-adjacent
+    # merge condition and the island id is a running sum of breaks. All
+    # window/groupBy steps below cluster by did, so one exchange serves
+    # the whole chain.
+    from pyspark.sql import Window
 
-    merged = base.join(starts, "did", "left").withColumn("_spans", spans)
+    w_pos = Window.partitionBy("did").orderBy("pos")
+    isl = flagged.withColumn(
+        "_new",
+        F.when(F.col("pos") - F.lag("pos").over(w_pos) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("_isl", F.sum("_new").over(w_pos))
+    spans = isl.groupBy("did", "_isl").agg(
+        F.min("pos").alias("s"), (F.max("pos") + k).alias("e")
+    )
+    stats = spans.groupBy("did").agg(
+        F.count(F.lit(1)).alias("_nsp"),
+        F.sum(F.col("e") - F.col("s")).alias("_nrm"),
+        F.max("e").alias("_maxe"),
+    )
+    # kept text = the gaps between consecutive spans plus the tail past
+    # the last span; each piece is one row (no giant per-doc array), the
+    # final reassembly collects only the pieces that make up the OUTPUT
+    w_span = Window.partitionBy("did").orderBy("s")
+    gaps = spans.select(
+        "did",
+        F.coalesce(F.lag("e").over(w_span), F.lit(0).cast("long")).alias("b"),
+        F.col("s").alias("t"),
+    )
+    tails = stats.select(
+        "did", F.col("_maxe").alias("b"), F.lit(None).cast("long").alias("t")
+    )
+    pieces = (
+        gaps.unionByName(tails)
+        .join(base, "did")
+        .select(
+            "did",
+            "b",
+            F.col("_t")
+            .substr(F.col("b") + 1, F.coalesce(F.col("t"), F.length("_t")) - F.col("b"))
+            .alias("_piece"),
+        )
+    )
+    asm = pieces.groupBy("did").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "_piece"))),
+                lambda s: s["_piece"],
+            ),
+            "",
+        ).alias("_clean")
+    )
+    merged = base.join(stats, "did", "left").join(asm, "did", "left")
     return merged.select(
         F.col("did").alias(id_col),
-        F.when(F.col("_ps").isNull(), F.col("_t"))
-        .otherwise(_stitch(F.col("_spans")))
+        F.when(F.col("_nsp").isNull(), F.col("_t"))
+        .otherwise(F.coalesce(F.col("_clean"), F.lit("")))
         .alias("clean_text"),
-        F.coalesce(
-            F.aggregate(
-                "_spans",
-                F.lit(0).cast("long"),
-                lambda acc, s: acc + (s["e"] - s["s"]),
-            ),
-            F.lit(0).cast("long"),
-        ).alias("n_chars_removed"),
-        F.coalesce(F.size("_spans"), F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce(F.col("_nrm"), F.lit(0)).cast("long").alias("n_chars_removed"),
+        F.coalesce(F.col("_nsp"), F.lit(0)).cast("long").alias("n_dup_spans"),
     )

@@ -19,9 +19,10 @@ Scale design (the 100 TB shape):
   each traversal would recompute every upstream stage, multiplying the
   scan cost once per subtree per stage. Materializing between stages
   makes each stage's input a plain parquet scan, truncates shuffle
-  lineage (a lost executor replays one stage, not the chain), and gives
-  restartability-by-stage for free (finished stage files are reused on
-  rerun via the stage manifest of existing outputs).
+  lineage (a lost executor replays one stage, not the chain), and makes
+  the stage the unit of restart: rerunning with ``resume=True`` skips
+  every stage whose parquet ``_SUCCESS`` marker exists and recomputes
+  only the unfinished tail.
 - Without ``checkpoint_dir`` the chain stays lazy but every stage
   boundary is a non-eager ``localCheckpoint`` — lineage truncation into
   executor storage. This is a correctness-of-scale requirement, not an
@@ -77,7 +78,9 @@ class PipelineResult:
         return [(name, df.count()) for name, df in self.stages]
 
 
-def _stage_io(df: DataFrame, name: str, checkpoint_dir: str | None) -> DataFrame:
+def _stage_io(
+    df: DataFrame, name: str, checkpoint_dir: str | None, resume: bool
+) -> DataFrame:
     if checkpoint_dir is None:
         # lineage truncation is NOT optional: census stages reference
         # their input through several subtrees and Catalyst re-expands
@@ -89,8 +92,19 @@ def _stage_io(df: DataFrame, name: str, checkpoint_dir: str | None) -> DataFrame
         # checkpoints are the durable production mode.
         return df.localCheckpoint(eager=False)
     path = f"{checkpoint_dir}/{name}"
+    spark = df.sparkSession
+    if resume:
+        # a stage is complete iff its parquet commit marker exists — the
+        # unit of restart. Reuse REQUIRES the same input and stage config
+        # as the interrupted run (the caller's contract, as with any
+        # checkpoint); a completed stage is never rewritten, so a second
+        # failure can't destroy finished work
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(f"{path}/_SUCCESS")
+        fs = jvm_path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jvm_path):
+            return spark.read.parquet(path)
     df.write.mode("overwrite").parquet(path)
-    return df.sparkSession.read.parquet(path)
+    return spark.read.parquet(path)
 
 
 def training_corpus_pipeline(
@@ -100,6 +114,7 @@ def training_corpus_pipeline(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint_dir: str | None = None,
+    resume: bool = False,
     line_dedup_min_docs: int = 2,
     substr_k: int = 50,
     min_chars: int = 1,
@@ -129,12 +144,20 @@ def training_corpus_pipeline(
     ``c4=False`` / ``gopher=False`` skip a cleaning stage whose rules
     don't fit the corpus (C4's terminal-punctuation line rule assumes
     prose — on code or log corpora it removes every line; recipes tune
-    or drop stages per corpus, so the pipeline must too)."""
+    or drop stages per corpus, so the pipeline must too).
+
+    ``resume=True`` (requires ``checkpoint_dir``) reuses every stage
+    whose parquet commit marker already exists and recomputes only the
+    rest — the restart path after a mid-pipeline failure. It assumes the
+    input and stage configuration are unchanged since the interrupted
+    run; completed stages are never rewritten."""
+    if resume and checkpoint_dir is None:
+        raise ValueError("resume=True requires checkpoint_dir")
     work = docs.select(F.col(id_col), F.col(text_col))
     stages: list[tuple[str, DataFrame]] = []
 
     def push(name: str, df: DataFrame) -> DataFrame:
-        df = _stage_io(df, name, checkpoint_dir)
+        df = _stage_io(df, name, checkpoint_dir, resume)
         stages.append((name, df))
         return df
 
@@ -196,27 +219,23 @@ def training_corpus_pipeline(
             work.join(cont.select(id_col), on=id_col, how="left_anti"),
         )
 
-    # 7. rejoin the input's passthrough columns + annotations
-    out = docs.drop(text_col).join(work, on=id_col, how="inner")
+    # 7. annotate in ONE pass — the three annotators are stateless per-row
+    # projections, so with keep_input_cols they chain into one collapsed
+    # map stage (three separate id-joins would add three full-corpus
+    # exchanges for columns computable in place) — then one join rejoins
+    # the input's passthrough columns
     if annotate:
-        out = (
-            out.join(
-                language_id(work, id_col=id_col, text_col=text_col).select(
-                    id_col, "predicted_lang"
+        ann = token_stats(
+            quality_score(
+                language_id(
+                    work, id_col=id_col, text_col=text_col, keep_input_cols=True
                 ),
-                on=id_col,
-            )
-            .join(
-                quality_score(work, id_col=id_col, text_col=text_col).select(
-                    id_col, "quality"
-                ),
-                on=id_col,
-            )
-            .join(
-                token_stats(work, id_col=id_col, text_col=text_col).select(
-                    id_col, "bpe_est_tokens"
-                ),
-                on=id_col,
-            )
+                id_col=id_col, text_col=text_col, keep_input_cols=True,
+            ),
+            id_col=id_col, text_col=text_col, keep_input_cols=True,
         )
+        work = ann.select(
+            id_col, text_col, "predicted_lang", "quality", "bpe_est_tokens"
+        )
+    out = docs.drop(text_col).join(work, on=id_col, how="inner")
     return PipelineResult(corpus=out, stages=stages)

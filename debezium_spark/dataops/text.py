@@ -20,16 +20,31 @@ _LANG_MARKERS = {
 }
 
 
-def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def language_id(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_input_cols: bool = False,
+) -> DataFrame:
     """Marker-word language heuristic: score per language = number of token
     hits against its marker list; argmax with deterministic tie order
-    (en > de > es > fr by list order, ties to the earlier language)."""
+    (en > de > es > fr by list order, ties to the earlier language).
+
+    ``keep_input_cols=True`` passes the input's other columns through, so
+    stateless annotators CHAIN into one collapsed projection instead of
+    each forcing an id-equi join (the composed pipeline's annotate
+    step)."""
     toks = tokens_col(text_col)
     scores = []
     for lang, words in _LANG_MARKERS.items():
         hits = F.size(F.filter(toks, lambda t: t.isin(words)))
         scores.append((lang, hits))
-    out = docs.select(F.col(id_col), *[s.alias(f"score_{l}") for l, s in scores])
+    passthru = (
+        [F.col(c) for c in docs.columns if c != id_col] if keep_input_cols else []
+    )
+    out = docs.select(
+        F.col(id_col), *passthru, *[s.alias(f"score_{l}") for l, s in scores]
+    )
     # argmax with the documented tie order: build the when-chain so the
     # EARLIEST language is tested first against the max, and a zero max
     # stays 'unknown' (review r5: the previous strict-> fold resolved ties
@@ -44,9 +59,15 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     return out.withColumn("predicted_lang", pred)
 
 
-def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_input_cols: bool = False,
+) -> DataFrame:
     """Heuristic quality features + composite score:
-    token count, mean token length, stopword ratio, non-alnum ratio."""
+    token count, mean token length, stopword ratio, non-alnum ratio.
+    ``keep_input_cols`` as on ``language_id``."""
     toks = tokens_col(text_col)
     n_tok = F.size(toks)
     n_char = F.length(F.col(text_col))
@@ -60,6 +81,7 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
     return docs.select(
         F.col(id_col),
+        *([F.col(c) for c in docs.columns if c != id_col] if keep_input_cols else []),
         n_tok.alias("n_tokens"),
         n_char.alias("n_chars"),
         mean_tok_len.alias("mean_token_len"),
@@ -69,10 +91,15 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
-def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def token_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_input_cols: bool = False,
+) -> DataFrame:
     """Token counting three ways: whitespace split, word-regex count, and a
     BPE-ish subword proxy (ceil of alnum chars / 4 — the classic chars/4
-    token estimate)."""
+    token estimate). ``keep_input_cols`` as on ``language_id``."""
     # split('') yields [""] — an empty/whitespace-only doc must report 0
     # whitespace tokens, not 1 (review r4)
     trimmed = F.trim(F.col(text_col))
@@ -84,6 +111,7 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     bpe_est = F.ceil(alnum_chars / F.lit(4.0)).cast("long")
     return docs.select(
         F.col(id_col),
+        *([F.col(c) for c in docs.columns if c != id_col] if keep_input_cols else []),
         ws.alias("ws_tokens"),
         words.alias("word_tokens"),
         bpe_est.alias("bpe_est_tokens"),

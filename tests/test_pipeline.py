@@ -147,3 +147,37 @@ def test_pipeline_decontaminate_removes_seeded_overlap(spark):
     )
     ids_out = {r[0] for r in res.corpus.select("doc_id").collect()}
     assert not (contaminated & ids_out)
+
+
+def test_pipeline_resume_reuses_completed_stages(spark, tmp_path):
+    """resume=True must reuse a completed stage verbatim (its files are
+    never rewritten — a second failure cannot destroy finished work) and
+    recompute only stages whose commit marker is missing."""
+    import os
+    import shutil
+
+    import pytest
+
+    docs = _docs(spark).limit(40)
+    ckpt = str(tmp_path / "stages")
+    first = training_corpus_pipeline(
+        docs, c4=False, gopher_opts=GOPHER_OPTS, annotate=False,
+        checkpoint_dir=ckpt,
+    )
+    want = sorted(map(tuple, first.corpus.collect()))
+    g_success = os.path.join(ckpt, "02_gopher", "_SUCCESS")
+    mtime_before = os.path.getmtime(g_success)
+    # simulate a crash after stage 03: stage 04 onward incomplete
+    shutil.rmtree(os.path.join(ckpt, "04_exact_substring"))
+    shutil.rmtree(os.path.join(ckpt, "05_neardup_survivors"))
+    second = training_corpus_pipeline(
+        docs, c4=False, gopher_opts=GOPHER_OPTS, annotate=False,
+        checkpoint_dir=ckpt, resume=True,
+    )
+    got = sorted(map(tuple, second.corpus.collect()))
+    assert got == want
+    # the completed stage was reused, not rewritten
+    assert os.path.getmtime(g_success) == mtime_before
+    # resume without a checkpoint dir is a contract violation
+    with pytest.raises(ValueError):
+        training_corpus_pipeline(docs, resume=True)

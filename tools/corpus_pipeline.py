@@ -12,9 +12,10 @@ Run via spark-submit --py-files (same contract as the replay job):
 
 Prints one JSON line with the per-stage survivor counts (the audit
 funnel) and the final corpus size. The stage checkpoint dir is the
-restart unit: each stage is a plain parquet directory; rerunning after a
-failure redoes only the stages after the last complete one you point
-``--checkpoint`` at (stage outputs are overwritten idempotently).
+restart unit: each stage is a plain parquet directory, and rerunning
+with ``--resume`` skips every stage whose ``_SUCCESS`` marker exists and
+recomputes only the unfinished tail (same input and flags assumed;
+completed stages are never rewritten).
 """
 
 from __future__ import annotations
@@ -32,6 +33,10 @@ def main(argv=None) -> int:
     p.add_argument("--input", required=True, help="input documents parquet")
     p.add_argument("--output", required=True, help="final corpus parquet dir")
     p.add_argument("--checkpoint", default=None, help="stage materialization dir")
+    p.add_argument(
+        "--resume", action="store_true",
+        help="reuse completed stages in --checkpoint (same input/flags)",
+    )
     p.add_argument("--benchmark", default=None, help="eval-set parquet to decontaminate against")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
@@ -61,6 +66,7 @@ def main(argv=None) -> int:
         id_col=args.id_col,
         text_col=args.text_col,
         checkpoint_dir=args.checkpoint,
+        resume=args.resume,
         line_dedup_min_docs=args.line_min_docs,
         substr_k=args.substr_k,
         annotate=not args.no_annotate,
