@@ -2890,6 +2890,26 @@ FROM j"""
 #: metadata; drop-deletes vs rewrite flatten) and general-OLAP demos
 #: (TPC-H, event aggs). Same (spark_fn, oracle_sql) contract; verified by
 #: tools/check_oracle.py --extras and tests/test_extra_oracle.py.
+def q_corpus_domain_cap(spark, sf_dir):
+    """Per-domain document cap (Common Crawl recipe): keep at most 10 docs
+    per source, chosen by md5-hash order with id tie-break — exact
+    distributed selection (bucket-count prepass; only the boundary hash
+    slice per group is ever sorted)."""
+    from debezium_spark.dataops.sampling import cap_per_group
+
+    docs = _read(spark, sf_dir, "documents")
+    return cap_per_group(docs, 10, group_col="source", id_col="doc_id")
+
+
+SQL_corpus_domain_cap = """SELECT doc_id, text, lang, source, n_chars
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10"""
+
+
 def q_dedup_exact_substring(spark, sf_dir):
     """ExactSubstr dedup (Lee et al. 2022) over the raw corpus: every
     50-char window occurring more than once corpus-wide is cut from all
@@ -2983,6 +3003,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "random_projection": (q_random_projection, SQL_random_projection),
     "dedup_incremental": (q_dedup_incremental, SQL_dedup_incremental),
     "dedup_exact_substring": (q_dedup_exact_substring, SQL_dedup_exact_substring),
+    "corpus_domain_cap": (q_corpus_domain_cap, SQL_corpus_domain_cap),
 }
 
 

@@ -27,6 +27,7 @@ from debezium_spark.dataops.similarity import (
 )
 from debezium_spark.dataops.packing import pack_sequences
 from debezium_spark.dataops.sampling import (
+    cap_per_group,
     hash_fraction,
     hash_split,
     sample_by_rate,
@@ -64,6 +65,7 @@ __all__ = [
     "line_dedup",
     "doc_fingerprint",
     "gopher_doc_filter",
+    "cap_per_group",
     "hash_fraction",
     "hash_split",
     "pack_sequences",

@@ -24,7 +24,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_fraction", "sample_by_rate", "temperature_mix", "hash_split"]
+__all__ = [
+    "cap_per_group",
+    "hash_fraction",
+    "hash_split",
+    "sample_by_rate",
+    "temperature_mix",
+]
 
 
 def hash_fraction(col: Column) -> Column:
@@ -133,3 +139,63 @@ def hash_split(
     return docs.withColumn(
         split_col, last if expr is None else expr.otherwise(last)
     )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    n: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact deterministic cap: keep at most ``n`` documents per group
+    (the Common-Crawl-recipe "max docs per domain" rule), chosen by
+    md5-hash order with id tie-break — reproducible run-over-run, and
+    unbiased because the hash order is independent of any data column.
+
+    Scale shape — distributed selection, NOT a per-group sort: ranking a
+    whole group with ``row_number`` would hash-partition every row of a
+    hot domain into ONE task and sort it there. Instead the first hash
+    byte pre-buckets each group into 256 ordered slices; an O(groups ×
+    256) count table (aggregated, then broadcast back) decides per
+    slice: fully below the cap → keep all rows WITHOUT sorting, fully
+    above → drop without sorting, and exactly ONE boundary slice per
+    group gets a real ``row_number`` over ~1/256 of the group's rows.
+    Because the bucket is a prefix of the hash, (bucket, hash, id) order
+    equals (hash, id) order, so the kept set is exactly the global
+    top-``n`` per group by (md5(id), id) — which is what a plain
+    windowed oracle computes.
+
+    Output: the surviving rows with their original schema."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    g, i = F.col(group_col), F.col(id_col)
+    h = F.md5(i.cast("string"))
+    bucket = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    tagged = docs.withColumn("_h", h).withColumn("_b", bucket)
+    counts = tagged.groupBy(group_col, "_b").agg(F.count(F.lit(1)).alias("_cnt"))
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    decisions = counts.withColumn(
+        "_before", F.sum("_cnt").over(w_cum) - F.col("_cnt")
+    ).select(
+        group_col,
+        "_b",
+        F.when(F.col("_before") + F.col("_cnt") <= n, F.lit(None).cast("long"))
+        .when(F.col("_before") >= n, F.lit(0).cast("long"))
+        .otherwise((F.lit(n) - F.col("_before")).cast("long"))
+        .alias("_quota"),  # NULL = keep whole slice (no sort), 0 = drop slice
+    )
+    joined = tagged.join(F.broadcast(decisions), on=[group_col, "_b"])
+    whole = joined.where(F.col("_quota").isNull())
+    partial = joined.where(F.col("_quota") > 0)
+    w_rank = Window.partitionBy(group_col, "_b").orderBy("_h", id_col)
+    ranked = partial.withColumn("_rn", F.row_number().over(w_rank)).where(
+        F.col("_rn") <= F.col("_quota")
+    )
+    drop = ["_h", "_b", "_quota"]
+    return whole.drop(*drop).unionByName(ranked.drop(*drop, "_rn"))

@@ -118,3 +118,64 @@ def test_hash_split_validates_weights(docs):
         hash_split(docs, {"train": 0.5, "val": 0.1})
     with pytest.raises(ValueError, match="non-negative"):
         hash_split(docs, {"train": 1.5, "val": -0.5})
+
+
+# ---------------------------------------------------------- cap per group
+
+
+def test_cap_per_group_equals_windowed_oracle(spark):
+    """The bucketed selection must keep EXACTLY the global top-n per group
+    by (md5(id), id) — the plain windowed definition — including under
+    90% single-group skew, and never sort a whole group to get there."""
+    import hashlib
+
+    from debezium_spark.dataops.sampling import cap_per_group
+
+    # skew: group 'hot' holds 900 of 1000 rows
+    rows = [(i, "hot" if i < 900 else f"cold{i % 7}") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["doc_id"] for r in cap_per_group(docs, 10, group_col="source").collect()}
+    want = set()
+    by_group: dict[str, list[int]] = {}
+    for i, g in rows:
+        by_group.setdefault(g, []).append(i)
+    for g, ids in by_group.items():
+        ids.sort(key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+        want.update(ids[:10])
+    assert got == want
+    # every group capped at 10; cold groups smaller than 10 survive whole
+    sizes = {
+        r["source"]: r["count"]
+        for r in cap_per_group(docs, 10, group_col="source")
+        .groupBy("source").count().collect()
+    }
+    assert sizes["hot"] == 10
+    assert all(v <= 10 for v in sizes.values())
+
+
+def test_cap_per_group_edges(spark):
+    import pytest
+
+    from debezium_spark.dataops.sampling import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string"
+    )
+    assert cap_per_group(docs, 0, group_col="source").count() == 0
+    assert cap_per_group(docs, 5, group_col="source").count() == 3
+    with pytest.raises(ValueError):
+        cap_per_group(docs, -1, group_col="source")
+
+
+def test_cap_per_group_decision_join_is_broadcast(spark):
+    from debezium_spark.dataops.sampling import cap_per_group
+
+    docs = spark.createDataFrame(
+        [(i, "g") for i in range(50)], "doc_id long, source string"
+    )
+    plan = (
+        cap_per_group(docs, 5, group_col="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
