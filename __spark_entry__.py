@@ -2968,6 +2968,136 @@ SELECT d.doc_id,
 FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN nsp n USING (doc_id)"""
 
 
+def q_corpus_incremental_update(spark, sf_dir):
+    """Incremental corpus maintenance (the CDC → training-corpus bridge):
+    one delta of creates/updates/deletes applied against the standing
+    corpus's digest census, emitting the corpus mutation — admitted
+    upserts + required deletes — without rescanning corpus text. The
+    crafted delta exercises every routing: plain deletes, an update that
+    becomes a duplicate of standing content (→ delete), an update to
+    fresh text (→ upsert), the same id updated twice (last wins), new
+    docs duplicating content that LEAVES the corpus in this same delta
+    (→ admitted), new docs duplicating standing content (→ dropped), and
+    an intra-batch twin pair (min id admitted)."""
+    from debezium_spark.dataops.pipeline import corpus_census, incremental_corpus_update
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 350)
+    did = F.col("doc_id")
+
+    d_ev = docs.where(did < 20).select(
+        (did * 10).alias("pos"), F.lit("d").alias("op"), did.alias("bid"),
+        F.lit(None).cast("long").alias("aid"), F.lit(None).cast("string").alias("atext"),
+    )
+    dup_u = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("b.doc_id") == F.col("a.doc_id") + 300)
+        .where(F.col("a.doc_id").between(20, 29))
+        .select(
+            (F.col("a.doc_id") * 10).alias("pos"), F.lit("u").alias("op"),
+            F.col("a.doc_id").alias("bid"), F.col("a.doc_id").alias("aid"),
+            F.col("b.text").alias("atext"),
+        )
+    )
+    rewrite = docs.where(did.between(30, 39)).select(
+        (did * 10).alias("pos"), F.lit("u").alias("op"), did.alias("bid"),
+        did.alias("aid"),
+        F.concat(F.lit("rewrite-"), did.cast("string")).alias("atext"),
+    )
+    c_dead = docs.where(did < 10).select(
+        ((did + 500) * 10).alias("pos"), F.lit("c").alias("op"),
+        F.lit(None).cast("long").alias("bid"), (did + 500).alias("aid"),
+        F.col("text").alias("atext"),
+    )
+    c_live = docs.where(did.between(50, 59)).select(
+        ((did + 460) * 10).alias("pos"), F.lit("c").alias("op"),
+        F.lit(None).cast("long").alias("bid"), (did + 460).alias("aid"),
+        F.col("text").alias("atext"),
+    )
+    literals = spark.createDataFrame(
+        [
+            (451, "u", 45, 45, "v1"),
+            (452, "u", 45, 45, "v2"),
+            (6000, "c", None, 600, "fresh-twin"),
+            (6010, "c", None, 601, "fresh-twin"),
+        ],
+        "pos long, op string, bid long, aid long, atext string",
+    )
+    ev = d_ev.unionByName(dup_u).unionByName(rewrite).unionByName(c_dead) \
+        .unionByName(c_live).unionByName(literals)
+    env = ev.select(
+        F.when(
+            F.col("op") != "c",
+            F.struct(F.col("bid").alias("doc_id"), F.lit(None).cast("string").alias("text")),
+        ).alias("before"),
+        F.when(
+            F.col("op") != "d",
+            F.struct(F.col("aid").alias("doc_id"), F.col("atext").alias("text")),
+        ).alias("after"),
+        F.col("op"),
+        F.col("pos").alias("ts_ms"),
+        F.struct(
+            F.lit("b1").alias("file"), F.col("pos").alias("pos"),
+            F.lit(None).cast("string").alias("snapshot"),
+        ).alias("source"),
+        F.struct(F.lit("tx").alias("id")).alias("transaction"),
+    )
+    delta = incremental_corpus_update(env, corpus_census(corpus))
+    return delta.upserts.select(
+        "doc_id", F.lit("upsert").alias("action"), "text"
+    ).unionByName(
+        delta.deletes.select(
+            "doc_id", F.lit("delete").alias("action"),
+            F.lit(None).cast("string").alias("text"),
+        )
+    )
+
+
+SQL_corpus_incremental_update = """WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 350),
+ev AS (
+  SELECT doc_id*10 AS pos, 'd' AS op, doc_id AS id, CAST(NULL AS VARCHAR) AS atext
+    FROM documents WHERE doc_id < 20
+  UNION ALL
+  SELECT a.doc_id*10, 'u', a.doc_id, b.text
+    FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 300
+   WHERE a.doc_id BETWEEN 20 AND 29
+  UNION ALL
+  SELECT doc_id*10, 'u', doc_id, 'rewrite-' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id BETWEEN 30 AND 39
+  UNION ALL SELECT 451, 'u', 45, 'v1'
+  UNION ALL SELECT 452, 'u', 45, 'v2'
+  UNION ALL
+  SELECT (doc_id+500)*10, 'c', doc_id+500, text FROM documents WHERE doc_id < 10
+  UNION ALL
+  SELECT (doc_id+460)*10, 'c', doc_id+460, text
+    FROM documents WHERE doc_id BETWEEN 50 AND 59
+  UNION ALL SELECT 6000, 'c', 600, 'fresh-twin'
+  UNION ALL SELECT 6010, 'c', 601, 'fresh-twin'),
+fin AS (
+  SELECT id, op, atext AS text FROM (
+    SELECT *, row_number() OVER (PARTITION BY id ORDER BY pos DESC) AS rn FROM ev)
+  WHERE rn = 1),
+cand AS (SELECT id, text FROM fin WHERE op <> 'd' AND length(text) >= 1),
+rest AS (
+  SELECT sha256(c.text) AS sha, MIN(c.doc_id) AS sv
+  FROM corpus c WHERE c.doc_id NOT IN (SELECT id FROM fin)
+  GROUP BY sha256(c.text)),
+bmin AS (SELECT sha256(text) AS sha, MIN(id) AS bsv FROM cand GROUP BY sha256(text)),
+adm AS (
+  SELECT cand.id, cand.text
+  FROM cand
+  LEFT JOIN rest ON rest.sha = sha256(cand.text)
+  LEFT JOIN bmin ON bmin.sha = sha256(cand.text)
+  WHERE COALESCE(rest.sv, bmin.bsv) = cand.id)
+SELECT id AS doc_id, 'upsert' AS action, text FROM adm
+UNION ALL
+SELECT f.id, 'delete', CAST(NULL AS VARCHAR)
+FROM fin f
+WHERE f.id IN (SELECT doc_id FROM corpus)
+  AND f.id NOT IN (SELECT id FROM adm)"""
+
+
 _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "column_truncate": (q_column_truncate, SQL_column_truncate),
     "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
@@ -3004,6 +3134,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_incremental": (q_dedup_incremental, SQL_dedup_incremental),
     "dedup_exact_substring": (q_dedup_exact_substring, SQL_dedup_exact_substring),
     "corpus_domain_cap": (q_corpus_domain_cap, SQL_corpus_domain_cap),
+    "corpus_incremental_update": (q_corpus_incremental_update, SQL_corpus_incremental_update),
 }
 
 

@@ -16,7 +16,13 @@ from debezium_spark.dataops.dedup import (
     ngram_jaccard_pairs,
     simhash_signatures,
 )
-from debezium_spark.dataops.pipeline import PipelineResult, training_corpus_pipeline
+from debezium_spark.dataops.pipeline import (
+    CorpusDelta,
+    PipelineResult,
+    corpus_census,
+    incremental_corpus_update,
+    training_corpus_pipeline,
+)
 from debezium_spark.dataops.similarity import (
     brute_force_topk,
     bucketed_ann_topk,
@@ -53,6 +59,9 @@ __all__ = [
     "exact_substring_dedup",
     "training_corpus_pipeline",
     "PipelineResult",
+    "CorpusDelta",
+    "corpus_census",
+    "incremental_corpus_update",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_signatures",

@@ -47,6 +47,8 @@ from debezium_spark.dataops.dedup import (
     dedup_survivors,
     exact_substring_dedup,
 )
+from debezium_spark.operators.apply import compute_changes, split_pk_changes
+from debezium_spark.plans.merge import OP_COL
 from debezium_spark.dataops.text import (
     c4_clean,
     gopher_doc_filter,
@@ -239,3 +241,163 @@ def training_corpus_pipeline(
         )
     out = docs.drop(text_col).join(work, on=id_col, how="inner")
     return PipelineResult(corpus=out, stages=stages)
+
+
+# --------------------------------------------------------------------------
+# Incremental corpus maintenance (the CDC → training-corpus bridge)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CorpusDelta:
+    """The corpus mutation one CDC delta produces, plus the new census.
+
+    ``upserts`` — admitted documents (new or re-cleaned updated text, with
+    the delta payload's passthrough columns and, when requested, the
+    language/quality/token annotations): MERGE these into the corpus by id.
+    ``deletes`` — one ``(id_col)`` row per standing corpus document that
+    must be removed (explicit CDC delete, an update that now fails the
+    quality gates or duplicates other standing content, or a PK change
+    away from the old id). ``census`` — the post-delta digest census,
+    ``(content_sha, id_col)`` with one row per corpus document; persist it
+    (it is a lake table in production) and feed it to the next delta."""
+
+    upserts: DataFrame
+    deletes: DataFrame
+    census: DataFrame
+
+
+def corpus_census(
+    corpus: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bootstrap the digest census from a standing corpus: one
+    ``(content_sha, id_col)`` row per document. Run once over the lake
+    (a map + projection — no shuffle); after that
+    ``incremental_corpus_update`` maintains it per delta without ever
+    rescanning corpus text."""
+    return corpus.select(
+        F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col)
+    )
+
+
+def incremental_corpus_update(
+    delta: DataFrame,
+    census: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    c4: bool = False,
+    gopher: bool = False,
+    annotate: bool = False,
+    c4_opts: dict | None = None,
+    gopher_opts: dict | None = None,
+    min_chars: int = 1,
+) -> CorpusDelta:
+    """Apply one CDC delta to a standing cleaned corpus WITHOUT
+    recomputing the pipeline over the lake — the production shape at the
+    10^10-document design point, where data arrives as change events and
+    a full-corpus pass per micro-batch is off the table.
+
+    ``delta`` is a Debezium-envelope frame (before/after/op/ts_ms/source/
+    transaction) over a documents payload whose key is ``id_col``;
+    ``census`` is the digest census from ``corpus_census`` (or the
+    previous delta's ``CorpusDelta.census``). Steps, each with the exact
+    incremental-≡-batch argument:
+
+    1. The delta collapses to one final state per document id —
+       ``split_pk_changes`` + ``compute_changes``, the engine's own
+       last-writer-wins collapse (one partial-agg shuffle; PK-changing
+       updates become delete(old)+create(new) exactly as in the CDC
+       apply path).
+    2. Per-document stages (C4 line cleaning, Gopher quality gates,
+       ``min_chars``) run on upserted docs only. These are
+       corpus-independent pure maps, so the incremental decision is
+       IDENTICAL to a full recompute.
+    3. Exact dedup runs against the census, not the corpus: touched ids
+       leave the census first (an updated doc's OLD content no longer
+       suppresses anything — including other docs in this same delta),
+       then a candidate is admitted iff its digest matches no standing
+       census row and it is the min-id holder of its digest within the
+       delta (``dedup_against_corpus`` semantics, null-safe on the
+       digest). Only digests move: the join is digest-equi with the
+       micro-batch side broadcast; corpus text is never rescanned.
+    4. ``deletes`` = touched ids present in the old census and not
+       re-admitted. ``census`` (output) = standing rows minus touched
+       plus admitted.
+
+    First-arrival-wins is the declared dedup semantic: documents
+    suppressed as duplicates at ingest were never stored, so deleting a
+    survivor does NOT resurrect them — but the survivor's census row
+    leaves with it, so the same content arriving in a LATER delta is
+    re-admitted fresh. Corpus-GLOBAL hygiene (boilerplate line dedup,
+    ExactSubstr spans, MinHash near-dup election) is deliberately not
+    per-delta — those censuses shift with every admitted doc; run
+    ``training_corpus_pipeline`` as the periodic full-pass compaction,
+    the standard online-filter/offline-dedup split (same split as the
+    reference's streaming-apply vs full-migration paths).
+
+    Like the reference's quality gates, ``c4``/``gopher`` default OFF
+    here and opt IN per corpus (an update that stops passing a gate
+    deletes the doc — only enable gates the corpus is actually curated
+    under).
+    """
+    env = delta if "_sub" in delta.columns else split_pk_changes(delta, [id_col])
+    ch = compute_changes(env, [id_col]).drop("_pos")
+    touched = ch.select(id_col)
+    final_state = ch.where(F.col(OP_COL) == "u").drop(OP_COL)
+
+    work = final_state.select(F.col(id_col), F.col(text_col))
+    if c4:
+        cleaned = c4_clean(work, id_col=id_col, text_col=text_col, **(c4_opts or {}))
+        work = cleaned.where(F.col("keep")).select(
+            F.col(id_col), F.col("clean_text").alias(text_col)
+        )
+    if gopher:
+        gop = gopher_doc_filter(
+            work, id_col=id_col, text_col=text_col, **(gopher_opts or {})
+        )
+        work = work.join(
+            gop.where(F.col("keep")).select(id_col), on=id_col, how="inner"
+        )
+    work = work.where(F.coalesce(F.length(F.col(text_col)), F.lit(0)) >= min_chars)
+
+    census_rest = census.join(touched, on=id_col, how="left_anti")
+    corpus_min = census_rest.groupBy(
+        F.col("content_sha").alias("_csha")
+    ).agg(F.min(id_col).alias("_corpus_survivor"))
+    cand = work.select(
+        F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("content_sha")
+    )
+    batch_min = cand.groupBy(F.col("content_sha").alias("_bsha")).agg(
+        F.min(id_col).alias("_batch_survivor")
+    )
+    admitted = (
+        cand.join(corpus_min, F.col("content_sha").eqNullSafe(F.col("_csha")), "left")
+        .join(batch_min, F.col("content_sha").eqNullSafe(F.col("_bsha")), "left")
+        .where(
+            F.coalesce(F.col("_corpus_survivor"), F.col("_batch_survivor"))
+            == F.col(id_col)
+        )
+        .select(F.col(id_col), F.col(text_col), F.col("content_sha"))
+    )
+
+    census_out = census_rest.select("content_sha", id_col).unionByName(
+        admitted.select("content_sha", id_col)
+    )
+    deletes = (
+        census.join(touched, on=id_col, how="left_semi")
+        .select(id_col)
+        .join(admitted.select(id_col), on=id_col, how="left_anti")
+    )
+
+    body = admitted.select(F.col(id_col), F.col(text_col))
+    if annotate:
+        body = token_stats(
+            quality_score(
+                language_id(body, id_col=id_col, text_col=text_col, keep_input_cols=True),
+                id_col=id_col, text_col=text_col, keep_input_cols=True,
+            ),
+            id_col=id_col, text_col=text_col, keep_input_cols=True,
+        ).select(id_col, text_col, "predicted_lang", "quality", "bpe_est_tokens")
+    upserts = final_state.drop(text_col).join(body, on=id_col, how="inner")
+    return CorpusDelta(upserts=upserts, deletes=deletes, census=census_out)
