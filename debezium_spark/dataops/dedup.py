@@ -530,28 +530,48 @@ def dedup_against_corpus(
     Output: one row per batch doc —
     (id_col, content_sha, survivor_id, is_duplicate)."""
     h = F.sha2(F.col(text_col), 256)
-    corpus_min = (
-        corpus.select(h.alias("_csha"), F.col(id_col).alias("_cid"))
-        .groupBy("_csha")
-        .agg(F.min("_cid").alias("_corpus_survivor"))
+    out = survivors_by_digest(
+        batch.select(F.col(id_col), h.alias("content_sha")),
+        corpus.select(h.alias("content_sha"), F.col(id_col)),
+        id_col=id_col,
     )
-    batch_min = (
-        batch.select(h.alias("_bsha"), F.col(id_col).alias("_bid"))
-        .groupBy("_bsha")
-        .agg(F.min("_bid").alias("_batch_survivor"))
+    return out.withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))
+
+
+def survivors_by_digest(
+    batch: DataFrame,
+    corpus_digests: DataFrame,
+    id_col: str = "doc_id",
+    sha_col: str = "content_sha",
+) -> DataFrame:
+    """The first-arrival-wins survivor election over precomputed digests —
+    the ONE place the rule lives (``dedup_against_corpus`` hashes text and
+    calls this; ``incremental_corpus_update`` feeds its maintained census).
+
+    ``batch`` is ``(id_col, sha_col)`` rows to elect; ``corpus_digests``
+    is the standing ``(sha_col, id_col)`` census. A batch row's survivor
+    is the min standing id for its digest when one exists, else the min
+    batch id sharing the digest. Joins are NULL-SAFE on the digest (all
+    null-content rows form one group); the corpus side reduces to one
+    (digest, min id) row via a partial-aggregable groupBy and the join is
+    digest-equi, batch side broadcastable.
+
+    Output: batch columns + ``survivor_id``."""
+    corpus_min = corpus_digests.groupBy(F.col(sha_col).alias("_csha")).agg(
+        F.min(id_col).alias("_corpus_survivor")
     )
-    b = batch.select(F.col(id_col), h.alias("content_sha"))
-    out = (
-        b.join(corpus_min, F.col("content_sha").eqNullSafe(F.col("_csha")), "left")
-        .join(batch_min, F.col("content_sha").eqNullSafe(F.col("_bsha")), "left")
+    batch_min = batch.groupBy(F.col(sha_col).alias("_bsha")).agg(
+        F.min(id_col).alias("_batch_survivor")
+    )
+    return (
+        batch.join(corpus_min, F.col(sha_col).eqNullSafe(F.col("_csha")), "left")
+        .join(batch_min, F.col(sha_col).eqNullSafe(F.col("_bsha")), "left")
         .select(
-            F.col(id_col),
-            "content_sha",
+            *[F.col(c) for c in batch.columns],
             F.coalesce(F.col("_corpus_survivor"), F.col("_batch_survivor"))
             .alias("survivor_id"),
         )
     )
-    return out.withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))
 
 
 def exact_substring_dedup(

@@ -46,6 +46,7 @@ from debezium_spark.dataops.dedup import (
     decontaminate,
     dedup_survivors,
     exact_substring_dedup,
+    survivors_by_digest,
 )
 from debezium_spark.operators.apply import compute_changes, split_pk_changes
 from debezium_spark.plans.merge import OP_COL
@@ -318,8 +319,9 @@ def incremental_corpus_update(
        suppresses anything — including other docs in this same delta),
        then a candidate is admitted iff its digest matches no standing
        census row and it is the min-id holder of its digest within the
-       delta (``dedup_against_corpus`` semantics, null-safe on the
-       digest). Only digests move: the join is digest-equi with the
+       delta (``survivors_by_digest`` — the same election rule, one
+       definition, that ``dedup_against_corpus`` applies; null-safe on
+       the digest). Only digests move: the join is digest-equi with the
        micro-batch side broadcast; corpus text is never rescanned.
     4. ``deletes`` = touched ids present in the old census and not
        re-admitted. ``census`` (output) = standing rows minus touched
@@ -329,7 +331,19 @@ def incremental_corpus_update(
     suppressed as duplicates at ingest were never stored, so deleting a
     survivor does NOT resurrect them — but the survivor's census row
     leaves with it, so the same content arriving in a LATER delta is
-    re-admitted fresh. Corpus-GLOBAL hygiene (boilerplate line dedup,
+    re-admitted fresh. Admission is BATCH-ATOMIC: candidates are judged
+    against the batch-END standing set (a doc departing in this delta no
+    longer suppresses a creation in the same delta, whatever their event
+    order). Cross-key dedup has no chunking-invariant collapse — whether
+    doc B's create lands in the same micro-batch as doc A's delete or
+    one batch later decides whether B was ever suppressed — so unlike
+    the per-key table apply (``operators/apply.py``'s batch ≡ sequential
+    theorem), WHICH id holds a piece of content can depend on batch
+    boundaries. The batch-end convention is the data-preserving choice
+    (content arriving while its duplicate departs is admitted, never
+    dropped against a doc that no longer stands), and the periodic full
+    pipeline pass re-canonicalizes survivorship corpus-wide.
+    Corpus-GLOBAL hygiene (boilerplate line dedup,
     ExactSubstr spans, MinHash near-dup election) is deliberately not
     per-delta — those censuses shift with every admitted doc; run
     ``training_corpus_pipeline`` as the periodic full-pass compaction,
@@ -342,7 +356,11 @@ def incremental_corpus_update(
     under).
     """
     env = delta if "_sub" in delta.columns else split_pk_changes(delta, [id_col])
-    ch = compute_changes(env, [id_col]).drop("_pos")
+    # the collapse (a posexplode + shuffle over the delta) feeds all three
+    # outputs; the documented consumption is three actions (MERGE upserts,
+    # MERGE deletes, persist census), and Spark reuses exchanges only
+    # within one action — truncate here so the delta collapses ONCE
+    ch = compute_changes(env, [id_col]).drop("_pos").localCheckpoint(eager=False)
     touched = ch.select(id_col)
     final_state = ch.where(F.col(OP_COL) == "u").drop(OP_COL)
 
@@ -362,23 +380,16 @@ def incremental_corpus_update(
     work = work.where(F.coalesce(F.length(F.col(text_col)), F.lit(0)) >= min_chars)
 
     census_rest = census.join(touched, on=id_col, how="left_anti")
-    corpus_min = census_rest.groupBy(
-        F.col("content_sha").alias("_csha")
-    ).agg(F.min(id_col).alias("_corpus_survivor"))
     cand = work.select(
         F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("content_sha")
     )
-    batch_min = cand.groupBy(F.col("content_sha").alias("_bsha")).agg(
-        F.min(id_col).alias("_batch_survivor")
-    )
     admitted = (
-        cand.join(corpus_min, F.col("content_sha").eqNullSafe(F.col("_csha")), "left")
-        .join(batch_min, F.col("content_sha").eqNullSafe(F.col("_bsha")), "left")
-        .where(
-            F.coalesce(F.col("_corpus_survivor"), F.col("_batch_survivor"))
-            == F.col(id_col)
+        survivors_by_digest(
+            cand, census_rest.select("content_sha", id_col), id_col=id_col
         )
+        .where(F.col("survivor_id") == F.col(id_col))
         .select(F.col(id_col), F.col(text_col), F.col("content_sha"))
+        .localCheckpoint(eager=False)  # shared by upserts, deletes AND census
     )
 
     census_out = census_rest.select("content_sha", id_col).unionByName(

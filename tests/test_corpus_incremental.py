@@ -253,6 +253,33 @@ def test_null_text_docs_share_one_digest_group(spark):
     assert {r["doc_id"] for r in d0.upserts.collect()} == {5}
 
 
+def test_admission_is_batch_atomic_by_convention(spark):
+    """Pin the documented convention: admission judges candidates against
+    the batch-END standing set, so a delete + duplicate-create landing in
+    ONE batch admits the newcomer, while the same events split across two
+    batches suppress it first (first-arrival-wins, never stored) and only
+    then delete the survivor. Cross-key dedup has no chunking-invariant
+    collapse; this test is the documentation of that boundary."""
+    one = [
+        (10, "c", None, None, 2, "alpha"),  # arrives BEFORE the delete
+        (11, "d", 1, "alpha", None, None),
+    ]
+    census = corpus_census(_corpus_df(spark, {1: "alpha"}))
+    d = incremental_corpus_update(_delta(spark, one), census)
+    assert {r["doc_id"] for r in d.upserts.collect()} == {2}
+    assert {r["doc_id"] for r in d.deletes.collect()} == {1}
+
+    census = corpus_census(_corpus_df(spark, {1: "alpha"}))
+    d1 = incremental_corpus_update(_delta(spark, [one[0]]), census)
+    assert d1.upserts.count() == 0  # suppressed by the still-standing doc 1
+    d2 = incremental_corpus_update(
+        _delta(spark, [one[1]]),
+        spark.createDataFrame(d1.census.collect(), schema=d1.census.schema),
+    )
+    assert {r["doc_id"] for r in d2.deletes.collect()} == {1}
+    assert d2.census.count() == 0  # the content is gone entirely
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_randomized_batches_match_simulator(spark, seed):
     import random

@@ -145,21 +145,20 @@ def main() -> None:
     results = []
     try:
         # JIT warm-up on a small corpus (separate dirs, both paths)
-        for warm_pass in range(1):
-            wc = os.path.join(work, "warm")
-            _corpus(spark, 20_000).write.mode("overwrite").parquet(f"{wc}/corpus")
-            wdf = spark.read.parquet(f"{wc}/corpus")
-            corpus_census(wdf).write.mode("overwrite").parquet(f"{wc}/census")
-            _delta_env(spark, 20_000, args.delta).write.mode("overwrite").parquet(
-                f"{wc}/delta"
-            )
-            wd = spark.read.parquet(f"{wc}/delta")
-            d = incremental_corpus_update(wd, spark.read.parquet(f"{wc}/census"))
-            d.upserts.write.mode("overwrite").parquet(f"{wc}/ups")
-            ch = compute_changes(split_pk_changes(wd, ["doc_id"]), ["doc_id"])
-            dedup_against_corpus(
-                ch.where(F.col("_op") == "u").select("doc_id", "text"), wdf
-            ).write.mode("overwrite").parquet(f"{wc}/rescan")
+        wc = os.path.join(work, "warm")
+        _corpus(spark, 20_000).write.mode("overwrite").parquet(f"{wc}/corpus")
+        wdf = spark.read.parquet(f"{wc}/corpus")
+        corpus_census(wdf).write.mode("overwrite").parquet(f"{wc}/census")
+        _delta_env(spark, 20_000, args.delta).write.mode("overwrite").parquet(
+            f"{wc}/delta"
+        )
+        wd = spark.read.parquet(f"{wc}/delta")
+        d = incremental_corpus_update(wd, spark.read.parquet(f"{wc}/census"))
+        d.upserts.write.mode("overwrite").parquet(f"{wc}/ups")
+        ch = compute_changes(split_pk_changes(wd, ["doc_id"]), ["doc_id"])
+        dedup_against_corpus(
+            ch.where(F.col("_op") == "u").select("doc_id", "text"), wdf
+        ).write.mode("overwrite").parquet(f"{wc}/rescan")
 
         for size in sizes:
             root = os.path.join(work, f"c_{size}")
