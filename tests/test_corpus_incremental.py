@@ -253,6 +253,66 @@ def test_null_text_docs_share_one_digest_group(spark):
     assert {r["doc_id"] for r in d0.upserts.collect()} == {5}
 
 
+def test_streaming_corpus_sync_matches_batch_application(spark, tmp_path):
+    """The bridge under Structured Streaming: tail the delta batch dirs
+    with availableNow + maxFilesPerTrigger=1 (one delta per epoch, the
+    stream_replay pattern) and maintain corpus+census as versioned
+    parquet inside foreachBatch. The drained final state must equal the
+    per-batch batch-mode application (and hence the sequential
+    simulator, already asserted above)."""
+    import os
+    import time
+
+    root = str(tmp_path)
+    stream_dir = f"{root}/stream"
+    for i, events in enumerate(BATCHES):
+        _delta(spark, events).repartition(1).write.parquet(
+            f"{stream_dir}/batch_{i:05d}"
+        )
+        time.sleep(1.1)  # distinct mtime seconds → deterministic file order
+
+    corpus0 = {1: "alpha", 2: "beta", 3: "gamma"}
+    _corpus_df(spark, corpus0).write.parquet(f"{root}/corpus_v0")
+    corpus_census(spark.read.parquet(f"{root}/corpus_v0")).write.parquet(
+        f"{root}/census_v0"
+    )
+    state = {"v": 0}
+
+    def apply_batch(df, epoch_id):
+        v = state["v"]
+        d = incremental_corpus_update(df, spark.read.parquet(f"{root}/census_v{v}"))
+        cur = spark.read.parquet(f"{root}/corpus_v{v}")
+        touched = d.deletes.unionByName(d.upserts.select("doc_id"))
+        cur.join(touched, "doc_id", "left_anti").unionByName(
+            d.upserts.select("doc_id", "text")
+        ).write.parquet(f"{root}/corpus_v{v + 1}")
+        d.census.write.parquet(f"{root}/census_v{v + 1}")
+        state["v"] = v + 1
+
+    q = (
+        spark.readStream.schema(ENV_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stream_dir}/batch_*")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["v"] == len(BATCHES), "one epoch per delta batch expected"
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{root}/corpus_v{state['v']}").collect()
+    }
+    assert got == _simulate(dict(corpus0), BATCHES)
+    census_rows = {
+        (r["content_sha"], r["doc_id"])
+        for r in spark.read.parquet(f"{root}/census_v{state['v']}").collect()
+    }
+    assert census_rows == {(_sha(t), i) for i, t in got.items()}
+
+
 def test_admission_is_batch_atomic_by_convention(spark):
     """Pin the documented convention: admission judges candidates against
     the batch-END standing set, so a delete + duplicate-create landing in
