@@ -19,6 +19,7 @@ from debezium_spark.dataops.dedup import (
 from debezium_spark.dataops.pipeline import (
     CorpusDelta,
     PipelineResult,
+    apply_corpus_delta,
     corpus_census,
     incremental_corpus_update,
     training_corpus_pipeline,
@@ -60,6 +61,7 @@ __all__ = [
     "training_corpus_pipeline",
     "PipelineResult",
     "CorpusDelta",
+    "apply_corpus_delta",
     "corpus_census",
     "incremental_corpus_update",
     "minhash_lsh_candidates",

@@ -412,3 +412,59 @@ def incremental_corpus_update(
         ).select(id_col, text_col, "predicted_lang", "quality", "bpe_est_tokens")
     upserts = final_state.drop(text_col).join(body, on=id_col, how="inner")
     return CorpusDelta(upserts=upserts, deletes=deletes, census=census_out)
+
+
+def apply_corpus_delta(
+    corpus_table,
+    census_table,
+    d: CorpusDelta,
+    fence: tuple[str, int],
+    batch_id: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[int | None, int | None]:
+    """Commit a ``CorpusDelta`` through the engine's own fenced MERGE: the
+    corpus and its census are ``LakeTable``s keyed by ``id_col``, and the
+    mutation rides ``plans.merge.merge_changes`` — so corpus maintenance
+    inherits the CDC tables' exactly-once contract (a replayed micro-batch
+    whose offset is behind the fence is a no-op), per-bucket lineage, MoR
+    O(delta) appends, and time travel, instead of the caller hand-rolling
+    versioned parquet directories.
+
+    ``fence`` is the delta's max ``(source.file, source.pos)`` — the same
+    offset the CDC engine would fence this batch with. All change rows
+    carry the fence pos as ``_pos``: keys are unique within a batch (the
+    delta was collapsed per id) and fences are stream-monotone, so MoR
+    read-time resolution orders cross-batch versions correctly.
+
+    The census mutation derives from the delta alone — ``deletes`` rows
+    become census deletes (census rows exist exactly for standing corpus
+    docs) and admitted upserts overwrite their census row with the fresh
+    digest — so the census table is maintained by O(delta) change rows,
+    never rewritten. The two commits are separate atomic manifests; a
+    crash between them replays the batch, the corpus commit no-ops on its
+    fence and the census commit re-applies idempotently — the same
+    converge-on-replay argument as the engine's fence-in-commit.
+
+    Returns the two new table versions (either may be ``None`` when the
+    fence already covers the batch). Feed ``census_table.read()`` to the
+    next delta's ``incremental_corpus_update`` call."""
+    from debezium_spark.plans.merge import OP_COL, merge_changes
+
+    pos = F.lit(int(fence[1])).cast("long")
+    up = d.upserts.withColumn(OP_COL, F.lit("u"))
+    dl = d.deletes.withColumn(OP_COL, F.lit("d"))
+    corpus_changes = up.unionByName(dl, allowMissingColumns=True).withColumn(
+        "_pos", pos
+    )
+    v_corpus = merge_changes(corpus_table, corpus_changes, fence, batch_id)
+
+    census_up = d.upserts.select(
+        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha")
+    ).withColumn(OP_COL, F.lit("u"))
+    census_changes = census_up.unionByName(dl, allowMissingColumns=True).withColumn(
+        "_pos", pos
+    )
+    v_census = merge_changes(census_table, census_changes, fence, batch_id)
+    return v_corpus, v_census

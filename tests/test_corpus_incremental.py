@@ -14,6 +14,7 @@ from pyspark.sql import types as T
 
 from debezium_spark.dataops.pipeline import (
     CorpusDelta,
+    apply_corpus_delta,
     corpus_census,
     incremental_corpus_update,
 )
@@ -311,6 +312,57 @@ def test_streaming_corpus_sync_matches_batch_application(spark, tmp_path):
         for r in spark.read.parquet(f"{root}/census_v{state['v']}").collect()
     }
     assert census_rows == {(_sha(t), i) for i, t in got.items()}
+
+
+def test_corpus_as_laketable_with_fenced_merge(spark, tmp_path):
+    """The production shape: corpus AND census are LakeTables keyed by
+    doc_id, each CorpusDelta commits through the engine's fenced MERGE
+    (apply_corpus_delta). Final lake state must equal the simulator, a
+    replayed batch must no-op on the fence, and the census table must be
+    the exact digest image of the corpus table."""
+    from debezium_spark import LakeTable
+
+    root = str(tmp_path)
+    corpus_t = LakeTable(spark, f"{root}/corpus", ["doc_id"], n_buckets=4)
+    corpus_t.create(
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        )
+    )
+    census_t = LakeTable(spark, f"{root}/census", ["doc_id"], n_buckets=4)
+    census_t.create(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content_sha", T.StringType()),
+            ]
+        )
+    )
+
+    seed = [
+        (1, "c", None, None, 1, "alpha"),
+        (2, "c", None, None, 2, "beta"),
+        (3, "c", None, None, 3, "gamma"),
+    ]
+    batches = [seed] + BATCHES
+    d = fence = None
+    for i, events in enumerate(batches):
+        census_df = census_t.read().select("content_sha", "doc_id")
+        d = incremental_corpus_update(_delta(spark, events), census_df)
+        fence = ("b1", max(e[0] for e in events))
+        v1, v2 = apply_corpus_delta(corpus_t, census_t, d, fence, f"b{i:03d}")
+        assert v1 is not None and v2 is not None
+
+    got = {r["doc_id"]: r["text"] for r in corpus_t.read().collect()}
+    assert got == _simulate({}, batches)
+    census_rows = {
+        (r["content_sha"], r["doc_id"]) for r in census_t.read().collect()
+    }
+    assert census_rows == {(_sha(t), i) for i, t in got.items()}
+
+    # exactly-once: replaying the last batch's delta no-ops on both fences
+    assert apply_corpus_delta(corpus_t, census_t, d, fence, "replay") == (None, None)
+    assert {r["doc_id"]: r["text"] for r in corpus_t.read().collect()} == got
 
 
 def test_admission_is_batch_atomic_by_convention(spark):
