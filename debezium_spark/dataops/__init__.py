@@ -22,6 +22,7 @@ from debezium_spark.dataops.pipeline import (
     apply_corpus_delta,
     corpus_census,
     incremental_corpus_update,
+    seed_census,
     training_corpus_pipeline,
 )
 from debezium_spark.dataops.similarity import (
@@ -64,6 +65,7 @@ __all__ = [
     "apply_corpus_delta",
     "corpus_census",
     "incremental_corpus_update",
+    "seed_census",
     "minhash_lsh_candidates",
     "ngram_jaccard_pairs",
     "simhash_signatures",

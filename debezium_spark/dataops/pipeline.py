@@ -49,7 +49,7 @@ from debezium_spark.dataops.dedup import (
     survivors_by_digest,
 )
 from debezium_spark.operators.apply import compute_changes, split_pk_changes
-from debezium_spark.plans.merge import OP_COL
+from debezium_spark.plans.merge import OP_COL, merge_changes
 from debezium_spark.dataops.text import (
     c4_clean,
     gopher_doc_filter,
@@ -447,12 +447,15 @@ def apply_corpus_delta(
     fence and the census commit re-applies idempotently — the same
     converge-on-replay argument as the engine's fence-in-commit.
 
-    Returns the two new table versions (either may be ``None`` when the
-    fence already covers the batch). Feed ``census_table.read()`` to the
-    next delta's ``incremental_corpus_update`` call."""
-    from debezium_spark.plans.merge import OP_COL, merge_changes
-
-    pos = F.lit(int(fence[1])).cast("long")
+    For a PRE-EXISTING corpus, seed the census table ONCE with
+    ``seed_census`` (committing only O(delta) census rows per batch means
+    nothing else ever writes the standing corpus's digests — an unseeded
+    census silently re-admits duplicates of standing docs and never
+    deletes them). Returns the two new table versions (either may be
+    ``None`` when the fence already covers the batch). Feed
+    ``census_table.read()`` to the next delta's
+    ``incremental_corpus_update`` call."""
+    pos = _resolution_pos_lit(fence)
     up = d.upserts.withColumn(OP_COL, F.lit("u"))
     dl = d.deletes.withColumn(OP_COL, F.lit("d"))
     corpus_changes = up.unionByName(dl, allowMissingColumns=True).withColumn(
@@ -468,3 +471,37 @@ def apply_corpus_delta(
     )
     v_census = merge_changes(census_table, census_changes, fence, batch_id)
     return v_corpus, v_census
+
+
+def _resolution_pos_lit(fence: tuple[str, int]):
+    """The fence pos in the ENGINE's encoded resolution order (``pos*2``,
+    ``operators/apply.resolution_pos``). MoR read-time resolution takes
+    ``max_by(_pos)`` per key, and rows written through the CDC apply path
+    (a corpus bootstrapped via ``CdcEngine``) carry encoded positions —
+    stamping raw positions here would lose to any encoded row with
+    ``pos > fence/2`` and make committed corpus updates invisible on
+    read."""
+    return F.lit(int(fence[1]) * 2).cast("long")
+
+
+def seed_census(
+    census_table,
+    corpus: DataFrame,
+    fence: tuple[str, int],
+    batch_id: str = "census-seed",
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int | None:
+    """One-time census bootstrap for a PRE-EXISTING corpus: commit every
+    standing document's ``(id, content_sha)`` into the census LakeTable
+    through the same fenced merge (one full-corpus pass — the analog of
+    ``corpus_census``, which this wraps). ``fence`` should be the offset
+    the corpus state corresponds to (the corpus table's own fence after
+    bootstrap); subsequent ``apply_corpus_delta`` batches must carry
+    later offsets. Idempotent like any fenced commit: re-seeding behind
+    the fence is a no-op."""
+    rows = corpus_census(corpus, id_col=id_col, text_col=text_col).withColumn(
+        OP_COL, F.lit("u")
+    ).withColumn("_pos", _resolution_pos_lit(fence))
+    return merge_changes(census_table, rows, fence, batch_id)

@@ -17,6 +17,7 @@ from debezium_spark.dataops.pipeline import (
     apply_corpus_delta,
     corpus_census,
     incremental_corpus_update,
+    seed_census,
 )
 
 PAYLOAD = T.StructType(
@@ -261,7 +262,6 @@ def test_streaming_corpus_sync_matches_batch_application(spark, tmp_path):
     parquet inside foreachBatch. The drained final state must equal the
     per-batch batch-mode application (and hence the sequential
     simulator, already asserted above)."""
-    import os
     import time
 
     root = str(tmp_path)
@@ -363,6 +363,62 @@ def test_corpus_as_laketable_with_fenced_merge(spark, tmp_path):
     # exactly-once: replaying the last batch's delta no-ops on both fences
     assert apply_corpus_delta(corpus_t, census_t, d, fence, "replay") == (None, None)
     assert {r["doc_id"]: r["text"] for r in corpus_t.read().collect()} == got
+
+
+def test_seed_census_over_engine_bootstrapped_corpus(spark, tmp_path):
+    """The pre-existing-corpus flow (review r5 finding): the corpus
+    LakeTable is populated through the CDC ENGINE (whose MoR rows carry
+    ENCODED resolution positions, pos*2), the census is seeded once with
+    seed_census, and a later delta must (a) drop a duplicate of a
+    standing doc the delta path never wrote, and (b) make its update
+    visible on read even though its raw fence pos is numerically below
+    the seed rows' encoded positions."""
+    from debezium_spark import CdcEngine, LakeTable
+
+    root = str(tmp_path)
+    corpus_t = LakeTable(spark, f"{root}/corpus", ["doc_id"], n_buckets=4)
+    corpus_t.create(
+        T.StructType(
+            [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+        )
+    )
+    census_t = LakeTable(spark, f"{root}/census", ["doc_id"], n_buckets=4)
+    census_t.create(
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content_sha", T.StringType()),
+            ]
+        )
+    )
+    seed_env = _delta(
+        spark,
+        [
+            (598, "c", None, None, 1, "alpha"),
+            (599, "c", None, None, 2, "beta"),
+            (600, "c", None, None, 3, "gamma"),
+        ],
+    )
+    CdcEngine(spark, corpus_t).apply_envelope_batch(seed_env, batch_id="seed")
+    assert seed_census(census_t, corpus_t.read(), ("b1", 600)) is not None
+
+    # fence pos 1000 < the seed rows' encoded _pos (2*598..2*600)
+    ev = [
+        (999, "c", None, None, 9, "gamma"),  # dup of standing doc 3 → dropped
+        (1000, "u", 2, "beta", 2, "beta v2"),
+    ]
+    d = incremental_corpus_update(
+        _delta(spark, ev), census_t.read().select("content_sha", "doc_id")
+    )
+    apply_corpus_delta(corpus_t, census_t, d, ("b1", 1000), "b1")
+    got = {r["doc_id"]: r["text"] for r in corpus_t.read().collect()}
+    assert got == {1: "alpha", 2: "beta v2", 3: "gamma"}
+    census_rows = {
+        (r["content_sha"], r["doc_id"]) for r in census_t.read().collect()
+    }
+    assert census_rows == {(_sha(t), i) for i, t in got.items()}
+    # re-seeding behind the fence is a no-op
+    assert seed_census(census_t, corpus_t.read(), ("b1", 600)) is None
 
 
 def test_admission_is_batch_atomic_by_convention(spark):
