@@ -926,17 +926,28 @@ _PROMOTIONS = {
 }
 
 
-def _resolution_map(writer: DataType, reader: DataType):
+def _resolution_map(writer: DataType, reader: DataType,
+                    aliases: dict | None = None):
     """Value remapper taking a datum decoded under ``writer`` into the
     shape ``reader`` expects, per the public spec's schema-resolution rules
     (Avro 1.11, "Schema Resolution"):
 
     - record fields match by NAME, so reordering is free;
+    - a reader field with no same-name writer field matches a writer field
+      named by one of its ``aliases`` (the spec's rename rule; here the
+      alias sets ride in as ``{reader_field: [old_names, ...]}`` because
+      the reader schema is a Spark StructType, which has no alias slot —
+      the engine's manifest rename ledger has exactly this shape);
     - writer-only fields are discarded (the spec's "skipped");
     - reader-only fields take their default — every field this module emits
       is a ``["null", T]`` union with an explicit ``"default": null``
       (see ``avro_schema_json``), so the fill is null;
     - primitive promotions per ``_PROMOTIONS``.
+
+    ``aliases`` applies at every record nesting depth (a per-path form
+    would mirror the spec exactly, but rename ledgers are per-table flat
+    name maps and payload fields only nest under before/after, where the
+    same names recur by construction).
 
     Returns None when the decoded value is already reader-shaped (identity
     — the common no-evolution case costs nothing), a value callable
@@ -947,13 +958,21 @@ def _resolution_map(writer: DataType, reader: DataType):
         plan = []
         identity = [f.name for f in writer.fields] == [f.name for f in reader.fields]
         for rf in reader.fields:
-            wf = wmap.get(rf.name)
+            wf, src = wmap.get(rf.name), rf.name
+            if wf is None and aliases:
+                # first declared alias present in the writer wins (spec:
+                # aliases are an ordered list on the reader field)
+                for a in aliases.get(rf.name, ()):
+                    if a in wmap:
+                        wf, src = wmap[a], a
+                        identity = False
+                        break
             if wf is None:
-                plan.append((rf.name, False, None))
+                plan.append((rf.name, None, None))
                 identity = False
             else:
-                m = _resolution_map(wf.dataType, rf.dataType)
-                plan.append((rf.name, True, m))
+                m = _resolution_map(wf.dataType, rf.dataType, aliases)
+                plan.append((rf.name, src, m))
                 identity = identity and m is None
         if identity:
             return None
@@ -963,16 +982,16 @@ def _resolution_map(writer: DataType, reader: DataType):
                 return None
             return {
                 name: (
-                    (m(v[name]) if m is not None and v[name] is not None else v[name])
-                    if present
+                    (m(v[src]) if m is not None and v[src] is not None else v[src])
+                    if src is not None
                     else None
                 )
-                for name, present, m in plan
+                for name, src, m in plan
             }
 
         return remap
     if isinstance(writer, ArrayType) and isinstance(reader, ArrayType):
-        m = _resolution_map(writer.elementType, reader.elementType)
+        m = _resolution_map(writer.elementType, reader.elementType, aliases)
         if m is None:
             return None
         return lambda v: (
@@ -980,7 +999,7 @@ def _resolution_map(writer: DataType, reader: DataType):
             else [m(x) if x is not None else None for x in v]
         )
     if isinstance(writer, MapType) and isinstance(reader, MapType):
-        m = _resolution_map(writer.valueType, reader.valueType)
+        m = _resolution_map(writer.valueType, reader.valueType, aliases)
         if m is None:
             return None
         return lambda v: (
@@ -1021,6 +1040,7 @@ def from_avro(
     schema: StructType,
     col: str = "avro",
     writer_schemas: list[StructType] | None = None,
+    aliases: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Avro frames → typed rows under ``schema`` (the reader schema).
     Verifies the frame header (magic + schema id).
@@ -1040,7 +1060,10 @@ def from_avro(
     writer decoder, then resolves to the reader schema per the spec's
     schema-resolution rules (``_resolution_map``: fields match by name,
     reader-added fields take their null default, writer-only fields are
-    skipped, primitives promote) — exactly what the reference delegates to
+    skipped, primitives promote, renamed fields match through ``aliases``
+    = ``{current_name: [old_names, ...]}`` — the spec's reader-field
+    aliases, surfaced as an argument because Spark StructTypes carry no
+    alias slot) — exactly what the reference delegates to
     the Confluent Avro deserializer's writer-vs-reader resolution (fork
     ``README.md:393``), re-implemented here because the codec is
     from-spec. A frame whose id matches none of the known schemas still
@@ -1067,13 +1090,13 @@ def from_avro(
                 )
             codecs.setdefault(
                 sid if sid is not None else schema_id_of_json(w),
-                (dec, _resolution_map(stype, schema)),
+                (dec, _resolution_map(stype, schema, aliases)),
             )
             continue
         w = StructType(w.fields)
         codecs.setdefault(
             sid if sid is not None else schema_id(w),
-            (_dec_for(w), _resolution_map(w, schema)),
+            (_dec_for(w), _resolution_map(w, schema, aliases)),
         )
     transports = {
         f.name: _transport_type(f.dataType) for f in schema.fields
@@ -1138,20 +1161,31 @@ def avro_to_envelope(
     frames: DataFrame,
     payload: StructType,
     writer_payloads: list[StructType] | None = None,
+    renames: dict[str, list[str]] | None = None,
 ) -> DataFrame:
     """Avro frames → typed envelope under one table's payload schema.
 
     ``writer_payloads``: earlier payload schemas this stream's frames may
     have been written with (schema evolution mid-stream) — resolved to the
     current ``payload`` per the Avro schema-resolution rules; the CDC
-    schema-evolution story applied to the wire format (VERDICT r4 #3)."""
+    schema-evolution story applied to the wire format (VERDICT r4 #3).
+
+    ``renames``: ``{current_column: [former_names, ...]}`` — the lake
+    table's manifest rename ledger (``LakeTable`` manifests carry exactly
+    this map), forwarded as reader-field aliases so frames written before
+    an ``ALTER TABLE ... RENAME COLUMN`` still decode into the renamed
+    column instead of null-filling it. The payload fields nest under
+    before/after, where ``_resolution_map`` applies aliases at depth."""
     from debezium_spark.schema import envelope_schema
 
     env_schema = envelope_schema(payload)
     writers = [
         StructType(envelope_schema(p).fields) for p in writer_payloads or []
     ]
-    out = from_avro(frames, StructType(env_schema.fields), writer_schemas=writers)
+    out = from_avro(
+        frames, StructType(env_schema.fields), writer_schemas=writers,
+        aliases=renames,
+    )
     return out.select("before", "after", "op", "ts_ms", "source", "transaction")
 
 

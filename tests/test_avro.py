@@ -194,6 +194,79 @@ def test_reader_schema_resolution_promotions(spark):
         )
 
 
+def test_reader_field_aliases_resolve_renames(spark):
+    """Spec rename rule (Avro 1.11 "Aliases"): a reader field with no
+    same-name writer field matches a writer field named by one of its
+    aliases. StructTypes carry no alias slot, so ``from_avro`` takes
+    ``aliases={current: [old_names, ...]}`` — the manifest rename-ledger
+    shape."""
+    old = StructType.fromDDL("k long, content_old string, n int")
+    df = spark.createDataFrame([(1, "v1", 7), (2, "v2", None)], old)
+    frames = to_avro(df)
+    reader = StructType.fromDDL("k long, content string, n bigint")
+    out = {r["k"]: r for r in from_avro(
+        frames, reader, writer_schemas=[old],
+        aliases={"content": ["content_old"]},
+    ).collect()}
+    assert out[1]["content"] == "v1" and out[2]["content"] == "v2"
+    assert out[1]["n"] == 7 and out[2]["n"] is None  # promotion composes
+    # same-name match WINS over an alias (spec: aliases apply only when
+    # the reader name itself is absent from the writer)
+    both = StructType.fromDDL("k long, content string, content_old string")
+    dfb = spark.createDataFrame([(1, "direct", "aliased")], both)
+    r = from_avro(
+        to_avro(dfb), StructType.fromDDL("k long, content string"),
+        writer_schemas=[both], aliases={"content": ["content_old"]},
+    ).first()
+    assert r["content"] == "direct"
+    # first declared alias present in the writer wins (ordered list)
+    r2 = from_avro(
+        frames, StructType.fromDDL("k long, content string"),
+        writer_schemas=[old],
+        aliases={"content": ["never_existed", "content_old"]},
+    ).first()
+    assert r2["content"] in ("v1", "v2")
+    # aliases reach nested records (the envelope's before/after depth)
+    oldn = StructType.fromDDL("id long, payload struct<a_old: int>")
+    dfn = spark.range(1).selectExpr("id", "named_struct('a_old', 5) AS payload")
+    readern = StructType.fromDDL("id long, payload struct<a: bigint>")
+    row = from_avro(
+        to_avro(dfn), readern, writer_schemas=[oldn],
+        aliases={"a": ["a_old"]},
+    ).first()
+    assert row["payload"]["a"] == 5
+
+
+def test_avro_to_envelope_rename_ledger_decodes_pre_rename_frames(spark):
+    """A column renamed mid-stream (ALTER ... RENAME COLUMN): frames
+    written before the rename decode into the CURRENT column name when the
+    table's manifest rename ledger ``{new: [olds]}`` rides in as
+    ``renames`` — instead of null-filling the renamed column and skipping
+    the old one."""
+    old_p = StructType.fromDDL("k string, body string")
+    new_p = StructType.fromDDL("k string, content string")
+    env = spark.range(1).selectExpr(
+        "CAST(NULL AS struct<k: string, body: string>) AS before",
+        "named_struct('k', 'a', 'body', 'pre-rename') AS after",
+        "'c' AS op", "CAST(0 AS LONG) AS ts_ms",
+        "named_struct('file', 'binlog.000001', 'pos', CAST(1 AS LONG),"
+        " 'gtid', CAST(NULL AS STRING), 'snapshot', CAST(NULL AS STRING),"
+        " 'db', 'inventory', 'table', 'repo_files',"
+        " 'ts_ms', CAST(0 AS LONG)) AS source",
+        "CAST(NULL AS struct<id: string, total_order: bigint,"
+        " data_collection_order: bigint>) AS transaction",
+    )
+    frames = envelope_to_avro(env)
+    got = avro_to_envelope(
+        frames, new_p, writer_payloads=[old_p],
+        renames={"content": ["body"]},
+    ).first()
+    assert got["after"]["content"] == "pre-rename"
+    # without the ledger the same frame null-fills (the add/drop rule)
+    bare = avro_to_envelope(frames, new_p, writer_payloads=[old_p]).first()
+    assert bare["after"]["content"] is None
+
+
 def test_mixed_schema_avro_stream_replays_e2e(spark, tmp_path):
     """Schema-evolution e2e on the wire format: a stream whose frames were
     written under BOTH the pre- and post-ADD payload schemas decodes in one
