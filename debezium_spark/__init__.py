@@ -33,6 +33,7 @@ from debezium_spark.generator import ChangeLogGenerator
 from debezium_spark.plans.table import LakeTable
 from debezium_spark.streaming.engine import CdcEngine
 from debezium_spark.streaming.multi import MultiTableEngine, TableSpec
+from debezium_spark.streaming.progress import ProcessCommitter
 
 __all__ = [
     "REPO_PAYLOAD_SCHEMA",
@@ -44,6 +45,7 @@ __all__ = [
     "LakeTable",
     "CdcEngine",
     "MultiTableEngine",
+    "ProcessCommitter",
     "TableSpec",
 ]
 

@@ -21,6 +21,11 @@ property (reference definition)                engine effect
 ``decimal.handling.mode``                      typeconv decimal mode choice
 ``time.precision.mode``                        typeconv temporal unit choice
 ``snapshot.select.statement.overrides.<t>``    filters.snapshot_row_filter
+``commit.process.while.running`` + the fork's  streaming.progress
+``*.process.file.path`` / ``commit.time.       ProcessCommitter (progress
+interval`` / ``create.count.info.path`` /      files in the reference's
+``process.file.{count,time}.limit`` /          exact JSON/rotation format)
+``append.write`` / ``file.size.limit``
 =============================================  ==============================
 
 Unknown properties are kept (``extras``) rather than rejected — the
@@ -79,6 +84,19 @@ class EngineConfig:
     decimal_mode: str = "precise"  # precise | string | double
     time_precision: str = "adaptive"  # adaptive | adaptive_time_microseconds | connect
     snapshot_overrides: dict[str, str] = field(default_factory=dict)  # table -> WHERE
+    # migration-progress reporting (fork README.md:113 feature; property
+    # names and defaults per the fork's Source端/Sink端 tables). Progress
+    # files are the fork's external-controller contract — see
+    # streaming/progress.py for the file/JSON format parity.
+    commit_process: bool = False  # commit.process.while.running
+    source_process_file_path: str | None = None
+    sink_process_file_path: str | None = None
+    commit_time_interval: int = 1  # seconds between progress lines
+    create_count_info_path: str | None = None
+    process_file_count_limit: int = 10
+    process_file_time_limit: int = 168  # hours
+    append_write: bool = True
+    file_size_limit: int = 10  # MB per progress file before rotation
     extras: dict[str, str] = field(default_factory=dict)
 
     # -- parsing -------------------------------------------------------------
@@ -173,6 +191,24 @@ class EngineConfig:
                 # — keep the full qualified suffix (rsplit would collapse
                 # same-named tables across databases onto one key)
                 cfg.snapshot_overrides[k[len("snapshot.select.statement.overrides."):]] = val
+            elif k == "commit.process.while.running":
+                cfg.commit_process = val.strip().lower() == "true"
+            elif k == "source.process.file.path":
+                cfg.source_process_file_path = val.strip()
+            elif k == "sink.process.file.path":
+                cfg.sink_process_file_path = val.strip()
+            elif k == "commit.time.interval":
+                cfg.commit_time_interval = int(val)
+            elif k == "create.count.info.path":
+                cfg.create_count_info_path = val.strip()
+            elif k == "process.file.count.limit":
+                cfg.process_file_count_limit = int(val)
+            elif k == "process.file.time.limit":
+                cfg.process_file_time_limit = int(val)
+            elif k == "append.write":
+                cfg.append_write = val.strip().lower() == "true"
+            elif k == "file.size.limit":
+                cfg.file_size_limit = int(val)
             else:
                 cfg.extras[k] = val
         return cfg
@@ -264,14 +300,40 @@ class EngineConfig:
     def snapshot_where(self, table: str) -> str | None:
         return self.snapshot_overrides.get(table)
 
+    def build_committer(self, role: str = "sink"):
+        """ProcessCommitter for this config's progress properties, or None
+        when ``commit.process.while.running`` is off or the side's path is
+        unset (the reference likewise only reports when configured)."""
+        path = (
+            self.sink_process_file_path
+            if role == "sink"
+            else self.source_process_file_path
+        )
+        if not self.commit_process or not path:
+            return None
+        from debezium_spark.streaming.progress import ProcessCommitter
+
+        return ProcessCommitter(
+            path,
+            role,
+            commit_time_interval=self.commit_time_interval,
+            file_size_limit=self.file_size_limit,
+            file_count_limit=self.process_file_count_limit,
+            file_time_limit=self.process_file_time_limit,
+            append_write=self.append_write,
+            create_count_info_path=self.create_count_info_path,
+        )
+
     def build_engine(self, spark, table, db: str | None = None,
                      source_table: str | None = None, **engine_kwargs):
-        """CdcEngine wired with this config's SMT chain and tombstone flag.
-        ``db``/``source_table`` give the chain its table identity so scoped
+        """CdcEngine wired with this config's SMT chain, tombstone flag,
+        and (when configured) sink progress committer. ``db``/
+        ``source_table`` give the chain its table identity so scoped
         column properties resolve at build time (see smt_chain)."""
         from debezium_spark.streaming.engine import CdcEngine
 
         engine_kwargs.setdefault("tombstones_on_delete", self.tombstones_on_delete)
+        engine_kwargs.setdefault("committer", self.build_committer("sink"))
         return CdcEngine(
             spark, table, smt_chain=self.smt_chain(db, source_table), **engine_kwargs
         )

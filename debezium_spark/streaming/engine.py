@@ -107,7 +107,8 @@ def fused_tail_probe(
     """ONE driver job answering the tail-transaction questions for a batch:
     ``{"p": max pos, "tt": tail tx id, "pmin": tail run start, "ng": number
     of tx groups holding real offsets, "ngrp": total tx groups (>0 ⇔ the
-    batch has rows, even if every offset is null)}``. Per-tx partial
+    batch has rows, even if every offset is null), "n": total row count
+    (feeds the progress committer's extract/skip counters)}``. Per-tx partial
     aggregate (tiny shuffle: one row per transaction) + global fold — THE
     per-batch probe, shared by ``CdcEngine.replay`` and
     ``MultiTableEngine``.
@@ -121,6 +122,7 @@ def fused_tail_probe(
     aggs = [
         F.max("source.pos").alias("p"),
         F.min("source.pos").alias("pmin"),
+        F.count(F.lit(1)).alias("nrows"),
     ]
     if with_file:
         aggs.append(F.max("source.file").alias("f"))
@@ -137,6 +139,7 @@ def fused_tail_probe(
         F.max_by(tail_struct, F.col("p")).alias("tail"),
         F.count(F.when(F.col("p").isNotNull(), 1)).alias("ng"),
         F.count(F.lit(1)).alias("ngrp"),
+        F.sum("nrows").alias("n"),
     ]
     if with_file:
         sel.append(F.max("f").alias("f"))
@@ -150,6 +153,7 @@ def fused_tail_probe(
         "pmin": tail["pmin"] if tail is not None else None,
         "ng": row["ng"],
         "ngrp": row["ngrp"],
+        "n": row["n"] or 0,
     }
     if with_file:
         out["f"] = row["f"]
@@ -273,6 +277,7 @@ class CdcEngine:
         tombstones_on_delete: bool = False,
         history_compact_threshold: int = 256,
         expire_keep: int | None = None,
+        committer=None,
     ) -> None:
         """``compact_depth``: in MoR mode, fold deltas into the base once any
         bucket accumulates this many delta files (read cost grows with delta
@@ -289,7 +294,14 @@ class CdcEngine:
         DELETE and CREATE of a PK-change split (tombstones.on.delete config;
         RecordMakers.java:282-312). Tombstones are dropped before the merge
         dedupe, so the final table state is identical either way — the flag
-        exists for wire-format consumers tapping the split stream."""
+        exists for wire-format consumers tapping the split stream.
+
+        ``committer``: optional ``streaming.progress.ProcessCommitter``
+        (role='sink') — the fork's migration-progress reporting
+        (README.md:113; BaseProcessCommitter.java). The replay loop feeds
+        it per-batch counts it already has (the fused probe's row count,
+        the commit's lineage rows, the quarantine write), so reporting
+        adds no Spark jobs to the hot path."""
         self.spark = spark
         self.table = table
         self.smt_chain = smt_chain or []
@@ -297,6 +309,7 @@ class CdcEngine:
         self.compact_depth = compact_depth
         self.quarantine = quarantine
         self.tombstones_on_delete = tombstones_on_delete
+        self.committer = committer
         #: fold the schema-history ledger into one checkpoint line once it
         #: accumulates this many op entries (VERDICT r4 #1 — the ledger and
         #: its restart replay stay O(threshold) instead of growing with
@@ -315,6 +328,38 @@ class CdcEngine:
         self._carry_meta: dict | None = None
         if not table.exists():
             table.create(REPO_PAYLOAD_SCHEMA)
+
+    def _lineage_events_since(self, v0: int) -> int:
+        """Rows the versions after ``v0`` committed (upserts + deletes,
+        from their manifests' own lineage — driver-side file reads, no
+        Spark job). Compaction/heartbeat entries carry zero events, so a
+        multi-segment DDL batch sums its segments and nothing else."""
+        total = 0
+        for v in range(v0 + 1, self.table.manifest()["version"] + 1):
+            try:
+                entries = self.table.manifest(v).get("lineage", [])
+            except FileNotFoundError:  # expired under expire_keep
+                continue
+            # "events" is the bucket's total applied rows (upserts AND
+            # deletes — "deletes"/"upserts" are its breakdown)
+            total += sum(e.get("events", 0) for e in entries)
+        return total
+
+    def _quarantine_rows(self, batch_id: str) -> int:
+        """Row count of this batch's quarantine dir via parquet footers
+        (pyarrow, driver-side — no Spark job); 0 when nothing was
+        quarantined (the common case: the dir doesn't exist)."""
+        safe = batch_id.replace("/", "_").replace(".", "_")
+        qdir = os.path.join(self.table.root, "quarantine", safe)
+        if not os.path.isdir(qdir):
+            return 0
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(os.path.join(qdir, fn)).num_rows
+            for fn in os.listdir(qdir)
+            if fn.endswith(".parquet")
+        )
 
     def read_quarantine(self):
         from debezium_spark.operators.quarantine import read_quarantine
@@ -908,12 +953,23 @@ class CdcEngine:
                 # ('one bad row never wedges OR vanishes')
                 if mm["ngrp"]:
                     self.apply_envelope_batch(env, batch_id=f"batch_{i:05d}")
+                    if self.committer:
+                        self.committer.record_sink_batch(
+                            extracted=mm["n"], success=0,
+                            failed=self._quarantine_rows(f"batch_{i:05d}"),
+                        )
                 continue
             if (
                 carry is None
                 and cur is not None
                 and offset_key(mm["f"], mm["p"]) <= offset_key(*cur)
             ):
+                if self.committer:
+                    # exactly-once skip = the reference's breakpoint skip;
+                    # its committer counts these as skippedCount
+                    self.committer.record_sink_batch(
+                        extracted=mm["n"], success=0, skipped=mm["n"]
+                    )
                 continue
             fence = (mm["f"], mm["p"])
             has_ddl: bool | None = bool(mm["nd"])
@@ -984,6 +1040,9 @@ class CdcEngine:
                     env = closed
                     if carry is not None:
                         fence = (mm["f"], boundary)
+            v_before = (
+                self.table.manifest()["version"] if self.committer else 0
+            )
             v = self.apply_envelope_batch(
                 env,
                 batch_id=f"batch_{i:05d}",
@@ -991,6 +1050,15 @@ class CdcEngine:
                 has_ddl=has_ddl,
                 has_bad=has_bad,
             )
+            if self.committer:
+                # extracted = THIS file's rows (a prefixed carry was counted
+                # when first read; a deferred tail is counted now, applied
+                # later — totals reconcile across the replay)
+                self.committer.record_sink_batch(
+                    extracted=mm["n"],
+                    success=self._lineage_events_since(v_before),
+                    failed=self._quarantine_rows(f"batch_{i:05d}"),
+                )
             if tx_engaged:
                 # materialize AFTER the closed part committed: the closed
                 # plan lazily reads the previous carry version, and a crash

@@ -1,0 +1,241 @@
+"""Migration-progress reporting (the fork's 迁移进度上报 headline feature).
+
+File mechanics, counter formulas and JSON field order are asserted against
+the reference sources cited in ``streaming/progress.py``
+(``BaseProcessCommitter.java``, ``BaseSourceProcessInfo.java:217-228``,
+``MysqlSinkProcessInfo.java:89-102``, ``MysqlProcessCommitter.java:35-37``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from debezium_spark.streaming.progress import (
+    CREATE_COUNT_INFO_NAME,
+    ProcessCommitter,
+    SinkProcessInfo,
+    SourceProcessInfo,
+    SINK_PREFIX,
+    SOURCE_PREFIX,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure counter / serialization semantics (no Spark)
+# ---------------------------------------------------------------------------
+
+
+def test_source_json_field_order_matches_reference():
+    info = SourceProcessInfo(
+        createCount=100, skippedExcludeCount=5, convertCount=95, pollCount=90
+    )
+    line = info.to_json(timestamp_ms=1234, speed=7)
+    # byte-order parity with BaseSourceProcessInfo.toString
+    assert line == (
+        '{"timestamp":1234,"createCount":100,"skippedExcludeCount":5,'
+        '"convertCount":95,"pollCount":90,"speed":7,"rest":5}'
+    )
+    # rest = create - poll - skippedExclude (java:121-123)
+    assert info.rest == 100 - 90 - 5
+
+
+def test_sink_json_field_order_and_formulas_match_reference():
+    info = SinkProcessInfo(
+        extractCount=50, skippedExcludeEventCount=3, skippedCount=10,
+        successCount=30, failCount=2,
+    )
+    # replayed = attempted = success + fail (the reference invariant)
+    assert info.replayedCount == 32
+    # rest = extract - replayed - skippedExclude - skipped (java:159)
+    assert info.rest == 50 - 32 - 3 - 10
+    # overallPipe = createCount - replayed - skipped - skippedExclude,
+    # clamped at 0 (MysqlSinkProcessInfo.java:69-72)
+    assert info.overall_pipe(100) == 100 - 32 - 10 - 3
+    assert info.overall_pipe(1) == 0
+    line = info.to_json(timestamp_ms=9, speed=4, overall_pipe=55)
+    assert line == (
+        '{"timestamp":9,"extractCount":50,"skippedExcludeEventCount":3,'
+        '"skippedCount":10,"replayedCount":32,"successCount":30,'
+        '"failCount":2,"speed":4,"rest":5,"overallPipe":55}'
+    )
+    # and it parses as one JSON object per line, like the reference's
+    assert json.loads(line)["overallPipe"] == 55
+
+
+def test_commit_writes_rotating_prefixed_files(tmp_path):
+    c = ProcessCommitter(
+        str(tmp_path), "sink", commit_time_interval=0, file_size_limit=0,
+        file_count_limit=3,
+    )
+    # size limit 0 MB → every commit after the first rotates to a new file
+    for i in range(6):
+        c.record_sink_batch(extracted=10, success=10)
+        time.sleep(0.01)  # distinct mtimes for the retention sweep
+    files = [f for f in os.listdir(tmp_path) if f.startswith(SINK_PREFIX)]
+    # retention keeps at most file_count_limit files, oldest deleted first
+    assert 1 <= len(files) <= 3
+    newest = max(
+        (os.path.join(tmp_path, f) for f in files), key=os.path.getmtime
+    )
+    with open(newest) as f:
+        last = json.loads(f.readlines()[-1])
+    assert last["extractCount"] == 60 and last["successCount"] == 60
+    assert last["rest"] == 0
+
+
+def test_non_append_mode_keeps_single_latest_line(tmp_path):
+    c = ProcessCommitter(
+        str(tmp_path), "sink", commit_time_interval=0, append_write=False
+    )
+    c.record_sink_batch(extracted=5, success=5)
+    c.record_sink_batch(extracted=5, success=5)
+    cur = c.current_file()
+    with open(cur) as f:
+        lines = f.readlines()
+    # overwrite mode: one (the newest) line only, like the reference
+    assert len(lines) == 1
+    assert json.loads(lines[0])["extractCount"] == 10
+
+
+def test_commit_time_interval_paces_lines(tmp_path):
+    c = ProcessCommitter(str(tmp_path), "sink", commit_time_interval=3600)
+    c.record_sink_batch(extracted=1, success=1)
+    assert c.commit() is None  # paced out
+    line = c.commit(force=True)
+    assert line is not None
+
+
+def test_create_count_file_feeds_overall_pipe(tmp_path):
+    src = ProcessCommitter(
+        str(tmp_path), "source", commit_time_interval=0,
+        create_count_info_path=str(tmp_path),
+    )
+    src.record_source_batch(created=100, skipped_exclude=10)
+    # published as <millis>:<effective-count> (create - skippedExclude,
+    # MysqlProcessCommitter.java:265) under start-event-index.txt
+    with open(tmp_path / CREATE_COUNT_INFO_NAME) as f:
+        ts, count = f.read().split(":")
+    assert int(count) == 90 and int(ts) > 0
+    snk = ProcessCommitter(
+        str(tmp_path), "sink", commit_time_interval=0,
+        create_count_info_path=str(tmp_path),
+    )
+    snk.record_sink_batch(extracted=40, success=40)
+    line = json.loads(snk.commit(force=True))
+    assert line["overallPipe"] == 90 - 40
+    assert [f for f in os.listdir(tmp_path) if f.startswith(SOURCE_PREFIX)]
+
+
+def test_missing_create_count_degrades_to_zero_pipe(tmp_path):
+    snk = ProcessCommitter(str(tmp_path), "sink", commit_time_interval=0)
+    snk.record_sink_batch(extracted=5, success=5)
+    assert json.loads(snk.commit(force=True))["overallPipe"] == 0
+
+
+def test_unknown_role_rejected(tmp_path):
+    with pytest.raises(ValueError, match="role"):
+        ProcessCommitter(str(tmp_path), "both")
+
+
+# ---------------------------------------------------------------------------
+# config wiring
+# ---------------------------------------------------------------------------
+
+
+def test_properties_wire_the_committer(tmp_path):
+    from debezium_spark import EngineConfig
+
+    cfg = EngineConfig.from_properties({
+        "commit.process.while.running": "true",
+        "sink.process.file.path": str(tmp_path / "progress"),
+        "source.process.file.path": str(tmp_path / "progress"),
+        "commit.time.interval": "2",
+        "create.count.info.path": str(tmp_path / "progress"),
+        "process.file.count.limit": "5",
+        "process.file.time.limit": "24",
+        "append.write": "false",
+        "file.size.limit": "3",
+    })
+    snk = cfg.build_committer("sink")
+    assert snk is not None and snk.commit_time_interval == 2
+    assert snk.file_count_limit == 5 and snk.file_time_limit == 24
+    assert snk.append_write is False and snk.file_size_limit == 3
+    src = cfg.build_committer("source")
+    assert src is not None and src.prefix == SOURCE_PREFIX
+    # off by default: without the flag (or without a path) → None
+    assert EngineConfig().build_committer("sink") is None
+    assert EngineConfig.from_properties(
+        {"commit.process.while.running": "true"}
+    ).build_committer("sink") is None
+
+
+# ---------------------------------------------------------------------------
+# end-to-end: the replay loop feeds the committer
+# ---------------------------------------------------------------------------
+
+
+def test_replay_reports_progress_and_skips_on_rereplay(spark, tmp_path):
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=42, n_repos=10)
+    gen.write_batches(str(tmp_path / "binlog"), 2000, n_batches=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    c = ProcessCommitter(
+        str(tmp_path / "progress"), "sink", commit_time_interval=0,
+        create_count_info_path=str(tmp_path / "progress"),
+    )
+    engine = CdcEngine(spark, table, committer=c)
+    engine.replay(str(tmp_path / "binlog"))
+    # extract ≥ the 2000 log events (PK-change updates expand to
+    # delete+create sink-side; extract adjusts to the post-split count,
+    # matching the reference source's pre-split emission)
+    extracted1 = c.sink.extractCount
+    assert extracted1 >= 2000
+    # generator events are well-formed: everything replays, nothing fails
+    assert c.sink.failCount == 0 and c.sink.skippedCount == 0
+    assert c.sink.successCount > 0
+    assert c.sink.rest == 0  # synchronous batch engine: pipe empty
+    # a second replay of the same dir is fence-skipped — the breakpoint
+    # skip shows up as skippedCount, and the table does not change
+    engine2 = CdcEngine(spark, table, committer=c)
+    assert engine2.replay(str(tmp_path / "binlog")) == []
+    assert c.sink.skippedCount == 2000
+    assert c.sink.extractCount == extracted1 + 2000
+    assert c.sink.rest == 0
+    line = json.loads(c.commit(force=True))
+    assert line["replayedCount"] == line["successCount"] + line["failCount"]
+    # files landed under the sink prefix
+    assert [
+        f for f in os.listdir(tmp_path / "progress")
+        if f.startswith(SINK_PREFIX)
+    ]
+
+
+def test_replay_counts_quarantined_rows_as_failed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=7, n_repos=5)
+    env = gen.events(200)
+    # poison 1 row: unknown op (quarantine reason) but valid offsets
+    env = env.withColumn(
+        "op",
+        F.when(F.col("source.pos") == 5, F.lit("zz")).otherwise(F.col("op")),
+    )
+    env.write.parquet(str(tmp_path / "binlog" / "batch_00000.parquet"))
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    c = ProcessCommitter(
+        str(tmp_path / "progress"), "sink", commit_time_interval=0
+    )
+    engine = CdcEngine(spark, table, committer=c)
+    engine.replay(str(tmp_path / "binlog"))
+    assert c.sink.extractCount >= 200  # post-split count
+    assert c.sink.failCount == 1  # the quarantined row
+    assert c.sink.extractCount == c.sink.successCount + 1  # books balance
+    assert c.sink.rest == 0
+    assert engine.read_quarantine().count() == 1

@@ -53,11 +53,6 @@ def main() -> None:
     from debezium_spark import ChangeLogGenerator, LakeTable
     from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA
 
-    if args.gen_events:
-        ChangeLogGenerator(spark, seed=42).write_batches(
-            args.batch_dir, args.gen_events, args.gen_batches
-        )
-
     from debezium_spark import EngineConfig
 
     cfg = EngineConfig()
@@ -70,6 +65,18 @@ def main() -> None:
                     k, v = line.split("=", 1)
                     props[k.strip()] = v.strip()
         cfg = EngineConfig.from_properties(props)
+
+    if args.gen_events:
+        ChangeLogGenerator(spark, seed=42).write_batches(
+            args.batch_dir, args.gen_events, args.gen_batches
+        )
+        # source-side progress line (迁移进度上报): the generation step is
+        # this job's source analog — produced = converted = polled; the
+        # published create count feeds the sink reporter's overallPipe
+        src = cfg.build_committer("source")
+        if src is not None:
+            src.record_source_batch(created=args.gen_events)
+            src.commit(force=True)
 
     key_cols = cfg.key_cols_for("inventory", "repo_files", list(REPO_KEY_COLS))
     table = LakeTable(spark, args.table, key_cols, n_buckets=args.buckets)
