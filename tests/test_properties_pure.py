@@ -343,17 +343,25 @@ def _evolution_case(draw):
     writer = StructType(
         [StructField(f"c{i}", _BASES[b][0]) for i, b in enumerate(bases)]
     )
-    # evolution: keep-or-drop each field, optionally promote the kept ones
+    # evolution: keep-or-drop each field, optionally promote the kept ones,
+    # optionally RENAME them (reader aliases — the spec's rename rule:
+    # reader field n<i> declares alias c<i>, resolution reads the writer's
+    # c<i> through it; composes with promotion)
     kept = []
+    aliases = {}
     for i, b in enumerate(bases):
         if draw(st.booleans()):
             continue  # writer-only: skipped by resolution
         promos = _EVOLVE[b]
         pick = draw(st.integers(min_value=-1, max_value=len(promos) - 1))
+        name = f"c{i}"
+        if draw(st.booleans()):
+            name = f"n{i}"
+            aliases[name] = [f"c{i}"]
         if pick < 0:
-            kept.append((f"c{i}", _BASES[b][0], lambda v: v))
+            kept.append((name, f"c{i}", _BASES[b][0], lambda v: v))
         else:
-            kept.append((f"c{i}", promos[pick][0], promos[pick][1]))
+            kept.append((name, f"c{i}", promos[pick][0], promos[pick][1]))
     order = draw(st.permutations(range(len(kept))))
     kept = [kept[i] for i in order]
     n_new = draw(st.integers(min_value=0, max_value=2))
@@ -362,7 +370,7 @@ def _evolution_case(draw):
         for j in range(n_new)
     ]
     reader = StructType(
-        [StructField(nm, t) for nm, t, _ in kept]
+        [StructField(nm, t) for nm, _, t, _ in kept]
         + [StructField(nm, t) for nm, t in added]
     )
     record = {
@@ -370,22 +378,22 @@ def _evolution_case(draw):
         for i, b in enumerate(bases)
     }
     expected = {
-        nm: (None if record[nm] is None else xf(record[nm]))
-        for nm, _, xf in kept
+        nm: (None if record[src] is None else xf(record[src]))
+        for nm, src, _, xf in kept
     }
     expected.update({nm: None for nm, _ in added})
-    return writer, reader, record, expected
+    return writer, reader, aliases, record, expected
 
 
 @given(_evolution_case())
 @settings(max_examples=200, deadline=None)
 def test_avro_resolution_fuzz_decode_remap_matches_spec(case):
-    writer, reader, record, expected = case
+    writer, reader, aliases, record, expected = case
     out = bytearray()
     _enc_for(writer)(record, out)
     buf = bytes(out)
     datum, off = _dec_for(writer)(buf, 0)
     assert off == len(buf)  # decode consumes the frame exactly
-    remap = _resolution_map(writer, reader)
+    remap = _resolution_map(writer, reader, aliases or None)
     got = datum if remap is None else remap(datum)
     assert got == expected
