@@ -378,6 +378,15 @@ class MultiTableEngine:
         the same lake root). Restart replay cost drops from O(mutations
         ever) to O(mutations since the last compaction).
 
+        Growth bound: ``renamed_away`` is the one checkpoint field that
+        grows with history — O(renames ever), deliberately NOT folded to a
+        final-mapping dict because the ordered walk is what resolves
+        stale-static-name shadows correctly (tools/bench_restart.py
+        measures the cost: ~40 bytes/rename). Renames are human-driven
+        DDL (occasional), unlike the per-batch mutations this compaction
+        bounds, so the term stays KBs/year where the raw ledger grows per
+        event batch.
+
         Crash-safe (temp file + ``os.replace``); single-writer (the driver
         dispatch loop, which also appends). Returns the number of lines
         folded, 0 if the ledger is already just a checkpoint."""
