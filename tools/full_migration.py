@@ -95,6 +95,15 @@ def cmd_load(args) -> None:
     if args.binlog:
         versions = engine.replay(args.binlog)
         print(f"streamed {len(versions)} batches, fence={table.fence()}")
+    if args.delete_slices:
+        # the fork's delete.full.csv.file knob (opengauss connector, full-
+        # migration params): reclaim the transfer medium once the load
+        # committed — only reachable after a successful bootstrap (any
+        # slice-set verification failure raised above)
+        import shutil
+
+        shutil.rmtree(args.slices, ignore_errors=True)
+        print(f"deleted slice dir {args.slices}")
 
 
 def main() -> None:
@@ -113,6 +122,9 @@ def main() -> None:
     pl.add_argument("--binlog", default=None)
     pl.add_argument("--fence-file", default="binlog.000001")
     pl.add_argument("--fence-pos", type=int, default=-1)
+    pl.add_argument("--delete-slices", action="store_true",
+                    help="remove the slice files after a successful load "
+                         "(the fork's delete.full.csv.file, default off)")
     args = p.parse_args()
     if args.cmd == "export":
         cmd_export(args)
