@@ -152,6 +152,7 @@ class MultiTableEngine:
         default_mode: str = "mor",
         tx_aligned: bool = True,
         catalog_compact_threshold: int = 256,
+        committer=None,
     ) -> None:
         """``max_parallel_tables``: per-table merges are independent Spark
         jobs against disjoint LakeTables, so the dispatcher submits them
@@ -170,7 +171,16 @@ class MultiTableEngine:
         ``tx_aligned``: defer the batch's open tail transaction to the next
         batch (see ``engine.split_open_tail_tx``) so no per-table commit
         ever contains a partial transaction; call ``flush_tx_carry()`` at
-        end of stream."""
+        end of stream.
+
+        ``committer``: optional ``streaming.progress.ProcessCommitter``
+        (role='sink') — ONE progress reporter for the whole multi-table
+        sink, the reference connector's shape. Fed per wire batch from the
+        pre-pass row counts (same job), the per-table commits' lineage,
+        and the quarantine writes; include-list-dropped rows surface as
+        ``skippedExcludeEventCount``, fence-skipped replays as
+        ``skippedCount``. Costs one manifest file read per registered
+        table per batch (driver-side), nothing Spark-side."""
         self.spark = spark
         self.root = root.rstrip("/")
         self.max_parallel_tables = max_parallel_tables
@@ -178,6 +188,7 @@ class MultiTableEngine:
         self.default_buckets = default_buckets
         self.default_mode = default_mode
         self.tx_aligned = tx_aligned
+        self.committer = committer
         self._tx_carry: DataFrame | None = None
         #: fused-probe facts about _tx_carry (tx id + max pos) — lets the
         #: dispatcher split carry-prefixed batches with one probe job
@@ -675,6 +686,7 @@ class MultiTableEngine:
             F.max("source.file").alias("f"),
             F.max(F.col("op").isin(BARRIER_OPS).cast("int")).alias("nd"),
             F.max(bad.cast("int")).alias("nb"),
+            F.count(F.lit(1)).alias("n"),
         )
 
     def apply_wire_batch(self, wire: DataFrame, batch_id: str) -> dict[str, int | None]:
@@ -917,6 +929,13 @@ class MultiTableEngine:
                 )
 
             keys = list(self.engines)
+            # progress accounting baseline: each table's version before the
+            # dispatch (one tiny manifest read per table, driver-side)
+            v0 = (
+                {k: self.engines[k].table.manifest()["version"] for k in keys}
+                if self.committer
+                else None
+            )
             if self.max_parallel_tables > 1 and len(keys) > 1:
                 # per-table merges touch disjoint table roots/manifests, so
                 # they commute; concurrent Spark jobs share the executor
@@ -930,6 +949,37 @@ class MultiTableEngine:
                     versions = dict(pool.map(apply_one, keys))
             else:
                 versions = dict(apply_one(k) for k in keys)
+
+            if self.committer:
+                # one progress line for the whole wire batch: extract =
+                # every row seen (unregistered tables included — their
+                # rows become the skippedExclude residual, include-list
+                # semantics), success from the commits' own lineage,
+                # failed from the quarantine writes, skipped = rows of
+                # tables whose apply fence-skipped (returned no version)
+                extracted = sum((r["n"] or 0) for r in stats)
+                owner = {k: k for k in keys}
+                for reg, aliases in batch_aliases.items():
+                    for a in aliases:
+                        owner[a] = reg
+                success = failed = skipped = 0
+                per_fail: dict = {}
+                for k in keys:
+                    eng = self.engines.get(k)
+                    if eng is None:
+                        continue
+                    success += eng._lineage_events_since(v0[k])
+                    f_k = eng._quarantine_rows(f"{batch_id}/{self.specs[k].fqn}")
+                    failed += f_k
+                    per_fail[k] = f_k
+                for pk, r in present.items():
+                    reg = owner.get(pk)
+                    if reg is not None and versions.get(self.specs[reg].fqn) is None:
+                        skipped += max(0, (r["n"] or 0) - per_fail.get(reg, 0))
+                self.committer.record_sink_batch(
+                    extracted=extracted, success=success,
+                    failed=failed, skipped=skipped,
+                )
 
             # DROP TABLE retires the capture (events already dispatched
             # above still applied); lake data stays on disk until a

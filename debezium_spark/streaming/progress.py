@@ -31,11 +31,10 @@ engine is micro-batch synchronous, so reports commit at batch boundaries,
 paced to at most one line per ``commit.time.interval`` seconds (idle
 streams simply stop reporting; the reference instead repeats lines).
 
-Scope: the committer attaches to ``CdcEngine`` (one committer per
-connector process, the reference's shape) and to the source-side tools;
-``MultiTableEngine`` reports through its per-table lineage ledgers — a
-wire-batch-level committer would need per-table version snapshots around
-the thread-pooled dispatch and is not worth the serial driver work.
+Scope: one committer per connector process, the reference's shape —
+attach to ``CdcEngine`` (single-table replay), to ``MultiTableEngine``
+(one reporter for the whole multi-table sink; include-list drops surface
+as ``skippedExcludeEventCount``), or to the source-side tools.
 """
 
 from __future__ import annotations

@@ -215,6 +215,58 @@ def test_replay_reports_progress_and_skips_on_rereplay(spark, tmp_path):
     ]
 
 
+def test_multi_table_sink_reports_one_progress_stream(spark, tmp_path):
+    """ONE committer for the whole multi-table sink (the reference
+    connector's shape): extract counts every wire row, include-list drops
+    (unregistered tables) land in skippedExcludeEventCount, a replayed
+    batch's rows land in skippedCount, and the books stay balanced."""
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.streaming.multi import (
+        WIRE_SCHEMA,
+        MultiTableEngine,
+        TableSpec,
+    )
+
+    def row(pos, table, op, after):
+        return {"before_json": None, "after_json": after, "op": op,
+                "ts_ms": 1000 + pos,
+                "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                           "snapshot": None, "db": "app", "table": table,
+                           "ts_ms": 1000 + pos},
+                "transaction": None}
+
+    c = ProcessCommitter(
+        str(tmp_path / "progress"), "sink", commit_time_interval=0
+    )
+    mte = MultiTableEngine(
+        spark, str(tmp_path / "lake"),
+        [TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                   ["uid"], n_buckets=2)],
+        default_buckets=2, auto_register=False, committer=c,
+    )
+    batch = [
+        row(1, "users", "c", '{"uid": 1, "name": "ada"}'),
+        row(2, "users", "c", '{"uid": 2, "name": "bob"}'),
+        row(3, "ghost", "c", '{"x": 9}'),  # unregistered → include-list drop
+    ]
+    wire = spark.createDataFrame(batch, WIRE_SCHEMA)
+    mte.apply_wire_batch(wire, "b0")
+    assert c.sink.extractCount == 3
+    assert c.sink.successCount == 2
+    assert c.sink.skippedExcludeEventCount == 1  # the ghost-table row
+    assert c.sink.failCount == 0 and c.sink.rest == 0
+    # replaying the same batch: per-table fence skips its rows
+    mte.apply_wire_batch(wire, "b0-again")
+    assert c.sink.extractCount == 6
+    assert c.sink.successCount == 2
+    assert c.sink.skippedCount == 2
+    assert c.sink.skippedExcludeEventCount == 2
+    assert c.sink.rest == 0
+    line = json.loads(c.commit(force=True))
+    assert line["replayedCount"] == 2 and line["rest"] == 0
+
+
 def test_replay_counts_quarantined_rows_as_failed(spark, tmp_path):
     from pyspark.sql import functions as F
 
