@@ -1080,6 +1080,27 @@ class CdcEngine:
                 versions.append(v)
         return versions
 
+    def _report_apply(self, v_before: int, batch_id: str,
+                      flush: bool = False) -> None:
+        """Progress line for one directly-applied batch (streaming epoch /
+        carry flush): counts derive from the commit's own lineage plus the
+        quarantine write. Full extract attribution (SMT drops, last-wins
+        collapse) needs the replay loop's fused probe row count, so here
+        extract = applied + failed — the reference's streaming counters
+        likewise tally at the replay stage. ``flush=True`` = the rows were
+        already extract-counted when their original batch was read
+        (deferred transaction), so they settle instead of re-extracting."""
+        if not self.committer:
+            return
+        success = self._lineage_events_since(v_before)
+        failed = self._quarantine_rows(batch_id)
+        if flush:
+            self.committer.record_sink_flush(success=success, failed=failed)
+        else:
+            self.committer.record_sink_batch(
+                extracted=success + failed, success=success, failed=failed
+            )
+
     def apply_stream_batch(
         self, env: DataFrame, batch_id: str, tx_aligned: bool = True
     ) -> int | None:
@@ -1088,8 +1109,11 @@ class CdcEngine:
         transaction defers (persisted carry — a checkpoint will not
         redeliver this epoch) and rejoins when its END arrives. Call
         ``flush_tx_carry`` at end of stream."""
+        v_before = self.table.manifest()["version"] if self.committer else 0
         if not tx_aligned:
-            return self.apply_envelope_batch(env, batch_id=batch_id)
+            v = self.apply_envelope_batch(env, batch_id=batch_id)
+            self._report_apply(v_before, batch_id)
+            return v
         carry = self._tx_carry
         if carry is None:
             carry = load_tx_carry(self.spark, self.table.root)
@@ -1103,6 +1127,7 @@ class CdcEngine:
             self._tx_carry = persist_tx_carry(self.spark, carry, self.table.root)
             return None
         v = self.apply_envelope_batch(closed, batch_id=batch_id)
+        self._report_apply(v_before, batch_id)
         if engaged:
             carry = persist_tx_carry(self.spark, carry, self.table.root)
         self._tx_carry = carry
@@ -1124,6 +1149,8 @@ class CdcEngine:
         if mm["p"] is None:
             persist_tx_carry(self.spark, None, self.table.root)
             return None
+        v_before = self.table.manifest()["version"] if self.committer else 0
         v = self.apply_envelope_batch(carry, batch_id=batch_id, fence=(mm["f"], mm["p"]))
+        self._report_apply(v_before, batch_id, flush=True)
         persist_tx_carry(self.spark, None, self.table.root)
         return v

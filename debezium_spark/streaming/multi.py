@@ -976,10 +976,18 @@ class MultiTableEngine:
                     reg = owner.get(pk)
                     if reg is not None and versions.get(self.specs[reg].fqn) is None:
                         skipped += max(0, (r["n"] or 0) - per_fail.get(reg, 0))
-                self.committer.record_sink_batch(
-                    extracted=extracted, success=success,
-                    failed=failed, skipped=skipped,
-                )
+                if getattr(self, "_flush_reporting", False):
+                    # deferred-tx flush: these rows were extract-counted
+                    # when their original batch's pre-pass ran — settle
+                    # them instead of re-extracting
+                    self.committer.record_sink_flush(
+                        success=success, failed=failed
+                    )
+                else:
+                    self.committer.record_sink_batch(
+                        extracted=extracted, success=success,
+                        failed=failed, skipped=skipped,
+                    )
 
             # DROP TABLE retires the capture (events already dispatched
             # above still applied); lake data stays on disk until a
@@ -1028,10 +1036,12 @@ class MultiTableEngine:
             return {}
         old = self.tx_aligned
         self.tx_aligned = False
+        self._flush_reporting = True  # settle, don't re-extract (progress)
         try:
             out = self.apply_wire_batch(c, batch_id)
         finally:
             self.tx_aligned = old
+            self._flush_reporting = False
         persist_tx_carry(self.spark, None, self.root)
         return out
 

@@ -229,6 +229,20 @@ class ProcessCommitter:
         self.sink.skippedCount += skipped
         self._maybe_commit()
 
+    def record_sink_flush(self, success: int, failed: int = 0) -> None:
+        """Settle a deferred-transaction flush. The flushed rows were
+        counted as extracted when their ORIGINAL batch was read (and, never
+        having applied then, sat in the skippedExclude residual) — so this
+        moves them to success/fail instead of re-extracting them; rows the
+        earlier accounting never saw (stream epochs report applied-only)
+        grow extractCount as needed. Keeps ``rest`` at 0 either way."""
+        take = min(self.sink.skippedExcludeEventCount, success + failed)
+        self.sink.skippedExcludeEventCount -= take
+        self.sink.extractCount += success + failed - take
+        self.sink.successCount += success
+        self.sink.failCount += failed
+        self._maybe_commit()
+
     # -- the reference's file mechanics ------------------------------------
 
     def commit(self, force: bool = False) -> str | None:

@@ -215,6 +215,47 @@ def test_replay_reports_progress_and_skips_on_rereplay(spark, tmp_path):
     ]
 
 
+def test_stream_epochs_and_flush_report_with_balanced_books(spark, tmp_path):
+    """The streaming path reports applied-only counts per epoch (no fused
+    probe there), and a deferred-transaction flush SETTLES its rows
+    instead of re-extracting them — ``rest`` stays 0 throughout and the
+    final success equals the rows the table actually holds."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=13, n_repos=6)
+    env = gen.events(300).withColumn(
+        "transaction",
+        F.struct(
+            F.concat(F.lit("t"), (F.col("source.pos") / 100).cast("long")
+                     .cast("string")).alias("id"),
+            F.lit(0).cast("long").alias("total_order"),
+            F.lit(0).cast("long").alias("data_collection_order"),
+        ),
+    )
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    c = ProcessCommitter(
+        str(tmp_path / "progress"), "sink", commit_time_interval=0
+    )
+    engine = CdcEngine(spark, table, committer=c)
+    # epoch 1 ends mid-tx t1 → its tail defers; epoch 2 closes t1 and
+    # ends mid-tx t2; the flush settles the rest
+    engine.apply_stream_batch(env.where("source.pos < 150"), "epoch-1")
+    assert c.sink.rest == 0
+    engine.apply_stream_batch(
+        env.where("source.pos >= 150 AND source.pos < 250"), "epoch-2"
+    )
+    engine.apply_stream_batch(env.where("source.pos >= 250"), "epoch-3")
+    engine.flush_tx_carry()
+    assert c.sink.rest == 0 and c.sink.failCount == 0
+    # all applied rows are accounted as success (streaming reports
+    # lineage-applied counts; the flush settled the final tail)
+    applied = sum(e.get("events", 0) for e in table.lineage())
+    assert c.sink.successCount == applied > 0
+    assert c.sink.extractCount == c.sink.successCount
+
+
 def test_multi_table_sink_reports_one_progress_stream(spark, tmp_path):
     """ONE committer for the whole multi-table sink (the reference
     connector's shape): extract counts every wire row, include-list drops
