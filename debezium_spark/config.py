@@ -65,6 +65,10 @@ def _scope_pred(scope: str):
 class EngineConfig:
     snapshot_mode: str = "initial"
     snapshot_offset: tuple[str, int] | None = None  # explicit handoff point
+    #: snapshot.offset.gtid.set — recorded alongside the handoff point;
+    #: the engine fences on the file-major (file, pos) key (gtid rides the
+    #: envelope's source.gtid informationally, as the fork stores it)
+    snapshot_gtid: str | None = None
     server_name: str = "debezium"  # topic prefix (database.server.name)
     table_include: str | None = None
     table_exclude: str | None = None
@@ -116,6 +120,8 @@ class EngineConfig:
             elif k == "snapshot.offset.binlog.position":
                 f0, p0 = cfg.snapshot_offset or ("", -1)
                 cfg.snapshot_offset = (f0, int(val))
+            elif k == "snapshot.offset.gtid.set":
+                cfg.snapshot_gtid = val.strip()
             elif k == "database.include.list":
                 alts = "|".join(f"(?:{p.strip()})" for p in val.split(",") if p.strip())
                 cfg.database_include = f"^(?:{alts})$"

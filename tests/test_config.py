@@ -149,10 +149,13 @@ def test_reference_fork_properties(spark):
             "truncate.handling.mode": "skip",
             "snapshot.offset.binlog.filename": "binlog.000007",
             "snapshot.offset.binlog.position": "12345",
+            "snapshot.offset.gtid.set": "uuid:1-100",
         }
     )
     assert cfg.server_name == "pg1"
     assert cfg.snapshot_offset == ("binlog.000007", 12345)
+    assert cfg.snapshot_gtid == "uuid:1-100"
+    assert "snapshot.offset.gtid.set" not in cfg.extras
     assert cfg.truncate_handling == "skip"
 
     from debezium_spark import ChangeLogGenerator

@@ -95,7 +95,7 @@ def cmd_load(args) -> None:
     if args.binlog:
         versions = engine.replay(args.binlog)
         print(f"streamed {len(versions)} batches, fence={table.fence()}")
-    if args.delete_slices:
+    if getattr(args, "delete_slices", False):  # optional (default off)
         # the fork's delete.full.csv.file knob (opengauss connector, full-
         # migration params): reclaim the transfer medium once the load
         # committed — only reachable after a successful bootstrap (any
