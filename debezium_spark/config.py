@@ -339,7 +339,10 @@ class EngineConfig:
         from debezium_spark.streaming.engine import CdcEngine
 
         engine_kwargs.setdefault("tombstones_on_delete", self.tombstones_on_delete)
-        engine_kwargs.setdefault("committer", self.build_committer("sink"))
+        if "committer" not in engine_kwargs:
+            # not setdefault: that would CONSTRUCT a throwaway committer
+            # (mkdir side effect) even when the caller passed one
+            engine_kwargs["committer"] = self.build_committer("sink")
         return CdcEngine(
             spark, table, smt_chain=self.smt_chain(db, source_table), **engine_kwargs
         )

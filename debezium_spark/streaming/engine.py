@@ -1078,6 +1078,12 @@ class CdcEngine:
             v = self.flush_tx_carry()
             if v is not None:
                 versions.append(v)
+        if self.committer:
+            # terminal force-line: per-batch lines are paced by
+            # commit.time.interval, so a replay faster than the interval
+            # would otherwise leave the progress file showing only the
+            # first batch forever (review r5 finding)
+            self.committer.commit(force=True)
         return versions
 
     def _report_apply(self, v_before: int, batch_id: str,
@@ -1152,5 +1158,7 @@ class CdcEngine:
         v_before = self.table.manifest()["version"] if self.committer else 0
         v = self.apply_envelope_batch(carry, batch_id=batch_id, fence=(mm["f"], mm["p"]))
         self._report_apply(v_before, batch_id, flush=True)
+        if self.committer:
+            self.committer.commit(force=True)  # end-of-stream terminal line
         persist_tx_carry(self.spark, None, self.table.root)
         return v

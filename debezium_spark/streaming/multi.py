@@ -976,18 +976,17 @@ class MultiTableEngine:
                     reg = owner.get(pk)
                     if reg is not None and versions.get(self.specs[reg].fqn) is None:
                         skipped += max(0, (r["n"] or 0) - per_fail.get(reg, 0))
-                if getattr(self, "_flush_reporting", False):
-                    # deferred-tx flush: these rows were extract-counted
-                    # when their original batch's pre-pass ran — settle
-                    # them instead of re-extracting
-                    self.committer.record_sink_flush(
-                        success=success, failed=failed
-                    )
-                else:
-                    self.committer.record_sink_batch(
-                        extracted=extracted, success=success,
-                        failed=failed, skipped=skipped,
-                    )
+                # NOTE: the deferred-tx carry needs no flush-settle here,
+                # unlike CdcEngine.replay — the pre-pass runs on the
+                # carry-STRIPPED closed batch, so deferred rows were never
+                # extract-counted; when the flush re-enters through this
+                # method they extract for the first time and the normal
+                # accounting is exact (review r5: a settle here stole
+                # genuine include-list drop counts)
+                self.committer.record_sink_batch(
+                    extracted=extracted, success=success,
+                    failed=failed, skipped=skipped,
+                )
 
             # DROP TABLE retires the capture (events already dispatched
             # above still applied); lake data stays on disk until a
@@ -1036,12 +1035,12 @@ class MultiTableEngine:
             return {}
         old = self.tx_aligned
         self.tx_aligned = False
-        self._flush_reporting = True  # settle, don't re-extract (progress)
         try:
             out = self.apply_wire_batch(c, batch_id)
         finally:
             self.tx_aligned = old
-            self._flush_reporting = False
+        if self.committer:
+            self.committer.commit(force=True)  # end-of-stream terminal line
         persist_tx_carry(self.spark, None, self.root)
         return out
 

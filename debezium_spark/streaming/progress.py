@@ -39,10 +39,9 @@ as ``skippedExcludeEventCount``), or to the source-side tools.
 
 from __future__ import annotations
 
-import json
 import os
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass
@@ -213,16 +212,23 @@ class ProcessCommitter:
         ``success`` reached the table (the commit's lineage events),
         ``failed`` were quarantined, ``skipped`` were behind the fence.
         A positive remainder is attributed to exclude-filtering/last-wins
-        collapse (``skippedExcludeEventCount``); a negative one means
-        PK-change events expanded into delete+create pairs sink-side — the
-        reference's SOURCE emits those pre-split, so its extract counter
-        sees both records, and ``extractCount`` adjusts to the post-split
-        count to keep the same books (and ``rest`` at 0)."""
+        collapse (``skippedExcludeEventCount``); a negative one means rows
+        applied beyond this batch's extraction — FIRST drained from the
+        skippedExclude residual (a deferred transaction's rows were parked
+        there by their original batch; review r5 finding: re-extracting
+        them inflated both counters by the carry size per straddling tx),
+        THEN, for rows never parked (PK-change delete+create expansion —
+        the reference's SOURCE emits those pre-split, so its extract
+        counter sees both records), ``extractCount`` adjusts to the
+        post-split count. ``rest`` stays 0 either way."""
         residual = extracted - success - failed - skipped
         if residual >= 0:
             self.sink.skippedExcludeEventCount += residual
         else:
-            extracted += -residual
+            need = -residual
+            take = min(self.sink.skippedExcludeEventCount, need)
+            self.sink.skippedExcludeEventCount -= take
+            extracted += need - take
         self.sink.extractCount += extracted
         self.sink.successCount += success
         self.sink.failCount += failed
@@ -303,9 +309,16 @@ class ProcessCommitter:
             and os.path.exists(self._current)
             and os.path.getsize(self._current) > size_cap
         ):
-            self._current = os.path.join(
-                self.dir, f"{self.prefix}{_stamp(now)}.txt"
-            )
+            # the timestamped name has second resolution; a second rotation
+            # within the same second must NOT resolve back to the full file
+            # (review r5: the size cap was unenforced for that second) — a
+            # dotted sequence disambiguates while keeping the prefix scan
+            base = os.path.join(self.dir, f"{self.prefix}{_stamp(now)}")
+            cand, n = f"{base}.txt", 0
+            while cand == self._current or os.path.exists(cand):
+                n += 1
+                cand = f"{base}.{n}.txt"
+            self._current = cand
         mode = "a" if self.append_write else "w"
         with open(self._current, mode) as f:
             f.write(line + "\n")
@@ -316,10 +329,13 @@ class ProcessCommitter:
             for fn in os.listdir(self.dir)
             if fn.startswith(self.prefix)
         ]
-        # count limit: delete oldest by mtime down to limit-1 (the
-        # reference deletes to make room BEFORE the next rotation)
+        # count limit: keep at most file_count_limit files, oldest deleted
+        # first (the reference prunes to limit-1 because its sweep runs
+        # BEFORE the next rotation; ours runs after the write, so pruning
+        # to the limit itself honors the documented retention exactly —
+        # review r5 off-by-one finding)
         files.sort(key=os.path.getmtime)
-        while len(files) > self.file_count_limit - 1 and len(files) > 1:
+        while len(files) > self.file_count_limit and len(files) > 1:
             victim = files.pop(0)
             if victim == self._current:
                 break  # never delete the live file

@@ -101,6 +101,115 @@ def test_non_append_mode_keeps_single_latest_line(tmp_path):
     assert json.loads(lines[0])["extractCount"] == 10
 
 
+def test_rotation_within_one_second_respects_size_cap(tmp_path):
+    """Second-resolution timestamps must not resolve two rotations in the
+    same second back to the same (already-full) file (review r5)."""
+    c = ProcessCommitter(
+        str(tmp_path), "sink", commit_time_interval=0, file_size_limit=0,
+        file_count_limit=100,
+    )
+    for _ in range(5):  # no sleeps: same wall-clock second on purpose
+        c.record_sink_batch(extracted=1, success=1)
+    files = [f for f in os.listdir(tmp_path) if f.startswith(SINK_PREFIX)]
+    assert len(files) == 5  # every over-cap commit rotated to a NEW file
+
+
+def test_retention_keeps_exactly_the_configured_count(tmp_path):
+    """process.file.count.limit keeps AT MOST that many files — not one
+    fewer (review r5 off-by-one)."""
+    c = ProcessCommitter(
+        str(tmp_path), "sink", commit_time_interval=0, file_size_limit=0,
+        file_count_limit=3,
+    )
+    for _ in range(6):
+        c.record_sink_batch(extracted=1, success=1)
+        time.sleep(0.02)
+    files = [f for f in os.listdir(tmp_path) if f.startswith(SINK_PREFIX)]
+    assert len(files) == 3
+
+
+def test_carry_rows_drain_residual_not_reextract():
+    """A deferred transaction's rows are parked in skippedExclude by their
+    original batch; when they apply later the negative residual must
+    DRAIN that parking, not inflate extractCount (review r5)."""
+    c = ProcessCommitter.__new__(ProcessCommitter)  # counters only
+    c.sink = SinkProcessInfo()
+    c.source = SourceProcessInfo()
+    c.commit_time_interval = 3600
+    c._last_emit_ts = time.time()  # pace out file IO: counter-only test
+    c._last_progress = 0
+    # batch 0: 100 rows, 20-row open tail deferred → 80 applied
+    c.record_sink_batch(extracted=100, success=80)
+    assert c.sink.skippedExcludeEventCount == 20
+    # batch 1: 50 rows + the 20 carried rows apply → success 70
+    c.record_sink_batch(extracted=50, success=70)
+    assert c.sink.extractCount == 150  # NOT 170
+    assert c.sink.skippedExcludeEventCount == 0
+    assert c.sink.successCount == 150 and c.sink.rest == 0
+
+
+def test_replay_books_exact_for_straddling_tx(spark, tmp_path):
+    """End-to-end books with a transaction straddling two batch files and
+    no collapses/splits: extract equals the true event count and nothing
+    is attributed to excludes."""
+    from pyspark.sql import functions as F
+
+    from debezium_spark import CdcEngine, LakeTable
+
+    env = spark.range(300).selectExpr(
+        "CAST(NULL AS struct<repo: string, path: string, commit: string,"
+        " lang: string, content: string>) AS before",
+        "named_struct('repo', concat('r', id), 'path', concat('p', id),"
+        " 'commit', 'c0', 'lang', 'py', 'content', concat('x', id)) AS after",
+        "'c' AS op", "CAST(0 AS LONG) AS ts_ms",
+        "named_struct('file', 'binlog.000001', 'pos', CAST(id AS LONG),"
+        " 'gtid', CAST(NULL AS STRING), 'snapshot', CAST(NULL AS STRING),"
+        " 'db', 'inventory', 'table', 'repo_files',"
+        " 'ts_ms', CAST(0 AS LONG)) AS source",
+        "named_struct('id', concat('t', CAST(CAST(id/100 AS LONG) AS STRING)),"
+        " 'total_order', CAST(0 AS LONG),"
+        " 'data_collection_order', CAST(0 AS LONG)) AS transaction",
+    )
+    bdir = tmp_path / "batches"
+    env.where(F.col("source.pos") <= 150).write.parquet(
+        str(bdir / "batch_00000.parquet"))  # ends mid-tx t1
+    env.where(F.col("source.pos") > 150).write.parquet(
+        str(bdir / "batch_00001.parquet"))
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    c = ProcessCommitter(
+        str(tmp_path / "progress"), "sink", commit_time_interval=0
+    )
+    CdcEngine(spark, table, committer=c).replay(str(bdir))
+    assert c.sink.extractCount == 300
+    assert c.sink.successCount == 300
+    assert c.sink.skippedExcludeEventCount == 0
+    assert c.sink.rest == 0
+    # the terminal force-line carries the FINAL totals even under pacing
+    cur = c.current_file()
+    with open(cur) as f:
+        last = json.loads(f.readlines()[-1])
+    assert last["successCount"] == 300
+
+
+def test_replay_emits_terminal_line_despite_pacing(spark, tmp_path):
+    """Per-batch lines are paced by commit.time.interval; replay must
+    force one terminal line so a fast replay's final totals reach the
+    progress file (review r5)."""
+    from debezium_spark import ChangeLogGenerator, CdcEngine, LakeTable
+
+    gen = ChangeLogGenerator(spark, seed=3, n_repos=5)
+    gen.write_batches(str(tmp_path / "binlog"), 400, n_batches=4)
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    c = ProcessCommitter(
+        str(tmp_path / "progress"), "sink", commit_time_interval=3600
+    )
+    CdcEngine(spark, table, committer=c).replay(str(tmp_path / "binlog"))
+    with open(c.current_file()) as f:
+        last = json.loads(f.readlines()[-1])
+    assert last["extractCount"] == c.sink.extractCount  # totals, not batch 1
+    assert last["extractCount"] >= 400
+
+
 def test_commit_time_interval_paces_lines(tmp_path):
     c = ProcessCommitter(str(tmp_path), "sink", commit_time_interval=3600)
     c.record_sink_batch(extracted=1, success=1)
@@ -306,6 +415,77 @@ def test_multi_table_sink_reports_one_progress_stream(spark, tmp_path):
     assert c.sink.rest == 0
     line = json.loads(c.commit(force=True))
     assert line["replayedCount"] == 2 and line["rest"] == 0
+
+
+def test_multi_flush_preserves_include_list_drop_counts(spark, tmp_path):
+    """The multi pre-pass runs on the carry-STRIPPED batch, so deferred
+    rows were never extract-counted — the flush must extract them fresh
+    and NOT settle them out of genuine include-list drops (review r5)."""
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.streaming.multi import (
+        WIRE_SCHEMA,
+        MultiTableEngine,
+        TableSpec,
+    )
+
+    def row(pos, table, op, after, tx):
+        return {"before_json": None, "after_json": after, "op": op,
+                "ts_ms": pos,
+                "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                           "snapshot": None, "db": "app", "table": table,
+                           "ts_ms": pos},
+                "transaction": {"id": tx, "total_order": 0,
+                                "data_collection_order": 0}}
+
+    c = ProcessCommitter(
+        str(tmp_path / "progress"), "sink", commit_time_interval=0
+    )
+    mte = MultiTableEngine(
+        spark, str(tmp_path / "lake"),
+        [TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                   ["uid"], n_buckets=2)],
+        default_buckets=2, auto_register=False, committer=c, tx_aligned=True,
+    )
+    # closed tx t0 (2 rows, one a ghost-table include-list drop) + an open
+    # tail tx t1 (2 registered rows) that defers to the carry
+    batch = [
+        row(1, "users", "c", '{"uid": 1, "name": "ada"}', "t0"),
+        row(2, "ghost", "c", '{"x": 9}', "t0"),
+        row(3, "users", "c", '{"uid": 2, "name": "bob"}', "t1"),
+        row(4, "users", "c", '{"uid": 3, "name": "cy"}', "t1"),
+    ]
+    mte.apply_wire_batch(spark.createDataFrame(batch, WIRE_SCHEMA), "b0")
+    assert c.sink.extractCount == 2  # closed part only (t1 deferred)
+    assert c.sink.skippedExcludeEventCount == 1  # the ghost row
+    mte.flush_tx_carry()
+    # the flushed rows extract for the FIRST time; the ghost drop count
+    # survives untouched
+    assert c.sink.extractCount == 4
+    assert c.sink.successCount == 3
+    assert c.sink.skippedExcludeEventCount == 1
+    assert c.sink.rest == 0
+
+
+def test_build_engine_with_explicit_committer_has_no_side_effects(spark, tmp_path):
+    """Passing an explicit committer must not eagerly construct (and
+    mkdir for) a second one from the properties (review r5: setdefault
+    evaluated build_committer unconditionally)."""
+    from debezium_spark import EngineConfig, LakeTable
+
+    cfg = EngineConfig.from_properties({
+        "commit.process.while.running": "true",
+        "sink.process.file.path": str(tmp_path / "should_not_exist"),
+    })
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=2)
+    mine = ProcessCommitter(str(tmp_path / "mine"), "sink")
+    engine = cfg.build_engine(spark, table, committer=mine)
+    assert engine.committer is mine
+    assert not (tmp_path / "should_not_exist").exists()
+    # and without one, the properties wire it in
+    engine2 = cfg.build_engine(spark, table)
+    assert engine2.committer is not None
+    assert (tmp_path / "should_not_exist").exists()
 
 
 def test_replay_counts_quarantined_rows_as_failed(spark, tmp_path):
