@@ -645,6 +645,11 @@ class CdcEngine:
             [{"batch": "heartbeat", "bucket": -1, "events": 0, "deletes": 0,
               "upserts": 0, "heartbeat": True, "fence_pos": fence[1]}],
         )
+        if self.committer:
+            # liveness line: counters unchanged, timestamp fresh — the
+            # reference's idle reporter keeps emitting so controllers can
+            # distinguish "idle" from "dead" (paced by the interval)
+            self.committer.commit()
         return self.table.manifest()["version"]
 
     def _merge_segment(

@@ -245,6 +245,47 @@ def test_missing_create_count_degrades_to_zero_pipe(tmp_path):
     assert json.loads(snk.commit(force=True))["overallPipe"] == 0
 
 
+def test_sink_books_invariant_under_arbitrary_sequences(tmp_path):
+    """Property: for ANY sequence of batch/flush records with non-negative
+    inputs, the books stay consistent — rest == 0, every counter ≥ 0,
+    replayed == success + fail. The drain/adjust/settle logic has enough
+    branches that this is worth fuzzing."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    nn = st.integers(min_value=0, max_value=10**6)
+
+    @given(st.lists(
+        st.one_of(
+            st.tuples(st.just("batch"), nn, nn, nn, nn),
+            st.tuples(st.just("flush"), nn, nn),
+        ),
+        max_size=30,
+    ))
+    @settings(max_examples=200, deadline=None)
+    def run(seq):
+        c = ProcessCommitter.__new__(ProcessCommitter)
+        c.sink = SinkProcessInfo()
+        c.source = SourceProcessInfo()
+        c.commit_time_interval = 3600
+        c._last_emit_ts = time.time()  # pace out file IO
+        c._last_progress = 0
+        for op in seq:
+            if op[0] == "batch":
+                _, e, s, f, k = op
+                c.record_sink_batch(extracted=e, success=s, failed=f, skipped=k)
+            else:
+                _, s, f = op
+                c.record_sink_flush(success=s, failed=f)
+            assert c.sink.rest == 0
+            assert c.sink.extractCount >= 0
+            assert c.sink.skippedExcludeEventCount >= 0
+            assert c.sink.skippedCount >= 0
+            assert c.sink.replayedCount == c.sink.successCount + c.sink.failCount
+
+    run()
+
+
 def test_unknown_role_rejected(tmp_path):
     with pytest.raises(ValueError, match="role"):
         ProcessCommitter(str(tmp_path), "both")
