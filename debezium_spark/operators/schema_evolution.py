@@ -241,6 +241,28 @@ def _extract_default(clause: str) -> str | None:
     return None
 
 
+#: MySQL zero-date literals: '0000-00-00', '0000-00-00 00:00:00[.0...]',
+#: or a bare 0 — only meaningful on date/timestamp columns
+_ZERO_DATE = re.compile(r"^(?:'0000-00-00(?:[ T]00:00:00(?:\.0+)?)?'|0)$")
+
+
+def _normalize_zero_date(default: str | None, spark_type: str,
+                         clause: str) -> str | None:
+    """MySQL zero-date DEFAULTs on date/timestamp columns
+    (``MySqlDefaultValueConverter.java:158-212``): nullable column → null,
+    NOT NULL column → the epoch equivalent. Without this, Spark's
+    non-ANSI CAST turns the literal into null regardless, silently
+    violating the NOT NULL column's epoch fill."""
+    if default is None or not _ZERO_DATE.match(default):
+        return default
+    base = spark_type.lower().split("(")[0]
+    if base not in ("date", "timestamp", "timestamp_ntz"):
+        return default
+    if re.search(r"(?is)\bNOT\s+NULL\b", _strip_quoted(clause)):
+        return "'1970-01-01'" if base == "date" else "'1970-01-01 00:00:00'"
+    return None
+
+
 def _extract_position(clause_tail: str) -> tuple[str | None] | None:
     """Column-definition tail → MySQL placement suffix, or None.
 
@@ -477,9 +499,10 @@ def _parse_create_table(s: str) -> list[DdlOp]:
             name = m2.group(1)
             default = _extract_default(c[m2.end():])
             try:
-                cols.append((name, sql_type_to_spark(m2.group(2)), default))
+                styp = sql_type_to_spark(m2.group(2))
             except ValueError:
-                cols.append((name, "string", default))  # unmapped type: carry as text
+                styp = "string"  # unmapped type: carry as text
+            cols.append((name, styp, _normalize_zero_date(default, styp, c)))
             if re.search(r"(?is)\bPRIMARY\s+KEY\b", _strip_quoted(c)):
                 pk.append(name)
     if not cols:
@@ -580,10 +603,11 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
             continue  # non-PK constraints don't change the lake schema
         m2 = re.match(rf"(?is)^ADD\s+(?:COLUMN\s+)?{kw}{_IDENT}\s+{_TYPE}", c)
         if m2:
+            styp = _type_or_none(m2.group(2)) or "string"  # unmapped: as text
             ops.append(
-                ("add", m2.group(1),
-                 _type_or_none(m2.group(2)) or "string",  # unmapped: as text
-                 _extract_default(c[m2.end():]))
+                ("add", m2.group(1), styp,
+                 _normalize_zero_date(
+                     _extract_default(c[m2.end():]), styp, c))
             )
             pos = _extract_position(c[m2.end():])
             if pos is not None:  # ADD ... FIRST / AFTER col placement
@@ -595,10 +619,11 @@ def parse_ddl_sql(sql: str) -> list[DdlOp]:
                 sub = sub.strip()
                 m3 = re.match(rf"(?is)^{_IDENT}\s+{_TYPE}", sub)
                 if m3:
+                    styp = _type_or_none(m3.group(2)) or "string"
                     ops.append(
-                        ("add", m3.group(1),
-                         _type_or_none(m3.group(2)) or "string",
-                         _extract_default(sub[m3.end():]))
+                        ("add", m3.group(1), styp,
+                         _normalize_zero_date(
+                             _extract_default(sub[m3.end():]), styp, sub))
                     )
                     pos = _extract_position(sub[m3.end():])
                     if pos is not None:

@@ -440,6 +440,43 @@ def test_parse_default_literals():
     ) == [("add", "ts", "timestamp", None)]
 
 
+def test_parse_zero_date_defaults_follow_mysql_nullability_rule():
+    """MySQL zero-date DEFAULTs (MySqlDefaultValueConverter.java:158-212):
+    on a nullable date/timestamp column → null (no default); NOT NULL →
+    the epoch equivalent. Non-temporal columns keep the literal."""
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN d DATE DEFAULT '0000-00-00'"
+    ) == [("add", "d", "date", None)]
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN d DATE NOT NULL DEFAULT '0000-00-00'"
+    ) == [("add", "d", "date", "'1970-01-01'")]
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN ts DATETIME NOT NULL"
+        " DEFAULT '0000-00-00 00:00:00'"
+    ) == [("add", "ts", "timestamp", "'1970-01-01 00:00:00'")]
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN ts TIMESTAMP DEFAULT '0000-00-00 00:00:00.000'"
+    ) == [("add", "ts", "timestamp", None)]
+    # bare 0 follows the same rule on temporal columns only
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN d DATE NOT NULL DEFAULT 0"
+    ) == [("add", "d", "date", "'1970-01-01'")]
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN n INT NOT NULL DEFAULT 0"
+    ) == [("add", "n", "int", "0")]
+    # a quoted zero-date COMMENT never triggers the rule (quote-aware)
+    assert parse_ddl_sql(
+        "ALTER TABLE t ADD COLUMN d DATE DEFAULT '0000-00-00'"
+        " COMMENT 'NOT NULL soon'"
+    ) == [("add", "d", "date", None)]
+    # CREATE TABLE columns follow the same rule
+    ops = parse_ddl_sql(
+        "CREATE TABLE db.t2 (k BIGINT, d DATE NOT NULL DEFAULT '0000-00-00',"
+        " PRIMARY KEY (k))"
+    )
+    assert ops[0][3] == [("k", "long", None), ("d", "date", "'1970-01-01'")]
+
+
 def test_parse_default_backslash_normalization():
     """ADVICE r4: source-dialect (standard-conforming) string literals with
     backslashes must re-encode for Spark's backslash-escaped literals —
