@@ -125,7 +125,9 @@ def parse_table_changes(tc_json: str) -> list[DdlOp]:
         default = (
             _extract_default("DEFAULT " + str(raw)) if raw is not None else None
         )
-        ops.append(("add", c["name"], c.get("type", "string"), default))
+        styp = c.get("type", "string")
+        ops.append(("add", c["name"], styp, _zero_date_rule(
+            default, styp, not_null=not c.get("optional", True))))
     for name in doc.get("drop_columns", []):
         ops.append(("drop", name))
     for r in doc.get("rename_columns", []):
@@ -246,21 +248,35 @@ def _extract_default(clause: str) -> str | None:
 _ZERO_DATE = re.compile(r"^(?:'0000-00-00(?:[ T]00:00:00(?:\.0+)?)?'|0)$")
 
 
-def _normalize_zero_date(default: str | None, spark_type: str,
-                         clause: str) -> str | None:
+def _zero_date_rule(default: str | None, spark_type: str,
+                    not_null: bool) -> str | None:
     """MySQL zero-date DEFAULTs on date/timestamp columns
     (``MySqlDefaultValueConverter.java:158-212``): nullable column → null,
     NOT NULL column → the epoch equivalent. Without this, Spark's
     non-ANSI CAST turns the literal into null regardless, silently
-    violating the NOT NULL column's epoch fill."""
+    violating the NOT NULL column's epoch fill. Shared by the raw-SQL
+    parse (nullability from the column clause), the TableChanges-JSON
+    parse (nullability from ``optional``), and the SET DEFAULT apply
+    (lake columns are nullable → null) — review r5: the rule applied on
+    only one of the three wire forms."""
     if default is None or not _ZERO_DATE.match(default):
         return default
     base = spark_type.lower().split("(")[0]
     if base not in ("date", "timestamp", "timestamp_ntz"):
         return default
-    if re.search(r"(?is)\bNOT\s+NULL\b", _strip_quoted(clause)):
+    if not_null:
         return "'1970-01-01'" if base == "date" else "'1970-01-01 00:00:00'"
     return None
+
+
+def _normalize_zero_date(default: str | None, spark_type: str,
+                         clause: str) -> str | None:
+    """Raw-SQL form of the zero-date rule: nullability read from the
+    column definition clause (quote-aware)."""
+    return _zero_date_rule(
+        default, spark_type,
+        bool(re.search(r"(?is)\bNOT\s+NULL\b", _strip_quoted(clause))),
+    )
 
 
 def _extract_position(clause_tail: str) -> tuple[str | None] | None:
@@ -794,6 +810,15 @@ def apply_ddl(
                 # signal (review r5 final sweep)
                 continue
             else:
+                # zero-date rule at apply time (the statement carries no
+                # column type; the table schema does) — lake columns are
+                # nullable, so SET DEFAULT '0000-00-00' on a temporal
+                # column means default-null, i.e. DROP DEFAULT
+                try:
+                    styp = table.schema()[op[1]].dataType.simpleString()
+                except KeyError:
+                    styp = "string"
+                resolved = _zero_date_rule(resolved, styp, not_null=False)
                 op = (op[0], op[1], resolved)
                 table.alter_set_default(op[1], op[2])
         elif op[0] == "drop":

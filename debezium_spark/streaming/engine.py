@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import time as _time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -132,6 +133,7 @@ def fused_tail_probe(
 
     tail_struct = F.struct(
         F.col("_tx").alias("tx"), F.col("pmin").alias("pmin"),
+        F.col("nrows").alias("nrows"),
         *[F.col(n).alias(n) for n in flags],
     )
     sel = [
@@ -154,6 +156,9 @@ def fused_tail_probe(
         "ng": row["ng"],
         "ngrp": row["ngrp"],
         "n": row["n"] or 0,
+        # the tail tx group's own row count — the progress committer's
+        # deferred-row figure when the tail is carried to the next batch
+        "tail_n": (tail["nrows"] or 0) if tail is not None else 0,
     }
     if with_file:
         out["f"] = row["f"]
@@ -345,13 +350,21 @@ class CdcEngine:
             total += sum(e.get("events", 0) for e in entries)
         return total
 
-    def _quarantine_rows(self, batch_id: str) -> int:
+    def _quarantine_rows(self, batch_id: str, since: float | None = None) -> int:
         """Row count of this batch's quarantine dir via parquet footers
         (pyarrow, driver-side — no Spark job); 0 when nothing was
-        quarantined (the common case: the dir doesn't exist)."""
+        quarantined (the common case: the dir doesn't exist).
+
+        ``since``: wall-clock taken just before the apply — a dir OLDER
+        than it predates this apply (a reused batch id, e.g. a second
+        carry flush on the same root; the write is mode=overwrite so a
+        fresh quarantine always refreshes the dir mtime) and must not be
+        re-counted as this batch's failures (review r5 finding)."""
         safe = batch_id.replace("/", "_").replace(".", "_")
         qdir = os.path.join(self.table.root, "quarantine", safe)
         if not os.path.isdir(qdir):
+            return 0
+        if since is not None and os.path.getmtime(qdir) < since:
             return 0
         import pyarrow.parquet as pq
 
@@ -957,11 +970,13 @@ class CdcEngine:
                 # reach quarantine, not silently vanish with the skip
                 # ('one bad row never wedges OR vanishes')
                 if mm["ngrp"]:
+                    t0 = _time.time()
                     self.apply_envelope_batch(env, batch_id=f"batch_{i:05d}")
                     if self.committer:
                         self.committer.record_sink_batch(
                             extracted=mm["n"], success=0,
-                            failed=self._quarantine_rows(f"batch_{i:05d}"),
+                            failed=self._quarantine_rows(
+                                f"batch_{i:05d}", since=t0),
                         )
                 continue
             if (
@@ -1041,6 +1056,13 @@ class CdcEngine:
                         carry = persist_tx_carry(
                             self.spark, carry, self.table.root, meta=cm
                         )
+                        if self.committer:
+                            # extracted but deferred whole: parked rows
+                            # surface as the reference's `rest` (in-pipe)
+                            self.committer.record_sink_batch(
+                                extracted=mm["n"], success=0,
+                                deferred=mm["n"],
+                            )
                         continue
                     env = closed
                     if carry is not None:
@@ -1048,6 +1070,7 @@ class CdcEngine:
             v_before = (
                 self.table.manifest()["version"] if self.committer else 0
             )
+            t0 = _time.time()
             v = self.apply_envelope_batch(
                 env,
                 batch_id=f"batch_{i:05d}",
@@ -1056,13 +1079,18 @@ class CdcEngine:
                 has_bad=has_bad,
             )
             if self.committer:
-                # extracted = THIS file's rows (a prefixed carry was counted
-                # when first read; a deferred tail is counted now, applied
-                # later — totals reconcile across the replay)
+                # extracted = THIS file's rows; a deferred tail parks
+                # (exact count from the fused probe's tail group) and
+                # drains when a later batch/flush applies it
                 self.committer.record_sink_batch(
                     extracted=mm["n"],
                     success=self._lineage_events_since(v_before),
-                    failed=self._quarantine_rows(f"batch_{i:05d}"),
+                    failed=self._quarantine_rows(f"batch_{i:05d}", since=t0),
+                    deferred=(
+                        mm["tail_n"]
+                        if tx_engaged and carry is not None
+                        else 0
+                    ),
                 )
             if tx_engaged:
                 # materialize AFTER the closed part committed: the closed
@@ -1092,7 +1120,7 @@ class CdcEngine:
         return versions
 
     def _report_apply(self, v_before: int, batch_id: str,
-                      flush: bool = False) -> None:
+                      flush: bool = False, since: float | None = None) -> None:
         """Progress line for one directly-applied batch (streaming epoch /
         carry flush): counts derive from the commit's own lineage plus the
         quarantine write. Full extract attribution (SMT drops, last-wins
@@ -1104,7 +1132,7 @@ class CdcEngine:
         if not self.committer:
             return
         success = self._lineage_events_since(v_before)
-        failed = self._quarantine_rows(batch_id)
+        failed = self._quarantine_rows(batch_id, since=since)
         if flush:
             self.committer.record_sink_flush(success=success, failed=failed)
         else:
@@ -1121,9 +1149,10 @@ class CdcEngine:
         redeliver this epoch) and rejoins when its END arrives. Call
         ``flush_tx_carry`` at end of stream."""
         v_before = self.table.manifest()["version"] if self.committer else 0
+        t0 = _time.time()
         if not tx_aligned:
             v = self.apply_envelope_batch(env, batch_id=batch_id)
-            self._report_apply(v_before, batch_id)
+            self._report_apply(v_before, batch_id, since=t0)
             return v
         carry = self._tx_carry
         if carry is None:
@@ -1138,7 +1167,7 @@ class CdcEngine:
             self._tx_carry = persist_tx_carry(self.spark, carry, self.table.root)
             return None
         v = self.apply_envelope_batch(closed, batch_id=batch_id)
-        self._report_apply(v_before, batch_id)
+        self._report_apply(v_before, batch_id, since=t0)
         if engaged:
             carry = persist_tx_carry(self.spark, carry, self.table.root)
         self._tx_carry = carry
@@ -1161,8 +1190,9 @@ class CdcEngine:
             persist_tx_carry(self.spark, None, self.table.root)
             return None
         v_before = self.table.manifest()["version"] if self.committer else 0
+        t0 = _time.time()
         v = self.apply_envelope_batch(carry, batch_id=batch_id, fence=(mm["f"], mm["p"]))
-        self._report_apply(v_before, batch_id, flush=True)
+        self._report_apply(v_before, batch_id, flush=True, since=t0)
         if self.committer:
             self.committer.commit(force=True)  # end-of-stream terminal line
         persist_tx_carry(self.spark, None, self.table.root)

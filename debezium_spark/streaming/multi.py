@@ -29,6 +29,7 @@ Unregistered tables are dropped, mirroring table include-list semantics
 from __future__ import annotations
 
 import os
+import time as _pytime
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -936,6 +937,7 @@ class MultiTableEngine:
                 if self.committer
                 else None
             )
+            t0 = _pytime.time()
             if self.max_parallel_tables > 1 and len(keys) > 1:
                 # per-table merges touch disjoint table roots/manifests, so
                 # they commute; concurrent Spark jobs share the executor
@@ -965,17 +967,19 @@ class MultiTableEngine:
                 success = failed = skipped = 0
                 per_fail: dict = {}
                 for k in keys:
-                    eng = self.engines.get(k)
-                    if eng is None:
-                        continue
+                    # pending drops retire engines only AFTER this block,
+                    # so every key still resolves
+                    eng = self.engines[k]
                     success += eng._lineage_events_since(v0[k])
-                    f_k = eng._quarantine_rows(f"{batch_id}/{self.specs[k].fqn}")
+                    f_k = eng._quarantine_rows(
+                        f"{batch_id}/{self.specs[k].fqn}", since=t0
+                    )
                     failed += f_k
                     per_fail[k] = f_k
                 for pk, r in present.items():
                     reg = owner.get(pk)
                     if reg is not None and versions.get(self.specs[reg].fqn) is None:
-                        skipped += max(0, (r["n"] or 0) - per_fail.get(reg, 0))
+                        skipped += max(0, (r["n"] or 0) - per_fail[reg])
                 # NOTE: the deferred-tx carry needs no flush-settle here,
                 # unlike CdcEngine.replay — the pre-pass runs on the
                 # carry-STRIPPED closed batch, so deferred rows were never

@@ -98,9 +98,10 @@ class SinkProcessInfo:
 
     @property
     def rest(self) -> int:
-        # BaseSinkProcessInfo.java:159 — with the engine's synchronous
-        # batch commit this is 0 at every report boundary (nothing sits
-        # between extract and replay), which is itself the signal
+        # BaseSinkProcessInfo.java:159 — rows extracted but not yet
+        # replayed. Here that is exactly the deferred open-tail
+        # transaction parked for the next batch (the committer's
+        # ``_parked``); a synchronous batch with no open tail reports 0.
         return (
             self.extractCount
             - self.replayedCount
@@ -191,6 +192,10 @@ class ProcessCommitter:
         self._current: str | None = None
         self._last_emit_ts: float | None = None
         self._last_progress = 0  # pollCount / replayedCount at last line
+        #: rows extracted but deferred to a later batch (open-tail
+        #: transaction carry) — drained when they finally apply; always
+        #: equals the sink's ``rest``
+        self._parked = 0
 
     # -- counter feeds (the engine calls these; no Spark work here) --------
 
@@ -206,28 +211,33 @@ class ProcessCommitter:
 
     def record_sink_batch(
         self, extracted: int, success: int, failed: int = 0,
-        skipped: int = 0,
+        skipped: int = 0, deferred: int = 0,
     ) -> None:
         """One replayed (or skipped) batch. ``extracted`` rows arrived;
         ``success`` reached the table (the commit's lineage events),
-        ``failed`` were quarantined, ``skipped`` were behind the fence.
-        A positive remainder is attributed to exclude-filtering/last-wins
-        collapse (``skippedExcludeEventCount``); a negative one means rows
-        applied beyond this batch's extraction — FIRST drained from the
-        skippedExclude residual (a deferred transaction's rows were parked
-        there by their original batch; review r5 finding: re-extracting
-        them inflated both counters by the carry size per straddling tx),
-        THEN, for rows never parked (PK-change delete+create expansion —
-        the reference's SOURCE emits those pre-split, so its extract
-        counter sees both records), ``extractCount`` adjusts to the
-        post-split count. ``rest`` stays 0 either way."""
-        residual = extracted - success - failed - skipped
+        ``failed`` were quarantined, ``skipped`` were behind the fence,
+        ``deferred`` were carried to the next batch as an open-tail
+        transaction (the replay loop's fused probe knows the tail group's
+        row count, so parking is EXACT — review r5: inferring it from the
+        residual confounded parked rows with genuine exclude drops).
+
+        Parked rows stay in ``extractCount`` and nowhere else, so the
+        reference's ``rest`` formula reports them as in-the-pipe — its
+        exact meaning. When they finally apply, ``success`` exceeds this
+        batch's extraction: the negative residual drains the parked pool
+        first (their extraction already happened), and any remainder is
+        PK-change delete+create expansion (the reference's SOURCE emits
+        those pre-split, so its extract counter sees both records) —
+        ``extractCount`` adjusts to the post-split count. A positive
+        residual is exclude-filtering/last-wins collapse."""
+        self._parked += deferred
+        residual = extracted - success - failed - skipped - deferred
         if residual >= 0:
             self.sink.skippedExcludeEventCount += residual
         else:
             need = -residual
-            take = min(self.sink.skippedExcludeEventCount, need)
-            self.sink.skippedExcludeEventCount -= take
+            take = min(self._parked, need)
+            self._parked -= take
             extracted += need - take
         self.sink.extractCount += extracted
         self.sink.successCount += success
@@ -236,18 +246,10 @@ class ProcessCommitter:
         self._maybe_commit()
 
     def record_sink_flush(self, success: int, failed: int = 0) -> None:
-        """Settle a deferred-transaction flush. The flushed rows were
-        counted as extracted when their ORIGINAL batch was read (and, never
-        having applied then, sat in the skippedExclude residual) — so this
-        moves them to success/fail instead of re-extracting them; rows the
-        earlier accounting never saw (stream epochs report applied-only)
-        grow extractCount as needed. Keeps ``rest`` at 0 either way."""
-        take = min(self.sink.skippedExcludeEventCount, success + failed)
-        self.sink.skippedExcludeEventCount -= take
-        self.sink.extractCount += success + failed - take
-        self.sink.successCount += success
-        self.sink.failCount += failed
-        self._maybe_commit()
+        """Settle a deferred-transaction flush: the parked rows apply now.
+        Pure delegation — flush is a batch that extracts nothing new, so
+        the drain logic lives in ONE place (review r5 duplication)."""
+        self.record_sink_batch(extracted=0, success=success, failed=failed)
 
     # -- the reference's file mechanics ------------------------------------
 

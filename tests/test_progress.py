@@ -128,24 +128,41 @@ def test_retention_keeps_exactly_the_configured_count(tmp_path):
     assert len(files) == 3
 
 
-def test_carry_rows_drain_residual_not_reextract():
-    """A deferred transaction's rows are parked in skippedExclude by their
-    original batch; when they apply later the negative residual must
-    DRAIN that parking, not inflate extractCount (review r5)."""
+def _counter_only_committer():
     c = ProcessCommitter.__new__(ProcessCommitter)  # counters only
     c.sink = SinkProcessInfo()
     c.source = SourceProcessInfo()
     c.commit_time_interval = 3600
-    c._last_emit_ts = time.time()  # pace out file IO: counter-only test
+    c._last_emit_ts = time.time()  # pace out file IO
     c._last_progress = 0
-    # batch 0: 100 rows, 20-row open tail deferred → 80 applied
-    c.record_sink_batch(extracted=100, success=80)
-    assert c.sink.skippedExcludeEventCount == 20
-    # batch 1: 50 rows + the 20 carried rows apply → success 70
-    c.record_sink_batch(extracted=50, success=70)
-    assert c.sink.extractCount == 150  # NOT 170
-    assert c.sink.skippedExcludeEventCount == 0
-    assert c.sink.successCount == 150 and c.sink.rest == 0
+    c._parked = 0
+    return c
+
+
+def test_carry_rows_park_then_drain_exactly():
+    """A deferred transaction's rows park (exact count from the fused
+    probe) and surface as the reference's `rest` — in the pipe — then
+    drain when they apply; genuine exclude drops are NEVER stolen by the
+    drain (review r5: residual-inferred parking confounded the two)."""
+    c = _counter_only_committer()
+    # batch 0: 100 rows — 3 genuine SMT drops, 20-row open tail deferred
+    c.record_sink_batch(extracted=100, success=77, deferred=20)
+    assert c.sink.skippedExcludeEventCount == 3
+    assert c.sink.rest == 20  # parked rows ARE the pipe
+    # batch 1: 50 rows + the 20 carried apply, plus one PK-split (+1)
+    c.record_sink_batch(extracted=50, success=71)
+    assert c.sink.extractCount == 151  # 150 + the split expansion only
+    assert c.sink.skippedExcludeEventCount == 3  # drops survive the drain
+    assert c.sink.successCount == 148 and c.sink.rest == 0
+
+
+def test_flush_settles_parked_rows():
+    c = _counter_only_committer()
+    c.record_sink_batch(extracted=30, success=0, deferred=30)
+    assert c.sink.rest == 30
+    c.record_sink_flush(success=30)
+    assert c.sink.rest == 0 and c.sink.extractCount == 30
+    assert c.sink.successCount == 30
 
 
 def test_replay_books_exact_for_straddling_tx(spark, tmp_path):
@@ -247,9 +264,9 @@ def test_missing_create_count_degrades_to_zero_pipe(tmp_path):
 
 def test_sink_books_invariant_under_arbitrary_sequences(tmp_path):
     """Property: for ANY sequence of batch/flush records with non-negative
-    inputs, the books stay consistent — rest == 0, every counter ≥ 0,
-    replayed == success + fail. The drain/adjust/settle logic has enough
-    branches that this is worth fuzzing."""
+    inputs, the books stay consistent — rest == the parked (deferred)
+    pool at all times, every counter ≥ 0, replayed == success + fail.
+    The park/drain/adjust logic has enough branches to be worth fuzzing."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -257,27 +274,23 @@ def test_sink_books_invariant_under_arbitrary_sequences(tmp_path):
 
     @given(st.lists(
         st.one_of(
-            st.tuples(st.just("batch"), nn, nn, nn, nn),
+            st.tuples(st.just("batch"), nn, nn, nn, nn, nn),
             st.tuples(st.just("flush"), nn, nn),
         ),
         max_size=30,
     ))
     @settings(max_examples=200, deadline=None)
     def run(seq):
-        c = ProcessCommitter.__new__(ProcessCommitter)
-        c.sink = SinkProcessInfo()
-        c.source = SourceProcessInfo()
-        c.commit_time_interval = 3600
-        c._last_emit_ts = time.time()  # pace out file IO
-        c._last_progress = 0
+        c = _counter_only_committer()
         for op in seq:
             if op[0] == "batch":
-                _, e, s, f, k = op
-                c.record_sink_batch(extracted=e, success=s, failed=f, skipped=k)
+                _, e, s, f, k, d = op
+                c.record_sink_batch(extracted=e, success=s, failed=f,
+                                    skipped=k, deferred=d)
             else:
                 _, s, f = op
                 c.record_sink_flush(success=s, failed=f)
-            assert c.sink.rest == 0
+            assert c.sink.rest == c._parked >= 0
             assert c.sink.extractCount >= 0
             assert c.sink.skippedExcludeEventCount >= 0
             assert c.sink.skippedCount >= 0

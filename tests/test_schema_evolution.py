@@ -475,6 +475,42 @@ def test_parse_zero_date_defaults_follow_mysql_nullability_rule():
         " PRIMARY KEY (k))"
     )
     assert ops[0][3] == [("k", "long", None), ("d", "date", "'1970-01-01'")]
+    # the TableChanges-JSON wire form applies the SAME rule (nullability
+    # from `optional`) — review r5: it bypassed the normalization
+    import json as _json
+
+    from debezium_spark.operators.schema_evolution import parse_table_changes
+
+    tc = lambda opt: _json.dumps({"type": "ALTER", "add_columns": [
+        {"name": "d", "type": "date", "default": "'0000-00-00'",
+         "optional": opt}]})
+    assert parse_table_changes(tc(False)) == [("add", "d", "date", "'1970-01-01'")]
+    assert parse_table_changes(tc(True)) == [("add", "d", "date", None)]
+
+
+def test_set_default_zero_date_applies_as_drop(spark, tmp_path):
+    """SET DEFAULT '0000-00-00' on a temporal column: the statement has no
+    nullability, lake columns are nullable → default-null, i.e. the
+    recorded default clears (review r5: the raw literal reached the
+    metadata and CAST-nulled silently)."""
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.operators.schema_evolution import apply_ddl
+    from debezium_spark.plans.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, d date"))
+    apply_ddl(t, "ALTER TABLE t ALTER COLUMN d SET DEFAULT '2020-01-01'",
+              ("binlog.000001", 1))
+    assert t.schema()["d"].metadata.get("CURRENT_DEFAULT") == "'2020-01-01'"
+    apply_ddl(t, "ALTER TABLE t ALTER COLUMN d SET DEFAULT '0000-00-00'",
+              ("binlog.000001", 2))
+    assert "CURRENT_DEFAULT" not in t.schema()["d"].metadata
+    # non-temporal columns keep zero-ish literals verbatim
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN n INT", ("binlog.000001", 3))
+    apply_ddl(t, "ALTER TABLE t ALTER COLUMN n SET DEFAULT 0",
+              ("binlog.000001", 4))
+    assert t.schema()["n"].metadata.get("CURRENT_DEFAULT") == "0"
 
 
 def test_parse_default_backslash_normalization():
