@@ -28,8 +28,10 @@ has (the fused per-batch probe and the commit's own lineage rows).
 Unlike the reference there is no reporter thread parked in a
 ``while(true) sleep`` loop (``BaseProcessCommitter.java:261-274``) — the
 engine is micro-batch synchronous, so reports commit at batch boundaries,
-paced to at most one line per ``commit.time.interval`` seconds (idle
-streams simply stop reporting; the reference instead repeats lines).
+paced to at most one line per ``commit.time.interval`` seconds; replay
+and carry-flush force a terminal line so a fast run's final totals always
+land, and offset-bearing heartbeats refresh the timestamp on idle-alive
+streams (the liveness signal the reference's repeating loop provides).
 
 Scope: one committer per connector process, the reference's shape —
 attach to ``CdcEngine`` (single-table replay), to ``MultiTableEngine``
