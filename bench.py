@@ -276,7 +276,11 @@ def main() -> None:
                 scale_dir = os.path.join(work, "binlog_scale")
                 gen_binlog(spark, scale_dir, n_scale, N_BATCHES)
             cooldown = int(os.environ.get("SPARK_GRAFT_COOLDOWN", "20"))
-            n_trials = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "2")))
+            # 3 trials default: early-stop at 0.87 means quiet epochs pay
+            # for one; the third only runs when the first two hit a
+            # contended window (observed once: trials 0.708/0.744 while the
+            # co-resident headline replay measured 3.3x its own best).
+            n_trials = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3")))
             best_eff, best_pair, trials = None, None, []
             for _t in range(n_trials):
                 time.sleep(cooldown)  # host burst-credit refill
