@@ -3098,6 +3098,112 @@ WHERE f.id IN (SELECT doc_id FROM corpus)
   AND f.id NOT IN (SELECT id FROM adm)"""
 
 
+def q_sink_dml_sqlgen(spark, sf_dir):
+    """Sink-side DML statement generation (reverse/forward migration replay,
+    SqlTools.getInsertSql/getUpdateSql/getDeleteSql — reference
+    debezium-connector-mysql/sink/util/SqlTools.java:242-330): envelope rows
+    → openGauss-dialect statement text as ONE pure-Catalyst per-row map."""
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.sink import dml_statements, table_meta_from_schema
+
+    env = _env_struct(spark, sf_dir)
+    schema = StructType.fromDDL("repo string, path string, content string")
+    meta = table_meta_from_schema(
+        "sink_app", "files", schema, ["repo", "path"], "opengauss"
+    )
+    return dml_statements(env, meta).select(
+        F.col("source.pos").alias("pos"), "op", "sql"
+    )
+
+
+SQL_sink_dml_sqlgen = f"""WITH {ENV_SQL},
+q AS (
+  SELECT pos, op,
+         '''' || replace(repo, '''', '''''') || '''' AS qr,
+         '''' || replace(path, '''', '''''') || '''' AS qp,
+         '''' || replace(content, '''', '''''') || '''' AS qc
+  FROM env WHERE op IN ('c','u','d')
+)
+SELECT pos, op,
+  CASE op
+    WHEN 'c' THEN 'insert into "sink_app"."files" values (' || qr || ', ' || qp || ', ' || qc || ');'
+    WHEN 'u' THEN 'update "sink_app"."files" set "repo" = ' || qr || ', "path" = ' || qp
+                  || ', "content" = ' || qc || ' where "repo" = ' || qr
+                  || ' and "path" = ' || qp || ';'
+    ELSE 'delete from "sink_app"."files" where "repo" = ' || qr
+         || ' and "path" = ' || qp || ';'
+  END AS sql
+FROM q"""
+
+
+def q_sink_ddl_translate(spark, sf_dir):
+    """Forward-migration DDL rectification (ReplayTask.constructDdl:274-320):
+    source DDL + schema mapping → the ordered sink statement list
+    (current_schema prelude + qualifier-stripped DDL)."""
+    from debezium_spark.sink import translate_ddl_batch
+
+    ddls = (
+        _env(spark, sf_dir)
+        .select("db", "tbl")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit("alter table `"), F.col("db"), F.lit("`.`"),
+                F.col("tbl"), F.lit("` add column c int"),
+            ).alias("ddl"),
+            "db",
+            "tbl",
+        )
+    )
+    out = translate_ddl_batch(ddls, {"app": "sink_app"})
+    return out.select("ddl", "seq", "stmt")
+
+
+SQL_sink_ddl_translate = f"""WITH {ENV_SQL},
+t AS (SELECT DISTINCT db, tbl FROM env),
+d AS (SELECT 'alter table `' || db || '`.`' || tbl || '` add column c int' AS ddl,
+             db, tbl FROM t)
+SELECT ddl, CAST(0 AS INTEGER) AS seq, 'set current_schema to sink_app;' AS stmt FROM d
+UNION ALL
+SELECT ddl, CAST(1 AS INTEGER) AS seq,
+       'alter table `' || tbl || '` add column c int' AS stmt FROM d"""
+
+
+def q_sink_pg_deparse(spark, sf_dir):
+    """Reverse-migration DDL: PostgreSQL/openGauss ddl_deparse JSON →
+    schema-remapped SQL text (OpengaussDdlParser.java:70-420). The engine
+    PARSES the JSON and expands the fmt template; the oracle concatenates
+    the expected output from the same inputs."""
+    from debezium_spark.sink import expand_ddl_json_batch
+
+    js = (
+        _env(spark, sf_dir)
+        .select("db", "tbl")
+        .distinct()
+        .select(
+            F.concat(
+                F.lit('{"fmt": "DROP TABLE %{identity}D", "identity":'
+                      ' {"schemaname": "'),
+                F.col("db"), F.lit('", "objname": "'), F.col("tbl"),
+                F.lit('"}}'),
+            ).alias("ddl_json")
+        )
+    )
+    return expand_ddl_json_batch(js, {"app": "sink_app"}).select(
+        "ddl_json", "sql", "identifier"
+    )
+
+
+SQL_sink_pg_deparse = f"""WITH {ENV_SQL},
+t AS (SELECT DISTINCT db, tbl FROM env)
+SELECT '{{"fmt": "DROP TABLE %{{identity}}D", "identity": {{"schemaname": "'
+         || db || '", "objname": "' || tbl || '"}}}}' AS ddl_json,
+       'DROP TABLE "sink_app"."' || tbl || '";' AS sql,
+       'sink_app.' || tbl AS identifier
+FROM t"""
+
+
 _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "column_truncate": (q_column_truncate, SQL_column_truncate),
     "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
@@ -3135,6 +3241,9 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "dedup_exact_substring": (q_dedup_exact_substring, SQL_dedup_exact_substring),
     "corpus_domain_cap": (q_corpus_domain_cap, SQL_corpus_domain_cap),
     "corpus_incremental_update": (q_corpus_incremental_update, SQL_corpus_incremental_update),
+    "sink_dml_sqlgen": (q_sink_dml_sqlgen, SQL_sink_dml_sqlgen),
+    "sink_ddl_translate": (q_sink_ddl_translate, SQL_sink_ddl_translate),
+    "sink_pg_deparse": (q_sink_pg_deparse, SQL_sink_pg_deparse),
 }
 
 

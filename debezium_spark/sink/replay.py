@@ -1,0 +1,173 @@
+"""Sink replay: one batch of envelopes → an ordered SQL statement stream.
+
+The reference's sink tasks turn each polled batch into per-transaction
+statement lists and apply them in source order
+(``debezium-connector-mysql/sink/replay/transaction/TransactionReplayTask.java:347-420``
+constructDml groups statements per gtid;
+``TransactionDispatcher`` applies whole transactions in order; DDL events
+interleave at their offsets via ``ReplayTask.constructDdl``). There is no
+JDBC target in this engine, so the transport analog is an ordered statement
+FILE stream — the same role the CSV slice files play for full migration.
+
+Spark-first shape:
+
+* statement TEXT is the narrow per-row map from :mod:`sqlgen` (DML) and the
+  Arrow-batched control-plane translators (DDL) — no shuffle;
+* ``begin;``/``commit;`` wrappers are O(transactions) rows produced by ONE
+  partial aggregation over the transaction id (min/max offset per tx), not
+  a global window — transactions wrap exactly like the reference's
+  whole-tx dispatch, and untagged rows stay autocommit;
+* global replay order is materialized exactly once, at the writer, by a
+  range repartition on the offset key — part files are range-ordered, so
+  their concatenation IS the total order and N part files are N ordered
+  JDBC channels' worth of parallel apply.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Mapping
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from debezium_spark.sink.ddl_translate import translate_ddl
+from debezium_spark.sink.metadata import TableMeta
+from debezium_spark.sink.sqlgen import dml_statements
+
+#: sub-position ordering inside one offset: tx BEGIN < statement < tx COMMIT
+_SUB_BEGIN, _SUB_STMT, _SUB_COMMIT = 0, 1, 2
+
+
+def statement_stream(
+    env_df: DataFrame,
+    table: TableMeta,
+    schema_mapping: Mapping[str, str] | None = None,
+    dialect: str = "opengauss",
+) -> DataFrame:
+    """Envelope batch → (file, pos, sub, seq, stmt) statement rows.
+
+    DML rows come from :func:`sqlgen.dml_statements`; DDL rows (op ``l``)
+    translate through :func:`ddl_translate.translate_ddl` at their stream
+    offset (``seq`` orders the prelude before the DDL); transaction-tagged
+    rows gain ``begin;``/``commit;`` wrappers at the transaction's first and
+    last offset. Sorting by (file, pos, sub, seq) reproduces the reference's
+    apply order; the sort itself happens at the writer.
+    """
+    mapping = dict(schema_mapping or {})
+    env_df = env_df.select(
+        "op", "before", "after", "source",
+        *(["transaction"] if "transaction" in env_df.columns else []),
+        *(["_ddl_text"] if "_ddl_text" in env_df.columns else []),
+    )
+
+    has_tx = "transaction" in env_df.columns
+    tx_id = (
+        F.col("transaction.id") if has_tx else F.lit(None).cast("string")
+    )
+    dml = dml_statements(env_df, table, dialect=dialect, extra={"_tx": tx_id})
+    stmts = dml.select(
+        F.col("source.file").alias("file"),
+        F.col("source.pos").alias("pos"),
+        F.lit(_SUB_STMT).alias("sub"),
+        F.lit(0).alias("seq"),
+        F.col("sql").alias("stmt"),
+        F.col("_tx"),
+    )
+
+    # DDL rows: text rides `_ddl_text` on the wire path, else after.content
+    # (streaming/engine.py barrier extraction uses the same two sources).
+    if "_ddl_text" in env_df.columns:
+        text_col = F.col("_ddl_text")
+    else:
+        text_col = F.col("after.content")
+    ddl_rows = env_df.where(F.col("op") == "l").select(
+        F.col("source.file").alias("file"),
+        F.col("source.pos").alias("pos"),
+        text_col.alias("ddl"),
+        F.col("source.db").alias("db"),
+        F.col("source.table").alias("tbl"),
+    )
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"file": [], "pos": [], "sub": [], "seq": [], "stmt": [], "_tx": []}
+            for file, pos, ddl, db, tbl in zip(
+                pdf["file"], pdf["pos"], pdf["ddl"], pdf["db"], pdf["tbl"]
+            ):
+                parts = translate_ddl(
+                    ddl or "", db, None if not tbl else tbl, mapping
+                )
+                for i, s in enumerate(parts):
+                    out["file"].append(file)
+                    out["pos"].append(pos)
+                    out["sub"].append(_SUB_STMT)
+                    out["seq"].append(i)
+                    out["stmt"].append(s)
+                    out["_tx"].append(None)
+            yield pd.DataFrame(out)
+
+    ddl_stmts = ddl_rows.mapInPandas(
+        gen, "file string, pos long, sub int, seq int, stmt string, _tx string"
+    )
+    all_stmts = stmts.unionByName(ddl_stmts)
+
+    # tx wrappers: ONE partial agg per transaction id → two rows each.
+    tx_bounds = (
+        all_stmts.where(F.col("_tx").isNotNull())
+        .groupBy("_tx")
+        .agg(
+            F.min(F.struct("file", "pos")).alias("lo"),
+            F.max(F.struct("file", "pos")).alias("hi"),
+        )
+    )
+    begins = tx_bounds.select(
+        F.col("lo.file").alias("file"), F.col("lo.pos").alias("pos"),
+        F.lit(_SUB_BEGIN).alias("sub"), F.lit(0).alias("seq"),
+        F.lit("begin;").alias("stmt"), F.col("_tx"),
+    )
+    commits = tx_bounds.select(
+        F.col("hi.file").alias("file"), F.col("hi.pos").alias("pos"),
+        F.lit(_SUB_COMMIT).alias("sub"), F.lit(0).alias("seq"),
+        F.lit("commit;").alias("stmt"), F.col("_tx"),
+    )
+    return all_stmts.unionByName(begins).unionByName(commits).drop("_tx")
+
+
+def write_statement_stream(
+    stmt_df: DataFrame, out_dir: str, batch_id: int, n_files: int = 8
+) -> int:
+    """Write one batch's statements as range-ordered text part files.
+
+    ``part-00000 … part-NNNNN`` sorted by (file, pos, sub, seq): each part
+    is internally ordered and parts are range-ordered, so concatenation is
+    the total replay order and each part can apply on its own ordered
+    channel. Idempotent on redelivery: a committed batch directory
+    (``_done`` marker) is never rewritten — the statement-file analog of the
+    offset fence (JdbcDbWriter's breakpoint table).
+
+    Returns the statement count (0 for a skipped redelivery).
+    """
+    batch_dir = os.path.join(out_dir, f"batch-{batch_id:06d}")
+    done = os.path.join(batch_dir, "_done")
+    if os.path.exists(done):
+        return 0
+    from pyspark.sql import Observation
+
+    obs = Observation(f"stmt-stream-{batch_id}")
+    ordered = (
+        stmt_df.repartitionByRange(n_files, "file", "pos", "sub", "seq")
+        .sortWithinPartitions("file", "pos", "sub", "seq")
+        .select("stmt")
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+    )
+    ordered.write.mode("overwrite").text(batch_dir)
+    n = int(obs.get["n"])
+    tmp = done + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "statements": n}, f)
+    os.replace(tmp, done)
+    return n

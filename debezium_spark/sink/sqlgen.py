@@ -1,0 +1,214 @@
+"""DML statement generation — envelope rows → target-dialect SQL text.
+
+Re-expresses the reference sinks' statement builders as pure Catalyst string
+expressions:
+
+* forward migration (openGauss target):
+  ``debezium-connector-mysql/sink/util/SqlTools.java:242-330``
+  (getInsertSql/getUpdateSql/getDeleteSql, PK-preferring WHERE with
+  ``is null`` / ``::jsonb=`` / ``~=`` forms) and per-type literal rendering
+  ``sink/util/DebeziumValueConverters.java`` (numbers bare, strings
+  single-quoted with ``''`` doubling, binary as ``'\\x<hex>'``, dates
+  ``yyyy-MM-dd``, timestamps ``yyyy-MM-dd HH:mm:ss.SSSSSS``, numeric
+  HALF_UP-rounded to the target scale, point structs as ``'(x,y)'``);
+* reverse migration (MySQL target):
+  ``debezium-connector-opengauss/sink/utils/MysqlSqlTools.java:141-190`` and
+  ``sink/utils/DebeziumValueConverters.java`` (binary as ``x'<hex>'``,
+  backquoted identifiers, ``values(`` without the space).
+
+Statement TEXT is a per-row map over (op, before, after) with all table
+facts known at plan time, so every statement compiles to ONE whole-stage
+codegen expression per operation — no Python, no shuffle, no per-row
+branching beyond the op dispatch. At 100 TB the generation step is scan
+speed; ordering cost is paid once at the writer (:mod:`replay`).
+
+Null semantics follow the reference exactly: a NULL value renders as the
+bare token ``null`` in INSERT lists and UPDATE SET (Java ``String.join``
+prints null elements as ``"null"``), and as ``col is null`` in WHERE.
+Snapshot rows (op ``r``) are NOT statement-replayed — the reference moves
+full data through the CSV bulk path (``sources/slices.py`` here); tombstones
+and control ops carry no payload. Both are excluded by the op filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from debezium_spark.sink.metadata import ColumnMeta, TableMeta
+
+#: information_schema type names rendered bare (no quotes) —
+#: DebeziumValueConverters' convertInteger/convertNumberType families.
+_BARE_TYPES = {
+    "tinyint", "smallint", "mediumint", "int", "integer", "bigint",
+    "uint1", "uint2", "uint4", "uint8", "year", "real", "float",
+    "double", "double precision", "boolean",
+}
+
+#: rendered as hex binary literals.
+_BINARY_TYPES = {
+    "tinyblob", "blob", "mediumblob", "longblob", "binary", "varbinary",
+    "bytea",
+}
+
+_DATE_TYPES = {"date"}
+_TIMESTAMP_TYPES = {
+    "datetime", "timestamp",
+    "timestamp without time zone", "timestamp with time zone",
+}
+_TIME_TYPES = {"time", "time without time zone"}
+
+# WHERE-clause comparison forms (SqlTools.getValueList DELETE branch):
+# json compares through ::jsonb, point/polygon through ~= .
+_WHERE_JSONB = "json"
+_WHERE_GEOM = {"point", "polygon"}
+
+
+def _quoted(name: str, symbol: str) -> str:
+    return f"{symbol}{name}{symbol}"
+
+
+def _sql_string(col: Column) -> Column:
+    """Single-quote a string with '' doubling — ``addingSingleQuotation``."""
+    return F.concat(F.lit("'"), F.regexp_replace(col.cast("string"), "'", "''"), F.lit("'"))
+
+
+def render_literal(col: Column, meta: ColumnMeta, dialect: str) -> Column:
+    """Target-dialect literal for one column value; NULL stays NULL (the
+    caller chooses between the ``null`` token and ``is null``)."""
+    t = meta.type_name.lower()
+    if t in _BARE_TYPES:
+        return col.cast("string")
+    if t in ("numeric", "decimal"):
+        # DebeziumValueConverters.convertNumeric: HALF_UP to the target
+        # scale when the value carries more decimals. Spark's round() on
+        # decimals is HALF_UP; a decimal column at the target scale renders
+        # scale digits exactly like BigDecimal.toString.
+        if meta.scale >= 0:
+            return F.round(col, meta.scale).cast("string")
+        return col.cast("string")
+    if t in _BINARY_TYPES:
+        # Debezium HexConverter emits lowercase hex; Spark hex() is upper.
+        hexed = F.lower(F.hex(col))
+        if dialect == "mysql":
+            return F.concat(F.lit("x'"), hexed, F.lit("'"))  # x'ab01'
+        return F.concat(F.lit("'\\x"), hexed, F.lit("'"))  # '\xab01'
+    if t in _DATE_TYPES:
+        return F.concat(F.lit("'"), F.date_format(col, "yyyy-MM-dd"), F.lit("'"))
+    if t in _TIMESTAMP_TYPES:
+        return F.concat(
+            F.lit("'"), F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("'")
+        )
+    if t in _TIME_TYPES:
+        # engine-side times are micros-past-midnight longs (typeconv)
+        us = col.cast("long")
+        two = lambda c: F.lpad(c.cast("string"), 2, "0")
+        return F.concat(
+            F.lit("'"),
+            two(F.floor(us / 3_600_000_000)), F.lit(":"),
+            two(F.floor(F.pmod(us, 3_600_000_000) / 60_000_000)), F.lit(":"),
+            two(F.floor(F.pmod(us, 60_000_000) / 1_000_000)), F.lit("."),
+            F.lpad(F.pmod(us, 1_000_000).cast("string"), 6, "0"),
+            F.lit("'"),
+        )
+    if t == "point":
+        # openGauss point struct<x,y> → '(x,y)' (convertPoint/formatPoint)
+        return F.when(
+            col.isNotNull(),
+            F.concat(
+                F.lit("'("), col.getField("x").cast("string"),
+                F.lit(","), col.getField("y").cast("string"), F.lit(")'"),
+            ),
+        )
+    # default branch = convertChar: char/varchar/text/enum/set/json …
+    return _sql_string(col)
+
+
+def _value_or_null(struct: Column, meta: ColumnMeta, dialect: str) -> Column:
+    return F.coalesce(
+        render_literal(struct.getField(meta.name), meta, dialect), F.lit("null")
+    )
+
+
+def _where_condition(
+    struct: Column, table: TableMeta, symbol: str, dialect: str
+) -> Column:
+    """PK-preferring conjunction over ``before`` —
+    ``SqlTools.getWhereConditionList`` + the DELETE-branch operator forms."""
+    cols = table.primary_columns() or table.columns
+    parts = []
+    for m in cols:
+        cq = _quoted(m.name, symbol)
+        t = m.type_name.lower()
+        if dialect == "opengauss" and t == _WHERE_JSONB:
+            form = f"{cq}::jsonb="
+        elif dialect == "opengauss" and t in _WHERE_GEOM:
+            form = f"{cq}~="
+        else:
+            form = f"{cq} = "
+        val = struct.getField(m.name)
+        parts.append(
+            F.when(val.isNull(), F.lit(f"{cq} is null")).otherwise(
+                F.concat(F.lit(form), render_literal(val, m, dialect))
+            )
+        )
+    return F.concat_ws(" and ", *parts)
+
+
+def dml_statements(
+    env_df: DataFrame,
+    table: TableMeta,
+    dialect: str = "opengauss",
+    wrap_symbol: str | None = None,
+    extra: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Envelope rows → one target-dialect SQL statement per DML event.
+
+    Returns the input's ``source`` and ``op`` columns plus ``sql``. Op
+    dispatch mirrors ``TransactionReplayTask.constructDml:389-405``:
+    c → INSERT, u → UPDATE (SET all columns from after, WHERE from before),
+    d → DELETE (WHERE from before); everything else (snapshot ``r`` → CSV
+    bulk path, truncate/control/tombstone) is excluded.
+
+    ``wrap_symbol`` is the identifier quote: openGauss targets default to
+    ``"`` and switch to a backquote only under B-compatibility + dolphin
+    (``SqlTools.getObjectWrapSymbol``); MySQL targets always backquote.
+    """
+    if wrap_symbol is None:
+        wrap_symbol = "`" if dialect == "mysql" else '"'
+    full = f"{_quoted(table.schema_name, wrap_symbol)}.{_quoted(table.table_name, wrap_symbol)}"
+    after = F.col("after")
+    before = F.col("before")
+
+    values = F.concat_ws(
+        ", ", *[_value_or_null(after, m, dialect) for m in table.columns]
+    )
+    # MysqlSqlTools writes "values(" (no space); forward SqlTools "values ("
+    values_kw = " values(" if dialect == "mysql" else " values ("
+    insert = F.concat(F.lit(f"insert into {full}{values_kw}"), values, F.lit(");"))
+
+    set_list = F.concat_ws(
+        ", ",
+        *[
+            F.concat(
+                F.lit(f"{_quoted(m.name, wrap_symbol)} = "),
+                _value_or_null(after, m, dialect),
+            )
+            for m in table.columns
+        ],
+    )
+    where = _where_condition(before, table, wrap_symbol, dialect)
+    update = F.concat(
+        F.lit(f"update {full} set "), set_list, F.lit(" where "), where, F.lit(";")
+    )
+    delete = F.concat(F.lit(f"delete from {full} where "), where, F.lit(";"))
+
+    sql = (
+        F.when(F.col("op") == "c", insert)
+        .when(F.col("op") == "u", update)
+        .when(F.col("op") == "d", delete)
+    )
+    extras = [c.alias(a) for a, c in (extra or {}).items()]
+    return env_df.where(F.col("op").isin("c", "u", "d")).select(
+        "source", "op", sql.alias("sql"), *extras
+    )

@@ -1,0 +1,480 @@
+"""Sink-side replay tests: DML statement generation, forward DDL
+translation, PG deparse-JSON expansion, and the ordered statement stream.
+
+Expected strings are hand-derived from the reference rules:
+``debezium-connector-mysql/sink/util/SqlTools.java:242-330`` +
+``DebeziumValueConverters.java`` (openGauss target),
+``debezium-connector-opengauss/sink/utils/MysqlSqlTools.java:141-190``
+(MySQL target), ``ReplayTask.java:274-380`` (DDL rectification),
+``OpengaussDdlParser.java`` (deparse expansion).
+"""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from debezium_spark.sink import (
+    dml_statements,
+    expand_ddl_json,
+    expand_ddl_json_batch,
+    statement_stream,
+    table_meta_from_schema,
+    translate_ddl,
+    translate_ddl_batch,
+    write_statement_stream,
+)
+from debezium_spark.sink.metadata import ColumnMeta, TableMeta
+
+PAYLOAD = StructType(
+    [
+        StructField("id", IntegerType()),
+        StructField("name", StringType()),
+        StructField("blob", BinaryType()),
+        StructField("amt", DecimalType(10, 2)),
+        StructField("d", DateType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+SOURCE = StructType(
+    [
+        StructField("file", StringType()),
+        StructField("pos", LongType()),
+        StructField("db", StringType()),
+        StructField("table", StringType()),
+    ]
+)
+
+ENV = StructType(
+    [
+        StructField("op", StringType()),
+        StructField("before", PAYLOAD),
+        StructField("after", PAYLOAD),
+        StructField("source", SOURCE),
+    ]
+)
+
+
+def _env(spark, rows):
+    return spark.createDataFrame(rows, ENV)
+
+
+ROW_C = (
+    "c",
+    None,
+    (1, "O'Hara", bytearray(b"\xab\x01"), None, datetime.date(2024, 1, 2),
+     datetime.datetime(2024, 1, 2, 3, 4, 5, 123456)),
+    ("f1", 10, "db1", "widgets"),
+)
+ROW_U = (
+    "u",
+    (1, "x", None, None, None, None),
+    (1, "y", None, Decimal("2.50"), None, None),
+    ("f1", 20, "db1", "widgets"),
+)
+ROW_D = ("d", (1, "y", None, None, None, None), None, ("f1", 30, "db1", "widgets"))
+
+
+def _sqls(df):
+    return [r.sql for r in df.orderBy("source.pos").collect()]
+
+
+class TestDmlSqlgen:
+    def test_opengauss_dialect_exact_statements(self, spark):
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"], "opengauss")
+        got = _sqls(dml_statements(_env(spark, [ROW_C, ROW_U, ROW_D]), meta))
+        assert got == [
+            # strings '' doubled, binary '\x<lower hex>', null token, date +
+            # microsecond timestamp formats — DebeziumValueConverters
+            'insert into "src"."widgets" values (1, \'O\'\'Hara\', \'\\xab01\','
+            " null, '2024-01-02', '2024-01-02 03:04:05.123456');",
+            # SET covers ALL columns from after; WHERE from before by PK
+            'update "src"."widgets" set "id" = 1, "name" = \'y\', "blob" = null,'
+            ' "amt" = 2.50, "d" = null, "ts" = null where "id" = 1;',
+            'delete from "src"."widgets" where "id" = 1;',
+        ]
+
+    def test_mysql_dialect_exact_statements(self, spark):
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"], "mysql")
+        got = _sqls(
+            dml_statements(_env(spark, [ROW_C, ROW_D]), meta, dialect="mysql")
+        )
+        # backquotes, "values(" without the space (MysqlSqlTools:143), x'hex'
+        assert got == [
+            "insert into `src`.`widgets` values(1, 'O''Hara', x'ab01', null,"
+            " '2024-01-02', '2024-01-02 03:04:05.123456');",
+            "delete from `src`.`widgets` where `id` = 1;",
+        ]
+
+    def test_null_pk_renders_is_null(self, spark):
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"])
+        row = ("d", (None, "y", None, None, None, None), None, ("f1", 1, "db1", "widgets"))
+        assert _sqls(dml_statements(_env(spark, [row]), meta)) == [
+            'delete from "src"."widgets" where "id" is null;'
+        ]
+
+    def test_no_pk_falls_back_to_all_columns(self, spark):
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, [])
+        got = _sqls(dml_statements(_env(spark, [ROW_D]), meta))
+        assert got == [
+            'delete from "src"."widgets" where "id" = 1 and "name" = \'y\' and'
+            ' "blob" is null and "amt" is null and "d" is null and "ts" is null;'
+        ]
+
+    def test_json_and_point_where_operators(self, spark):
+        # SqlTools.getValueList DELETE branch: json → col::jsonb=v,
+        # point/polygon → col~=v
+        schema = StructType(
+            [
+                StructField("j", StringType()),
+                StructField(
+                    "p",
+                    StructType(
+                        [StructField("x", DoubleType()), StructField("y", DoubleType())]
+                    ),
+                ),
+            ]
+        )
+        meta = TableMeta(
+            "src", "geo",
+            (ColumnMeta("j", "json", True), ColumnMeta("p", "point", True)),
+        )
+        env = spark.createDataFrame(
+            [("d", ('{"a": 1}', (1.5, -2.0)), None, ("f1", 1, "db1", "geo"))],
+            StructType(
+                [
+                    StructField("op", StringType()),
+                    StructField("before", schema),
+                    StructField("after", schema),
+                    StructField("source", SOURCE),
+                ]
+            ),
+        )
+        assert _sqls(dml_statements(env, meta)) == [
+            'delete from "src"."geo" where "j"::jsonb=\'{"a": 1}\' and'
+            ' "p"~=\'(1.5,-2.0)\';'
+        ]
+
+    def test_numeric_scale_rounds_half_up(self, spark):
+        # convertNumeric: more decimals than the target scale → HALF_UP
+        schema = StructType([StructField("v", DoubleType())])
+        meta = TableMeta("s", "t", (ColumnMeta("v", "numeric", True, scale=2),))
+        env = spark.createDataFrame(
+            [("c", None, (2.005,), ("f1", 1, "db", "t"))],
+            StructType(
+                [
+                    StructField("op", StringType()),
+                    StructField("before", schema),
+                    StructField("after", schema),
+                    StructField("source", SOURCE),
+                ]
+            ),
+        )
+        assert _sqls(dml_statements(env, meta)) == ['insert into "s"."t" values (2.01);']
+
+    def test_snapshot_and_control_ops_excluded(self, spark):
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"])
+        rows = [
+            ("r", None, ROW_C[2], ("f1", 1, "db1", "widgets")),
+            ("t", None, None, ("f1", 2, "db1", "widgets")),
+            ROW_C,
+        ]
+        got = dml_statements(_env(spark, rows), meta)
+        assert got.count() == 1 and got.first().op == "c"
+
+    def test_plan_is_pure_catalyst_no_shuffle(self, spark):
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"])
+        plan = dml_statements(_env(spark, [ROW_C]), meta)._jdf.queryExecution().executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "Exchange"):
+            assert marker not in plan, plan
+
+
+class TestDdlTranslate:
+    MAP = {"db1": "sink1", "other": "o2"}
+
+    def test_prelude_and_qualifier_strip(self):
+        got = translate_ddl(
+            "alter table `db1`.`widgets` add column c int", "db1", "widgets", self.MAP
+        )
+        assert got == [
+            "set current_schema to sink1;",
+            "alter table `widgets` add column c int",
+        ]
+
+    @pytest.mark.parametrize(
+        "qualifier",
+        ["db1.widgets", "`db1`.widgets", "db1.`widgets`", "`db1`.`widgets`"],
+    )
+    def test_all_four_quote_combinations(self, qualifier):
+        got = translate_ddl(
+            f"alter table {qualifier} add c int", "db1", "widgets", self.MAP
+        )
+        assert got[1] == "alter table `widgets` add c int"
+
+    def test_only_first_occurrence_replaced(self):
+        got = translate_ddl(
+            "alter table db1.widgets comment 'db1.widgets'", "db1", "widgets", self.MAP
+        )
+        assert got[1] == "alter table `widgets` comment 'db1.widgets'"
+
+    def test_rename_to_strips_old_schema(self):
+        got = translate_ddl(
+            "alter table db1.widgets rename to gadgets", "db1", "widgets", self.MAP
+        )
+        assert got[1] == "alter table widgets rename to gadgets"
+
+    def test_drop_table_strips_backquoted_schema(self):
+        got = translate_ddl(
+            "drop table `db1`.`widgets`", "db1", "widgets", self.MAP
+        )
+        assert got[1] == "drop table `widgets`"
+
+    def test_foreign_key_schema_remaps_and_requotes(self):
+        ddl = (
+            "alter table `db1`.`orders` add constraint fk foreign key (cid)"
+            " references `other`.`customers` (id)"
+        )
+        got = translate_ddl(ddl, "db1", "orders", self.MAP)
+        # prefix keeps its trailing space and the suffix its leading one —
+        # ReplayTask.rectifyForeignRelyDdl rebuilds "prefix + ' references '
+        # + suffix" verbatim; the table qualifier then strips as usual
+        assert got[1] == (
+            "alter table `orders` add constraint fk foreign key (cid) "
+            ' references  "o2"."customers" (id)'
+        )
+
+    def test_foreign_key_unmapped_schema_skips_statement(self):
+        ddl = (
+            "alter table `db1`.`orders` add foreign key (cid)"
+            " references `mystery`.`customers` (id)"
+        )
+        assert translate_ddl(ddl, "db1", "orders", self.MAP) == []
+
+    def test_schema_scoped_ddl_passes_through(self):
+        got = translate_ddl("create database db1", "db1", None, self.MAP)
+        assert got == ["set current_schema to sink1;", "create database db1"]
+
+    def test_batch_path_matches_scalar(self, spark):
+        rows = [
+            ("alter table `db1`.`widgets` add c int", "db1", "widgets"),
+            ("drop table `db1`.`gone`", "db1", "gone"),
+            ("create database db1", "db1", None),
+        ]
+        df = spark.createDataFrame(rows, "ddl string, db string, tbl string")
+        got = {
+            (r.ddl, r.seq): r.stmt
+            for r in translate_ddl_batch(df, self.MAP).collect()
+        }
+        for ddl, db, tbl in rows:
+            expected = translate_ddl(ddl, db, tbl, self.MAP)
+            for i, s in enumerate(expected):
+                assert got[(ddl, i)] == s
+
+
+class TestPgDeparse:
+    def test_create_table_with_array_and_suppressed_node(self):
+        j = json.dumps(
+            {
+                "fmt": "CREATE %{persistence}s TABLE %{if_not_exists}s %{identity}D"
+                       " (%{table_elements:, }s)",
+                "persistence": "",
+                "if_not_exists": {"fmt": "IF NOT EXISTS", "present": False},
+                "identity": {"schemaname": "s1", "objname": "t"},
+                "table_elements": [
+                    {
+                        "fmt": "%{name}I %{coltype}T",
+                        "name": "id",
+                        "coltype": {
+                            "typarray": False, "schemaname": "",
+                            "typename": "int4", "typmod": "",
+                        },
+                    },
+                    {
+                        "fmt": "%{name}I %{coltype}T",
+                        "name": "v",
+                        "coltype": {
+                            "typarray": False, "schemaname": "",
+                            "typename": "varchar", "typmod": "(20)",
+                        },
+                    },
+                ],
+            }
+        )
+        sql, info = expand_ddl_json(j, {"s1": "m1"})
+        assert sql == 'CREATE  TABLE  "m1"."t" ("id" int4, "v" varchar(20));'
+        assert info["identifier"] == "m1.t"
+
+    def test_array_separator_skips_suppressed_elements(self):
+        j = json.dumps(
+            {
+                "fmt": "X %{items:, }s",
+                "items": [
+                    {"fmt": "a"},
+                    {"fmt": "skipped", "present": False},
+                    {"fmt": "b"},
+                ],
+            }
+        )
+        assert expand_ddl_json(j)[0] == "X a, b;"
+
+    def test_percent_escape_number_literal_and_identifier_escaping(self):
+        j = json.dumps(
+            {
+                "fmt": "%% %{n}n %{lit}L %{ident}I",
+                "n": "42.50",
+                "lit": "it's",
+                "ident": 'a"b\\c',
+            }
+        )
+        # L literals are NOT escaped (OpengaussDdlParser:expandJsonToStringLiteral);
+        # identifiers backslash-escape " and \
+        assert expand_ddl_json(j)[0] == '% 42.50 \'it\'s\' "a\\"b\\\\c";'
+
+    def test_typarray_decorator_and_schema_remap_in_types(self):
+        j = json.dumps(
+            {
+                "fmt": "%{t}T",
+                "t": {
+                    "typarray": True, "schemaname": "s1",
+                    "typename": "mood", "typmod": "",
+                },
+            }
+        )
+        assert expand_ddl_json(j, {"s1": "m1"})[0] == "m1.mood[];"
+
+    def test_function_adjuster_remaps_and_strips_fencing(self):
+        body = (
+            "CREATE OR REPLACE FUNCTION s1.f(i int) RETURNS int"
+            " NOT FENCED NOT SHIPPABLE AS $$ select 1 $$"
+        )
+        j = json.dumps({"fmt": "%{function}s", "function": body})
+        sql, _ = expand_ddl_json(j, {"s1": "m1"})
+        assert "m1.f(i int)" in sql and "NOT FENCED" not in sql
+
+    def test_trigger_objidentity_remap(self):
+        j = json.dumps({"fmt": "%{objidentity}s", "objidentity": "trg on s1.t"})
+        assert expand_ddl_json(j, {"s1": "m1"})[0] == "trg on m1.t;"
+
+    def test_nextval_default_remaps_via_identity_schema(self):
+        j = json.dumps(
+            {
+                "fmt": "%{identity}D %{default}s",
+                "identity": {"schemaname": "s1", "objname": "t"},
+                "default": "pg_catalog.nextval('s1.t_id_seq')",
+            }
+        )
+        sql, _ = expand_ddl_json(j, {"s1": "m1"})
+        assert sql == '"m1"."t" pg_catalog.nextval(\'m1.t_id_seq\');'
+
+    def test_view_query_remap_and_empty_with_removed(self):
+        j = json.dumps(
+            {
+                "fmt": "CREATE VIEW v  WITH () AS %{query}s",
+                "query": "select * from s1.t",
+            }
+        )
+        assert expand_ddl_json(j, {"s1": "m1"})[0] == "CREATE VIEW v AS select * from m1.t;"
+
+    def test_invalid_json_returns_empty(self):
+        assert expand_ddl_json("not json at all") == ("", {})
+
+    def test_objtype_table_marks_refresh(self):
+        j = json.dumps({"fmt": "REFRESH %{objtype}s x", "objtype": "TABLE"})
+        _, info = expand_ddl_json(j)
+        assert info["is_table_refreshed"] is True
+
+    def test_batch_path_matches_scalar(self, spark):
+        j = json.dumps(
+            {
+                "fmt": "DROP TABLE %{identity}D",
+                "identity": {"schemaname": "s1", "objname": "t"},
+            }
+        )
+        df = spark.createDataFrame([(j,)], "ddl_json string")
+        row = expand_ddl_json_batch(df, {"s1": "m1"}).first()
+        assert row.sql == 'DROP TABLE "m1"."t";'
+        assert row.identifier == "m1.t"
+
+
+ENV_TX = StructType(
+    [
+        StructField("op", StringType()),
+        StructField("before", PAYLOAD),
+        StructField("after", PAYLOAD),
+        StructField("source", SOURCE),
+        StructField(
+            "transaction", StructType([StructField("id", StringType())])
+        ),
+        StructField("_ddl_text", StringType()),
+    ]
+)
+
+
+class TestStatementStream:
+    def _stream_df(self, spark):
+        rows = [
+            ("c", None, (1, "a", None, None, None, None), ("f1", 10, "db1", "widgets"), ("tx1",), None),
+            ("u", (1, "a", None, None, None, None), (1, "b", None, None, None, None),
+             ("f1", 11, "db1", "widgets"), ("tx1",), None),
+            ("l", None, None, ("f1", 12, "db1", "widgets"), (None,),
+             "alter table `db1`.`widgets` add c int"),
+            ("d", (1, "b", None, None, None, None), None, ("f1", 13, "db1", "widgets"), ("tx2",), None),
+        ]
+        return spark.createDataFrame(rows, ENV_TX)
+
+    def test_order_tx_wrappers_and_ddl_interleave(self, spark):
+        meta = table_meta_from_schema("sink1", "widgets", PAYLOAD, ["id"])
+        out = statement_stream(
+            self._stream_df(spark), meta, {"db1": "sink1"}
+        ).orderBy("file", "pos", "sub", "seq")
+        stmts = [r.stmt for r in out.collect()]
+        assert stmts == [
+            "begin;",
+            'insert into "sink1"."widgets" values (1, \'a\', null, null, null, null);',
+            'update "sink1"."widgets" set "id" = 1, "name" = \'b\', "blob" = null,'
+            ' "amt" = null, "d" = null, "ts" = null where "id" = 1;',
+            "commit;",
+            "set current_schema to sink1;",
+            "alter table `widgets` add c int",
+            "begin;",
+            'delete from "sink1"."widgets" where "id" = 1;',
+            "commit;",
+        ]
+
+    def test_write_is_ordered_and_idempotent(self, spark, tmp_path):
+        meta = table_meta_from_schema("sink1", "widgets", PAYLOAD, ["id"])
+        stream = statement_stream(self._stream_df(spark), meta, {"db1": "sink1"})
+        out_dir = str(tmp_path / "stmts")
+        n = write_statement_stream(stream, out_dir, batch_id=7, n_files=3)
+        assert n == 9
+        parts = sorted(glob.glob(os.path.join(out_dir, "batch-000007", "part-*")))
+        lines = []
+        for p in parts:
+            with open(p) as f:
+                lines.extend(f.read().splitlines())
+        expected = [
+            r.stmt
+            for r in stream.orderBy("file", "pos", "sub", "seq").collect()
+        ]
+        assert lines == expected
+        # redelivery: the committed batch dir is fenced
+        assert write_statement_stream(stream, out_dir, batch_id=7) == 0
