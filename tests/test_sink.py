@@ -478,3 +478,136 @@ class TestStatementStream:
         assert lines == expected
         # redelivery: the committed batch dir is fenced
         assert write_statement_stream(stream, out_dir, batch_id=7) == 0
+
+
+class TestDuckDbReplayE2E:
+    """Cross-engine proof of the sink contract: the generated statement
+    stream, applied sequentially by an INDEPENDENT SQL engine (DuckDB),
+    reproduces exactly the final state the CDC engine computes with its
+    distributed MERGE — the reference's sink integration tests replay the
+    statement lists into a live openGauss and diff tables the same way
+    (``debezium-connector-mysql/sink/replay/transaction/TransactionReplayTask.java``).
+
+    The history is binlog-valid (inserts only on absent keys, u/d only on
+    present keys) because literal INSERT replay — unlike the engine's
+    upsert MERGE — inherits the source database's PK discipline.
+    """
+
+    #: payload tuple: (repo, path, commit, lang, content)
+    def _events(self):
+        def p(repo, path, ver):
+            return (repo, path, f"sha-{repo}-{path}-{ver}", "py", f"body {ver}")
+
+        rows = [
+            # tx-1: three inserts
+            ("c", None, p("r1", "a.py", 1), ("f1", 1, "inventory", "repo_files"), ("tx-1",), None),
+            ("c", None, p("r1", "b.py", 1), ("f1", 2, "inventory", "repo_files"), ("tx-1",), None),
+            ("c", None, p("r2", "a.py", 1), ("f1", 3, "inventory", "repo_files"), ("tx-1",), None),
+            # tx-2: plain update + PK-change update (path rename b.py -> c.py)
+            ("u", p("r1", "a.py", 1), p("r1", "a.py", 2), ("f1", 4, "inventory", "repo_files"), ("tx-2",), None),
+            ("u", p("r1", "b.py", 1), p("r1", "c.py", 2), ("f1", 5, "inventory", "repo_files"), ("tx-2",), None),
+            # tx-3: delete
+            ("d", p("r2", "a.py", 1), None, ("f1", 6, "inventory", "repo_files"), ("tx-3",), None),
+            # autocommit insert (no transaction tag)
+            ("c", None, p("r2", "new.py", 1), ("f1", 7, "inventory", "repo_files"), (None,), None),
+            # tx-4: update the renamed row, delete another
+            ("u", p("r1", "c.py", 2), p("r1", "c.py", 3), ("f1", 8, "inventory", "repo_files"), ("tx-4",), None),
+            ("d", p("r1", "a.py", 2), None, ("f1", 9, "inventory", "repo_files"), ("tx-4",), None),
+        ]
+        return rows
+
+    def _payload_schema(self):
+        return StructType(
+            [
+                StructField("repo", StringType()),
+                StructField("path", StringType()),
+                StructField("commit", StringType()),
+                StructField("lang", StringType()),
+                StructField("content", StringType()),
+            ]
+        )
+
+    def test_duckdb_apply_matches_engine_merge(self, spark, tmp_path):
+        import duckdb
+
+        from debezium_spark import CdcEngine, LakeTable
+
+        payload = self._payload_schema()
+        env_schema = StructType(
+            [
+                StructField("op", StringType()),
+                StructField("before", payload),
+                StructField("after", payload),
+                StructField("source", SOURCE),
+                StructField(
+                    "transaction",
+                    StructType([StructField("id", StringType())]),
+                ),
+                StructField("_ddl_text", StringType()),
+            ]
+        )
+        env = spark.createDataFrame(self._events(), env_schema)
+
+        # --- engine path: distributed MERGE over the lake table ------------
+        # the engine's envelope carries the full generator source struct;
+        # widen the statement-stream envelope with the extra fields.
+        batch_dir = tmp_path / "batches"
+        env.drop("_ddl_text").withColumn(
+            "source",
+            F.col("source")
+            .withField("gtid", F.concat(F.lit("gtid:"), F.col("source.pos")))
+            .withField("snapshot", F.lit(None).cast("string"))
+            .withField("ts_ms", F.col("source.pos") * 10),
+        ).withColumn("ts_ms", F.col("source.pos") * 10).write.parquet(
+            str(batch_dir / "batch_00000.parquet")
+        )
+        table = LakeTable(
+            spark, str(tmp_path / "lake"), ["repo", "path"], n_buckets=2
+        )
+        CdcEngine(spark, table).replay(str(batch_dir))
+        engine_state = {
+            (r["repo"], r["path"]): (r["commit"], r["lang"], r["content"])
+            for r in table.read().collect()
+        }
+
+        # --- sink path: ordered statement files applied by DuckDB ----------
+        meta = table_meta_from_schema(
+            "inventory", "repo_files", payload, ["repo", "path"]
+        )
+        stream = statement_stream(env, meta)
+        out_dir = str(tmp_path / "stmts")
+        n = write_statement_stream(stream, out_dir, batch_id=0, n_files=4)
+        assert n == len(self._events()) + 2 * 4  # 9 DML + begin/commit × 4 txs
+        parts = sorted(glob.glob(os.path.join(out_dir, "batch-000000", "part-*")))
+        lines = []
+        for part in parts:
+            with open(part) as f:
+                lines.extend(f.read().splitlines())
+
+        con = duckdb.connect()
+        con.execute("create schema inventory")
+        con.execute(
+            'create table inventory.repo_files '
+            '(repo varchar, path varchar, "commit" varchar, '
+            "lang varchar, content varchar)"
+        )
+        for stmt in lines:
+            con.execute(stmt)
+        duck_state = {
+            (repo, path): (commit, lang, content)
+            for repo, path, commit, lang, content in con.execute(
+                "select repo, path, \"commit\", lang, content from inventory.repo_files"
+            ).fetchall()
+        }
+
+        # --- the sequential oracle agrees with both ------------------------
+        from tests.conftest import sequential_oracle
+
+        events = [r.asDict(recursive=True) for r in env.collect()]
+        want = {
+            k: (v["commit"], v["lang"], v["content"])
+            for k, v in sequential_oracle(events).items()
+        }
+        assert duck_state == want
+        assert engine_state == want
+        assert duck_state == engine_state
