@@ -21,7 +21,11 @@ Arrow-batched bulk path.
 from debezium_spark.sink.ddl_translate import translate_ddl, translate_ddl_batch
 from debezium_spark.sink.metadata import ColumnMeta, TableMeta, table_meta_from_schema
 from debezium_spark.sink.pg_deparse import expand_ddl_json, expand_ddl_json_batch
-from debezium_spark.sink.replay import statement_stream, write_statement_stream
+from debezium_spark.sink.replay import (
+    statement_stream,
+    statement_stream_multi,
+    write_statement_stream,
+)
 from debezium_spark.sink.sqlgen import dml_statements
 
 __all__ = [
@@ -34,5 +38,6 @@ __all__ = [
     "expand_ddl_json",
     "expand_ddl_json_batch",
     "statement_stream",
+    "statement_stream_multi",
     "write_statement_stream",
 ]

@@ -39,35 +39,21 @@ from debezium_spark.sink.sqlgen import dml_statements
 #: sub-position ordering inside one offset: tx BEGIN < statement < tx COMMIT
 _SUB_BEGIN, _SUB_STMT, _SUB_COMMIT = 0, 1, 2
 
+#: statement-row shape shared by the DML map, the DDL translator, and the
+#: tx-wrapper rows — uniform so multi-table streams union cleanly.
+_STMT_SCHEMA = "file string, pos long, sub int, seq int, stmt string, _tx string"
 
-def statement_stream(
-    env_df: DataFrame,
-    table: TableMeta,
-    schema_mapping: Mapping[str, str] | None = None,
-    dialect: str = "opengauss",
+
+def _dml_stmt_rows(
+    env_df: DataFrame, table: TableMeta, dialect: str
 ) -> DataFrame:
-    """Envelope batch → (file, pos, sub, seq, stmt) statement rows.
-
-    DML rows come from :func:`sqlgen.dml_statements`; DDL rows (op ``l``)
-    translate through :func:`ddl_translate.translate_ddl` at their stream
-    offset (``seq`` orders the prelude before the DDL); transaction-tagged
-    rows gain ``begin;``/``commit;`` wrappers at the transaction's first and
-    last offset. Sorting by (file, pos, sub, seq) reproduces the reference's
-    apply order; the sort itself happens at the writer.
-    """
-    mapping = dict(schema_mapping or {})
-    env_df = env_df.select(
-        "op", "before", "after", "source",
-        *(["transaction"] if "transaction" in env_df.columns else []),
-        *(["_ddl_text"] if "_ddl_text" in env_df.columns else []),
-    )
-
+    """Typed-envelope DML rows → (file, pos, sub, seq, stmt, _tx)."""
     has_tx = "transaction" in env_df.columns
     tx_id = (
         F.col("transaction.id") if has_tx else F.lit(None).cast("string")
     )
     dml = dml_statements(env_df, table, dialect=dialect, extra={"_tx": tx_id})
-    stmts = dml.select(
+    return dml.select(
         F.col("source.file").alias("file"),
         F.col("source.pos").alias("pos"),
         F.lit(_SUB_STMT).alias("sub"),
@@ -76,12 +62,14 @@ def statement_stream(
         F.col("_tx"),
     )
 
-    # DDL rows: text rides `_ddl_text` on the wire path, else after.content
-    # (streaming/engine.py barrier extraction uses the same two sources).
-    if "_ddl_text" in env_df.columns:
-        text_col = F.col("_ddl_text")
-    else:
-        text_col = F.col("after.content")
+
+def _ddl_stmt_rows(
+    env_df: DataFrame, text_col, mapping: dict[str, str]
+) -> DataFrame:
+    """op='l' rows → translated DDL statement rows at their offset.
+
+    ``seq`` orders a multi-statement translation (current_schema prelude
+    before the DDL body, ReplayTask.constructDdl) within one offset."""
     ddl_rows = env_df.where(F.col("op") == "l").select(
         F.col("source.file").alias("file"),
         F.col("source.pos").alias("pos"),
@@ -110,12 +98,16 @@ def statement_stream(
                     out["_tx"].append(None)
             yield pd.DataFrame(out)
 
-    ddl_stmts = ddl_rows.mapInPandas(
-        gen, "file string, pos long, sub int, seq int, stmt string, _tx string"
-    )
-    all_stmts = stmts.unionByName(ddl_stmts)
+    return ddl_rows.mapInPandas(gen, _STMT_SCHEMA)
 
-    # tx wrappers: ONE partial agg per transaction id → two rows each.
+
+def _wrap_tx(all_stmts: DataFrame) -> DataFrame:
+    """Add begin;/commit; rows at each transaction's first/last offset.
+
+    ONE partial aggregation per transaction id → two rows each. Computed
+    over the FULL statement set, so a transaction spanning several tables
+    wraps once — whole-transaction dispatch
+    (``TransactionReplayTask.java``), not per-table wrapping."""
     tx_bounds = (
         all_stmts.where(F.col("_tx").isNotNull())
         .groupBy("_tx")
@@ -135,6 +127,107 @@ def statement_stream(
         F.lit("commit;").alias("stmt"), F.col("_tx"),
     )
     return all_stmts.unionByName(begins).unionByName(commits).drop("_tx")
+
+
+def statement_stream(
+    env_df: DataFrame,
+    table: TableMeta,
+    schema_mapping: Mapping[str, str] | None = None,
+    dialect: str = "opengauss",
+) -> DataFrame:
+    """Envelope batch → (file, pos, sub, seq, stmt) statement rows.
+
+    DML rows come from :func:`sqlgen.dml_statements`; DDL rows (op ``l``)
+    translate through :func:`ddl_translate.translate_ddl` at their stream
+    offset (``seq`` orders the prelude before the DDL); transaction-tagged
+    rows gain ``begin;``/``commit;`` wrappers at the transaction's first and
+    last offset. Sorting by (file, pos, sub, seq) reproduces the reference's
+    apply order; the sort itself happens at the writer.
+    """
+    mapping = dict(schema_mapping or {})
+    env_df = env_df.select(
+        "op", "before", "after", "source",
+        *(["transaction"] if "transaction" in env_df.columns else []),
+        *(["_ddl_text"] if "_ddl_text" in env_df.columns else []),
+    )
+
+    stmts = _dml_stmt_rows(env_df, table, dialect)
+    # DDL rows: text rides `_ddl_text` on the wire path, else after.content
+    # (streaming/engine.py barrier extraction uses the same two sources).
+    if "_ddl_text" in env_df.columns:
+        text_col = F.col("_ddl_text")
+    else:
+        text_col = F.col("after.content")
+    ddl_stmts = _ddl_stmt_rows(env_df, text_col, mapping)
+    return _wrap_tx(stmts.unionByName(ddl_stmts))
+
+
+def statement_stream_multi(
+    wire_df: DataFrame,
+    specs,
+    schema_mapping: Mapping[str, str] | None = None,
+    dialect: str = "opengauss",
+    metas: Mapping[tuple[str, str], TableMeta] | None = None,
+) -> DataFrame:
+    """Mixed-table WIRE batch → one ordered statement stream.
+
+    The reference sink routes replay by fully-qualified table name into
+    per-table work threads
+    (``sink/replay/table/TableReplayTask.java:401-426``); this is that
+    routing for statement generation. ``specs`` is the engine's own
+    registry (:class:`debezium_spark.streaming.multi.TableSpec` — db,
+    table, payload_schema, key_cols); each table's rows parse with its own
+    ``from_json`` and map through its own pure-Catalyst statement
+    expression, so the plan is a union of per-table narrow maps — no
+    shuffle, no Python on the DML path. Rows for unregistered tables are
+    dropped (include-list semantics, ``relational/Selectors.java``); DDL
+    rows translate once regardless of registration (the reference forwards
+    DDL for any table in the include list's databases).
+
+    Transaction wrappers are computed over the UNION, so a source
+    transaction touching several tables wraps once — the reference applies
+    whole transactions, not per-table fragments.
+
+    ``metas`` overrides the derived :class:`TableMeta` for tables whose
+    target types differ from what the Spark schema implies (the
+    information_schema facts, e.g. json/enum/point columns).
+    """
+    from debezium_spark.sink.metadata import table_meta_from_schema
+    from debezium_spark.streaming.multi import wire_to_envelope
+
+    mapping = dict(schema_mapping or {})
+    metas = dict(metas or {})
+
+    parts: list[DataFrame] = []
+    for spec in specs:
+        key = (spec.db, spec.table)
+        meta = metas.get(key) or table_meta_from_schema(
+            mapping.get(spec.db, spec.db),
+            spec.table,
+            spec.payload_schema,
+            spec.key_cols,
+            dialect=dialect,
+        )
+        rows = wire_df.where(
+            (F.col("source.db") == spec.db)
+            & (F.col("source.table") == spec.table)
+            & F.col("op").isin("c", "u", "d")
+        )
+        env = wire_to_envelope(rows, spec.payload_schema)
+        parts.append(_dml_stmt_rows(env, meta, dialect))
+
+    ddl = _ddl_stmt_rows(
+        wire_df.select(
+            "op", "source",
+            F.get_json_object(F.col("after_json"), "$.content").alias("_ddl"),
+        ),
+        F.col("_ddl"),
+        mapping,
+    )
+    all_stmts = ddl
+    for p in parts:
+        all_stmts = all_stmts.unionByName(p)
+    return _wrap_tx(all_stmts)
 
 
 def write_statement_stream(

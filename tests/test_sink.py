@@ -611,3 +611,111 @@ class TestDuckDbReplayE2E:
         assert duck_state == want
         assert engine_state == want
         assert duck_state == engine_state
+
+
+class TestStatementStreamMulti:
+    """Mixed-table wire batch → one statement stream: per-table routing
+    (TableReplayTask.java:401-426), include-list drops, cross-table
+    transactions wrapping ONCE, and a DuckDB apply across both tables."""
+
+    def _wire(self, spark):
+        from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+        def src(pos, db, tbl):
+            return ("f1", pos, f"gtid:{pos}", None, db, tbl, pos * 10)
+
+        rows = [
+            # tx-a spans BOTH tables: wrappers must bound pos 1..3
+            ('{"repo":null}', '{"repo":"r1","path":"a.py","commit":"c1","lang":"py","content":"v1"}',
+             "c", 10, src(1, "db1", "files"), ("tx-a", 0, 0)),
+            ('{"id":null}', '{"id":7,"label":"x"}',
+             "c", 20, src(2, "db1", "tags"), ("tx-a", 1, 0)),
+            (None, '{"repo":"r2","path":"b.py","commit":"c2","lang":"py","content":"v2"}',
+             "c", 30, src(3, "db1", "files"), ("tx-a", 2, 0)),
+            # DDL at its offset (translated once, any table)
+            (None, '{"content":"alter table `db1`.`files` add note int"}',
+             "l", 40, src(4, "db1", "files"), None),
+            # unregistered table: dropped (include-list semantics)
+            (None, '{"k":1}', "c", 50, src(5, "db1", "ghost"), ("tx-b", 0, 0)),
+            # tx-b continues on a registered table
+            ('{"id":7,"label":"x"}', '{"id":7,"label":"y"}',
+             "u", 60, src(6, "db1", "tags"), ("tx-b", 1, 0)),
+            # autocommit delete on files
+            ('{"repo":"r1","path":"a.py","commit":"c1","lang":"py","content":"v1"}',
+             None, "d", 70, src(7, "db1", "files"), None),
+        ]
+        return spark.createDataFrame(rows, WIRE_SCHEMA)
+
+    def _specs(self):
+        from debezium_spark.streaming.multi import TableSpec
+
+        files_schema = StructType(
+            [
+                StructField("repo", StringType()),
+                StructField("path", StringType()),
+                StructField("commit", StringType()),
+                StructField("lang", StringType()),
+                StructField("content", StringType()),
+            ]
+        )
+        tags_schema = StructType(
+            [
+                StructField("id", IntegerType()),
+                StructField("label", StringType()),
+            ]
+        )
+        return [
+            TableSpec("db1", "files", files_schema, ["repo", "path"]),
+            TableSpec("db1", "tags", tags_schema, ["id"]),
+        ]
+
+    def test_routing_order_and_cross_table_tx(self, spark):
+        from debezium_spark.sink import statement_stream_multi
+
+        out = statement_stream_multi(
+            self._wire(spark), self._specs(), {"db1": "sink1"}
+        ).orderBy("file", "pos", "sub", "seq")
+        stmts = [r.stmt for r in out.collect()]
+        assert stmts == [
+            "begin;",
+            'insert into "sink1"."files" values (\'r1\', \'a.py\', \'c1\', \'py\', \'v1\');',
+            'insert into "sink1"."tags" values (7, \'x\');',
+            'insert into "sink1"."files" values (\'r2\', \'b.py\', \'c2\', \'py\', \'v2\');',
+            "commit;",
+            "set current_schema to sink1;",
+            "alter table `files` add note int",
+            # tx-b: the ghost-table row is dropped, so the wrapper bounds
+            # shrink to the surviving statement at pos 6
+            "begin;",
+            'update "sink1"."tags" set "id" = 7, "label" = \'y\' where "id" = 7;',
+            "commit;",
+            'delete from "sink1"."files" where "repo" = \'r1\' and "path" = \'a.py\';',
+        ]
+        # cross-table tx-a wraps exactly once
+        assert stmts.count("begin;") == 2
+
+    def test_duckdb_apply_two_tables(self, spark):
+        import duckdb
+
+        from debezium_spark.sink import statement_stream_multi
+
+        out = statement_stream_multi(
+            self._wire(spark), self._specs(), {"db1": "sink1"}
+        ).orderBy("file", "pos", "sub", "seq")
+        stmts = [r.stmt for r in out.collect()]
+
+        con = duckdb.connect()
+        con.execute("create schema sink1")
+        con.execute(
+            'create table sink1.files (repo varchar, path varchar, '
+            '"commit" varchar, lang varchar, content varchar)'
+        )
+        con.execute("create table sink1.tags (id int, label varchar)")
+        for s in stmts:
+            if s.startswith("set current_schema") or s.startswith("alter table `"):
+                continue  # openGauss-dialect DDL; DML is the contract here
+            con.execute(s)
+        assert con.execute(
+            "select repo, path from sink1.files order by repo"
+        ).fetchall() == [("r2", "b.py")]
+        assert con.execute("select id, label from sink1.tags").fetchall() == [(7, "y")]
