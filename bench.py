@@ -372,6 +372,28 @@ def main() -> None:
             replay_info["stream_events_per_sec"] = round(N_EVENTS / s_sec, 1)
             timings["cdc_replay_stream"] = round(s_sec, 3)
             total += s_sec
+
+        # --- 3c. sink statement generation over the SAME events (forward
+        # migration: envelopes -> openGauss DML text). Pure-Catalyst per-row
+        # map, so this should run at scan speed; noop sink isolates
+        # generation from the transport write.
+        if os.environ.get("SPARK_GRAFT_BENCH_SINK", "1") == "1":
+            from debezium_spark.schema import REPO_KEY_COLS, REPO_PAYLOAD_SCHEMA
+            from debezium_spark.sink import statement_stream, table_meta_from_schema
+
+            meta = table_meta_from_schema(
+                "sink", "repo_files", REPO_PAYLOAD_SCHEMA, list(REPO_KEY_COLS)
+            )
+            env = spark.read.parquet(os.path.join(binlog_dir, "*"))
+            t0 = time.perf_counter()
+            statement_stream(env, meta).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            g_sec = time.perf_counter() - t0
+            replay_info["sink_stmt_sec"] = round(g_sec, 3)
+            replay_info["sink_stmts_per_sec"] = round(N_EVENTS / g_sec, 1)
+            timings["sink_statement_gen"] = round(g_sec, 3)
+            total += g_sec
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
