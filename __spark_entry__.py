@@ -3137,6 +3137,50 @@ SELECT pos, op,
 FROM q"""
 
 
+def q_sink_stmt_stream(spark, sf_dir):
+    """Full ordered sink statement stream (ReplayTask/TransactionReplayTask
+    apply order): DML text per envelope row PLUS begin;/commit; wrappers at
+    each source transaction's first/last offset, computed by ONE O(tx)
+    partial aggregation — the transport order the reference applies on its
+    per-table JDBC channels."""
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.sink import statement_stream, table_meta_from_schema
+
+    env = _env_struct(spark, sf_dir)
+    schema = StructType.fromDDL("repo string, path string, content string")
+    meta = table_meta_from_schema(
+        "sink_app", "files", schema, ["repo", "path"], "opengauss"
+    )
+    return statement_stream(env, meta).select("file", "pos", "sub", "seq", "stmt")
+
+
+SQL_sink_stmt_stream = f"""WITH {ENV_SQL},
+q AS (
+  SELECT pos, op, tx_id,
+         '''' || replace(repo, '''', '''''') || '''' AS qr,
+         '''' || replace(path, '''', '''''') || '''' AS qp,
+         '''' || replace(content, '''', '''''') || '''' AS qc
+  FROM env WHERE op IN ('c','u','d')
+),
+dml AS (
+  SELECT 'binlog.000001' AS file, pos, 1 AS sub, 0 AS seq, tx_id,
+    CASE op
+      WHEN 'c' THEN 'insert into "sink_app"."files" values (' || qr || ', ' || qp || ', ' || qc || ');'
+      WHEN 'u' THEN 'update "sink_app"."files" set "repo" = ' || qr || ', "path" = ' || qp
+                    || ', "content" = ' || qc || ' where "repo" = ' || qr
+                    || ' and "path" = ' || qp || ';'
+      ELSE 'delete from "sink_app"."files" where "repo" = ' || qr
+           || ' and "path" = ' || qp || ';'
+    END AS stmt
+  FROM q
+),
+w AS (SELECT tx_id, MIN(pos) AS lo, MAX(pos) AS hi FROM dml GROUP BY tx_id)
+SELECT file, pos, sub, seq, stmt FROM dml
+UNION ALL SELECT 'binlog.000001', lo, 0, 0, 'begin;' FROM w
+UNION ALL SELECT 'binlog.000001', hi, 2, 0, 'commit;' FROM w"""
+
+
 def q_sink_ddl_translate(spark, sf_dir):
     """Forward-migration DDL rectification (ReplayTask.constructDdl:274-320):
     source DDL + schema mapping → the ordered sink statement list
@@ -3242,6 +3286,7 @@ _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "corpus_domain_cap": (q_corpus_domain_cap, SQL_corpus_domain_cap),
     "corpus_incremental_update": (q_corpus_incremental_update, SQL_corpus_incremental_update),
     "sink_dml_sqlgen": (q_sink_dml_sqlgen, SQL_sink_dml_sqlgen),
+    "sink_stmt_stream": (q_sink_stmt_stream, SQL_sink_stmt_stream),
     "sink_ddl_translate": (q_sink_ddl_translate, SQL_sink_ddl_translate),
     "sink_pg_deparse": (q_sink_pg_deparse, SQL_sink_pg_deparse),
 }
