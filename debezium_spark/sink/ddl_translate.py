@@ -25,6 +25,7 @@ for bulk replay of schema-change topics.
 
 from __future__ import annotations
 
+import re
 from typing import Iterator, Mapping
 
 from pyspark.sql import DataFrame
@@ -32,6 +33,15 @@ from pyspark.sql import DataFrame
 
 def _backquoted(name: str) -> str:
     return f"`{name}`"
+
+
+#: the table reference immediately after REFERENCES: `q`.`q` / `q`.bare /
+#: bare.`q` / bare.bare / `q` / bare — ONLY the leading identifier tokens,
+#: so a '.' later in the statement (a decimal default, a second column, a
+#: comment) can never be mistaken for a schema qualifier.
+_REF_TABLE = re.compile(
+    r"\s*(?P<first>`[^`]+`|[\w$]+)(?:\s*\.\s*(?P<second>`[^`]+`|[\w$]+))?"
+)
 
 
 def _strip_backquote(name: str) -> str:
@@ -55,19 +65,21 @@ def _rectify_foreign_rely(
         return ddl
     index = low.index("references")
     prefix, suffix = ddl[:index], ddl[index + len("references"):]
-    if len(suffix.split(".")) > 1:
-        old_schema = _strip_backquote(suffix.split(".")[0].strip())
+    m = _REF_TABLE.match(suffix)
+    if m is None:  # nothing identifier-like follows REFERENCES: pass through
+        return ddl
+    rest = suffix[m.end():]
+    if m.group("second") is not None:
+        old_schema = _strip_backquote(m.group("first"))
         if old_schema not in schema_mapping:
             return None
-        suffix = suffix.replace(old_schema, schema_mapping[old_schema], 1)
-        head = suffix[: suffix.rindex("(")].strip()
-        schema_part, table_part = head.split(".")[0], head.split(".")[1]
-        suffix = suffix.replace(schema_part, f'"{_strip_backquote(schema_part)}"')
-        suffix = suffix.replace(table_part, f'"{_strip_backquote(table_part)}"')
+        head = (
+            f'"{schema_mapping[old_schema]}"'
+            f'."{_strip_backquote(m.group("second"))}"'
+        )
     else:
-        ref_table = suffix.strip()[: suffix.strip().rindex("(")]
-        suffix = suffix.replace(ref_table, f'"{_strip_backquote(ref_table)}"')
-    return f"{prefix} references {suffix}"
+        head = f'"{_strip_backquote(m.group("first"))}"'
+    return f"{prefix}references {head}{rest}"
 
 
 def _ignore_schema_name(ddl: str, schema: str, table: str) -> str:
@@ -115,11 +127,33 @@ def translate_ddl(
         if len(old_full.split(".")) == 2:
             ddl = ddl.replace(old_full, old_full.split(".")[1], 1)
     elif low.startswith("drop table"):
-        ddl = ddl.replace(f"{_backquoted(source_schema)}.", "", 1)
+        # strip the schema qualifier whether or not it is backquoted — the
+        # set current_schema prelude supplies it on the target
+        for prefix in (f"{_backquoted(source_schema)}.", f"{source_schema}."):
+            if prefix in ddl:
+                ddl = ddl.replace(prefix, "", 1)
+                break
     else:
         ddl = _ignore_schema_name(ddl, source_schema, table)
     statements.append(ddl)
     return statements
+
+
+def iter_translations(
+    ddls, dbs, tbls, mapping: Mapping[str, str]
+):
+    """Shared explode loop over parallel (ddl, db, tbl) sequences → yields
+    ``(row_index, seq, stmt)`` — the single place the per-event statement
+    expansion semantics live (empty/None ddl text is skipped: an op='l'
+    record with no payload carries nothing to replay)."""
+    for i, (ddl, db, tbl) in enumerate(zip(ddls, dbs, tbls)):
+        if not ddl:
+            continue
+        stmts = translate_ddl(
+            ddl, db, None if tbl is None or tbl == "" else tbl, mapping
+        )
+        for seq, s in enumerate(stmts):
+            yield i, seq, s
 
 
 def translate_ddl_batch(
@@ -135,16 +169,14 @@ def translate_ddl_batch(
 
         for pdf in batches:
             out = {"ddl": [], "db": [], "tbl": [], "seq": [], "stmt": []}
-            for ddl, db, tbl in zip(pdf["ddl"], pdf["db"], pdf["tbl"]):
-                stmts = translate_ddl(
-                    ddl, db, None if tbl is None or tbl == "" else tbl, mapping
-                )
-                for i, s in enumerate(stmts):
-                    out["ddl"].append(ddl)
-                    out["db"].append(db)
-                    out["tbl"].append(tbl)
-                    out["seq"].append(i)
-                    out["stmt"].append(s)
+            for i, seq, s in iter_translations(
+                pdf["ddl"], pdf["db"], pdf["tbl"], mapping
+            ):
+                out["ddl"].append(pdf["ddl"].iloc[i])
+                out["db"].append(pdf["db"].iloc[i])
+                out["tbl"].append(pdf["tbl"].iloc[i])
+                out["seq"].append(seq)
+                out["stmt"].append(s)
             yield pd.DataFrame(out)
 
     return df.select("ddl", "db", "tbl").mapInPandas(

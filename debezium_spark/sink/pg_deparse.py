@@ -24,6 +24,7 @@ Arrow-batched wrapper exists for bulk replay.
 from __future__ import annotations
 
 import json
+import re
 from decimal import Decimal
 from typing import Iterator, Mapping
 
@@ -100,10 +101,17 @@ def _adjust_default(value: str, st: DeparseState) -> str:
 
 
 def _adjust_view_query(value: str, st: DeparseState) -> str:
+    """Remap ``schema.`` qualifiers in a view body through EVERY mapping
+    entry. Token-anchored (no match mid-identifier like ``myapp.`` for the
+    key ``app``, nor after a ``.`` — that position is a column qualifier);
+    known edge: a qualifier-shaped substring inside a string literal in the
+    view body is remapped too, as in the reference's plain replace."""
+    out = value
     for schema, mapped in st.schema_mapping.items():
-        if f"{schema}." in value:
-            return value.replace(f"{schema}.", f"{mapped}.")
-    return value
+        out = re.sub(
+            rf'(?<![\w$".]){re.escape(schema)}\.', f"{mapped}.", out
+        )
+    return out
 
 
 _ADJUSTERS = {
@@ -175,7 +183,9 @@ def _expand_element(
     elif spec == "D":
         _expand_dotted_name(out, key, value, st)
     elif spec == "L":
-        out.append(f"'{value}'")
+        # %L prints NULL unquoted for a null/absent parameter (PostgreSQL's
+        # string_to_text_literal), never the stringified None
+        out.append("NULL" if value is None else f"'{value}'")
     elif spec == "T":
         _expand_type_name(out, value, st)
     elif spec == "n":

@@ -32,7 +32,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from debezium_spark.sink.ddl_translate import translate_ddl
+from debezium_spark.sink.ddl_translate import iter_translations
 from debezium_spark.sink.metadata import TableMeta
 from debezium_spark.sink.sqlgen import dml_statements
 
@@ -83,19 +83,19 @@ def _ddl_stmt_rows(
 
         for pdf in batches:
             out = {"file": [], "pos": [], "sub": [], "seq": [], "stmt": [], "_tx": []}
-            for file, pos, ddl, db, tbl in zip(
-                pdf["file"], pdf["pos"], pdf["ddl"], pdf["db"], pdf["tbl"]
+            for i, seq, s in iter_translations(
+                pdf["ddl"], pdf["db"], pdf["tbl"], mapping
             ):
-                parts = translate_ddl(
-                    ddl or "", db, None if not tbl else tbl, mapping
-                )
-                for i, s in enumerate(parts):
-                    out["file"].append(file)
-                    out["pos"].append(pos)
-                    out["sub"].append(_SUB_STMT)
-                    out["seq"].append(i)
-                    out["stmt"].append(s)
-                    out["_tx"].append(None)
+                out["file"].append(pdf["file"].iloc[i])
+                out["pos"].append(pdf["pos"].iloc[i])
+                out["sub"].append(_SUB_STMT)
+                out["seq"].append(seq)
+                # line-oriented transport: a multi-line source DDL must stay
+                # one statement line; newline → space is SQL-whitespace-
+                # preserving (known edge: a newline INSIDE a DDL string
+                # literal, e.g. COMMENT '...', flattens to a space)
+                out["stmt"].append(s.replace("\r\n", " ").replace("\n", " ").replace("\r", " "))
+                out["_tx"].append(None)
             yield pd.DataFrame(out)
 
     return ddl_rows.mapInPandas(gen, _STMT_SCHEMA)
@@ -154,10 +154,16 @@ def statement_stream(
     stmts = _dml_stmt_rows(env_df, table, dialect)
     # DDL rows: text rides `_ddl_text` on the wire path, else after.content
     # (streaming/engine.py barrier extraction uses the same two sources).
+    # A payload schema without a content field can't carry DDL text — fall
+    # back to null, which iter_translations skips, instead of failing plan
+    # analysis on a missing struct field for batches with zero op='l' rows.
+    after_fields = {f.name for f in env_df.schema["after"].dataType.fields}
     if "_ddl_text" in env_df.columns:
         text_col = F.col("_ddl_text")
-    else:
+    elif "content" in after_fields:
         text_col = F.col("after.content")
+    else:
+        text_col = F.lit(None).cast("string")
     ddl_stmts = _ddl_stmt_rows(env_df, text_col, mapping)
     return _wrap_tx(stmts.unionByName(ddl_stmts))
 

@@ -28,6 +28,18 @@ prints null elements as ``"null"``), and as ``col is null`` in WHERE.
 Snapshot rows (op ``r``) are NOT statement-replayed — the reference moves
 full data through the CSV bulk path (``sources/slices.py`` here); tombstones
 and control ops carry no payload. Both are excluded by the op filter.
+
+One deliberate divergence from the reference's literal rules: the reference
+ships statements over JDBC, where a string literal may span lines and MySQL's
+client layer handles escaping; our transport is a LINE-ORIENTED statement
+file (:mod:`replay`), so every statement must stay on one line and survive
+the target parser's escape rules. String literals therefore escape control
+characters: MySQL literals always double backslashes and encode
+``\\n``/``\\r``/NUL/ctrl-Z (the server's default backslash-escape mode would
+otherwise corrupt any payload containing them); openGauss/PG literals switch
+to the ``E'...'`` escape-string form only when the value contains a newline
+(plain ``''``-doubled quoting is reference-parity otherwise, and
+``standard_conforming_strings`` keeps backslashes literal in that form).
 """
 
 from __future__ import annotations
@@ -43,6 +55,10 @@ _BARE_TYPES = {
     "tinyint", "smallint", "mediumint", "int", "integer", "bigint",
     "uint1", "uint2", "uint4", "uint8", "year", "real", "float",
     "double", "double precision", "boolean",
+    # boolean-schema bit columns render bare true/false like the reference's
+    # convertBit boolean branch (DebeziumValueConverters.java:367-377);
+    # MySQL reads true/false as 1/0 for bit(1).
+    "bit",
 }
 
 #: rendered as hex binary literals.
@@ -68,9 +84,37 @@ def _quoted(name: str, symbol: str) -> str:
     return f"{symbol}{name}{symbol}"
 
 
-def _sql_string(col: Column) -> Column:
-    """Single-quote a string with '' doubling — ``addingSingleQuotation``."""
-    return F.concat(F.lit("'"), F.regexp_replace(col.cast("string"), "'", "''"), F.lit("'"))
+def _sql_string(col: Column, dialect: str) -> Column:
+    """Single-quote a string — ``addingSingleQuotation`` plus the transport's
+    line/escape safety (see module docstring).
+
+    * ``mysql``: always double backslashes and encode ``\\n``/``\\r``/NUL/
+      ctrl-Z — the server's default (NO_BACKSLASH_ESCAPES off) interprets
+      backslash escapes inside every literal, so an unescaped backslash
+      swallows the closing quote; the encoded escapes decode back to the
+      original bytes.
+    * ``opengauss``: plain ``''``-doubled quoting (reference parity;
+      ``standard_conforming_strings`` keeps backslashes literal), switching
+      to ``E'...'`` with backslash escapes only when the value contains a
+      newline or carriage return — the one case a line-oriented statement
+      file cannot carry raw.
+    """
+    s = col.cast("string")
+    if dialect == "mysql":
+        e = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+        e = F.replace(e, F.lit("'"), F.lit("''"))
+        e = F.replace(e, F.lit("\n"), F.lit("\\n"))
+        e = F.replace(e, F.lit("\r"), F.lit("\\r"))
+        e = F.replace(e, F.lit("\x00"), F.lit("\\0"))
+        e = F.replace(e, F.lit("\x1a"), F.lit("\\Z"))
+        return F.concat(F.lit("'"), e, F.lit("'"))
+    plain = F.concat(F.lit("'"), F.replace(s, F.lit("'"), F.lit("''")), F.lit("'"))
+    esc = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    esc = F.replace(esc, F.lit("'"), F.lit("''"))
+    esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
+    esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
+    e_form = F.concat(F.lit("E'"), esc, F.lit("'"))
+    return F.when(s.rlike("[\\n\\r]"), e_form).otherwise(plain)
 
 
 def render_literal(col: Column, meta: ColumnMeta, dialect: str) -> Column:
@@ -121,7 +165,7 @@ def render_literal(col: Column, meta: ColumnMeta, dialect: str) -> Column:
             ),
         )
     # default branch = convertChar: char/varchar/text/enum/set/json …
-    return _sql_string(col)
+    return _sql_string(col, dialect)
 
 
 def _value_or_null(struct: Column, meta: ColumnMeta, dialect: str) -> Column:

@@ -21,6 +21,7 @@ import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     DateType,
     DecimalType,
     DoubleType,
@@ -191,6 +192,63 @@ class TestDmlSqlgen:
         )
         assert _sqls(dml_statements(env, meta)) == ['insert into "s"."t" values (2.01);']
 
+    def test_mysql_backslashes_and_control_chars_escape(self, spark):
+        # MySQL's default mode interprets backslash escapes inside every
+        # literal; raw payload backslashes/newlines must encode or the
+        # literal swallows the closing quote / splits the statement line
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"], "mysql")
+        row = (
+            "c", None,
+            (1, "C:\\dir\nnext", None, None, None, None),
+            ("f1", 1, "db1", "widgets"),
+        )
+        got = _sqls(dml_statements(_env(spark, [row]), meta, dialect="mysql"))
+        assert got == [
+            "insert into `src`.`widgets` values(1, 'C:\\\\dir\\nnext', null,"
+            " null, null, null);"
+        ]
+
+    def test_opengauss_newline_switches_to_escape_string_form(self, spark):
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"])
+        rows = [
+            # newline → E'...' with \n and doubled backslashes
+            ("c", None, (1, "a\nb\\c", None, None, None, None),
+             ("f1", 1, "db1", "widgets")),
+            # backslash WITHOUT newline → plain parity form (literal \ under
+            # standard_conforming_strings)
+            ("c", None, (2, "C:\\dir", None, None, None, None),
+             ("f1", 2, "db1", "widgets")),
+        ]
+        got = _sqls(dml_statements(_env(spark, rows), meta))
+        assert got == [
+            'insert into "src"."widgets" values (1, E\'a\\nb\\\\c\', null,'
+            " null, null, null);",
+            'insert into "src"."widgets" values (2, \'C:\\dir\', null,'
+            " null, null, null);",
+        ]
+
+    def test_bit_boolean_renders_bare(self, spark):
+        # boolean-schema bit columns render bare true/false like the
+        # reference's convertBit boolean branch
+        payload = StructType(
+            [StructField("id", IntegerType()), StructField("flag", BooleanType())]
+        )
+        env_schema = StructType(
+            [
+                StructField("op", StringType()),
+                StructField("before", payload),
+                StructField("after", payload),
+                StructField("source", SOURCE),
+            ]
+        )
+        meta = table_meta_from_schema("src", "flags", payload, ["id"], "mysql")
+        assert meta.columns[1].type_name == "bit"
+        df = spark.createDataFrame(
+            [("c", None, (1, True), ("f1", 1, "db1", "flags"))], env_schema
+        )
+        got = _sqls(dml_statements(df, meta, dialect="mysql"))
+        assert got == ["insert into `src`.`flags` values(1, true);"]
+
     def test_snapshot_and_control_ops_excluded(self, spark):
         meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"])
         rows = [
@@ -254,13 +312,51 @@ class TestDdlTranslate:
             " references `other`.`customers` (id)"
         )
         got = translate_ddl(ddl, "db1", "orders", self.MAP)
-        # prefix keeps its trailing space and the suffix its leading one —
-        # ReplayTask.rectifyForeignRelyDdl rebuilds "prefix + ' references '
-        # + suffix" verbatim; the table qualifier then strips as usual
+        # only the table reference right after REFERENCES is remapped and
+        # re-quoted; everything around it survives verbatim, and the main
+        # table's qualifier then strips as usual
         assert got[1] == (
-            "alter table `orders` add constraint fk foreign key (cid) "
-            ' references  "o2"."customers" (id)'
+            "alter table `orders` add constraint fk foreign key (cid)"
+            ' references "o2"."customers" (id)'
         )
+
+    def test_foreign_key_dot_later_in_statement_is_not_a_qualifier(self):
+        # a '.' after REFERENCES that is NOT part of the table reference (a
+        # decimal default here) must not trigger the qualified-schema branch
+        ddl = (
+            "create table `db1`.`t` (a int, foreign key (a) references"
+            " `parent` (id), b double default 1.5)"
+        )
+        got = translate_ddl(ddl, "db1", "t", self.MAP)
+        assert got[1] == (
+            "create table `t` (a int, foreign key (a) references"
+            ' "parent" (id), b double default 1.5)'
+        )
+
+    def test_foreign_key_mid_statement_requotes_only_the_reference(self):
+        # inline FK is not the final element: the trailing column list must
+        # survive untouched (the old rindex('(') grab corrupted it)
+        ddl = (
+            "create table `db1`.`t` (a int, foreign key (a) references"
+            " `other`.`c` (id), b numeric(10,2))"
+        )
+        got = translate_ddl(ddl, "db1", "t", self.MAP)
+        assert got[1] == (
+            "create table `t` (a int, foreign key (a) references"
+            ' "o2"."c" (id), b numeric(10,2))'
+        )
+
+    def test_foreign_key_without_column_list(self):
+        # MySQL-legal REFERENCES with no explicit column list: no crash
+        got = translate_ddl(
+            "alter table db1.t add foreign key (a) references parent",
+            "db1", "t", self.MAP,
+        )
+        assert got[1] == 'alter table `t` add foreign key (a) references "parent"'
+
+    def test_drop_table_strips_unquoted_schema(self):
+        got = translate_ddl("drop table db1.widgets", "db1", "widgets", self.MAP)
+        assert got == ["set current_schema to sink1;", "drop table widgets"]
 
     def test_foreign_key_unmapped_schema_skips_statement(self):
         ddl = (
@@ -394,6 +490,32 @@ class TestPgDeparse:
         )
         assert expand_ddl_json(j, {"s1": "m1"})[0] == "CREATE VIEW v AS select * from m1.t;"
 
+    def test_view_query_remap_is_token_anchored_and_covers_all_schemas(self):
+        j = json.dumps(
+            {
+                "fmt": "CREATE VIEW v AS %{query}s",
+                # 'app.' must not match inside 'myapp.', nor after a '.'
+                # (t.app would be a column qualifier); both mapped schemas
+                # remap, not just the first found
+                "query": "select * from myapp.t join app.u on t.x = u.x"
+                " join s2.w on u.y = w.y",
+            }
+        )
+        got = expand_ddl_json(j, {"app": "sink_app", "s2": "m2"})[0]
+        assert got == (
+            "CREATE VIEW v AS select * from myapp.t join sink_app.u"
+            " on t.x = u.x join m2.w on u.y = w.y;"
+        )
+
+    def test_literal_null_parameter_renders_null_token(self):
+        # %L prints NULL unquoted for a null/absent parameter, not 'None'
+        j = json.dumps(
+            {"fmt": "ALTER TABLE t ALTER COLUMN c SET DEFAULT %{definition}L"}
+        )
+        assert expand_ddl_json(j)[0] == (
+            "ALTER TABLE t ALTER COLUMN c SET DEFAULT NULL;"
+        )
+
     def test_invalid_json_returns_empty(self):
         assert expand_ddl_json("not json at all") == ("", {})
 
@@ -478,6 +600,48 @@ class TestStatementStream:
         assert lines == expected
         # redelivery: the committed batch dir is fenced
         assert write_statement_stream(stream, out_dir, batch_id=7) == 0
+
+    def test_typed_path_without_content_field_or_ddl_text(self, spark):
+        # PAYLOAD has no 'content' field and ENV carries no _ddl_text: the
+        # DDL fallback must not fail analysis; DML rows still stream
+        meta = table_meta_from_schema("sink1", "widgets", PAYLOAD, ["id"])
+        env = _env(spark, [ROW_C, ROW_D])
+        rows = statement_stream(env, meta).collect()
+        assert len(rows) == 2
+        assert all(r.sub == 1 for r in rows)
+
+    def test_newline_payload_stays_one_statement_per_line(self, spark, tmp_path):
+        # the transport is line-oriented: a payload string with embedded
+        # newlines must not split its statement across part-file lines, and
+        # a multi-line DDL must flatten to one line
+        rows = [
+            ("c", None, (1, "line1\nline2", None, None, None, None),
+             ("f1", 10, "db1", "widgets"), ("tx1",), None),
+            ("l", None, None, ("f1", 11, "db1", "widgets"), (None,),
+             "alter table `db1`.`widgets`\n  add c int"),
+        ]
+        env = spark.createDataFrame(rows, ENV_TX)
+        meta = table_meta_from_schema("sink1", "widgets", PAYLOAD, ["id"])
+        stream = statement_stream(env, meta, {"db1": "sink1"})
+        out_dir = str(tmp_path / "stmts")
+        n = write_statement_stream(stream, out_dir, batch_id=1, n_files=2)
+        lines = []
+        for p in sorted(glob.glob(os.path.join(out_dir, "batch-000001", "part-*"))):
+            with open(p) as f:
+                lines.extend(f.read().splitlines())
+        assert len(lines) == n  # one line per statement, none split
+        insert = next(l for l in lines if l.startswith("insert"))
+        assert insert == (
+            'insert into "sink1"."widgets" values (1, E\'line1\\nline2\','
+            " null, null, null, null);"
+        )
+        ddl = next(l for l in lines if l.startswith("alter"))
+        assert ddl == "alter table `widgets`   add c int"
+        # the escaped literal round-trips through a real SQL engine
+        import duckdb
+
+        con = duckdb.connect()
+        assert con.execute("select E'line1\\nline2'").fetchone()[0] == "line1\nline2"
 
 
 class TestDuckDbReplayE2E:
