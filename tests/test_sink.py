@@ -777,6 +777,128 @@ class TestDuckDbReplayE2E:
         assert duck_state == engine_state
 
 
+class TestLiteralRoundtrip:
+    """Adversarial-payload roundtrip proof for the literal escape rules:
+    every generated INSERT, parsed back by an independent SQL engine (or by
+    MySQL's documented unescape rules for the mysql dialect), must yield the
+    original string byte-for-byte — the property the line-oriented statement
+    transport depends on."""
+
+    # quotes, doubled quotes, backslashes (incl. trailing), newlines, CR,
+    # tabs, escape-rule collision shapes, unicode, and empty
+    CORPUS = [
+        "plain",
+        "",
+        "O'Hara",
+        "''already''",
+        "C:\\dir\\sub",
+        "trailing backslash\\",
+        "\\",
+        "\\n not a newline",
+        "line1\nline2",
+        "line1\r\nline2",
+        "\n",
+        "tab\there",
+        "mix 'q' \\ and\nnewline\\'",
+        "unicode: каждый 事件 ✓",
+        "percent % and _ wildcard",
+        "E'looks like escape string'",
+        "a\\'b",
+        "\\\\server\\share\nUNC",
+    ]
+
+    def _insert_values(self, spark, dialect):
+        payload = StructType(
+            [StructField("id", IntegerType()), StructField("v", StringType())]
+        )
+        env_schema = StructType(
+            [
+                StructField("op", StringType()),
+                StructField("before", payload),
+                StructField("after", payload),
+                StructField("source", SOURCE),
+            ]
+        )
+        rows = [
+            ("c", None, (i, v), ("f1", i, "db1", "t"))
+            for i, v in enumerate(self.CORPUS)
+        ]
+        meta = table_meta_from_schema("s", "t", payload, ["id"], dialect)
+        df = dml_statements(
+            spark.createDataFrame(rows, env_schema), meta, dialect=dialect
+        )
+        return [r.sql for r in df.orderBy("source.pos").collect()]
+
+    def test_opengauss_literals_roundtrip_through_sql_engine(self, spark):
+        import duckdb
+
+        stmts = self._insert_values(spark, "opengauss")
+        con = duckdb.connect()
+        con.execute('create schema s; create table s."t" (id int, v text)')
+        for s in stmts:
+            assert "\n" not in s and "\r" not in s  # single-line transport
+            con.execute(s)
+        got = dict(con.execute('select id, v from s."t"').fetchall())
+        assert got == dict(enumerate(self.CORPUS))
+
+    @staticmethod
+    def _mysql_unescape(literal: str) -> str:
+        """MySQL's default-mode string literal decoding (the server side of
+        the contract; backslash escape table from the public manual)."""
+        assert literal[0] == "'" and literal[-1] == "'"
+        body = literal[1:-1]
+        out, i = [], 0
+        table = {"n": "\n", "r": "\r", "t": "\t", "0": "\x00", "Z": "\x1a",
+                 "\\": "\\", "'": "'", '"': '"', "b": "\b"}
+        while i < len(body):
+            ch = body[i]
+            if ch == "\\" and i + 1 < len(body):
+                nxt = body[i + 1]
+                out.append(table.get(nxt, nxt))
+                i += 2
+            elif ch == "'" and i + 1 < len(body) and body[i + 1] == "'":
+                out.append("'")
+                i += 2
+            else:
+                assert ch != "'", f"unescaped quote inside literal: {literal!r}"
+                out.append(ch)
+                i += 1
+        return "".join(out)
+
+    def test_mysql_literals_roundtrip_through_unescape_rules(self, spark):
+        stmts = self._insert_values(spark, "mysql")
+        corpus = self.CORPUS + ["nul\x00byte", "ctrl-Z\x1a"]
+        stmts += self._insert_values_extra_mysql(spark, corpus[len(self.CORPUS):])
+        for s, original in zip(stmts, corpus):
+            assert "\n" not in s and "\r" not in s
+            prefix = "insert into `s`.`t` values("
+            assert s.startswith(prefix) and s.endswith(");")
+            literal = s[len(prefix):-2].split(", ", 1)[1]
+            assert self._mysql_unescape(literal) == original
+
+    def _insert_values_extra_mysql(self, spark, values):
+        payload = StructType(
+            [StructField("id", IntegerType()), StructField("v", StringType())]
+        )
+        env_schema = StructType(
+            [
+                StructField("op", StringType()),
+                StructField("before", payload),
+                StructField("after", payload),
+                StructField("source", SOURCE),
+            ]
+        )
+        rows = [
+            ("c", None, (i, v), ("f1", i, "db1", "t"))
+            for i, v in enumerate(values)
+        ]
+        meta = table_meta_from_schema("s", "t", payload, ["id"], "mysql")
+        df = dml_statements(
+            spark.createDataFrame(rows, env_schema), meta, dialect="mysql"
+        )
+        return [r.sql for r in df.orderBy("source.pos").collect()]
+
+
 class TestStatementStreamMulti:
     """Mixed-table wire batch → one statement stream: per-table routing
     (TableReplayTask.java:401-426), include-list drops, cross-table
