@@ -81,7 +81,8 @@ _WHERE_GEOM = {"point", "polygon"}
 
 
 def _quoted(name: str, symbol: str) -> str:
-    return f"{symbol}{name}{symbol}"
+    # an embedded quote symbol doubles (MySQL `a``b`, SQL-standard "a""b")
+    return f"{symbol}{name.replace(symbol, symbol * 2)}{symbol}"
 
 
 def _sql_string(col: Column, dialect: str) -> Column:

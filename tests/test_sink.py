@@ -227,6 +227,24 @@ class TestDmlSqlgen:
             " null, null, null);",
         ]
 
+    def test_identifier_quote_symbol_doubles(self, spark):
+        # a quote symbol embedded in an identifier doubles inside the wrap
+        payload = StructType([StructField('we"ird', IntegerType())])
+        env_schema = StructType(
+            [
+                StructField("op", StringType()),
+                StructField("before", payload),
+                StructField("after", payload),
+                StructField("source", SOURCE),
+            ]
+        )
+        meta = table_meta_from_schema('s"1', 't', payload, ['we"ird'])
+        df = spark.createDataFrame(
+            [("c", None, (7,), ("f1", 1, "db1", "t"))], env_schema
+        )
+        got = _sqls(dml_statements(df, meta))
+        assert got == ['insert into "s""1"."t" values (7);']
+
     def test_bit_boolean_renders_bare(self, spark):
         # boolean-schema bit columns render bare true/false like the
         # reference's convertBit boolean branch
