@@ -261,9 +261,26 @@ def write_statement_stream(
         stmt_df.repartitionByRange(n_files, "file", "pos", "sub", "seq")
         .sortWithinPartitions("file", "pos", "sub", "seq")
         .select("stmt")
-        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n"),
+            # transport invariant: one statement per line. The literal/DDL
+            # escape rules (sqlgen, _ddl_stmt_rows) make this structural;
+            # this guard rides the SAME observation (no extra job) and
+            # fails loudly if a future statement source regresses it.
+            F.sum(
+                F.when(F.col("stmt").rlike("[\\n\\r]"), 1).otherwise(0)
+            ).alias("multiline"),
+        )
     )
     ordered.write.mode("overwrite").text(batch_dir)
+    multiline = int(obs.get["multiline"] or 0)
+    if multiline:
+        raise ValueError(
+            f"statement stream batch {batch_id}: {multiline} statement(s) "
+            "contain raw newlines and would split across part-file lines — "
+            "the written batch is NOT committed (_done withheld)"
+        )
     n = int(obs.get["n"])
     tmp = done + ".tmp"
     with open(tmp, "w") as f:

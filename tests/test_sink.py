@@ -655,6 +655,14 @@ class TestStatementStream:
         )
         ddl = next(l for l in lines if l.startswith("alter"))
         assert ddl == "alter table `widgets`   add c int"
+        # the writer's own invariant guard: a raw-newline statement refuses
+        # to commit (fence withheld) instead of silently splitting
+        bad = spark.createDataFrame(
+            [("f1", 1, 1, 0, "select\n1;")],
+            "file string, pos long, sub int, seq int, stmt string",
+        )
+        with pytest.raises(ValueError, match="raw newlines"):
+            write_statement_stream(bad, str(tmp_path / "bad"), batch_id=2)
         # the escaped literal round-trips through a real SQL engine
         import duckdb
 
