@@ -57,14 +57,17 @@ def _rectify_foreign_rely(
     target. Returns None when the referenced schema has no mapping (the
     reference skips the DDL)."""
     low = ddl.lower()
+    # whole-word match so an identifier like `preferences` never anchors
+    # the clause; FOREIGN KEY must precede the REFERENCES keyword
+    kw = re.search(r"\breferences\b", low)
     if not (
         (low.startswith("alter table") or low.startswith("create table"))
         and "foreign key" in low
-        and "references" in low
+        and kw is not None
+        and low.rfind("foreign key", 0, kw.start()) != -1
     ):
         return ddl
-    index = low.index("references")
-    prefix, suffix = ddl[:index], ddl[index + len("references"):]
+    prefix, suffix = ddl[: kw.start()], ddl[kw.end():]
     m = _REF_TABLE.match(suffix)
     if m is None:  # nothing identifier-like follows REFERENCES: pass through
         return ddl

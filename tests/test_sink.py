@@ -372,6 +372,18 @@ class TestDdlTranslate:
         )
         assert got[1] == 'alter table `t` add foreign key (a) references "parent"'
 
+    def test_references_inside_identifier_is_not_the_keyword(self):
+        # 'references' embedded in a column name must not anchor the clause
+        ddl = (
+            "create table `db1`.`t` (preferences int, foreign key"
+            " (preferences) references `other`.`prefs` (id))"
+        )
+        got = translate_ddl(ddl, "db1", "t", self.MAP)
+        assert got[1] == (
+            "create table `t` (preferences int, foreign key"
+            ' (preferences) references "o2"."prefs" (id))'
+        )
+
     def test_drop_table_strips_unquoted_schema(self):
         got = translate_ddl("drop table db1.widgets", "db1", "widgets", self.MAP)
         assert got == ["set current_schema to sink1;", "drop table widgets"]
