@@ -265,7 +265,15 @@ def _dec_for(dt: DataType):
     if isinstance(dt, DateType):
         def dec_date(buf, off):
             days, off = _zigzag_decode(buf, off)
-            return _EPOCH_DATE + datetime.timedelta(days=days), off
+            try:
+                return _EPOCH_DATE + datetime.timedelta(days=days), off
+            except OverflowError:
+                # same loud posture as a schema-id mismatch: a date frame
+                # outside [0001-01-01, 9999-12-31] is corrupt, not data
+                raise ValueError(
+                    f"bad avro frame: date value {days} epoch-days is "
+                    "outside the representable date range"
+                ) from None
         return dec_date
     if isinstance(dt, StringType):
         def dec_str(buf, off):

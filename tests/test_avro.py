@@ -934,3 +934,25 @@ def test_recursive_json_schema_rejected_with_reason():
     dec, stype = _json_decoder(reuse)
     assert [f.name for f in stype.fields] == ["a", "b"]
     assert stype["b"].dataType.simpleString() == "struct<v:bigint>"
+
+
+def test_out_of_range_date_frame_raises_corrupt_not_overflow():
+    """An epoch-day outside [0001-01-01, 9999-12-31] is a corrupt frame —
+    the decoder raises the same loud ValueError posture as a schema-id
+    mismatch, never a bare OverflowError from timedelta arithmetic."""
+    from pyspark.sql.types import DateType
+
+    from debezium_spark.functions.avro import _dec_for, _zigzag_encode
+
+    dec = _dec_for(DateType())
+    # one past each representable bound
+    for days in (-719163, 2932897):
+        with pytest.raises(ValueError, match="outside the representable"):
+            dec(bytes(_zigzag_encode(days)), 0)
+    # the exact bounds still decode
+    import datetime
+
+    v, off = dec(bytes(_zigzag_encode(-719162)), 0)
+    assert v == datetime.date(1, 1, 1)
+    v, _ = dec(bytes(_zigzag_encode(2932896)), 0)
+    assert v == datetime.date(9999, 12, 31)
