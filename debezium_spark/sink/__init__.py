@@ -22,6 +22,7 @@ from debezium_spark.sink.ddl_translate import translate_ddl, translate_ddl_batch
 from debezium_spark.sink.metadata import ColumnMeta, TableMeta, table_meta_from_schema
 from debezium_spark.sink.pg_deparse import expand_ddl_json, expand_ddl_json_batch
 from debezium_spark.sink.replay import (
+    apply_statement_stream,
     statement_stream,
     statement_stream_multi,
     write_statement_stream,
@@ -38,6 +39,7 @@ __all__ = [
     "expand_ddl_json",
     "expand_ddl_json_batch",
     "statement_stream",
+    "apply_statement_stream",
     "statement_stream_multi",
     "write_statement_stream",
 ]

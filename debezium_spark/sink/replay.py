@@ -287,3 +287,145 @@ def write_statement_stream(
         json.dump({"batch_id": batch_id, "statements": n}, f)
     os.replace(tmp, done)
     return n
+
+
+def _iter_batch_lines(batch_dir: str):
+    """One committed batch directory → its statement lines in replay order.
+
+    Part files are range-ordered by the writer (``write_statement_stream``),
+    so reading them in filename order IS the total order."""
+    parts = sorted(
+        p for p in os.listdir(batch_dir)
+        if p.startswith("part-") and not p.endswith(".crc")
+    )
+    for p in parts:
+        with open(os.path.join(batch_dir, p), encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    yield line
+
+
+def _units(lines) -> list[tuple[list[str], bool]]:
+    """Statement lines → apply units: ``(body, explicit_tx)``.
+
+    ``begin;`` … ``commit;`` spans group into one unit (body excludes the
+    wrappers — the reference's ``txn.getSqlList()`` likewise carries only
+    the statements, ``WorkThread.java:148-156`` re-issues BEGIN/COMMIT at
+    apply time); everything else is a single-statement autocommit unit. An
+    unterminated ``begin;`` is a corrupt stream and raises — the writer
+    computes both transaction bounds inside the batch, so a missing
+    ``commit;`` can only mean truncated part files."""
+    units: list[tuple[list[str], bool]] = []
+    body: list[str] | None = None
+    for line in lines:
+        if line == "begin;":
+            if body is not None:
+                raise ValueError("corrupt statement stream: nested begin;")
+            body = []
+        elif line == "commit;":
+            if body is None:
+                raise ValueError("corrupt statement stream: commit; without begin;")
+            units.append((body, True))
+            body = None
+        elif body is not None:
+            body.append(line)
+        else:
+            units.append(([line], False))
+    if body is not None:
+        raise ValueError(
+            "corrupt statement stream: begin; without a matching commit; "
+            "(truncated part files?)"
+        )
+    return units
+
+
+def apply_statement_stream(
+    batch_dir: str,
+    execute,
+    fail_sql_path: str | None = None,
+    locator: str | None = None,
+    now=None,
+) -> tuple[int, int]:
+    """Apply one written batch's ordered statements through ``execute``.
+
+    The reference's sink apply loop
+    (``sink/replay/transaction/WorkThread.java:148-216``
+    ``replayTransaction``/``executeTxnSql``): each transaction applies
+    whole — BEGIN, statements, COMMIT; the first failing statement stops
+    the transaction, rolls it back, and diverts the WHOLE transaction to a
+    fail-SQL file (``fail.sql.path``, ``README.md:321``) as a timestamped
+    comment block + the statements, then replay continues with the next
+    transaction. Success/failure are counted per transaction — the
+    ``successCount``/``failCount`` pair the progress report publishes
+    (feed them to ``ProcessCommitter.record_sink_batch``).
+
+    ``execute`` is any ``Callable[[str], None]`` that runs one SQL
+    statement on the target session (a DB-API cursor's ``execute``, a JDBC
+    bridge, DuckDB in the tests) and raises on failure. Statements within
+    one call share one session, sequentially — parallelism comes from
+    applying different part-file RANGES on different sessions, exactly the
+    reference's N work threads; this function is one ordered channel.
+
+    Idempotent on redelivery: a batch directory already applied (its
+    ``_applied`` marker exists) is skipped and the recorded counts are
+    returned — the breakpoint-table analog (``BreakPointRecord.java``), so
+    a crash between apply and the caller's own fence never double-applies.
+
+    If the rollback itself fails the session is in an unknown state and the
+    error propagates (the reference's dead-connection path likewise stops
+    the thread, ``WorkThread.java:196-204``).
+
+    Returns ``(success_count, fail_count)`` in transaction units.
+    """
+    import datetime as _dt
+
+    marker = os.path.join(batch_dir, "_applied")
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as f:
+            rec = json.load(f)
+        return rec["success"], rec["fail"]
+    if fail_sql_path is None:
+        fail_sql_path = os.path.join(
+            os.path.dirname(os.path.abspath(batch_dir)), "fail.sql"
+        )
+    if now is None:
+        now = lambda: _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
+    where = locator or batch_dir
+    success = fail = 0
+    for i, (body, explicit) in enumerate(_units(_iter_batch_lines(batch_dir))):
+        err = None
+        if explicit:
+            began = False
+            try:
+                execute("begin;")
+                began = True
+                for stmt in body:
+                    execute(stmt)
+                execute("commit;")
+            except Exception as e:
+                err = e
+                if began:  # a failed begin; left no transaction to roll back
+                    execute("rollback;")  # propagation on failure is deliberate
+        else:
+            try:
+                execute(body[0])
+            except Exception as e:
+                err = e
+        if err is None:
+            success += 1
+            continue
+        fail += 1
+        block = [
+            f"-- {now()}: {where} unit {i} ({len(body)} statements)",
+            f"-- {err}",
+            *body,
+            "",
+        ]
+        with open(fail_sql_path, "a", encoding="utf-8") as f:
+            f.write("\n".join(block) + "\n")
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump({"success": success, "fail": fail}, f)
+    os.replace(tmp, marker)
+    return success, fail
