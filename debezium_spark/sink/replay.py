@@ -306,8 +306,8 @@ def _iter_batch_lines(batch_dir: str):
                     yield line
 
 
-def _units(lines) -> list[tuple[list[str], bool]]:
-    """Statement lines → apply units: ``(body, explicit_tx)``.
+def _units(lines):
+    """Statement lines → apply units: ``(body, explicit_tx)``, lazily.
 
     ``begin;`` … ``commit;`` spans group into one unit (body excludes the
     wrappers — the reference's ``txn.getSqlList()`` likewise carries only
@@ -315,8 +315,8 @@ def _units(lines) -> list[tuple[list[str], bool]]:
     apply time); everything else is a single-statement autocommit unit. An
     unterminated ``begin;`` is a corrupt stream and raises — the writer
     computes both transaction bounds inside the batch, so a missing
-    ``commit;`` can only mean truncated part files."""
-    units: list[tuple[list[str], bool]] = []
+    ``commit;`` can only mean truncated part files. A generator so a large
+    batch streams: only one transaction's body is ever held in memory."""
     body: list[str] | None = None
     for line in lines:
         if line == "begin;":
@@ -326,18 +326,17 @@ def _units(lines) -> list[tuple[list[str], bool]]:
         elif line == "commit;":
             if body is None:
                 raise ValueError("corrupt statement stream: commit; without begin;")
-            units.append((body, True))
+            yield body, True
             body = None
         elif body is not None:
             body.append(line)
         else:
-            units.append(([line], False))
+            yield [line], False
     if body is not None:
         raise ValueError(
             "corrupt statement stream: begin; without a matching commit; "
             "(truncated part files?)"
         )
-    return units
 
 
 def apply_statement_stream(
@@ -346,6 +345,7 @@ def apply_statement_stream(
     fail_sql_path: str | None = None,
     locator: str | None = None,
     now=None,
+    progress_every: int = 1,
 ) -> tuple[int, int]:
     """Apply one written batch's ordered statements through ``execute``.
 
@@ -362,7 +362,12 @@ def apply_statement_stream(
 
     ``execute`` is any ``Callable[[str], None]`` that runs one SQL
     statement on the target session (a DB-API cursor's ``execute``, a JDBC
-    bridge, DuckDB in the tests) and raises on failure. Statements within
+    bridge, DuckDB in the tests) and raises on failure. The session must be
+    transaction-free at entry — after a crash, resume with a FRESH
+    connection (the reference's work thread likewise reconnects): the
+    database discards the crashed unit's uncommitted prefix, and a reused
+    session stuck inside the dead transaction would poison every
+    subsequent unit. Statements within
     one call share one session, sequentially — parallelism comes from
     applying different part-file RANGES on different sessions, exactly the
     reference's N work threads; this function is one ordered channel.
@@ -371,6 +376,22 @@ def apply_statement_stream(
     ``_applied`` marker exists) is skipped and the recorded counts are
     returned — the breakpoint-table analog (``BreakPointRecord.java``), so
     a crash between apply and the caller's own fence never double-applies.
+    Within a batch, a ``_progress`` breakpoint persists after every
+    ``progress_every`` applied units (default: every unit, the reference's
+    per-transaction breakpoint cadence), so a crash MID-batch resumes at
+    the first unapplied unit instead of re-executing the whole prefix —
+    without it, re-applied plain INSERTs would collide on their PKs and
+    divert already-committed transactions to fail.sql. The re-apply window
+    on crash is at most ``progress_every`` units (raise it to trade that
+    window for fewer marker writes on huge batches).
+
+    When the batch directory carries the writer's ``_done`` receipt, the
+    applied line count is verified against its recorded statement count
+    after the last unit; a shortfall means truncated part files — the
+    error propagates and the ``_applied`` marker is withheld (the applied
+    prefix is safe: redelivery after repair resumes from ``_progress``).
+    This catches truncation at unit boundaries that the unterminated-
+    ``begin;`` check cannot see.
 
     If the rollback itself fails the session is in an unknown state and the
     error propagates (the reference's dead-connection path likewise stops
@@ -392,8 +413,44 @@ def apply_statement_stream(
     if now is None:
         now = lambda: _dt.datetime.now().strftime("%Y-%m-%d %H:%M:%S")
     where = locator or batch_dir
+
+    expected = None
+    done = os.path.join(batch_dir, "_done")
+    if os.path.exists(done):
+        with open(done, encoding="utf-8") as f:
+            expected = json.load(f).get("statements")
+
+    progress = os.path.join(batch_dir, "_progress")
+    start_unit = 0
     success = fail = 0
-    for i, (body, explicit) in enumerate(_units(_iter_batch_lines(batch_dir))):
+    if os.path.exists(progress):
+        with open(progress, encoding="utf-8") as f:
+            rec = json.load(f)
+        start_unit, success, fail = rec["next_unit"], rec["success"], rec["fail"]
+
+    def _save_progress(next_unit: int) -> None:
+        tmp = progress + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(
+                {"next_unit": next_unit, "success": success, "fail": fail}, f
+            )
+        os.replace(tmp, progress)
+
+    seen_lines = 0
+
+    def _counted(lines):
+        nonlocal seen_lines
+        for line in lines:
+            seen_lines += 1
+            yield line
+
+    n_units = 0
+    for i, (body, explicit) in enumerate(
+        _units(_counted(_iter_batch_lines(batch_dir)))
+    ):
+        n_units = i + 1
+        if i < start_unit:  # breakpoint-resume: already applied pre-crash
+            continue
         err = None
         if explicit:
             began = False
@@ -414,18 +471,30 @@ def apply_statement_stream(
                 err = e
         if err is None:
             success += 1
-            continue
-        fail += 1
-        block = [
-            f"-- {now()}: {where} unit {i} ({len(body)} statements)",
-            f"-- {err}",
-            *body,
-            "",
-        ]
-        with open(fail_sql_path, "a", encoding="utf-8") as f:
-            f.write("\n".join(block) + "\n")
+        else:
+            fail += 1
+            block = [
+                f"-- {now()}: {where} unit {i} ({len(body)} statements)",
+                f"-- {err}",
+                *body,
+                "",
+            ]
+            with open(fail_sql_path, "a", encoding="utf-8") as f:
+                f.write("\n".join(block) + "\n")
+        if (i + 1 - start_unit) % progress_every == 0:
+            _save_progress(i + 1)
+    if expected is not None and seen_lines != expected:
+        _save_progress(n_units)  # the applied prefix stays fenced
+        raise ValueError(
+            f"statement stream batch at {batch_dir}: applied {seen_lines} "
+            f"line(s) but the _done receipt records {expected} — part files "
+            "are truncated; _applied withheld (resume from _progress after "
+            "repair)"
+        )
     tmp = marker + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"success": success, "fail": fail}, f)
     os.replace(tmp, marker)
+    if os.path.exists(progress):
+        os.remove(progress)
     return success, fail

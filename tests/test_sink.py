@@ -1202,3 +1202,102 @@ class TestApplyStatementStream:
             "select column_name from information_schema.columns "
             "where table_name = 'widgets' order by ordinal_position"
         ).fetchall()] == ["id", "name", "blob", "amt", "d", "ts", "c"]
+
+    def test_mid_batch_crash_resumes_from_progress_breakpoint(self, tmp_path):
+        """A crash mid-apply must NOT re-execute the applied prefix on
+        redelivery: re-applied plain INSERTs would collide on their PKs and
+        divert already-committed transactions to fail.sql. The ``_progress``
+        breakpoint (``BreakPointRecord.java`` per-transaction cadence)
+        resumes at the first unapplied unit."""
+        import os as _os
+
+        import pytest as _pytest
+
+        from debezium_spark.sink import apply_statement_stream
+
+        con = self._target()
+        batch = self._write_batch(
+            tmp_path,
+            [
+                "begin;",
+                "insert into t values (1, 'a');",
+                "commit;",
+                "insert into t values (2, 'b');",
+                "insert into t values (3, 'c');",
+            ],
+        )
+
+        class Crash(BaseException):  # escapes the `except Exception` net
+            pass
+
+        applied = []
+
+        def crashy(sql):
+            if "values (3" in sql:
+                raise Crash("power cut")
+            applied.append(sql)
+            return con.execute(sql)
+
+        with _pytest.raises(Crash):
+            apply_statement_stream(batch, crashy)
+        assert not _os.path.exists(_os.path.join(batch, "_applied"))
+        with open(_os.path.join(batch, "_progress")) as f:
+            import json as _json
+
+            rec = _json.load(f)
+        assert rec == {"next_unit": 2, "success": 2, "fail": 0}
+
+        # redelivery with a healthy session: units 0–1 are NOT re-executed
+        # (no PK collisions, nothing lands in fail.sql), unit 2 applies
+        executed = []
+
+        def healthy(sql):
+            executed.append(sql)
+            return con.execute(sql)
+
+        success, fail = apply_statement_stream(batch, healthy)
+        assert (success, fail) == (3, 0)
+        assert executed == ["insert into t values (3, 'c');"]
+        assert con.execute("select id from t order by id").fetchall() == [
+            (1,), (2,), (3,)
+        ]
+        assert not (tmp_path / "fail.sql").exists()
+        # the breakpoint retires into the _applied marker
+        assert not _os.path.exists(_os.path.join(batch, "_progress"))
+        assert apply_statement_stream(batch, healthy) == (3, 0)
+        assert executed == ["insert into t values (3, 'c');"]
+
+    def test_done_receipt_catches_unit_boundary_truncation(self, tmp_path):
+        """Truncation at a unit boundary (a lost autocommit tail) is
+        invisible to the begin;/commit; pairing check — the writer's
+        ``_done`` statement count catches it; the applied prefix stays
+        fenced in ``_progress`` and ``_applied`` is withheld."""
+        import json as _json
+        import os as _os
+
+        import pytest as _pytest
+
+        from debezium_spark.sink import apply_statement_stream
+
+        con = self._target()
+        batch = self._write_batch(
+            tmp_path,
+            ["insert into t values (1, 'a');", "insert into t values (2, 'b');"],
+        )
+        # the writer recorded 3 statements; one part-file line was lost
+        with open(_os.path.join(batch, "_done"), "w") as f:
+            _json.dump({"batch_id": 0, "statements": 3}, f)
+
+        with _pytest.raises(ValueError, match="truncated"):
+            apply_statement_stream(batch, con.execute)
+        assert not _os.path.exists(_os.path.join(batch, "_applied"))
+        # both present lines applied exactly once and are fenced
+        assert con.execute("select count(*) from t").fetchone() == (2,)
+        with open(_os.path.join(batch, "_progress")) as f:
+            assert _json.load(f)["next_unit"] == 2
+
+        # repair: restore the lost line, redelivery applies ONLY it
+        with open(_os.path.join(batch, "part-00001"), "w") as f:
+            f.write("insert into t values (9, 'z');\n")
+        assert apply_statement_stream(batch, con.execute) == (3, 0)
+        assert con.execute("select count(*) from t").fetchone() == (3,)
