@@ -23,6 +23,7 @@ from debezium_spark.sink.metadata import ColumnMeta, TableMeta, table_meta_from_
 from debezium_spark.sink.pg_deparse import expand_ddl_json, expand_ddl_json_batch
 from debezium_spark.sink.replay import (
     apply_statement_stream,
+    per_table_statement_streams,
     statement_stream,
     statement_stream_multi,
     write_statement_stream,
@@ -41,5 +42,6 @@ __all__ = [
     "statement_stream",
     "apply_statement_stream",
     "statement_stream_multi",
+    "per_table_statement_streams",
     "write_statement_stream",
 ]

@@ -19,8 +19,12 @@ Spark-first shape:
   whole-tx dispatch, and untagged rows stay autocommit;
 * global replay order is materialized exactly once, at the writer, by a
   range repartition on the offset key — part files are range-ordered, so
-  their concatenation IS the total order and N part files are N ordered
-  JDBC channels' worth of parallel apply.
+  their concatenation IS the total order. Offset-range part files apply
+  SEQUENTIALLY (two updates to one row may land in different ranges, so
+  ranges are not mutually order-safe); order-safe PARALLEL apply comes from
+  :func:`per_table_statement_streams` — one channel per table, the
+  reference's table-parallel mode and the config behind its published
+  throughput number.
 """
 
 from __future__ import annotations
@@ -236,6 +240,72 @@ def statement_stream_multi(
     return _wrap_tx(all_stmts)
 
 
+def per_table_statement_streams(
+    wire_df: DataFrame,
+    specs,
+    schema_mapping: Mapping[str, str] | None = None,
+    dialect: str = "opengauss",
+    metas: Mapping[tuple[str, str], TableMeta] | None = None,
+) -> dict[tuple[str, str], DataFrame]:
+    """Mixed-table WIRE batch → one statement stream PER table.
+
+    The reference's table-parallel replay mode
+    (``provide.transaction.metadata=false``, the default — one work thread
+    per table, ``sink/replay/table/TableReplayTask.java``; its published
+    30k-tps number is measured in THIS mode at 50 tables / 50 threads,
+    ``README.md:407``): each table's statements apply on their own session
+    concurrently, which preserves per-table order but — exactly like the
+    reference — abandons cross-table transaction atomicity; a transaction
+    touching several tables is re-wrapped per table fragment. Use
+    :func:`statement_stream_multi` (one stream, whole-tx wrappers) for the
+    transaction-parallel posture (``provide.transaction.metadata=true``).
+
+    DDL routes to its OWN table's channel at its offset, like the
+    reference's per-table queues; DDL for unregistered tables is dropped
+    with the rest of their rows (include-list semantics).
+
+    Each returned stream writes independently with
+    :func:`write_statement_stream` (its own batch directory) and applies on
+    its own session via :func:`apply_statement_stream` — N tables = N
+    order-safe parallel channels.
+    """
+    from debezium_spark.sink.metadata import table_meta_from_schema
+    from debezium_spark.streaming.multi import wire_to_envelope
+
+    mapping = dict(schema_mapping or {})
+    metas = dict(metas or {})
+
+    out: dict[tuple[str, str], DataFrame] = {}
+    for spec in specs:
+        key = (spec.db, spec.table)
+        meta = metas.get(key) or table_meta_from_schema(
+            mapping.get(spec.db, spec.db),
+            spec.table,
+            spec.payload_schema,
+            spec.key_cols,
+            dialect=dialect,
+        )
+        table_rows = wire_df.where(
+            (F.col("source.db") == spec.db)
+            & (F.col("source.table") == spec.table)
+        )
+        env = wire_to_envelope(
+            table_rows.where(F.col("op").isin("c", "u", "d")),
+            spec.payload_schema,
+        )
+        dml = _dml_stmt_rows(env, meta, dialect)
+        ddl = _ddl_stmt_rows(
+            table_rows.select(
+                "op", "source",
+                F.get_json_object(F.col("after_json"), "$.content").alias("_ddl"),
+            ),
+            F.col("_ddl"),
+            mapping,
+        )
+        out[key] = _wrap_tx(dml.unionByName(ddl))
+    return out
+
+
 def write_statement_stream(
     stmt_df: DataFrame, out_dir: str, batch_id: int, n_files: int = 8
 ) -> int:
@@ -243,8 +313,9 @@ def write_statement_stream(
 
     ``part-00000 … part-NNNNN`` sorted by (file, pos, sub, seq): each part
     is internally ordered and parts are range-ordered, so concatenation is
-    the total replay order and each part can apply on its own ordered
-    channel. Idempotent on redelivery: a committed batch directory
+    the total replay order (apply offset ranges sequentially — parallel
+    channels come from per-table streams, see the module docstring).
+    Idempotent on redelivery: a committed batch directory
     (``_done`` marker) is never rewritten — the statement-file analog of the
     offset fence (JdbcDbWriter's breakpoint table).
 
@@ -369,8 +440,9 @@ def apply_statement_stream(
     session stuck inside the dead transaction would poison every
     subsequent unit. Statements within
     one call share one session, sequentially — parallelism comes from
-    applying different part-file RANGES on different sessions, exactly the
-    reference's N work threads; this function is one ordered channel.
+    applying different TABLES' batch directories on different sessions
+    (:func:`per_table_statement_streams`), exactly the reference's
+    per-table work threads; this function is one ordered channel.
 
     Idempotent on redelivery: a batch directory already applied (its
     ``_applied`` marker exists) is skipped and the recorded counts are

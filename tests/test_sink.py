@@ -1203,6 +1203,89 @@ class TestApplyStatementStream:
             "where table_name = 'widgets' order by ordinal_position"
         ).fetchall()] == ["id", "name", "blob", "amt", "d", "ts", "c"]
 
+    def test_per_table_streams_route_wrap_and_match_unified_state(
+        self, spark, tmp_path
+    ):
+        """Table-parallel mode (TableReplayTask, provide.transaction.
+        metadata=false — the reference's published-throughput config): one
+        order-safe channel per table, cross-table transactions re-wrapped
+        per fragment, DDL routed to its own table's channel, and the final
+        DuckDB state identical to the unified whole-tx stream."""
+        import duckdb
+
+        from debezium_spark.sink import (
+            apply_statement_stream,
+            per_table_statement_streams,
+            write_statement_stream,
+        )
+
+        multi = TestStatementStreamMulti()
+        streams = per_table_statement_streams(
+            multi._wire(spark), multi._specs(), {"db1": "sink1"}
+        )
+        assert set(streams) == {("db1", "files"), ("db1", "tags")}
+
+        files = [
+            r.stmt
+            for r in streams[("db1", "files")]
+            .orderBy("file", "pos", "sub", "seq")
+            .collect()
+        ]
+        # tx-a's files fragment wraps pos 1..3; the tags insert at pos 2 is
+        # NOT in this channel (per-table fragment, not the whole tx)
+        assert files == [
+            "begin;",
+            'insert into "sink1"."files" values (\'r1\', \'a.py\', \'c1\', \'py\', \'v1\');',
+            'insert into "sink1"."files" values (\'r2\', \'b.py\', \'c2\', \'py\', \'v2\');',
+            "commit;",
+            "set current_schema to sink1;",
+            "alter table `files` add note int",
+            'delete from "sink1"."files" where "repo" = \'r1\' and "path" = \'a.py\';',
+        ]
+        tags = [
+            r.stmt
+            for r in streams[("db1", "tags")]
+            .orderBy("file", "pos", "sub", "seq")
+            .collect()
+        ]
+        assert tags == [
+            "begin;",
+            'insert into "sink1"."tags" values (7, \'x\');',
+            "commit;",
+            "begin;",
+            'update "sink1"."tags" set "id" = 7, "label" = \'y\' where "id" = 7;',
+            "commit;",
+        ]
+
+        # write each channel to its own directory and apply both — the
+        # final state matches the unified stream's DuckDB apply
+        con = duckdb.connect()
+        con.execute("create schema sink1")
+        con.execute(
+            'create table sink1.files (repo varchar, path varchar, '
+            '"commit" varchar, lang varchar, content varchar)'
+        )
+        con.execute("create table sink1.tags (id int, label varchar)")
+
+        def execute(sql):
+            if sql.startswith("set current_schema"):
+                return con.execute("set schema = 'sink1'")
+            return con.execute(sql.replace("`", '"'))
+
+        for i, ((db, tbl), df) in enumerate(sorted(streams.items())):
+            out_dir = str(tmp_path / f"{db}.{tbl}")
+            write_statement_stream(df, out_dir, batch_id=0, n_files=2)
+            s, f = apply_statement_stream(
+                os.path.join(out_dir, "batch-000000"), execute
+            )
+            assert f == 0
+        assert con.execute(
+            "select repo, path from sink1.files order by repo"
+        ).fetchall() == [("r2", "b.py")]
+        assert con.execute("select id, label from sink1.tags").fetchall() == [
+            (7, "y")
+        ]
+
     def test_mid_batch_crash_resumes_from_progress_breakpoint(self, tmp_path):
         """A crash mid-apply must NOT re-execute the applied prefix on
         redelivery: re-applied plain INSERTs would collide on their PKs and
