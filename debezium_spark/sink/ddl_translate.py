@@ -50,6 +50,32 @@ def _strip_backquote(name: str) -> str:
     return name
 
 
+def _mask_quoted(low: str) -> str:
+    """Quoted spans (backtick / single / double, doubling-escape aware) →
+    spaces, same length, so keyword searches can never anchor inside an
+    identifier or string literal (e.g. a column named ``references``).
+    Positions in the mask map 1:1 onto the original."""
+    out = list(low)
+    i, n = 0, len(low)
+    while i < n:
+        c = low[i]
+        if c in ("`", "'", '"'):
+            j = i + 1
+            while j < n:
+                if low[j] == c:
+                    if j + 1 < n and low[j + 1] == c:  # doubled = literal
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i, min(j + 1, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
 def _rectify_foreign_rely(
     ddl: str, source_schema: str, schema_mapping: Mapping[str, str]
 ) -> str | None:
@@ -57,14 +83,16 @@ def _rectify_foreign_rely(
     target. Returns None when the referenced schema has no mapping (the
     reference skips the DDL)."""
     low = ddl.lower()
-    # whole-word match so an identifier like `preferences` never anchors
-    # the clause; FOREIGN KEY must precede the REFERENCES keyword
-    kw = re.search(r"\breferences\b", low)
+    # keyword matches run against a quote-masked copy (same length, same
+    # positions) so an identifier or literal containing "references" or
+    # "foreign key" can never anchor the clause; the REFERENCES keyword is
+    # whole-word and must follow a FOREIGN KEY that is itself unquoted
+    masked = _mask_quoted(low)
+    kw = re.search(r"\breferences\b", masked)
     if not (
         (low.startswith("alter table") or low.startswith("create table"))
-        and "foreign key" in low
         and kw is not None
-        and low.rfind("foreign key", 0, kw.start()) != -1
+        and masked.rfind("foreign key", 0, kw.start()) != -1
     ):
         return ddl
     prefix, suffix = ddl[: kw.start()], ddl[kw.end():]

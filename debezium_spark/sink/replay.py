@@ -202,31 +202,48 @@ def statement_stream_multi(
     target types differ from what the Spark schema implies (the
     information_schema facts, e.g. json/enum/point columns).
     """
-    from debezium_spark.sink.metadata import table_meta_from_schema
-    from debezium_spark.streaming.multi import wire_to_envelope
-
     mapping = dict(schema_mapping or {})
     metas = dict(metas or {})
 
-    parts: list[DataFrame] = []
+    all_stmts = _wire_ddl_rows(wire_df, mapping)
     for spec in specs:
-        key = (spec.db, spec.table)
-        meta = metas.get(key) or table_meta_from_schema(
-            mapping.get(spec.db, spec.db),
-            spec.table,
-            spec.payload_schema,
-            spec.key_cols,
-            dialect=dialect,
+        all_stmts = all_stmts.unionByName(
+            _spec_dml_rows(wire_df, spec, mapping, dialect, metas)
         )
-        rows = wire_df.where(
-            (F.col("source.db") == spec.db)
-            & (F.col("source.table") == spec.table)
-            & F.col("op").isin("c", "u", "d")
-        )
-        env = wire_to_envelope(rows, spec.payload_schema)
-        parts.append(_dml_stmt_rows(env, meta, dialect))
+    return _wrap_tx(all_stmts)
 
-    ddl = _ddl_stmt_rows(
+
+def _spec_dml_rows(
+    wire_df: DataFrame, spec, mapping: dict, dialect: str, metas: dict
+) -> DataFrame:
+    """One registered TableSpec's wire rows → its DML statement rows.
+
+    Shared by the unified (:func:`statement_stream_multi`) and per-table
+    (:func:`per_table_statement_streams`) modes so routing, meta override,
+    and envelope-parse semantics cannot diverge between them."""
+    from debezium_spark.sink.metadata import table_meta_from_schema
+    from debezium_spark.streaming.multi import wire_to_envelope
+
+    meta = metas.get((spec.db, spec.table)) or table_meta_from_schema(
+        mapping.get(spec.db, spec.db),
+        spec.table,
+        spec.payload_schema,
+        spec.key_cols,
+        dialect=dialect,
+    )
+    rows = wire_df.where(
+        (F.col("source.db") == spec.db)
+        & (F.col("source.table") == spec.table)
+        & F.col("op").isin("c", "u", "d")
+    )
+    env = wire_to_envelope(rows, spec.payload_schema)
+    return _dml_stmt_rows(env, meta, dialect)
+
+
+def _wire_ddl_rows(wire_df: DataFrame, mapping: dict) -> DataFrame:
+    """Wire-format op='l' rows → translated DDL statement rows (DDL text
+    rides ``after_json``'s ``content`` field on the wire path)."""
+    return _ddl_stmt_rows(
         wire_df.select(
             "op", "source",
             F.get_json_object(F.col("after_json"), "$.content").alias("_ddl"),
@@ -234,10 +251,6 @@ def statement_stream_multi(
         F.col("_ddl"),
         mapping,
     )
-    all_stmts = ddl
-    for p in parts:
-        all_stmts = all_stmts.unionByName(p)
-    return _wrap_tx(all_stmts)
 
 
 def per_table_statement_streams(
@@ -269,40 +282,18 @@ def per_table_statement_streams(
     its own session via :func:`apply_statement_stream` — N tables = N
     order-safe parallel channels.
     """
-    from debezium_spark.sink.metadata import table_meta_from_schema
-    from debezium_spark.streaming.multi import wire_to_envelope
-
     mapping = dict(schema_mapping or {})
     metas = dict(metas or {})
 
     out: dict[tuple[str, str], DataFrame] = {}
     for spec in specs:
-        key = (spec.db, spec.table)
-        meta = metas.get(key) or table_meta_from_schema(
-            mapping.get(spec.db, spec.db),
-            spec.table,
-            spec.payload_schema,
-            spec.key_cols,
-            dialect=dialect,
-        )
         table_rows = wire_df.where(
             (F.col("source.db") == spec.db)
             & (F.col("source.table") == spec.table)
         )
-        env = wire_to_envelope(
-            table_rows.where(F.col("op").isin("c", "u", "d")),
-            spec.payload_schema,
-        )
-        dml = _dml_stmt_rows(env, meta, dialect)
-        ddl = _ddl_stmt_rows(
-            table_rows.select(
-                "op", "source",
-                F.get_json_object(F.col("after_json"), "$.content").alias("_ddl"),
-            ),
-            F.col("_ddl"),
-            mapping,
-        )
-        out[key] = _wrap_tx(dml.unionByName(ddl))
+        dml = _spec_dml_rows(table_rows, spec, mapping, dialect, metas)
+        ddl = _wire_ddl_rows(table_rows, mapping)
+        out[(spec.db, spec.table)] = _wrap_tx(dml.unionByName(ddl))
     return out
 
 
@@ -417,6 +408,7 @@ def apply_statement_stream(
     locator: str | None = None,
     now=None,
     progress_every: int = 1,
+    require_receipt: bool = True,
 ) -> tuple[int, int]:
     """Apply one written batch's ordered statements through ``execute``.
 
@@ -455,15 +447,30 @@ def apply_statement_stream(
     without it, re-applied plain INSERTs would collide on their PKs and
     divert already-committed transactions to fail.sql. The re-apply window
     on crash is at most ``progress_every`` units (raise it to trade that
-    window for fewer marker writes on huge batches).
+    window for fewer marker writes on huge batches). Honest limitation:
+    the file breakpoint is NOT atomic with the database commit — a crash
+    between a unit's ``commit;`` and the breakpoint write re-applies that
+    unit on resume, and where PK-keyed DML re-raises visibly (the
+    diverted-to-fail.sql case above), a non-idempotent statement on a
+    PK-less target (``update t set n = n + 1``, bare INSERT) duplicates
+    silently. The reference closes this window by writing its breakpoint
+    INTO the target database inside the same transaction
+    (``BreakPointRecord.java``); callers needing that guarantee should
+    have ``execute`` append the unit's ordinal to a breakpoint table and
+    derive ``_progress`` from it on reconnect.
 
-    When the batch directory carries the writer's ``_done`` receipt, the
-    applied line count is verified against its recorded statement count
-    after the last unit; a shortfall means truncated part files — the
-    error propagates and the ``_applied`` marker is withheld (the applied
-    prefix is safe: redelivery after repair resumes from ``_progress``).
-    This catches truncation at unit boundaries that the unterminated-
-    ``begin;`` check cannot see.
+    The writer's ``_done`` receipt is required BEFORE anything executes
+    (``require_receipt=False`` opts out, for hand-built statement
+    directories): a directory without it was never committed — a crash
+    mid-write, or the multiline invariant guard withheld it — so applying
+    it could execute split statement fragments. When the receipt is
+    present, the part files' line count is verified against its recorded
+    statement count up front, also before anything executes; a mismatch
+    means lost or truncated part files — and because the check runs
+    BEFORE the apply loop, a missing MIDDLE part file can never cause
+    post-gap statements to execute out of order or the positional
+    ``_progress`` index to fence the wrong units. This catches truncation
+    at unit boundaries that the unterminated-``begin;`` check cannot see.
 
     If the rollback itself fails the session is in an unknown state and the
     error propagates (the reference's dead-connection path likewise stops
@@ -491,6 +498,25 @@ def apply_statement_stream(
     if os.path.exists(done):
         with open(done, encoding="utf-8") as f:
             expected = json.load(f).get("statements")
+    elif require_receipt:
+        raise ValueError(
+            f"batch at {batch_dir} has no _done receipt — the writer never "
+            "committed it (crash mid-write, or the one-statement-per-line "
+            "guard withheld it); refusing to apply possibly-partial part "
+            "files (pass require_receipt=False for hand-built directories)"
+        )
+    if expected is not None:
+        # verify BEFORE anything executes: a lost part file (tail OR middle)
+        # must not let post-gap statements run out of order, nor let the
+        # positional _progress index fence the wrong units
+        actual = sum(1 for _ in _iter_batch_lines(batch_dir))
+        if actual != expected:
+            raise ValueError(
+                f"statement stream batch at {batch_dir}: part files carry "
+                f"{actual} statement line(s) but the _done receipt records "
+                f"{expected} — lost or truncated part files; nothing was "
+                "applied this call (_applied withheld)"
+            )
 
     progress = os.path.join(batch_dir, "_progress")
     start_unit = 0
@@ -508,19 +534,7 @@ def apply_statement_stream(
             )
         os.replace(tmp, progress)
 
-    seen_lines = 0
-
-    def _counted(lines):
-        nonlocal seen_lines
-        for line in lines:
-            seen_lines += 1
-            yield line
-
-    n_units = 0
-    for i, (body, explicit) in enumerate(
-        _units(_counted(_iter_batch_lines(batch_dir)))
-    ):
-        n_units = i + 1
+    for i, (body, explicit) in enumerate(_units(_iter_batch_lines(batch_dir))):
         if i < start_unit:  # breakpoint-resume: already applied pre-crash
             continue
         err = None
@@ -555,14 +569,6 @@ def apply_statement_stream(
                 f.write("\n".join(block) + "\n")
         if (i + 1 - start_unit) % progress_every == 0:
             _save_progress(i + 1)
-    if expected is not None and seen_lines != expected:
-        _save_progress(n_units)  # the applied prefix stays fenced
-        raise ValueError(
-            f"statement stream batch at {batch_dir}: applied {seen_lines} "
-            f"line(s) but the _done receipt records {expected} — part files "
-            "are truncated; _applied withheld (resume from _progress after "
-            "repair)"
-        )
     tmp = marker + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
         json.dump({"success": success, "fail": fail}, f)

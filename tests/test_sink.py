@@ -384,6 +384,39 @@ class TestDdlTranslate:
             ' (preferences) references "o2"."prefs" (id))'
         )
 
+    def test_quoted_identifier_named_references_does_not_block_translation(
+        self,
+    ):
+        # a column literally named `references` sits BEFORE the real
+        # keyword; quote masking keeps the anchor on the unquoted keyword
+        # so the clause still translates (and unmapped schemas still skip)
+        ddl = (
+            "create table `db1`.`t` (`references` int, foreign key"
+            " (`references`) references `other`.`prefs` (id))"
+        )
+        got = translate_ddl(ddl, "db1", "t", self.MAP)
+        assert got[1] == (
+            "create table `t` (`references` int, foreign key"
+            ' (`references`) references "o2"."prefs" (id))'
+        )
+        unmapped = (
+            "create table `db1`.`t` (`references` int, foreign key"
+            " (`references`) references `mystery`.`prefs` (id))"
+        )
+        assert translate_ddl(unmapped, "db1", "t", self.MAP) == []
+
+    def test_references_inside_string_literal_is_not_the_keyword(self):
+        # a DEFAULT string containing both keywords must not anchor an FK
+        ddl = (
+            "create table `db1`.`t` (a varchar(40) default"
+            " 'foreign key references nothing')"
+        )
+        got = translate_ddl(ddl, "db1", "t", self.MAP)
+        assert got[1] == (
+            "create table `t` (a varchar(40) default"
+            " 'foreign key references nothing')"
+        )
+
     def test_drop_table_strips_unquoted_schema(self):
         got = translate_ddl("drop table db1.widgets", "db1", "widgets", self.MAP)
         assert got == ["set current_schema to sink1;", "drop table widgets"]
@@ -1052,10 +1085,16 @@ class TestApplyStatementStream:
     per-transaction success/fail counts, breakpoint-skip on redelivery."""
 
     @staticmethod
-    def _write_batch(tmp_path, lines, name="batch-000000"):
+    def _write_batch(tmp_path, lines, name="batch-000000", receipt=True):
+        import json as _json
+
         batch = tmp_path / name
         batch.mkdir(parents=True)
         (batch / "part-00000").write_text("\n".join(lines) + "\n")
+        if receipt:  # the writer's commit receipt, required by the apply loop
+            (batch / "_done").write_text(
+                _json.dumps({"batch_id": 0, "statements": len(lines)})
+            )
         return str(batch)
 
     @staticmethod
@@ -1350,11 +1389,14 @@ class TestApplyStatementStream:
         assert apply_statement_stream(batch, healthy) == (3, 0)
         assert executed == ["insert into t values (3, 'c');"]
 
-    def test_done_receipt_catches_unit_boundary_truncation(self, tmp_path):
-        """Truncation at a unit boundary (a lost autocommit tail) is
-        invisible to the begin;/commit; pairing check — the writer's
-        ``_done`` statement count catches it; the applied prefix stays
-        fenced in ``_progress`` and ``_applied`` is withheld."""
+    def test_done_receipt_catches_lost_part_file_before_any_apply(
+        self, tmp_path
+    ):
+        """A lost part file (tail OR middle) is invisible to the
+        begin;/commit; pairing check — the writer's ``_done`` statement
+        count catches it BEFORE anything executes, so post-gap statements
+        never run out of order and the positional ``_progress`` fence never
+        indexes the wrong units."""
         import json as _json
         import os as _os
 
@@ -1366,21 +1408,46 @@ class TestApplyStatementStream:
         batch = self._write_batch(
             tmp_path,
             ["insert into t values (1, 'a');", "insert into t values (2, 'b');"],
+            receipt=False,
         )
         # the writer recorded 3 statements; one part-file line was lost
         with open(_os.path.join(batch, "_done"), "w") as f:
             _json.dump({"batch_id": 0, "statements": 3}, f)
 
-        with _pytest.raises(ValueError, match="truncated"):
+        with _pytest.raises(ValueError, match="lost or truncated"):
             apply_statement_stream(batch, con.execute)
+        # NOTHING was applied or fenced — the check precedes the loop
         assert not _os.path.exists(_os.path.join(batch, "_applied"))
-        # both present lines applied exactly once and are fenced
-        assert con.execute("select count(*) from t").fetchone() == (2,)
-        with open(_os.path.join(batch, "_progress")) as f:
-            assert _json.load(f)["next_unit"] == 2
+        assert not _os.path.exists(_os.path.join(batch, "_progress"))
+        assert con.execute("select count(*) from t").fetchone() == (0,)
 
-        # repair: restore the lost line, redelivery applies ONLY it
+        # repair: restore the lost line, redelivery applies the whole batch
         with open(_os.path.join(batch, "part-00001"), "w") as f:
             f.write("insert into t values (9, 'z');\n")
         assert apply_statement_stream(batch, con.execute) == (3, 0)
         assert con.execute("select count(*) from t").fetchone() == (3,)
+
+    def test_missing_receipt_refuses_to_apply(self, tmp_path):
+        """A batch directory without the writer's ``_done`` receipt was
+        never committed (crash mid-write, or the one-statement-per-line
+        guard withheld it) — the apply loop refuses it by default;
+        ``require_receipt=False`` opts hand-built directories back in."""
+        import os as _os
+
+        import pytest as _pytest
+
+        from debezium_spark.sink import apply_statement_stream
+
+        con = self._target()
+        batch = self._write_batch(
+            tmp_path, ["insert into t values (1, 'a');"], receipt=False
+        )
+        with _pytest.raises(ValueError, match="no _done receipt"):
+            apply_statement_stream(batch, con.execute)
+        assert con.execute("select count(*) from t").fetchone() == (0,)
+        assert not _os.path.exists(_os.path.join(batch, "_applied"))
+
+        assert apply_statement_stream(
+            batch, con.execute, require_receipt=False
+        ) == (1, 0)
+        assert con.execute("select count(*) from t").fetchone() == (1,)

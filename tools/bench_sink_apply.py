@@ -46,7 +46,13 @@ def write_channels(spark, work: str, n_events: int, n_tables: int) -> dict:
     )
     from debezium_spark.streaming.multi import TableSpec
 
-    wire = make_wire(spark, n_events, n_tables, n_tables)
+    # materialize the wire batch once — each of the n_tables write jobs
+    # would otherwise recompute the full generator pipeline per channel
+    wire_dir = os.path.join(work, "wire.parquet")
+    make_wire(spark, n_events, n_tables, n_tables).write.mode(
+        "overwrite"
+    ).parquet(wire_dir)
+    wire = spark.read.parquet(wire_dir)
     specs = [
         TableSpec("app", f"t{i:02d}", REPO_PAYLOAD_SCHEMA, ["repo", "path"])
         for i in range(n_tables)
