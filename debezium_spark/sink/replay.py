@@ -409,6 +409,7 @@ def apply_statement_stream(
     now=None,
     progress_every: int = 1,
     require_receipt: bool = True,
+    breakpoint_table: str | None = None,
 ) -> tuple[int, int]:
     """Apply one written batch's ordered statements through ``execute``.
 
@@ -447,17 +448,28 @@ def apply_statement_stream(
     without it, re-applied plain INSERTs would collide on their PKs and
     divert already-committed transactions to fail.sql. The re-apply window
     on crash is at most ``progress_every`` units (raise it to trade that
-    window for fewer marker writes on huge batches). Honest limitation:
-    the file breakpoint is NOT atomic with the database commit — a crash
-    between a unit's ``commit;`` and the breakpoint write re-applies that
-    unit on resume, and where PK-keyed DML re-raises visibly (the
+    window for fewer marker writes on huge batches). Honest limitation of
+    the FILE breakpoint: it is not atomic with the database commit — a
+    crash between a unit's ``commit;`` and the breakpoint write re-applies
+    that unit on resume, and where PK-keyed DML re-raises visibly (the
     diverted-to-fail.sql case above), a non-idempotent statement on a
     PK-less target (``update t set n = n + 1``, bare INSERT) duplicates
-    silently. The reference closes this window by writing its breakpoint
-    INTO the target database inside the same transaction
-    (``BreakPointRecord.java``); callers needing that guarantee should
-    have ``execute`` append the unit's ordinal to a breakpoint table and
-    derive ``_progress`` from it on reconnect.
+    silently.
+
+    ``breakpoint_table`` closes that window the way the reference does
+    (``BreakPointRecord.java`` — the breakpoint row commits INSIDE the
+    target database in the same transaction): pass a table name (created
+    ``if not exists`` with columns ``batch varchar, unit bigint, ok int``)
+    and every unit — autocommit units are upgraded to explicit
+    transactions — commits its own ``(batch, unit, 1)`` marker row
+    atomically with its statements; diverted units record ``(batch, unit,
+    0)`` in their own autocommit after the rollback. On (re)entry the
+    resume point and the success/fail counts are reconstructed FROM the
+    database, so exactly-once holds across any crash point, including for
+    non-idempotent DML. Requires ``execute`` to return a DB-API-style
+    result (``fetchone``) for SELECTs — cursors and DuckDB connections
+    both do. The file ``_progress`` is still written as a cheap
+    observability mirror but the database is authoritative.
 
     The writer's ``_done`` receipt is required BEFORE anything executes
     (``require_receipt=False`` opts out, for hand-built statement
@@ -518,13 +530,35 @@ def apply_statement_stream(
                 "applied this call (_applied withheld)"
             )
 
+    batch_key = (locator or os.path.basename(batch_dir)).replace("'", "''")
+
     progress = os.path.join(batch_dir, "_progress")
     start_unit = 0
     success = fail = 0
-    if os.path.exists(progress):
+    if breakpoint_table is not None:
+        # the reference's posture: the breakpoint lives in the target, so
+        # resume state survives any crash point exactly (BreakPointRecord)
+        execute(
+            f"create table if not exists {breakpoint_table} "
+            "(batch varchar, unit bigint, ok int)"
+        )
+        row = execute(
+            f"select max(unit), "
+            f"coalesce(sum(case when ok = 1 then 1 else 0 end), 0), "
+            f"coalesce(sum(case when ok = 0 then 1 else 0 end), 0) "
+            f"from {breakpoint_table} where batch = '{batch_key}'"
+        ).fetchone()
+        if row is not None and row[0] is not None:
+            start_unit, success, fail = int(row[0]) + 1, int(row[1]), int(row[2])
+    elif os.path.exists(progress):
         with open(progress, encoding="utf-8") as f:
             rec = json.load(f)
         start_unit, success, fail = rec["next_unit"], rec["success"], rec["fail"]
+
+    def _mark(i: int, ok: int) -> str:
+        return (
+            f"insert into {breakpoint_table} values ('{batch_key}', {i}, {ok});"
+        )
 
     def _save_progress(next_unit: int) -> None:
         tmp = progress + ".tmp"
@@ -538,13 +572,17 @@ def apply_statement_stream(
         if i < start_unit:  # breakpoint-resume: already applied pre-crash
             continue
         err = None
-        if explicit:
+        if explicit or breakpoint_table is not None:
+            # with a breakpoint table even autocommit units run as explicit
+            # transactions so the marker row commits atomically with them
             began = False
             try:
                 execute("begin;")
                 began = True
                 for stmt in body:
                     execute(stmt)
+                if breakpoint_table is not None:
+                    execute(_mark(i, 1))
                 execute("commit;")
             except Exception as e:
                 err = e
@@ -567,6 +605,10 @@ def apply_statement_stream(
             ]
             with open(fail_sql_path, "a", encoding="utf-8") as f:
                 f.write("\n".join(block) + "\n")
+            if breakpoint_table is not None:
+                # the diverted unit is PROCESSED: record it (own autocommit,
+                # after the rollback) so resume never re-diverts it
+                execute(_mark(i, 0))
         if (i + 1 - start_unit) % progress_every == 0:
             _save_progress(i + 1)
     tmp = marker + ".tmp"

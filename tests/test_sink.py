@@ -1427,6 +1427,116 @@ class TestApplyStatementStream:
         assert apply_statement_stream(batch, con.execute) == (3, 0)
         assert con.execute("select count(*) from t").fetchone() == (3,)
 
+    def test_breakpoint_table_is_atomic_with_the_unit_commit(self, tmp_path):
+        """The FILE breakpoint's documented window: a crash after a unit's
+        ``commit;`` but before the progress write silently re-applies
+        non-idempotent DML on a PK-less table. ``breakpoint_table`` commits
+        the marker row INSIDE the same transaction (BreakPointRecord), so
+        resume skips exactly the committed units — n increments once per
+        unit regardless of where the crash lands."""
+        import duckdb as _duckdb
+        import pytest as _pytest
+
+        from debezium_spark.sink import apply_statement_stream
+
+        db = str(tmp_path / "t.db")
+        con = _duckdb.connect(db)
+        con.execute("create table t (n int)")  # no PK: duplication is silent
+        con.execute("insert into t values (0)")
+
+        batch = self._write_batch(
+            tmp_path, ["update t set n = n + 1;"] * 3
+        )
+
+        class Crash(BaseException):
+            pass
+
+        state = {"commits": 0}
+
+        def crashy(sql):
+            r = con.execute(sql)  # the statement REALLY runs first
+            if sql == "commit;":
+                state["commits"] += 1
+                if state["commits"] == 2:  # crash right after unit 1 commits
+                    raise Crash("power cut after commit, before any marker")
+            return r
+
+        with _pytest.raises(Crash):
+            apply_statement_stream(batch, crashy, breakpoint_table="bp")
+        con.close()
+
+        # the process died; resume on a fresh session — units 0 and 1 are
+        # fenced IN the database, so only unit 2 applies
+        con = _duckdb.connect(db)
+        assert apply_statement_stream(
+            batch, con.execute, breakpoint_table="bp"
+        ) == (3, 0)
+        assert con.execute("select n from t").fetchone() == (3,)
+        # the marker rows are exactly one per unit
+        assert con.execute(
+            "select unit, ok from bp order by unit"
+        ).fetchall() == [(0, 1), (1, 1), (2, 1)]
+        con.close()
+
+    def test_breakpoint_table_records_diverted_units(self, tmp_path):
+        """A diverted (failed) unit records ok=0 in its own autocommit
+        after the rollback; resume reconstructs BOTH counts from the
+        database and never re-diverts (one fail.sql block total)."""
+        import duckdb as _duckdb
+        import pytest as _pytest
+
+        from debezium_spark.sink import apply_statement_stream
+
+        db = str(tmp_path / "t.db")
+        con = _duckdb.connect(db)
+        con.execute("create table t (id integer primary key, v varchar)")
+
+        batch = self._write_batch(
+            tmp_path,
+            [
+                "insert into t values (1, 'a');",
+                "insert into nowhere values (1);",  # diverted unit 1
+                "insert into t values (2, 'b');",
+                "insert into t values (3, 'c');",
+            ],
+        )
+
+        class Crash(BaseException):
+            pass
+
+        state = {"commits": 0}
+
+        def crashy(sql):
+            r = con.execute(sql)
+            if sql == "commit;":
+                state["commits"] += 1
+                if state["commits"] == 2:  # right after unit 2 commits
+                    raise Crash("gone")
+            return r
+
+        fail_sql = str(tmp_path / "fail.sql")
+        with _pytest.raises(Crash):
+            apply_statement_stream(
+                batch, crashy, fail_sql_path=fail_sql, breakpoint_table="bp"
+            )
+        con.close()
+
+        con = _duckdb.connect(db)
+        assert apply_statement_stream(
+            batch, con.execute, fail_sql_path=fail_sql, breakpoint_table="bp"
+        ) == (3, 1)
+        assert con.execute("select id from t order by id").fetchall() == [
+            (1,), (2,), (3,)
+        ]
+        # the diverted unit was NOT retried on resume: one statement line
+        # in fail.sql (the error message also names the table, so count the
+        # exact statement, not the substring)
+        assert open(fail_sql).read().count("insert into nowhere values (1);") == 1
+        assert con.execute(
+            "select unit, ok from bp order by unit"
+        ).fetchall() == [(0, 1), (1, 0), (2, 1), (3, 1)]
+        con.close()
+
     def test_missing_receipt_refuses_to_apply(self, tmp_path):
         """A batch directory without the writer's ``_done`` receipt was
         never committed (crash mid-write, or the one-statement-per-line
