@@ -18,6 +18,7 @@ DDL, not per row) and run as deterministic pure functions with an
 Arrow-batched bulk path.
 """
 
+from debezium_spark.sink.config import SinkConfig
 from debezium_spark.sink.ddl_translate import translate_ddl, translate_ddl_batch
 from debezium_spark.sink.metadata import ColumnMeta, TableMeta, table_meta_from_schema
 from debezium_spark.sink.pg_deparse import expand_ddl_json, expand_ddl_json_batch
@@ -31,6 +32,7 @@ from debezium_spark.sink.replay import (
 from debezium_spark.sink.sqlgen import dml_statements
 
 __all__ = [
+    "SinkConfig",
     "ColumnMeta",
     "TableMeta",
     "table_meta_from_schema",

@@ -1078,6 +1078,71 @@ class TestStatementStreamMulti:
         assert con.execute("select id, label from sink1.tags").fetchall() == [(7, "y")]
 
 
+class TestSinkConfig:
+    """Property-file boundary for the sink: schema.mappings format
+    (README.md:316), provide.transaction.metadata mode selection
+    (README.md:199 — true = tx-parallel whole-tx stream, false = the
+    table-parallel default), fail.sql.path, thread caps, breakpoint."""
+
+    def test_from_properties_parses_the_reference_keys(self):
+        from debezium_spark.sink import SinkConfig
+
+        cfg = SinkConfig.from_properties({
+            "schema.mappings": "mysql_db1:og_schema1;mysql_db2:og_schema2",
+            "provide.transaction.metadata": "true",
+            "fail.sql.path": "/var/log/fail.sql",
+            "max.thread.count": "50",
+            "record.breakpoint.table": "sink_breakpoint",
+            "record.breakpoint.kafka.topic": "bp-topic",  # transport key
+        })
+        assert cfg.schema_mappings == {
+            "mysql_db1": "og_schema1", "mysql_db2": "og_schema2"
+        }
+        assert cfg.tx_parallel is True
+        assert cfg.fail_sql_path == "/var/log/fail.sql"
+        assert cfg.max_threads == 50
+        assert cfg.breakpoint_table == "sink_breakpoint"
+        # unknown / transport keys survive in extras, never rejected
+        assert cfg.extras == {"record.breakpoint.kafka.topic": "bp-topic"}
+
+    def test_malformed_mapping_and_zero_threads_raise(self):
+        import pytest as _pytest
+
+        from debezium_spark.sink import SinkConfig
+
+        with _pytest.raises(ValueError, match="schema.mappings"):
+            SinkConfig.from_properties({"schema.mappings": "no-colon-here"})
+        with _pytest.raises(ValueError, match="positive"):
+            SinkConfig.from_properties({"max.thread.count": "0"})
+
+    def test_mode_selection_routes_to_the_matching_stream_builder(self, spark):
+        from debezium_spark.sink import SinkConfig
+
+        multi = TestStatementStreamMulti()
+        wire, specs = multi._wire(spark), multi._specs()
+        props = {"schema.mappings": "db1:sink1"}
+
+        # default: table-parallel (provide.transaction.metadata=false)
+        table_mode = SinkConfig.from_properties(props).statement_streams(
+            wire, specs
+        )
+        assert set(table_mode) == {("db1", "files"), ("db1", "tags")}
+
+        # tx-parallel: one whole-tx channel, identical to the unified stream
+        tx_mode = SinkConfig.from_properties(
+            {**props, "provide.transaction.metadata": "true"}
+        ).statement_streams(wire, specs)
+        assert set(tx_mode) == {("", "")}
+        from debezium_spark.sink import statement_stream_multi
+
+        unified = statement_stream_multi(wire, specs, {"db1": "sink1"})
+        got = [r.stmt for r in tx_mode[("", "")].orderBy(
+            "file", "pos", "sub", "seq").collect()]
+        want = [r.stmt for r in unified.orderBy(
+            "file", "pos", "sub", "seq").collect()]
+        assert got == want
+
+
 class TestApplyStatementStream:
     """The sink apply loop — ``WorkThread.replayTransaction`` /
     ``executeTxnSql`` (``sink/replay/transaction/WorkThread.java:148-216``):
