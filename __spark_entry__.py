@@ -3248,7 +3248,64 @@ SELECT '{{"fmt": "DROP TABLE %{{identity}}D", "identity": {{"schemaname": "'
 FROM t"""
 
 
+def q_sink_per_table_stream(spark, sf_dir):
+    """Table-parallel sink replay channels (TableReplayTask.java:401-426,
+    the reference's default mode and its published-throughput config): one
+    order-safe statement stream per registered table, transaction wrappers
+    re-computed per table FRAGMENT (a cross-table tx wraps once per channel
+    it touches), routed off ``source.table``. The env's table identity is
+    key-affine (t = user_id % 5), so each key's whole history stays in its
+    channel — the precondition for parallel apply."""
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.sink import per_table_statement_streams
+    from debezium_spark.streaming.multi import TableSpec, envelope_to_wire
+
+    wire = envelope_to_wire(_env_struct(spark, sf_dir))
+    schema = StructType.fromDDL("repo string, path string, content string")
+    specs = [
+        TableSpec("app", f"t{i}", schema, ["repo", "path"]) for i in range(5)
+    ]
+    streams = per_table_statement_streams(wire, specs, {"app": "sink_app"})
+    out = None
+    for (_db, tbl), df in sorted(streams.items()):
+        part = df.select(
+            F.lit(tbl).alias("channel"), "file", "pos", "sub", "seq", "stmt"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+SQL_sink_per_table_stream = f"""WITH {ENV_SQL},
+q AS (
+  SELECT pos, op, tx_id, tbl,
+         '''' || replace(repo, '''', '''''') || '''' AS qr,
+         '''' || replace(path, '''', '''''') || '''' AS qp,
+         '''' || replace(content, '''', '''''') || '''' AS qc
+  FROM env WHERE op IN ('c','u','d')
+),
+dml AS (
+  SELECT tbl AS channel, 'binlog.000001' AS file, pos, 1 AS sub, 0 AS seq,
+         tx_id,
+    CASE op
+      WHEN 'c' THEN 'insert into "sink_app"."' || tbl || '" values (' || qr || ', ' || qp || ', ' || qc || ');'
+      WHEN 'u' THEN 'update "sink_app"."' || tbl || '" set "repo" = ' || qr || ', "path" = ' || qp
+                    || ', "content" = ' || qc || ' where "repo" = ' || qr
+                    || ' and "path" = ' || qp || ';'
+      ELSE 'delete from "sink_app"."' || tbl || '" where "repo" = ' || qr
+           || ' and "path" = ' || qp || ';'
+    END AS stmt
+  FROM q
+),
+w AS (SELECT tx_id, channel, MIN(pos) AS lo, MAX(pos) AS hi
+      FROM dml GROUP BY tx_id, channel)
+SELECT channel, file, pos, sub, seq, stmt FROM dml
+UNION ALL SELECT channel, 'binlog.000001', lo, 0, 0, 'begin;' FROM w
+UNION ALL SELECT channel, 'binlog.000001', hi, 2, 0, 'commit;' FROM w"""
+
+
 _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
+    "sink_per_table_stream": (q_sink_per_table_stream, SQL_sink_per_table_stream),
     "column_truncate": (q_column_truncate, SQL_column_truncate),
     "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
     "avro_envelope_roundtrip": (q_avro_envelope_roundtrip, SQL_avro_envelope_roundtrip),
