@@ -404,3 +404,55 @@ def test_avro_resolution_fuzz_decode_remap_matches_spec(case):
     remap = _resolution_map(writer, reader, aliases or None)
     got = datum if remap is None else remap(datum)
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# sink DDL quote masking (ddl_translate._mask_quoted)
+# ---------------------------------------------------------------------------
+
+@given(st.text(alphabet="ab` '\"rxfk;().,=", max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_mask_quoted_is_total_length_preserving_and_quote_free(s):
+    from debezium_spark.sink.ddl_translate import _mask_quoted
+
+    m = _mask_quoted(s)
+    assert len(m) == len(s)
+    # a quote char always OPENS a span (itself masked), so none survive
+    assert all(c not in "`'\"" for c in m)
+    # every position is either untouched or blanked — never rewritten
+    assert all(a == b or b == " " for a, b in zip(s, m))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["`", "'", '"']),
+            st.text(alphabet="abc referncs key", max_size=20),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_mask_quoted_blanks_keywords_inside_balanced_quotes(spans):
+    from debezium_spark.sink.ddl_translate import _mask_quoted
+
+    # interleave quoted spans (payload quote-doubled, so always balanced)
+    # with unquoted filler that contains the keywords LEGITIMATELY
+    parts, keyword_free_zones = [], []
+    pos = 0
+    for q, payload in spans:
+        filler = " foreign key references t "
+        parts.append(filler)
+        pos += len(filler)
+        quoted = q + payload.replace(q, q + q) + q
+        parts.append(quoted)
+        keyword_free_zones.append((pos, pos + len(quoted)))
+        pos += len(quoted)
+    s = "".join(parts)
+    m = _mask_quoted(s)
+    # inside every quoted span the mask is all spaces...
+    for lo, hi in keyword_free_zones:
+        assert m[lo:hi] == " " * (hi - lo)
+    # ...and the unquoted keywords survive verbatim
+    assert m.count("foreign key references t") == len(spans)
