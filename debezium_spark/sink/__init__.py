@@ -28,6 +28,7 @@ from debezium_spark.sink.replay import (
     statement_stream,
     statement_stream_multi,
     write_statement_stream,
+    write_statement_streams,
 )
 from debezium_spark.sink.sqlgen import dml_statements
 
@@ -46,4 +47,5 @@ __all__ = [
     "statement_stream_multi",
     "per_table_statement_streams",
     "write_statement_stream",
+    "write_statement_streams",
 ]

@@ -351,6 +351,160 @@ def write_statement_stream(
     return n
 
 
+def _wrap_tx_channels(all_stmts: DataFrame) -> DataFrame:
+    """Channel-aware tx wrapping: ONE aggregation over every channel.
+
+    Per-channel :func:`_wrap_tx` calls cost one shuffle (and, under AQE,
+    one stage-materialization job) EACH; grouping by (channel, _tx) wraps
+    every channel's fragments in a single partial aggregation, so wrapper
+    cost is O(1) jobs at any channel count. Row-for-row equal to mapping
+    :func:`_wrap_tx` over the per-channel streams (each transaction's
+    bounds are computed within its channel either way)."""
+    tx_bounds = (
+        all_stmts.where(F.col("_tx").isNotNull())
+        .groupBy("channel", "_tx")
+        .agg(
+            F.min(F.struct("file", "pos")).alias("lo"),
+            F.max(F.struct("file", "pos")).alias("hi"),
+        )
+    )
+    begins = tx_bounds.select(
+        "channel", F.col("lo.file").alias("file"), F.col("lo.pos").alias("pos"),
+        F.lit(_SUB_BEGIN).alias("sub"), F.lit(0).alias("seq"),
+        F.lit("begin;").alias("stmt"), F.col("_tx"),
+    )
+    commits = tx_bounds.select(
+        "channel", F.col("hi.file").alias("file"), F.col("hi.pos").alias("pos"),
+        F.lit(_SUB_COMMIT).alias("sub"), F.lit(0).alias("seq"),
+        F.lit("commit;").alias("stmt"), F.col("_tx"),
+    )
+    return all_stmts.unionByName(begins).unionByName(commits).drop("_tx")
+
+
+def write_statement_streams(
+    wire_df: DataFrame,
+    specs,
+    out_root: str,
+    batch_id: int,
+    schema_mapping: Mapping[str, str] | None = None,
+    dialect: str = "opengauss",
+    metas: Mapping[tuple[str, str], TableMeta] | None = None,
+    files_per_channel: int = 1,
+) -> dict[tuple[str, str], int]:
+    """Write EVERY table channel's statement batch with O(1) Spark jobs.
+
+    Looping :func:`per_table_statement_streams` through the per-channel
+    writer costs jobs LINEAR in the table count — one write action per
+    channel plus one AQE stage materialization per channel's tx-wrapper
+    aggregation; at the reference's 50-table config that is ~100 jobs of
+    serial driver work per batch, the generation bottleneck at a 500-table
+    deployment. This writer builds the same statement rows as one union
+    tagged by a ``channel`` column, wraps transactions for every channel in
+    ONE (channel, _tx) aggregation, range-partitions by (channel, offset)
+    and lets ONE dynamic-partitioned text write emit every channel's
+    range-ordered part files. The injected dynamic-partition sort is
+    satisfied by the explicit (channel, offset) sort, so within-channel
+    offset order is preserved (asserted by the cross-writer equivalence
+    test, which also pins row-for-row equality with the per-channel path).
+
+    Layout and receipts match the per-channel writer exactly
+    (``<out_root>/<db.table>/batch-NNNNNN/part-* + _done``), so
+    :func:`apply_statement_stream` consumes either writer's output.
+    Channels whose receipt already exists are EXCLUDED from the job
+    (idempotent redelivery, per channel); empty channels get an empty
+    directory with a 0-statement receipt. Per-channel statement counts and
+    the one-statement-per-line guard ride the single write as O(channels)
+    fixed-width conditional sums on one Observation.
+
+    Returns ``{(db, table): statement_count}`` (0 for skipped redeliveries).
+    """
+    specs = list(specs)
+    if not specs:
+        return {}
+    from pyspark.sql import Observation
+
+    mapping = dict(schema_mapping or {})
+    metas = dict(metas or {})
+    keys = sorted((s.db, s.table) for s in specs)
+    by_key = {(s.db, s.table): s for s in specs}
+    cids = {k: f"{k[0]}.{k[1]}" for k in keys}
+    batch_name = f"batch-{batch_id:06d}"
+    pending = [
+        k for k in keys
+        if not os.path.exists(
+            os.path.join(out_root, cids[k], batch_name, "_done")
+        )
+    ]
+    counts: dict[tuple[str, str], int] = {k: 0 for k in keys}
+    if not pending:
+        return counts
+
+    union = None
+    for k in pending:
+        spec = by_key[k]
+        table_rows = wire_df.where(
+            (F.col("source.db") == spec.db)
+            & (F.col("source.table") == spec.table)
+        )
+        part = (
+            _spec_dml_rows(table_rows, spec, mapping, dialect, metas)
+            .unionByName(_wire_ddl_rows(table_rows, mapping))
+            .select(F.lit(cids[k]).alias("channel"), "*")
+        )
+        union = part if union is None else union.unionByName(part)
+    union = _wrap_tx_channels(union)
+
+    obs = Observation(f"stmt-streams-{batch_id}")
+    metrics = [
+        F.sum(
+            F.when(F.col("channel") == cids[k], 1).otherwise(0)
+        ).alias(f"n_{i}")
+        for i, k in enumerate(pending)
+    ]
+    metrics.append(
+        F.sum(
+            F.when(F.col("stmt").rlike("[\\n\\r]"), 1).otherwise(0)
+        ).alias("multiline")
+    )
+    n_parts = max(len(pending) * files_per_channel, 1)
+    ordered = (
+        union.repartitionByRange(
+            n_parts, "channel", "file", "pos", "sub", "seq"
+        )
+        .sortWithinPartitions("channel", "file", "pos", "sub", "seq")
+        .observe(obs, *metrics)
+        .select("channel", "stmt")
+    )
+    tmp_root = os.path.join(out_root, f"_tmp-{batch_name}")
+    ordered.write.mode("overwrite").partitionBy("channel").text(tmp_root)
+    vals = obs.get
+    if int(vals["multiline"] or 0):
+        raise ValueError(
+            f"statement stream batch {batch_id}: {int(vals['multiline'])} "
+            "statement(s) contain raw newlines and would split across "
+            "part-file lines — NO channel is committed (_done withheld)"
+        )
+    import shutil as _shutil
+
+    for i, k in enumerate(pending):
+        counts[k] = int(vals[f"n_{i}"] or 0)
+        dst = os.path.join(out_root, cids[k], batch_name)
+        if os.path.exists(dst):  # partial leftovers from a crashed write
+            _shutil.rmtree(dst)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        src = os.path.join(tmp_root, f"channel={cids[k]}")
+        if os.path.exists(src):
+            os.replace(src, dst)
+        else:  # empty channel: no rows, still a committed (empty) batch
+            os.makedirs(dst)
+        tmp = os.path.join(dst, "_done.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "statements": counts[k]}, f)
+        os.replace(tmp, os.path.join(dst, "_done"))
+    _shutil.rmtree(tmp_root, ignore_errors=True)
+    return counts
+
+
 def _iter_batch_lines(batch_dir: str):
     """One committed batch directory → its statement lines in replay order.
 

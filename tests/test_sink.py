@@ -1078,6 +1078,121 @@ class TestStatementStreamMulti:
         assert con.execute("select id, label from sink1.tags").fetchall() == [(7, "y")]
 
 
+class TestWriteStatementStreams:
+    """The single-job multi-channel writer: byte-identical output to the
+    per-channel writer, O(1) Spark jobs in the channel count, per-channel
+    idempotent redelivery, empty-channel receipts."""
+
+    @staticmethod
+    def _channel_lines(root, cid, batch="batch-000000"):
+        import os as _os
+
+        d = _os.path.join(root, cid, batch)
+        parts = sorted(
+            p for p in _os.listdir(d)
+            if p.startswith("part-") and not p.endswith(".crc")
+        )
+        out = []
+        for p in parts:
+            with open(_os.path.join(d, p)) as f:
+                out += [ln.rstrip("\n") for ln in f if ln.strip()]
+        return out
+
+    def test_matches_per_channel_writer_and_uses_one_write_job(
+        self, spark, tmp_path
+    ):
+        import json as _json
+        import os as _os
+
+        from debezium_spark.sink import (
+            per_table_statement_streams,
+            write_statement_stream,
+            write_statement_streams,
+        )
+
+        multi = TestStatementStreamMulti()
+        wire, specs = multi._wire(spark), multi._specs()
+        streams = per_table_statement_streams(wire, specs, {"db1": "sink1"})
+
+        # reference output: the per-channel writer, one dir per table
+        ref_root = str(tmp_path / "ref")
+        for (db, tbl), df in streams.items():
+            write_statement_stream(
+                df, _os.path.join(ref_root, f"{db}.{tbl}"), batch_id=0,
+                n_files=1,
+            )
+
+        # single-action writer: job count must not grow with channel width
+        # (AQE stage materialization + range sampling cost a few fixed jobs)
+        from debezium_spark.streaming.multi import TableSpec
+
+        num_jobs = lambda: spark._jsc.sc().dagScheduler().numTotalJobs()  # noqa: E731
+        got_root = str(tmp_path / "got")
+        j0 = num_jobs()
+        counts = write_statement_streams(
+            wire, specs, got_root, batch_id=0, schema_mapping={"db1": "sink1"}
+        )
+        jobs_2ch = num_jobs() - j0
+
+        wide_specs = specs + [
+            TableSpec("db1", f"w{i}", specs[1].payload_schema, ["id"])
+            for i in range(10)
+        ]
+        j0 = num_jobs()
+        write_statement_streams(
+            wire, wide_specs, str(tmp_path / "wide"), batch_id=0,
+            schema_mapping={"db1": "sink1"},
+        )
+        jobs_12ch = num_jobs() - j0
+        assert jobs_12ch <= jobs_2ch + 2, (
+            f"write jobs grew with channels: {jobs_2ch} @2ch → {jobs_12ch} "
+            "@12ch (want O(1) in channel count)"
+        )
+
+        for (db, tbl) in streams:
+            cid = f"{db}.{tbl}"
+            want = self._channel_lines(ref_root, cid)
+            got = self._channel_lines(got_root, cid)
+            assert got == want, f"channel {cid} diverged"
+            with open(_os.path.join(got_root, cid, "batch-000000", "_done")) as f:
+                receipt = _json.load(f)
+            assert receipt["statements"] == len(want)
+            assert counts[(db, tbl)] == len(want)
+
+        # redelivery: every receipt present → nothing rewritten, zeros back
+        again = write_statement_streams(
+            wire, specs, got_root, batch_id=0, schema_mapping={"db1": "sink1"}
+        )
+        assert set(again.values()) == {0}
+
+    def test_empty_channel_gets_a_zero_receipt_and_applies_cleanly(
+        self, spark, tmp_path
+    ):
+        import os as _os
+
+        from debezium_spark.sink import (
+            apply_statement_stream,
+            write_statement_streams,
+        )
+        from debezium_spark.streaming.multi import TableSpec
+
+        multi = TestStatementStreamMulti()
+        specs = multi._specs() + [
+            TableSpec("db1", "silent", multi._specs()[1].payload_schema, ["id"])
+        ]
+        root = str(tmp_path / "out")
+        counts = write_statement_streams(
+            multi._wire(spark), specs, root, batch_id=0,
+            schema_mapping={"db1": "sink1"},
+        )
+        assert counts[("db1", "silent")] == 0
+        batch = _os.path.join(root, "db1.silent", "batch-000000")
+        assert _os.path.exists(_os.path.join(batch, "_done"))
+        executed = []
+        assert apply_statement_stream(batch, executed.append) == (0, 0)
+        assert executed == []
+
+
 class TestSinkConfig:
     """Property-file boundary for the sink: schema.mappings format
     (README.md:316), provide.transaction.metadata mode selection

@@ -40,14 +40,11 @@ from tools.bench_multi50 import make_wire
 def write_channels(spark, work: str, n_events: int, n_tables: int) -> dict:
     """Mixed wire batch → one written statement batch dir per table."""
     from debezium_spark.schema import REPO_PAYLOAD_SCHEMA
-    from debezium_spark.sink import (
-        per_table_statement_streams,
-        write_statement_stream,
-    )
+    from debezium_spark.sink import write_statement_streams
     from debezium_spark.streaming.multi import TableSpec
 
-    # materialize the wire batch once — each of the n_tables write jobs
-    # would otherwise recompute the full generator pipeline per channel
+    # materialize the wire batch once, then ONE write action emits every
+    # channel (job count O(1) in the table width — write_statement_streams)
     wire_dir = os.path.join(work, "wire.parquet")
     make_wire(spark, n_events, n_tables, n_tables).write.mode(
         "overwrite"
@@ -58,14 +55,20 @@ def write_channels(spark, work: str, n_events: int, n_tables: int) -> dict:
         for i in range(n_tables)
     ]
     t0 = time.perf_counter()
-    streams = per_table_statement_streams(wire, specs, {"app": "sink"})
-    dirs, n_stmts = {}, 0
-    for (db, tbl), df in streams.items():
-        out = os.path.join(work, "stmts", f"{db}.{tbl}")
-        n_stmts += write_statement_stream(df, out, batch_id=0, n_files=1)
-        dirs[tbl] = os.path.join(out, "batch-000000")
+    counts = write_statement_streams(
+        wire, specs, os.path.join(work, "stmts"), batch_id=0,
+        schema_mapping={"app": "sink"},
+    )
     gen_sec = time.perf_counter() - t0
-    return {"dirs": dirs, "statements": n_stmts, "gen_sec": round(gen_sec, 3)}
+    dirs = {
+        tbl: os.path.join(work, "stmts", f"{db}.{tbl}", "batch-000000")
+        for (db, tbl) in counts
+    }
+    return {
+        "dirs": dirs,
+        "statements": sum(counts.values()),
+        "gen_sec": round(gen_sec, 3),
+    }
 
 
 def _apply_one(args: tuple[str, str, str]) -> tuple[tuple[int, int], int]:

@@ -61,6 +61,7 @@ def main() -> None:
         SinkConfig,
         apply_statement_stream,
         write_statement_stream,
+        write_statement_streams,
     )
     from debezium_spark.streaming.multi import TableSpec
 
@@ -98,10 +99,20 @@ def main() -> None:
     t0 = time.perf_counter()
     for bid, batch in enumerate(batches):
         wire = spark.read.parquet(os.path.join(args.wire_dir, batch))
-        for (db, tbl), df in sorted(cfg.statement_streams(wire, specs).items()):
-            channel = f"{db}.{tbl}" if tbl else "all"
-            total_stmts += write_statement_stream(
-                df, os.path.join(args.out, channel), batch_id=bid
+        if cfg.tx_parallel:
+            for (db, tbl), df in sorted(cfg.statement_streams(wire, specs).items()):
+                channel = f"{db}.{tbl}" if tbl else "all"
+                total_stmts += write_statement_stream(
+                    df, os.path.join(args.out, channel), batch_id=bid
+                )
+        else:
+            # table-parallel: every channel in ONE write action (job count
+            # O(1) in the table width — see write_statement_streams)
+            total_stmts += sum(
+                write_statement_streams(
+                    wire, specs, args.out, batch_id=bid,
+                    schema_mapping=cfg.schema_mappings, dialect=cfg.dialect,
+                ).values()
             )
     gen_sec = time.perf_counter() - t0
 
@@ -136,6 +147,8 @@ def main() -> None:
         os.makedirs(args.apply_duckdb, exist_ok=True)
         t0 = time.perf_counter()
         for channel in sorted(os.listdir(args.out)):
+            if channel.startswith("_"):  # a crashed writer's _tmp-* scratch
+                continue
             con = duckdb.connect(
                 os.path.join(args.apply_duckdb, f"{channel}.db")
             )
