@@ -1,0 +1,370 @@
+"""Tests for the round-5 connector-shape sources and server-sink consumers:
+
+- SQL Server CDC-table source (``sources/sqlserver.py``) — update-pair
+  fusion, op mapping, pair-protocol violations;
+- MongoDB change-stream source (``sources/mongodb.py``) — document
+  envelope fields + ExtractNewDocumentState;
+- Oracle LogMiner source (``sources/oracle_logminer.py``) — buffer-until-
+  commit, rollback discard, partial rollback, commit ordering;
+- ActivateTracingSpan (``operators/tracing.py``) — span parents, context
+  propagation, tombstone pass-through;
+- debezium-server consumers (``sink/server.py``) — per-key order,
+  partitioning, sink dialect shapes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+# ---------------------------------------------------------------- sqlserver
+
+
+def _ct(spark):
+    rows = [
+        # (start_lsn, seqval, operation, commit_ts_ms, k, v)
+        (10, 1, 2, 1000, "a", "a0"),       # insert a
+        (20, 1, 3, 2000, "a", "a0"),       # update a: before
+        (20, 1, 4, 2000, "a", "a1"),       #           after
+        (20, 2, 2, 2000, "b", "b0"),       # insert b (same lsn, next seqval)
+        (30, 1, 1, 3000, "a", "a1"),       # delete a
+        (40, 1, 3, 4000, "b", "b0"),       # BROKEN: update-before w/o after
+    ]
+    return spark.createDataFrame(
+        rows, "start_lsn long, seqval long, operation int, commit_ts_ms long, k string, v string"
+    )
+
+
+def test_sqlserver_update_pair_fuses_to_one_event(spark):
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    env = cdc_table_to_envelope(_ct(spark), ["k", "v"], db="server1", table="dbo.t")
+    rows = {(r["source"]["pos"]): r for r in env.collect()}
+    assert len(rows) == 5  # 6 CT rows -> 5 events (pair fused)
+    upd = rows[(20 << 20) + 1]
+    assert upd["op"] == "u" and not upd["pair_error"]
+    assert upd["before"]["v"] == "a0" and upd["after"]["v"] == "a1"
+
+
+def test_sqlserver_op_mapping_and_images(spark):
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    env = cdc_table_to_envelope(_ct(spark), ["k", "v"])
+    ins = env.filter("op = 'c'").orderBy("source.pos").collect()
+    assert [r["after"]["k"] for r in ins] == ["a", "b"]
+    assert all(r["before"] is None for r in ins)
+    dele = env.filter("op = 'd'").collect()
+    assert len(dele) == 1 and dele[0]["before"]["k"] == "a" and dele[0]["after"] is None
+
+
+def test_sqlserver_unpaired_update_goes_to_pair_error(spark):
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    env = cdc_table_to_envelope(_ct(spark), ["k", "v"])
+    bad = env.filter("pair_error").collect()
+    assert len(bad) == 1
+    r = bad[0]
+    # offsets still advance past the broken group; images/op are nulled
+    assert r["source"]["pos"] == (40 << 20) + 1
+    assert r["op"] is None and r["before"] is None and r["after"] is None
+
+
+def test_sqlserver_order_is_lsn_then_seqval(spark):
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    env = cdc_table_to_envelope(_ct(spark), ["k", "v"])
+    ordered = [r["op"] for r in env.orderBy("source.pos").collect()]
+    assert ordered == ["c", "u", "c", "d", None]
+
+
+# ------------------------------------------------------------------ mongodb
+
+
+def _cs(spark):
+    rows = [
+        ("insert", '{"_id": 1}', '{"_id": 1, "name": "n1", "qty": 5}', None, None, 1, 100),
+        ("update", '{"_id": 1}', None, '{"qty": 7}', ["name"], 2, 200),
+        ("replace", '{"_id": 1}', '{"_id": 1, "name": "n2", "qty": 9}', None, None, 3, 300),
+        ("delete", '{"_id": 1}', None, None, None, 4, 400),
+        ("drop", '{"_id": 0}', None, None, None, 5, 500),  # control event
+    ]
+    return spark.createDataFrame(
+        rows,
+        "op_type string, doc_key string, full_doc string, updated_fields string,"
+        " removed_fields array<string>, ord long, ts_ms long",
+    )
+
+
+def test_mongodb_envelope_fields(spark):
+    from debezium_spark.sources.mongodb import change_stream_to_envelope
+
+    env = change_stream_to_envelope(_cs(spark)).orderBy("source.pos")
+    rows = env.collect()
+    assert [r["op"] for r in rows] == ["c", "u", "u", "d", None]
+    ins, upd, rep, dele, ctrl = rows
+    assert ins["after"] is not None and ins["updateDescription"] is None
+    # update without full-document lookup: no after, updateDescription set
+    assert upd["after"] is None
+    assert upd["updateDescription"]["updatedFields"] == '{"qty": 7}'
+    assert upd["updateDescription"]["removedFields"] == ["name"]
+    assert rep["after"] is not None  # replace carries the full doc
+    assert dele["after"] is None and dele["updateDescription"] is None
+    assert ctrl["op"] is None  # drop/rename/invalidate → quarantine path
+    assert ins["id"] == "1"  # documentKey JSON → key
+
+
+def test_mongodb_extract_new_document_state(spark):
+    from debezium_spark.sources.mongodb import (
+        change_stream_to_envelope,
+        extract_new_document_state,
+    )
+
+    env = change_stream_to_envelope(_cs(spark)).filter(F.col("op").isNotNull())
+    flat = extract_new_document_state(env, "name string, qty int").orderBy("source.pos")
+    rows = flat.collect()
+    assert rows[0]["name"] == "n1" and rows[0]["qty"] == 5
+    # partial update: only updatedFields materialize, rest null
+    assert rows[1]["name"] is None and rows[1]["qty"] == 7
+    assert rows[2]["name"] == "n2" and rows[2]["qty"] == 9
+    assert rows[3]["__deleted"] is True and rows[3]["name"] is None
+
+    dropped = extract_new_document_state(env, "name string, qty int", delete_handling="drop")
+    assert dropped.count() == 3
+    with pytest.raises(ValueError):
+        extract_new_document_state(env, "name string", delete_handling="bogus")
+
+
+# ----------------------------------------------------------- oracle logminer
+
+
+def _redo(spark):
+    rows = [
+        # scn, tx_id, event_type, tbl, row_id, rollback_flag, ts_ms, b_k, b_v, a_k, a_v
+        (100, "tx1", 6, None, None, 0, 1000, None, None, None, None),       # START tx1
+        (101, "tx1", 1, "t", "r1", 0, 1001, None, None, "k1", "v1"),        # insert
+        (102, "tx1", 3, "t", "r1", 0, 1002, "k1", "v1", "k1", "v2"),        # update
+        (110, "tx2", 1, "t", "r2", 0, 1010, None, None, "k2", "w1"),        # insert (tx2)
+        (111, "tx2", 36, None, None, 0, 1011, None, None, None, None),      # ROLLBACK tx2
+        (120, "tx3", 1, "t", "r3", 0, 1020, None, None, "k3", "x1"),        # insert
+        (121, "tx3", 1, "t", "r3", 1, 1021, None, None, "k3", "x1"),        # partial rollback of 120
+        (122, "tx3", 1, "t", "r4", 0, 1022, None, None, "k4", "y1"),        # survives
+        (130, "tx4", 1, "t", "r5", 0, 1030, None, None, "k5", "z1"),        # uncommitted
+        # commits: tx3 commits BEFORE tx1 → commit order tx3 then tx1
+        (140, "tx3", 7, None, None, 0, 1040, None, None, None, None),
+        (150, "tx1", 7, None, None, 0, 1050, None, None, None, None),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "scn long, tx_id string, event_type int, tbl string, row_id string,"
+        " rollback_flag int, ts_ms long, before_k string, before_v string,"
+        " after_k string, after_v string",
+    )
+
+
+def test_logminer_commit_gating_and_rollback_discard(spark):
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    env = redo_to_envelope(_redo(spark), ["k", "v"])
+    rows = env.orderBy("source.pos").collect()
+    # tx2 rolled back, tx4 uncommitted, tx3's first insert partially rolled
+    # back → events: tx3 r4 insert, then tx1 insert+update (commit order!)
+    assert [(r["source"]["gtid"], r["op"]) for r in rows] == [
+        ("tx3", "c"), ("tx1", "c"), ("tx1", "u"),
+    ]
+
+
+def test_logminer_partial_rollback_removes_prior_event_only(spark):
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    env = redo_to_envelope(_redo(spark), ["k", "v"])
+    tx3 = env.filter("source.gtid = 'tx3'").collect()
+    assert len(tx3) == 1 and tx3[0]["after"]["k"] == "k4"
+
+
+def test_logminer_commit_order_is_stream_order(spark):
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    env = redo_to_envelope(_redo(spark), ["k", "v"])
+    rows = env.orderBy("source.pos").collect()
+    pos = [r["source"]["pos"] for r in rows]
+    assert pos == sorted(pos)
+    # intra-tx order follows scn
+    tx1 = [r for r in rows if r["source"]["gtid"] == "tx1"]
+    assert [r["scn"] for r in tx1] == [101, 102]
+    assert [r["op"] for r in tx1] == ["c", "u"]
+
+
+def test_logminer_envelope_images(spark):
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    env = redo_to_envelope(_redo(spark), ["k", "v"])
+    upd = env.filter("op = 'u'").collect()[0]
+    assert upd["before"]["v"] == "v1" and upd["after"]["v"] == "v2"
+    ins = env.filter("op = 'c'").collect()
+    assert all(r["before"] is None for r in ins)
+
+
+# ------------------------------------------------------------------ tracing
+
+
+def _traced_env(spark):
+    rows = [
+        # op, ts_ms, k, ctx, file, pos, src_ts
+        ("c", 2000, "k1", "traceparent=00-" + "ab" * 16 + "-" + "12" * 8 + "-01", "f1", 1, 1000),
+        ("u", 2001, "k2", None, "f1", 2, 1001),
+        (None, 2002, "k3", None, "f1", 3, 1002),  # tombstone
+    ]
+    df = spark.createDataFrame(
+        rows, "op string, ts_ms long, k string, tracingspancontext string,"
+        " file string, pos long, src_ts long"
+    )
+    return df.select(
+        F.when(F.col("op").isNotNull(), F.struct("k", "tracingspancontext")).alias("after"),
+        F.lit(None).cast("struct<k:string,tracingspancontext:string>").alias("before"),
+        "op",
+        "ts_ms",
+        F.struct(
+            F.col("file"), F.col("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.lit("db1").alias("db"), F.lit("t1").alias("table"),
+            F.col("src_ts").alias("ts_ms"),
+        ).alias("source"),
+    )
+
+
+def test_tracing_span_parentage_and_propagation(spark):
+    from debezium_spark.operators.tracing import activate_tracing_span
+
+    out = activate_tracing_span(_traced_env(spark)).orderBy("source.pos").collect()
+    with_ctx, without_ctx, tomb = out
+
+    spans = {s["operation_name"]: s for s in with_ctx["spans"]}
+    txlog, read = spans["db-log-write"], spans["debezium-read"]
+    # propagated trace id + parent span; read span is child of txlog span
+    assert txlog["trace_id"] == "ab" * 16
+    assert txlog["parent_span_id"] == "12" * 8
+    assert read["trace_id"] == "ab" * 16
+    assert read["parent_span_id"] == txlog["span_id"]
+    # start times: txlog at DB event time, read at processing time (micros)
+    assert txlog["start_ts_micros"] == 1000 * 1000
+    assert read["start_ts_micros"] == 2000 * 1000
+    assert txlog["tags"]["component"] == "debezium"
+    assert txlog["tags"]["db.table"] == "t1"
+    assert read["tags"]["op"] == "c"
+    # header carries the READ span's context for downstream continuation
+    assert with_ctx["headers"]["traceparent"] == f"00-{'ab'*16}-{read['span_id']}-01"
+
+    # no propagated context → offset-derived trace id, no parent
+    s2 = {s["operation_name"]: s for s in without_ctx["spans"]}
+    assert s2["db-log-write"]["parent_span_id"] is None
+    assert len(s2["db-log-write"]["trace_id"]) == 32
+
+    # tombstone passes through untraced
+    assert tomb["spans"] is None and tomb["headers"] is None
+
+
+def test_tracing_is_deterministic_and_context_gate(spark):
+    from debezium_spark.operators.tracing import activate_tracing_span
+
+    a = activate_tracing_span(_traced_env(spark)).orderBy("source.pos").collect()
+    b = activate_tracing_span(_traced_env(spark)).orderBy("source.pos").collect()
+    assert [r["spans"] for r in a] == [r["spans"] for r in b]
+
+    gated = (
+        activate_tracing_span(_traced_env(spark), require_context_field=True)
+        .orderBy("source.pos")
+        .collect()
+    )
+    assert gated[0]["spans"] is not None
+    assert gated[1]["spans"] is None  # valid envelope but no context field
+
+
+# ------------------------------------------------------------- server sinks
+
+
+def _sink_env(spark):
+    rows = [
+        ("c", "r1", "p1", "c1", 1),
+        ("u", "r1", "p1", "c2", 2),
+        ("d", "r1", "p1", None, 3),
+        ("c", "r2", "p9", "c3", 4),
+        (None, None, None, None, 5),  # tombstone: null key sentinel path
+    ]
+    df = spark.createDataFrame(rows, "op string, repo string, path string, c string, pos long")
+    pay = F.struct("repo", "path", F.col("c").alias("commit"),
+                   F.lit("py").alias("lang"), F.col("c").alias("content"))
+    return df.select(
+        F.when(F.col("op").isin("u", "d"), pay).alias("before"),
+        F.when(F.col("op").isin("c", "u"), pay).alias("after"),
+        "op",
+        (F.col("pos") * 10).alias("ts_ms"),
+        F.struct(
+            F.lit("f1").alias("file"), F.col("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.lit("db1").alias("db"), F.lit("t1").alias("table"),
+            (F.col("pos") * 10).alias("ts_ms"),
+        ).alias("source"),
+        F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>")
+        .alias("transaction"),
+    )
+
+
+def test_change_records_per_key_order_and_null_key(spark):
+    from debezium_spark.sink.server import NULL_KEY, to_change_records
+
+    rec = to_change_records(_sink_env(spark), n_partitions=4)
+    rows = rec.collect()
+    assert all(r["destination"] == "dbserver1.db1.t1" for r in rows)
+    # same key → same partition, offsets strictly increasing in replay order
+    r1 = sorted(
+        [r for r in rows if '"repo":"r1"' in r["key"]], key=lambda r: r["offset"]
+    )
+    assert len({r["partition"] for r in r1}) == 1
+    ops = [None if r["value"] is None else r["value"] for r in r1]
+    assert len(r1) == 3 and ops[0] is not None
+    # tombstone: null key → sentinel, null value
+    tomb = [r for r in rows if r["key"] == NULL_KEY]
+    assert len(tomb) == 1 and tomb[0]["value"] is None
+
+
+def test_sink_dialect_shapes(spark):
+    from debezium_spark.sink.server import (
+        to_kinesis_records,
+        to_pubsub_messages,
+        to_redis_stream_entries,
+    )
+
+    env = _sink_env(spark)
+    kin = to_kinesis_records(env, stream_prefix="s1")
+    assert kin.columns == ["stream_name", "partition_key", "data", "sequence_number", "shard"]
+    assert kin.filter("stream_name = 's1.db1.t1'").count() == 5
+    assert dict(kin.dtypes)["data"] == "binary"
+
+    red = to_redis_stream_entries(env).orderBy("entry_id")
+    rows = red.collect()
+    # one shard: entry ids dense from 0-0
+    assert rows[0]["entry_id"] == "0-0" and len(rows) == 5
+    assert all(r["value"] is not None for r in rows)  # null value → sentinel
+
+    pub = to_pubsub_messages(env)
+    assert {"topic", "ordering_key", "data", "offset", "partition"} == set(pub.columns)
+
+
+def test_write_change_records_partitions_by_destination(spark, tmp_path):
+    from debezium_spark.operators.routing import by_logical_table_router
+    from debezium_spark.sink.server import to_change_records, write_change_records
+
+    env = _sink_env(spark)
+    # two destinations via a router rewrite on half the rows
+    env2 = by_logical_table_router(env, "^t1$", "t_all")
+    rec = to_change_records(env2)
+    out = str(tmp_path / "recs")
+    write_change_records(rec, out)
+    back = spark.read.parquet(out)
+    assert back.count() == 5
+    assert [r["destination"] for r in back.select("destination").distinct().collect()] == [
+        "dbserver1.db1.t_all"
+    ]
