@@ -3304,8 +3304,304 @@ UNION ALL SELECT channel, 'binlog.000001', lo, 0, 0, 'begin;' FROM w
 UNION ALL SELECT channel, 'binlog.000001', hi, 2, 0, 'commit;' FROM w"""
 
 
+def q_sqlserver_cdc_source(spark, sf_dir):
+    """SQL Server CDC-table source (§2.1): ``cdc.*_CT`` rows → envelope.
+    The env's events become change-table rows — updates as the op-3/op-4
+    pair sharing one (start_lsn, seqval) — and the operator must fuse each
+    pair into ONE update event with both images
+    (``SqlServerStreamingChangeEventSource.java:267-296``)."""
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    base = _env(spark, sf_dir).select(
+        F.col("pos").alias("start_lsn"),
+        F.lit(1).alias("seqval"),
+        "op", "repo", "path", "content",
+        F.col("ts_ms").alias("commit_ts_ms"),
+    )
+    ins = base.filter(F.col("op") == "c").withColumn("operation", F.lit(2))
+    dele = base.filter(F.col("op") == "d").withColumn("operation", F.lit(1))
+    updb = (
+        base.filter(F.col("op") == "u")
+        .withColumn("operation", F.lit(3))
+        .withColumn("content", F.concat(F.col("content"), F.lit("_old")))
+    )
+    upda = base.filter(F.col("op") == "u").withColumn("operation", F.lit(4))
+    ct = ins.unionByName(dele).unionByName(updb).unionByName(upda).drop("op")
+
+    env = cdc_table_to_envelope(ct, ["repo", "path", "content"], db="app", table="dbo.t")
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        "op",
+        F.col("before.content").alias("before_content"),
+        F.col("after.content").alias("after_content"),
+        F.coalesce(F.col("after.repo"), F.col("before.repo")).alias("repo"),
+        "pair_error",
+    )
+
+
+SQL_sqlserver_cdc_source = f"""WITH {ENV_SQL}
+SELECT pos * 1048576 + 1 AS pos, op,
+       CASE WHEN op = 'd' THEN content
+            WHEN op = 'u' THEN content || '_old' END AS before_content,
+       CASE WHEN op != 'd' THEN content END AS after_content,
+       repo, FALSE AS pair_error
+FROM env"""
+
+
+def q_mongodb_change_stream(spark, sf_dir):
+    """MongoDB change-stream source + ExtractNewDocumentState (§2.1, §2.6):
+    events become change-stream documents (inserts/replaces with a full
+    JSON document, updates as partial updateDescription patches, deletes
+    key-only); the flattener parses the JSON new state into typed columns
+    (``MongoDbCollectionSchema.java:91-156``, ``transforms/
+    ExtractNewDocumentState.java``)."""
+    from debezium_spark.sources.mongodb import (
+        change_stream_to_envelope,
+        extract_new_document_state,
+    )
+
+    e = _env(spark, sf_dir)
+    qty = F.round(F.col("value") * 100, 0).cast("long")
+    full_doc = F.concat(
+        F.lit('{"name": "'), F.col("repo"), F.lit('", "qty": '),
+        qty.cast("string"), F.lit("}"),
+    )
+    cs = e.select(
+        F.when(F.col("op") == "c", "insert")
+        .when(F.col("op") == "d", "delete")
+        .when(F.pmod(F.col("user_id"), F.lit(2)) == 0, "update")
+        .otherwise("replace")
+        .alias("op_type"),
+        F.concat(F.lit('{"_id": '), F.col("user_id").cast("string"), F.lit("}")).alias(
+            "doc_key"
+        ),
+        F.when(
+            (F.col("op") == "c") | ((F.col("op") == "u") & (F.pmod(F.col("user_id"), F.lit(2)) == 1)),
+            full_doc,
+        ).alias("full_doc"),
+        F.when(
+            (F.col("op") == "u") & (F.pmod(F.col("user_id"), F.lit(2)) == 0),
+            F.concat(F.lit('{"qty": '), qty.cast("string"), F.lit("}")),
+        ).alias("updated_fields"),
+        F.when(
+            (F.col("op") == "u") & (F.pmod(F.col("user_id"), F.lit(2)) == 0),
+            F.array(F.lit("name")),
+        ).alias("removed_fields"),
+        F.col("pos").alias("ord"),
+        F.col("ts_ms"),
+    )
+    env = change_stream_to_envelope(cs)
+    flat = extract_new_document_state(env, "name string, qty long")
+    return flat.select(
+        F.col("source.pos").alias("pos"), "id", "op", "name", "qty", "__deleted"
+    )
+
+
+SQL_mongodb_change_stream = f"""WITH {ENV_SQL}
+SELECT pos, CAST(user_id AS VARCHAR) AS id, op,
+       CASE WHEN op = 'c' OR (op = 'u' AND user_id % 2 = 1) THEN repo END AS name,
+       CASE WHEN op != 'd' THEN CAST(ROUND(value*100) AS BIGINT) END AS qty,
+       (op = 'd') AS __deleted
+FROM env"""
+
+
+def q_oracle_logminer_replay(spark, sf_dir):
+    """Oracle LogMiner source (§2.1): redo rows → commit-ordered envelope.
+    Transactions with tx%4==0 never commit (stay buffered/out); rows at
+    pos%10==7 are partial-rollback compensations cancelling the prior
+    event on the same row id; commit SCNs are PERMUTED vs transaction
+    numbers so the output must order by commit, not arrival
+    (``AbstractLogMinerEventProcessor.java:266,539-549,755-765``)."""
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    e = _env(spark, sf_dir)
+    dml = e.select(
+        F.col("pos").alias("scn"),
+        F.concat(F.lit("tx"), F.col("tx_id").cast("string")).alias("tx_id"),
+        F.when(F.col("op") == "c", 1).when(F.col("op") == "d", 2).otherwise(3).alias(
+            "event_type"
+        ),
+        F.col("tbl"),
+        F.concat(F.lit("r"), F.col("user_id").cast("string")).alias("row_id"),
+        F.when(F.pmod(F.col("pos"), F.lit(10)) == 7, 1).otherwise(0).alias(
+            "rollback_flag"
+        ),
+        F.col("ts_ms"),
+        F.when(F.col("op") != "c", F.col("repo")).alias("before_k"),
+        F.when(F.col("op") != "c", F.col("content")).alias("before_v"),
+        F.when(F.col("op") != "d", F.col("repo")).alias("after_k"),
+        F.when(F.col("op") != "d", F.col("content")).alias("after_v"),
+    )
+    commits = (
+        e.select(F.col("tx_id").alias("txn")).distinct()
+        .filter(F.pmod(F.col("txn"), F.lit(4)) != 0)
+        .select(
+            (F.lit(10**9) + F.pmod(F.col("txn"), F.lit(97)) * 10**7 + F.col("txn")).alias("scn"),
+            F.concat(F.lit("tx"), F.col("txn").cast("string")).alias("tx_id"),
+            F.lit(7).alias("event_type"),
+            F.lit(None).cast("string").alias("tbl"),
+            F.lit(None).cast("string").alias("row_id"),
+            F.lit(0).alias("rollback_flag"),
+            F.lit(0).cast("long").alias("ts_ms"),
+            *[F.lit(None).cast("string").alias(c)
+              for c in ("before_k", "before_v", "after_k", "after_v")],
+        )
+    )
+    env = redo_to_envelope(dml.unionByName(commits), ["k", "v"])
+    return env.select(
+        F.col("source.pos").alias("pos"),
+        F.col("source.gtid").alias("tx"),
+        "op",
+        F.coalesce(F.col("after.k"), F.col("before.k")).alias("k"),
+        F.col("before.v").alias("before_v"),
+        F.col("after.v").alias("after_v"),
+    )
+
+
+SQL_oracle_logminer_replay = f"""WITH {ENV_SQL},
+dml AS (
+  SELECT pos AS scn, tx_id AS txn, 'tx' || CAST(tx_id AS VARCHAR) AS tx,
+         CASE op WHEN 'c' THEN 1 WHEN 'd' THEN 2 ELSE 3 END AS et,
+         tbl, 'r' || CAST(user_id AS VARCHAR) AS row_id,
+         CASE WHEN pos % 10 = 7 THEN 1 ELSE 0 END AS rb,
+         op, repo, content
+  FROM env
+),
+surv AS (
+  SELECT *, lead(rb) OVER (PARTITION BY tx, tbl, row_id ORDER BY scn) AS nrb FROM dml
+),
+alive AS (SELECT * FROM surv WHERE rb != 1 AND COALESCE(nrb, 0) != 1),
+cm AS (
+  SELECT DISTINCT txn, 1000000000 + (txn % 97) * 10000000 + txn AS commit_scn
+  FROM dml WHERE txn % 4 != 0
+),
+j AS (
+  SELECT a.*, cm.commit_scn,
+         ROW_NUMBER() OVER (PARTITION BY a.tx ORDER BY a.scn) AS seq
+  FROM alive a JOIN cm ON a.txn = cm.txn
+)
+SELECT commit_scn * 1048576 + seq AS pos, tx, op, repo AS k,
+       CASE WHEN op != 'c' THEN content END AS before_v,
+       CASE WHEN op != 'd' THEN content END AS after_v
+FROM j"""
+
+
+def q_tracing_span(spark, sf_dir):
+    """ActivateTracingSpan (§2.6): every third event carries a propagated
+    W3C traceparent in ``after.tracingspancontext`` (the Properties text
+    map); the SMT must adopt that trace id + parent span, derive ids
+    deterministically otherwise, and chain debezium-read under
+    db-log-write (``transforms/tracing/ActivateTracingSpan.java``)."""
+    from debezium_spark.operators.tracing import activate_tracing_span
+
+    e = _env(spark, sf_dir)
+    ctx = F.when(
+        F.pmod(F.col("pos"), F.lit(3)) == 0,
+        F.concat(
+            F.lit("traceparent=00-"),
+            F.substring(F.sha2(F.concat(F.lit("trace:"), F.col("pos").cast("string")), 256), 1, 32),
+            F.lit("-"),
+            F.substring(F.sha2(F.concat(F.lit("span:"), F.col("pos").cast("string")), 256), 1, 16),
+            F.lit("-01"),
+        ),
+    )
+    env = e.select(
+        F.lit(None).cast(
+            "struct<repo:string,path:string,content:string,tracingspancontext:string>"
+        ).alias("before"),
+        F.struct(
+            F.col("repo"), F.col("path"), F.col("content"),
+            ctx.alias("tracingspancontext"),
+        ).alias("after"),
+        "op",
+        "ts_ms",
+        F.struct(
+            F.lit("binlog.000001").alias("file"),
+            F.col("pos").alias("pos"),
+            F.lit(None).cast("string").alias("gtid"),
+            F.lit(None).cast("string").alias("snapshot"),
+            F.col("db").alias("db"),
+            F.col("tbl").alias("table"),
+            F.col("ts_ms").alias("ts_ms"),
+        ).alias("source"),
+    )
+    out = activate_tracing_span(env)
+    s = F.col("spans")
+    return out.select(
+        F.col("source.pos").alias("pos"),
+        s[0]["trace_id"].alias("trace_id"),
+        s[0]["span_id"].alias("txlog_span_id"),
+        s[0]["parent_span_id"].alias("parent_span_id"),
+        s[1]["span_id"].alias("read_span_id"),
+        F.col("headers")["traceparent"].alias("traceparent"),
+    )
+
+
+SQL_tracing_span = f"""WITH {ENV_SQL},
+t AS (
+  SELECT pos,
+         CASE WHEN pos % 3 = 0
+              THEN substr(sha256('trace:' || CAST(pos AS VARCHAR)), 1, 32)
+              ELSE substr(sha256('binlog.000001:' || CAST(pos AS VARCHAR)), 1, 32)
+         END AS trace_id,
+         CASE WHEN pos % 3 = 0
+              THEN substr(sha256('span:' || CAST(pos AS VARCHAR)), 1, 16)
+         END AS parent_span_id
+  FROM env
+),
+s AS (
+  SELECT pos, trace_id, parent_span_id,
+         substr(sha256(trace_id || '|db-log-write|binlog.000001:' || CAST(pos AS VARCHAR)), 1, 16) AS txlog_span_id,
+         substr(sha256(trace_id || '|debezium-read|binlog.000001:' || CAST(pos AS VARCHAR)), 1, 16) AS read_span_id
+  FROM t
+)
+SELECT pos, trace_id, txlog_span_id, parent_span_id, read_span_id,
+       '00-' || trace_id || '-' || read_span_id || '-01' AS traceparent
+FROM s"""
+
+
+def q_server_sink_records(spark, sf_dir):
+    """debezium-server change consumers (§2.9): the generic per-sink record
+    stream — destination naming, per-shard dense offsets in replay order,
+    and the exact envelope-JSON wire value (``BaseChangeConsumer.java:31-80``,
+    ``KinesisChangeConsumer.java:108-113``). One partition so the oracle
+    can reproduce the shard-local sequence numbers."""
+    from debezium_spark.sink.server import to_change_records
+
+    rec = to_change_records(_env_struct(spark, sf_dir), n_partitions=1)
+    return rec.select("destination", "partition", "offset", "key", "value")
+
+
+SQL_server_sink_records = f"""WITH {ENV_SQL},
+r AS (
+  SELECT pos, op, tbl, ts_ms, tx_id,
+         '{{"repo":"' || repo || '","path":"' || path || '","content":"' || content || '"}}' AS pay,
+         '"op":"' || op || '","ts_ms":' || CAST(ts_ms AS VARCHAR)
+         || ',"source":{{"file":"binlog.000001","pos":' || CAST(pos AS VARCHAR)
+         || ',"db":"app","table":"' || tbl || '","ts_ms":' || CAST(ts_ms AS VARCHAR) || '}}'
+         || ',"transaction":{{"id":"tx-' || CAST(tx_id AS VARCHAR)
+         || '","total_order":' || CAST(pos % 10 AS VARCHAR)
+         || ',"data_collection_order":' || CAST(pos % 10 AS VARCHAR) || '}}}}' AS tl,
+         '{{"repo":"' || repo || '","path":"' || path || '"}}' AS key
+  FROM env
+)
+SELECT 'dbserver1.app.' || tbl AS destination, 0 AS partition,
+       ROW_NUMBER() OVER (PARTITION BY tbl ORDER BY pos) - 1 AS offset,
+       key,
+       CASE op WHEN 'c' THEN '{{"after":' || pay || ',' || tl
+               WHEN 'd' THEN '{{"before":' || pay || ',' || tl
+               ELSE '{{"before":' || pay || ',"after":' || pay || ',' || tl
+       END AS value
+FROM r"""
+
+
 _EXTRA_REGISTRY: dict[str, tuple[Callable, str | None]] = {
     "sink_per_table_stream": (q_sink_per_table_stream, SQL_sink_per_table_stream),
+    "sqlserver_cdc_source": (q_sqlserver_cdc_source, SQL_sqlserver_cdc_source),
+    "mongodb_change_stream": (q_mongodb_change_stream, SQL_mongodb_change_stream),
+    "oracle_logminer_replay": (q_oracle_logminer_replay, SQL_oracle_logminer_replay),
+    "tracing_span": (q_tracing_span, SQL_tracing_span),
+    "server_sink_records": (q_server_sink_records, SQL_server_sink_records),
     "column_truncate": (q_column_truncate, SQL_column_truncate),
     "csv_slice_roundtrip": (q_csv_slice_roundtrip, SQL_csv_slice_roundtrip),
     "avro_envelope_roundtrip": (q_avro_envelope_roundtrip, SQL_avro_envelope_roundtrip),
