@@ -51,10 +51,6 @@ OP_UPDATE_AFTER = 4
 _SEQVAL_BITS = 20
 
 
-def _payload(df: DataFrame, payload_cols: list[str]) -> Column:
-    return F.struct(*[F.col(c) for c in payload_cols])
-
-
 def cdc_table_to_envelope(
     ct: DataFrame,
     payload_cols: list[str],
@@ -73,21 +69,33 @@ def cdc_table_to_envelope(
     keep their offsets (the fence must advance past them) but carry null
     images, exactly the quarantine contract used for null-op rows.
     """
-    pay = _payload(ct, payload_cols)
-    before_img = F.max(
-        F.when(F.col("operation").isin(OP_DELETE, OP_UPDATE_BEFORE), pay)
-    ).alias("before")
-    after_img = F.max(
-        F.when(F.col("operation").isin(OP_INSERT, OP_UPDATE_AFTER), pay)
-    ).alias("after")
+    # Per-COLUMN conditional max_by: the ordering key is null for rows
+    # outside the side (which max_by skips), and at most one row per group
+    # matches each side, so the result is exactly that row's image. Plan
+    # shape: ONE Exchange with map-side partial_max_by. String-valued
+    # aggregation buffers are not hash-mutable in Spark, so this runs as a
+    # SortAggregate — acceptable here because the sort key is the group key
+    # (start_lsn, seqval) and change-table input arrives already ordered by
+    # it (the reference's poll query ORDER BY), making the per-partition
+    # sort a near-no-op on sorted runs; the join-based alternative would
+    # shuffle twice.
+    def img(side_ops: list[int], tag: str):
+        key = F.when(F.col("operation").isin(side_ops), F.col("operation"))
+        return [F.max_by(F.col(c), key).alias(f"{tag}_{c}") for c in payload_cols]
 
     g = ct.groupBy("start_lsn", "seqval").agg(
-        before_img,
-        after_img,
+        *img([OP_DELETE, OP_UPDATE_BEFORE], "b"),
+        *img([OP_INSERT, OP_UPDATE_AFTER], "a"),
         F.min("operation").alias("min_op"),
         F.max("operation").alias("max_op"),
         F.count("*").alias("n_rows"),
         F.max("commit_ts_ms").alias("ts_ms"),
+    )
+    g = g.withColumns(
+        {
+            "before": F.struct(*[F.col(f"b_{c}").alias(c) for c in payload_cols]),
+            "after": F.struct(*[F.col(f"a_{c}").alias(c) for c in payload_cols]),
+        }
     )
 
     # Valid shapes: {1}, {2}, {3,4}. Anything else breaks the protocol the
