@@ -3401,7 +3401,7 @@ SQL_mongodb_change_stream = f"""WITH {ENV_SQL}
 SELECT pos, CAST(user_id AS VARCHAR) AS id, op,
        CASE WHEN op = 'c' OR (op = 'u' AND user_id % 2 = 1) THEN repo END AS name,
        CASE WHEN op != 'd' THEN CAST(ROUND(value*100) AS BIGINT) END AS qty,
-       (op = 'd') AS __deleted
+       CASE WHEN op = 'd' THEN 'true' ELSE 'false' END AS __deleted
 FROM env"""
 
 
@@ -3477,7 +3477,7 @@ cm AS (
 ),
 j AS (
   SELECT a.*, cm.commit_scn,
-         ROW_NUMBER() OVER (PARTITION BY a.tx ORDER BY a.scn) AS seq
+         ROW_NUMBER() OVER (PARTITION BY cm.commit_scn ORDER BY a.scn, a.tx) AS seq
   FROM alive a JOIN cm ON a.txn = cm.txn
 )
 SELECT commit_scn * 1048576 + seq AS pos, tx, op, repo AS k,

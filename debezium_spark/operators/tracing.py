@@ -65,12 +65,19 @@ def activate_tracing_span(
     traced; others pass through with null spans/headers (the reference
     returns the record unmodified — same effect, stable schema).
     """
-    after_fields = []
-    for f in env.schema["after"].dataType.fields:  # type: ignore[union-attr]
-        after_fields.append(f.name)
+    # schema check mirrors the reference's (:129): the context rides only a
+    # struct-typed `after` that declares the field — a missing `after` or a
+    # non-struct one (the MongoDB document envelope's JSON string) means no
+    # parent context, never an error
+    from pyspark.sql.types import StructType
+
+    after_type = env.schema["after"].dataType if "after" in env.columns else None
+    has_ctx_field = isinstance(after_type, StructType) and span_context_field in [
+        f.name for f in after_type.fields
+    ]
     ctx_raw = (
         F.col(f"after.{span_context_field}")
-        if span_context_field in after_fields
+        if has_ctx_field
         else F.lit(None).cast("string")
     )
     # Properties text map: one key=value per line (DebeziumTextMap).

@@ -75,20 +75,33 @@ def to_change_records(
     # which would silently look like a real key)
     has_key = F.coalesce(*[f.cast("string") for f in key_fields]).isNotNull()
     key = F.when(has_key, F.to_json(F.struct(*key_fields))).otherwise(F.lit(NULL_KEY))
-    # tombstone = all-null images with a null op → null value, key only
-    is_tombstone = F.col("op").isNull() & F.col("after").isNull() & F.col("before").isNull()
+    # Engine tombstones carry the `_tombstone` marker with op='d' and the
+    # key still in `before` (operators/tombstones.py — the both-null test
+    # never matches them; see flatten.py's identical review-r4 note). The
+    # heuristic only covers externally-built envelopes without the marker.
+    if "_tombstone" in env.columns:
+        is_tombstone = F.col("_tombstone")
+    else:
+        is_tombstone = F.col("op").isNull() & F.col("after").isNull() & F.col("before").isNull()
     value = F.when(~is_tombstone, F.to_json(F.struct(*[F.col(c) for c in ENVELOPE_COLS])))
 
+    # `_sub` breaks ties among rows sharing one source position (delete →
+    # tombstone → pk-change insert), preserving the delete-then-tombstone
+    # ordering contract (MySqlConnectorIT.java:1542-1546).
+    sub = F.col("_sub") if "_sub" in env.columns else F.lit(0)
     rec = env.select(
         topic.alias("destination"),
         F.pmod(F.xxhash64(key), F.lit(n_partitions)).cast("int").alias("partition"),
         F.col("source.file").alias("_file"),
         F.col("source.pos").alias("_pos"),
+        sub.alias("_sub_ord"),
         key.alias("key"),
         value.alias("value"),
     )
-    w = Window.partitionBy("destination", "partition").orderBy("_file", "_pos")
-    return rec.withColumn("offset", F.row_number().over(w) - 1).drop("_file", "_pos")
+    w = Window.partitionBy("destination", "partition").orderBy("_file", "_pos", "_sub_ord")
+    return rec.withColumn("offset", F.row_number().over(w) - 1).drop(
+        "_file", "_pos", "_sub_ord"
+    )
 
 
 def to_kinesis_records(env: DataFrame, stream_prefix: str = "dbserver1", **kw) -> DataFrame:
@@ -110,9 +123,10 @@ def to_redis_stream_entries(env: DataFrame, **kw) -> DataFrame:
     to 0 so the sequence alone orders the stream (ids are server-assigned
     state, not record content)."""
     rec = to_change_records(env, n_partitions=1, **kw)  # a stream is one shard
+    # sequence starts at 1: Redis rejects XADD ids that are not > 0-0
     return rec.select(
         F.col("destination").alias("stream"),
-        F.concat_ws("-", F.lit(0), F.col("offset").cast("string")).alias("entry_id"),
+        F.concat_ws("-", F.lit(0), (F.col("offset") + 1).cast("string")).alias("entry_id"),
         F.col("key").alias("field"),
         F.coalesce(F.col("value"), F.lit("default")).alias("value"),
     )
@@ -135,9 +149,13 @@ def write_change_records(rec: DataFrame, out_dir: str) -> None:
     destination (``partitionBy``), records ordered by (partition, offset)
     within each file set — the ``foreachBatch`` body a deployment would
     point at a real SDK client."""
+    # destination leads the sort: the dynamic partitionBy write requires
+    # rows ordered by destination, and sorting on it here keeps Spark from
+    # inserting its own destination-only sort that would scramble the
+    # (partition, offset) order within each destination.
     (
         rec.repartition("destination")
-        .sortWithinPartitions("partition", "offset")
+        .sortWithinPartitions("destination", "partition", "offset")
         .write.mode("overwrite")
         .partitionBy("destination")
         .parquet(out_dir)

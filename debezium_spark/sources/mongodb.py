@@ -83,6 +83,11 @@ def change_stream_to_envelope(
             F.lit(collection).alias("table"),
             F.col("ts_ms").alias("ts_ms"),
         ).alias("source"),
+        # envelope-contract transaction block (null: change streams carry
+        # txnNumber only inside multi-doc transactions, out of scope here)
+        F.lit(None)
+        .cast("struct<id:string,total_order:bigint,data_collection_order:bigint>")
+        .alias("transaction"),
     )
 
 
@@ -104,7 +109,9 @@ def extract_new_document_state(
     if delete_handling not in ("drop", "rewrite", "none"):
         raise ValueError(f"unknown delete_handling {delete_handling!r}")
     if delete_handling == "drop":
-        env = env.filter(F.col("op") != "d")
+        # null-safe: op=null control events must survive to the quarantine
+        # path in every mode (a plain != would three-value them away here)
+        env = env.filter(~F.col("op").eqNullSafe("d"))
 
     doc_json = F.coalesce(F.col("after"), F.col("updateDescription.updatedFields"))
     out = env.select(
@@ -115,7 +122,10 @@ def extract_new_document_state(
         F.from_json(doc_json, doc_schema_ddl).alias("doc"),
     )
     if delete_handling == "rewrite":
-        out = out.withColumn("__deleted", F.col("op") == "d")
+        # string 'true'/'false' to match the relational ENS rewrite
+        # (operators/flatten.py — the SMT emits a STRING field); null-safe
+        # so control rows read 'false', not null
+        out = out.withColumn("__deleted", F.col("op").eqNullSafe("d").cast("string"))
     return out.select(
         "id", "op", "ts_ms", "source", "doc.*",
         *(["__deleted"] if delete_handling == "rewrite" else []),

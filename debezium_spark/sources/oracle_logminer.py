@@ -82,13 +82,8 @@ def redo_to_envelope(
     stay unemitted (they belong to a later mining window), rolled-back
     transactions and partial-rollback pairs vanish entirely.
     """
-    commits = (
-        redo.filter(F.col("event_type") == OP_COMMIT)
-        .select(
-            F.col("tx_id"),
-            F.col("scn").alias("commit_scn"),
-            F.col("ts_ms").alias("commit_ts_ms"),
-        )
+    commits = redo.filter(F.col("event_type") == OP_COMMIT).select(
+        F.col("tx_id"), F.col("scn").alias("commit_scn")
     )
 
     dml = redo.filter(F.col("event_type").isin(_DML))
@@ -106,7 +101,13 @@ def redo_to_envelope(
     # Buffer-until-commit == inner join on committed transactions.
     out = dml.join(F.broadcast(commits), "tx_id", "inner")
 
-    seq = F.row_number().over(Window.partitionBy("tx_id").orderBy("scn"))
+    # Sequence within the COMMIT SCN, not the transaction: Oracle can
+    # commit two transactions at the same SCN, and a per-tx sequence would
+    # then collide in pos (both txs would emit commit_scn*2^20 + 1). One
+    # commit group interleaves its transactions' events by (scn, tx_id) —
+    # still commit-major, mining-order-minor, and pos stays unique as the
+    # OFFSET-ORDER CONTRACT requires.
+    seq = F.row_number().over(Window.partitionBy("commit_scn").orderBy("scn", "tx_id"))
     op = (
         F.when(F.col("event_type") == OP_INSERT, "c")
         .when(F.col("event_type") == OP_DELETE, "d")
@@ -130,6 +131,12 @@ def redo_to_envelope(
             F.col("tbl").alias("table"),
             F.col("ts_ms").alias("ts_ms"),
         ).alias("source"),
+        # LogMiner is the one new source with real per-event tx metadata
+        F.struct(
+            F.col("tx_id").alias("id"),
+            seq.cast("bigint").alias("total_order"),
+            seq.cast("bigint").alias("data_collection_order"),
+        ).alias("transaction"),
         F.col("scn"),
         F.col("commit_scn"),
     )

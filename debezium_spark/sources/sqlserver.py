@@ -130,5 +130,11 @@ def cdc_table_to_envelope(
             F.lit(table).alias("table"),
             F.col("ts_ms").alias("ts_ms"),
         ).alias("source"),
+        # the envelope contract (serde ENVELOPE_COLS) includes a transaction
+        # block; SQL Server's poll has no per-event tx metadata, so null —
+        # exactly like the wire/slice sources
+        F.lit(None)
+        .cast("struct<id:string,total_order:bigint,data_collection_order:bigint>")
+        .alias("transaction"),
         (~ok).alias("pair_error"),
     )

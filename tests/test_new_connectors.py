@@ -127,7 +127,9 @@ def test_mongodb_extract_new_document_state(spark):
     # partial update: only updatedFields materialize, rest null
     assert rows[1]["name"] is None and rows[1]["qty"] == 7
     assert rows[2]["name"] == "n2" and rows[2]["qty"] == 9
-    assert rows[3]["__deleted"] is True and rows[3]["name"] is None
+    # string 'true'/'false' — type parity with the relational ENS rewrite
+    assert rows[3]["__deleted"] == "true" and rows[3]["name"] is None
+    assert rows[0]["__deleted"] == "false"
 
     dropped = extract_new_document_state(env, "name string, qty int", delete_handling="drop")
     assert dropped.count() == 3
@@ -345,12 +347,91 @@ def test_sink_dialect_shapes(spark):
 
     red = to_redis_stream_entries(env).orderBy("entry_id")
     rows = red.collect()
-    # one shard: entry ids dense from 0-0
-    assert rows[0]["entry_id"] == "0-0" and len(rows) == 5
+    # one shard: entry ids dense from 0-1 (XADD rejects ids not > 0-0)
+    assert rows[0]["entry_id"] == "0-1" and len(rows) == 5
     assert all(r["value"] is not None for r in rows)  # null value → sentinel
 
     pub = to_pubsub_messages(env)
     assert {"topic", "ordering_key", "data", "offset", "partition"} == set(pub.columns)
+
+
+def test_logminer_shared_commit_scn_keeps_pos_unique(spark):
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    rows = [
+        (1, "txA", 1, "t", "a1", 0, 10, None, None, "ka", "va"),
+        (2, "txB", 1, "t", "b1", 0, 10, None, None, "kb", "vb"),
+        (3, "txA", 1, "t", "a2", 0, 10, None, None, "ka2", "va2"),
+        # Oracle group commit: both transactions commit at SCN 500
+        (500, "txA", 7, None, None, 0, 11, None, None, None, None),
+        (500, "txB", 7, None, None, 0, 11, None, None, None, None),
+    ]
+    redo = spark.createDataFrame(
+        rows,
+        "scn long, tx_id string, event_type int, tbl string, row_id string,"
+        " rollback_flag int, ts_ms long, before_k string, before_v string,"
+        " after_k string, after_v string",
+    )
+    env = redo_to_envelope(redo, ["k", "v"])
+    pos = [r[0] for r in env.select("source.pos").collect()]
+    assert len(pos) == 3 and len(set(pos)) == 3
+    # interleave is (scn, tx_id) within the commit group: txA, txB, txA
+    ordered = env.orderBy("source.pos").select("source.gtid", "scn").collect()
+    assert [(r[0], r[1]) for r in ordered] == [("txA", 1), ("txB", 2), ("txA", 3)]
+
+
+def test_mongodb_drop_mode_keeps_control_events(spark):
+    from debezium_spark.sources.mongodb import (
+        change_stream_to_envelope,
+        extract_new_document_state,
+    )
+
+    env = change_stream_to_envelope(_cs(spark))  # includes the op=null 'drop'
+    out = extract_new_document_state(env, "name string, qty int", delete_handling="drop")
+    ops = [r["op"] for r in out.collect()]
+    assert None in ops and "d" not in ops  # control survives, deletes don't
+
+
+def test_tracing_passes_through_document_envelope(spark):
+    from debezium_spark.operators.tracing import activate_tracing_span
+    from debezium_spark.sources.mongodb import change_stream_to_envelope
+
+    env = change_stream_to_envelope(_cs(spark))  # after is a JSON STRING
+    out = activate_tracing_span(env)
+    rows = out.filter(F.col("op").isNotNull()).collect()
+    # non-struct after → no propagated context, but spans still derive
+    assert all(r["spans"] is not None for r in rows)
+    assert all(s["parent_span_id"] is None
+               for r in rows for s in r["spans"] if s["operation_name"] == "db-log-write")
+
+
+def test_change_records_tombstone_marker_and_sub_order(spark):
+    from debezium_spark.operators.tombstones import with_tombstones
+    from debezium_spark.sink.server import to_change_records
+
+    env = with_tombstones(_sink_env(spark).filter(F.col("op").isNotNull()))
+    rec = to_change_records(env, n_partitions=1)
+    rows = rec.collect()
+    # engine tombstone (op='d', key in before, _tombstone) → null value
+    tombs = [r for r in rows if r["value"] is None]
+    assert len(tombs) == 1 and '"repo":"r1"' in tombs[0]["key"]
+    # the delete (non-null value) sorts BEFORE its tombstone via _sub
+    r1 = sorted([r for r in rows if '"repo":"r1"' in r["key"]], key=lambda r: r["offset"])
+    assert r1[-1]["value"] is None and r1[-2]["value"] is not None
+
+
+def test_new_sources_compose_with_envelope_serde(spark):
+    from debezium_spark.functions.serde import envelope_to_json
+    from debezium_spark.sources.mongodb import change_stream_to_envelope
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    ss = cdc_table_to_envelope(_ct(spark), ["k", "v"]).filter(~F.col("pair_error"))
+    assert envelope_to_json(ss, key_cols=["k"]).count() == 4
+    ora = redo_to_envelope(_redo(spark), ["k", "v"])
+    assert envelope_to_json(ora, key_cols=["k"]).count() == 3
+    mg = change_stream_to_envelope(_cs(spark))
+    assert "transaction" in mg.columns
 
 
 def test_write_change_records_partitions_by_destination(spark, tmp_path):
