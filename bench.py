@@ -51,6 +51,8 @@ HEADLINE = [
     "ddl_drop_rename",
     "tx_atomic_replay",
     "binary_wire_roundtrip",
+    "oracle_logminer_replay",
+    "server_sink_records",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",

@@ -420,6 +420,125 @@ def test_change_records_tombstone_marker_and_sub_order(spark):
     assert r1[-1]["value"] is None and r1[-2]["value"] is not None
 
 
+def test_logminer_matches_bruteforce_model(spark):
+    """Randomized redo stream vs a sequential python model of the same
+    spec: adjacent-next partial-rollback cancellation, commit gating,
+    rollback discard, commit-major/(scn, tx)-minor ordering with unique
+    positions — the brute-force-equivalence idiom the suite uses for
+    packing/line-dedup/decontaminate."""
+    import random as _random
+
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    rng = _random.Random(20260820)
+    rows, next_scn = [], 1
+    tx_fate = {}
+    for t in range(40):
+        tx = f"tx{t:02d}"
+        tx_fate[tx] = rng.choice(["commit", "commit", "commit", "rollback", "open"])
+        for _ in range(rng.randint(1, 8)):
+            et = rng.choice([1, 1, 2, 3])
+            rid = f"r{rng.randint(0, 5)}"
+            rb = 1 if rng.random() < 0.2 else 0
+            rows.append((next_scn, tx, et, "t", rid, rb, next_scn,
+                         f"bk{next_scn}", f"bv{next_scn}", f"ak{next_scn}", f"av{next_scn}"))
+            next_scn += 1
+    # group-committed pairs: every two committing txs share a commit scn
+    committing = [tx for tx, f in tx_fate.items() if f == "commit"]
+    for i in range(0, len(committing) - 1, 2):
+        scn = 100000 + i
+        rows.append((scn, committing[i], 7, None, None, 0, 0, None, None, None, None))
+        rows.append((scn, committing[i + 1], 7, None, None, 0, 0, None, None, None, None))
+    if len(committing) % 2:
+        rows.append((200000, committing[-1], 7, None, None, 0, 0, None, None, None, None))
+    for tx, f in tx_fate.items():
+        if f == "rollback":
+            rows.append((300000 + len(rows), tx, 36, None, None, 0, 0,
+                         None, None, None, None))
+
+    # ---- sequential model --------------------------------------------------
+    commit_scn = {}
+    for r in rows:
+        if r[2] == 7:
+            commit_scn[r[1]] = r[0]
+    groups: dict[tuple, list] = {}
+    for r in sorted(rows, key=lambda r: r[0]):
+        if r[2] in (1, 2, 3):
+            groups.setdefault((r[1], r[3], r[4]), []).append(r)
+    alive = []
+    for grp in groups.values():
+        for i, r in enumerate(grp):
+            nxt = grp[i + 1] if i + 1 < len(grp) else None
+            if r[5] != 1 and not (nxt is not None and nxt[5] == 1):
+                alive.append(r)
+    expected = sorted(
+        (r for r in alive if r[1] in commit_scn),
+        key=lambda r: (commit_scn[r[1]], r[0], r[1]),
+    )
+
+    redo = spark.createDataFrame(
+        rows,
+        "scn long, tx_id string, event_type int, tbl string, row_id string,"
+        " rollback_flag int, ts_ms long, before_k string, before_v string,"
+        " after_k string, after_v string",
+    )
+    got = redo_to_envelope(redo, ["k", "v"]).orderBy("source.pos").collect()
+    assert [(g["source"]["gtid"], g["scn"]) for g in got] == [
+        (r[1], r[0]) for r in expected
+    ]
+    pos = [g["source"]["pos"] for g in got]
+    assert len(set(pos)) == len(pos) and pos == sorted(pos)
+
+
+def test_sqlserver_matches_bruteforce_model(spark):
+    """Randomized change-table stream (including protocol violations) vs a
+    per-group python model of the pairing spec."""
+    import random as _random
+
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    rng = _random.Random(42)
+    rows = []
+    expected = {}
+    for lsn in range(1, 120):
+        for seqval in range(1, rng.randint(2, 4)):
+            shape = rng.choice(["ins", "del", "upd", "bad3", "bad34x"])
+            k = f"k{lsn}_{seqval}"
+            key = (lsn << 20) + seqval
+            if shape == "ins":
+                rows.append((lsn, seqval, 2, lsn, k, f"v{key}"))
+                expected[key] = ("c", None, f"v{key}", False)
+            elif shape == "del":
+                rows.append((lsn, seqval, 1, lsn, k, f"v{key}"))
+                expected[key] = ("d", f"v{key}", None, False)
+            elif shape == "upd":
+                rows.append((lsn, seqval, 3, lsn, k, f"old{key}"))
+                rows.append((lsn, seqval, 4, lsn, k, f"new{key}"))
+                expected[key] = ("u", f"old{key}", f"new{key}", False)
+            elif shape == "bad3":
+                rows.append((lsn, seqval, 3, lsn, k, f"o{key}"))
+                expected[key] = (None, None, None, True)
+            else:  # op-4 rows with no op-3 partner
+                rows.append((lsn, seqval, 4, lsn, k, f"n{key}"))
+                rows.append((lsn, seqval, 4, lsn, k, f"n2{key}"))
+                expected[key] = (None, None, None, True)
+    ct = spark.createDataFrame(
+        rows, "start_lsn long, seqval long, operation int, commit_ts_ms long,"
+        " k string, v string"
+    )
+    env = cdc_table_to_envelope(ct, ["k", "v"])
+    got = {
+        r["source"]["pos"]: (
+            r["op"],
+            r["before"]["v"] if r["before"] else None,
+            r["after"]["v"] if r["after"] else None,
+            r["pair_error"],
+        )
+        for r in env.collect()
+    }
+    assert got == expected
+
+
 def test_new_sources_compose_with_envelope_serde(spark):
     from debezium_spark.functions.serde import envelope_to_json
     from debezium_spark.sources.mongodb import change_stream_to_envelope
