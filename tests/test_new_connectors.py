@@ -553,6 +553,43 @@ def test_new_sources_compose_with_envelope_serde(spark):
     assert "transaction" in mg.columns
 
 
+def test_sqlserver_envelope_replays_through_engine(spark, tmp_path):
+    """The connector-shape envelope feeds the REAL engine: CT rows →
+    envelope → LakeTable fenced MERGE; final state matches the sequential
+    model and a re-replay is exactly-once."""
+    from debezium_spark import CdcEngine, LakeTable
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    env = cdc_table_to_envelope(_ct(spark), ["k", "v"]).filter(~F.col("pair_error"))
+
+    def pad(side):
+        return F.when(
+            F.col(side).isNotNull(),
+            F.struct(
+                F.col(f"{side}.k").alias("repo"),
+                F.lit("p").alias("path"),
+                F.lit("c").alias("commit"),
+                F.lit("sql").alias("lang"),
+                F.col(f"{side}.v").alias("content"),
+            ),
+        )
+
+    full = env.select(
+        pad("before").alias("before"), pad("after").alias("after"),
+        "op", "ts_ms", "source", "transaction",
+    )
+    binlog = tmp_path / "binlog"
+    binlog.mkdir()
+    full.coalesce(1).write.parquet(str(binlog / "batch_00000.parquet"))
+    table = LakeTable(spark, str(tmp_path / "table"), ["repo", "path"], n_buckets=4)
+    engine = CdcEngine(spark, table)
+    assert engine.replay(str(binlog)) != []
+    assert engine.replay(str(binlog)) == []  # exactly-once
+    state = {(r["repo"], r["content"]) for r in table.read().collect()}
+    # sequential model over _ct: a inserted→updated(a1)→deleted; b inserted
+    assert state == {("b", "b0")}
+
+
 def test_write_change_records_partitions_by_destination(spark, tmp_path):
     from debezium_spark.operators.routing import by_logical_table_router
     from debezium_spark.sink.server import to_change_records, write_change_records
