@@ -590,6 +590,65 @@ def test_sqlserver_envelope_replays_through_engine(spark, tmp_path):
     assert state == {("b", "b0")}
 
 
+def test_server_sink_streams_per_epoch(spark, tmp_path):
+    """debezium-server consumers under Structured Streaming: readStream
+    over the batch directory → foreachBatch ships each epoch's record
+    stream (the deployment shape BaseChangeConsumer.handleBatch runs in);
+    the union of epochs equals the batch-mode record set and per-key order
+    is preserved across epoch boundaries."""
+    from debezium_spark import ChangeLogGenerator
+    from debezium_spark.sink.server import to_change_records, write_change_records
+
+    gen = ChangeLogGenerator(spark, seed=7, n_repos=5)
+    bdir = str(tmp_path / "batches")
+    # single-part batch files: the transport contract is *ordered batches*
+    # (FIXTURES.md F2 — replay order = file order), so one stream file must
+    # be one batch; multi-part dirs would let maxFilesPerTrigger=1 split a
+    # batch across epochs in arbitrary part order.
+    for b in range(3):
+        gen.events(200, start_pos=b * 200).coalesce(1).write.parquet(
+            f"{bdir}/batch_{b:05d}.parquet"
+        )
+    out_root = tmp_path / "epochs"
+
+    def ship(df, epoch_id):
+        if df.isEmpty():
+            return
+        write_change_records(to_change_records(df), str(out_root / f"e{epoch_id:03d}"))
+
+    glob = f"{bdir}/batch_*"  # batch "files" are parquet directories
+    q = (
+        spark.readStream.schema(spark.read.parquet(glob).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(glob)
+        .writeStream.foreachBatch(ship)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    epoch_dirs = sorted(out_root.iterdir())
+    shipped = sum(spark.read.parquet(str(d)).count() for d in epoch_dirs)
+    batch_rec = to_change_records(spark.read.parquet(glob))
+    assert shipped == 600 == batch_rec.count()
+    # per-key history order survives the epoch split: reading epochs in
+    # order, each key's records appear in replay (offset-monotone) order
+    import json
+
+    per_key: dict[str, list[int]] = {}
+    for edir in epoch_dirs:
+        for r in (
+            spark.read.parquet(str(edir))
+            .orderBy("partition", "offset")
+            .select("key", "value")
+            .collect()
+        ):
+            pos = json.loads(r["value"])["source"]["pos"]
+            per_key.setdefault(r["key"], []).append(pos)
+    assert all(v == sorted(v) for v in per_key.values())
+
+
 def test_write_change_records_partitions_by_destination(spark, tmp_path):
     from debezium_spark.operators.routing import by_logical_table_router
     from debezium_spark.sink.server import to_change_records, write_change_records
