@@ -84,7 +84,14 @@ def activate_tracing_span(
     ctx_map = F.str_to_map(ctx_raw, F.lit("\n"), F.lit("="))
     traceparent_in = ctx_map.getItem("traceparent")
 
-    offset = F.concat_ws(":", F.col("source.file"), F.col("source.pos").cast("string"))
+    # The offset feeds every derived id. PK-change splits emit up to three
+    # records sharing one source.pos distinguished only by `_sub`
+    # (operators/apply.py) — include it so those records get DISTINCT
+    # trace/span identities instead of collapsing into one (review r5).
+    offset_parts = [F.col("source.file"), F.col("source.pos").cast("string")]
+    if "_sub" in env.columns:
+        offset_parts.append(F.col("_sub").cast("string"))
+    offset = F.concat_ws(":", *offset_parts)
     # trace id: propagated (field 2 of traceparent) else offset-derived.
     trace_id = F.coalesce(
         # regexp_extract yields '' on a present-but-malformed traceparent —
@@ -124,9 +131,15 @@ def activate_tracing_span(
         ).alias("tags"),
     )
 
-    # Tombstones / non-envelope rows (null op) pass through untraced; with
+    # Tombstones / non-envelope rows pass through untraced (:118); with
     # require_context_field, so do rows without a propagated context.
+    # Engine tombstones carry op='d' plus the `_tombstone` marker
+    # (operators/tombstones.py), so op.isNotNull() alone would trace them —
+    # duplicating their delete's span ids (review r5); the marker check is
+    # null-coalesced like flatten.py's.
     traced = F.col("op").isNotNull()
+    if "_tombstone" in env.columns:
+        traced = traced & ~F.coalesce(F.col("_tombstone"), F.lit(False))
     if require_context_field:
         # the reference checks field *presence* (:134), not validity
         traced = traced & ctx_raw.isNotNull()

@@ -62,28 +62,51 @@ def to_change_records(
     - key/value = the envelope JSON wire format (tombstones keep a null
       value, null keys become the ``default`` sentinel).
     """
-    key_cols = key_cols or list(REPO_KEY_COLS)
     topic = F.concat_ws(".", F.lit(topic_prefix), F.col("source.db"), F.col("source.table"))
     if stream_name_mapper is not None:
         topic = stream_name_mapper(topic)
 
-    key_fields = [
-        F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c) for c in key_cols
-    ]
-    # a record with no key material at all is the null-key case the sinks
-    # replace with their sentinel (to_json of an all-null struct is "{}",
-    # which would silently look like a real key)
-    has_key = F.coalesce(*[f.cast("string") for f in key_fields]).isNotNull()
-    key = F.when(has_key, F.to_json(F.struct(*key_fields))).otherwise(F.lit(NULL_KEY))
+    # The MongoDB connector's *document* envelope (sources/mongodb.py) has
+    # no before/after structs: its key is the canonical-JSON `id` string
+    # (key struct = {"id": <json>}, MongoDbCollectionSchema) and its value
+    # is the document-envelope JSON — the server sinks consume both
+    # connector families through this one contract (review r5).
+    is_document_envelope = "id" in env.columns and "before" not in env.columns
+    if is_document_envelope:
+        key = F.when(
+            F.col("id").isNotNull(), F.to_json(F.struct(F.col("id")))
+        ).otherwise(F.lit(NULL_KEY))
+        value_cols = [
+            c for c in env.columns if c != "id" and not c.startswith("_")
+        ]
+    else:
+        key_cols = key_cols or list(REPO_KEY_COLS)
+        key_fields = [
+            F.coalesce(F.col(f"after.{c}"), F.col(f"before.{c}")).alias(c)
+            for c in key_cols
+        ]
+        # a record with no key material at all is the null-key case the
+        # sinks replace with their sentinel (to_json of an all-null struct
+        # is "{}", which would silently look like a real key)
+        has_key = F.coalesce(*[f.cast("string") for f in key_fields]).isNotNull()
+        key = F.when(has_key, F.to_json(F.struct(*key_fields))).otherwise(F.lit(NULL_KEY))
+        value_cols = list(ENVELOPE_COLS)
     # Engine tombstones carry the `_tombstone` marker with op='d' and the
     # key still in `before` (operators/tombstones.py — the both-null test
     # never matches them; see flatten.py's identical review-r4 note). The
     # heuristic only covers externally-built envelopes without the marker.
     if "_tombstone" in env.columns:
-        is_tombstone = F.col("_tombstone")
+        # null-coalesced like flatten.py's (review r5): a null marker (e.g.
+        # a unionByName with a marker-less stream) must not three-value a
+        # live record into a null-value tombstone.
+        is_tombstone = F.coalesce(F.col("_tombstone"), F.lit(False))
+    elif is_document_envelope:
+        # document streams have no both-null heuristic: deletes keep op='d'
+        # and control events (op=null) still ship their envelope JSON
+        is_tombstone = F.lit(False)
     else:
         is_tombstone = F.col("op").isNull() & F.col("after").isNull() & F.col("before").isNull()
-    value = F.when(~is_tombstone, F.to_json(F.struct(*[F.col(c) for c in ENVELOPE_COLS])))
+    value = F.when(~is_tombstone, F.to_json(F.struct(*[F.col(c) for c in value_cols])))
 
     # `_sub` breaks ties among rows sharing one source position (delete →
     # tombstone → pk-change insert), preserving the delete-then-tombstone
@@ -106,6 +129,8 @@ def to_change_records(
 
 def to_kinesis_records(env: DataFrame, stream_prefix: str = "dbserver1", **kw) -> DataFrame:
     """KinesisChangeConsumer.java:108-113 — PutRecordRequest fields."""
+    if "topic_prefix" in kw:  # review r5: would TypeError as a duplicate kwarg
+        raise ValueError("to_kinesis_records: pass stream_prefix, not topic_prefix")
     rec = to_change_records(env, topic_prefix=stream_prefix, **kw)
     return rec.select(
         F.col("destination").alias("stream_name"),
@@ -122,7 +147,9 @@ def to_redis_stream_entries(env: DataFrame, **kw) -> DataFrame:
     entry ids at XADD time; replay-stable determinism pins the time part
     to 0 so the sequence alone orders the stream (ids are server-assigned
     state, not record content)."""
-    rec = to_change_records(env, n_partitions=1, **kw)  # a stream is one shard
+    if "n_partitions" in kw:  # review r5: a Redis stream IS one shard
+        raise ValueError("to_redis_stream_entries: a stream is a single shard; n_partitions is fixed at 1")
+    rec = to_change_records(env, n_partitions=1, **kw)
     # sequence starts at 1: Redis rejects XADD ids that are not > 0-0
     return rec.select(
         F.col("destination").alias("stream"),

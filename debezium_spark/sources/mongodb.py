@@ -19,8 +19,11 @@ fields are JSON strings rather than typed structs:
   schemaless so keys/values stay strings end-to-end;
 - the source block carries replica-set ord/cluster time.
 
-Spark-first: one Catalyst projection per event (``get_json_object`` pulls
-the `_id` out of the documentKey JSON; no per-row Python). The companion
+Spark-first: one Catalyst projection per event (a variant extraction pulls
+the `_id` out of the documentKey JSON *as canonical JSON text* — unlike
+``get_json_object``, which strips string quoting and would collapse the
+distinct documents ``{_id: 1}`` and ``{_id: "1"}`` onto one key; no
+per-row Python). The companion
 ``extract_new_document_state`` re-creates the connector's
 ExtractNewDocumentState SMT (``transforms/ExtractNewDocumentState.java``):
 it parses the JSON ``after`` into a *caller-declared* Spark schema via
@@ -62,8 +65,15 @@ def change_stream_to_envelope(
         is_update & F.col("full_doc").isNotNull()
     )
 
+    # Canonical-JSON key (JsonSerialization.java): the id keeps its JSON
+    # type — number 1 → `1`, string "1" → `"1"` — so distinct _id values of
+    # different BSON types never collide. try_* keeps malformed/absent
+    # documentKey JSON a null id (quarantine material), not an error.
+    doc_id = F.to_json(
+        F.try_variant_get(F.try_parse_json(F.col("doc_key")), "$._id", "variant")
+    )
     return cs.select(
-        F.get_json_object(F.col("doc_key"), "$._id").alias("id"),
+        doc_id.alias("id"),
         F.when(has_after, F.col("full_doc")).alias("after"),
         F.when(
             is_update,

@@ -94,7 +94,12 @@ def redo_to_envelope(
     w = Window.partitionBy("tx_id", "tbl", "row_id").orderBy("scn")
     dml = (
         dml.withColumn("_next_rb", F.lead("rollback_flag").over(w))
-        .filter((F.col("rollback_flag") != 1) & (F.coalesce(F.col("_next_rb"), F.lit(0)) != 1))
+        # null-safe on BOTH operands (review r5): a nullable rollback_flag
+        # (null = normal row) must not three-value committed DML away.
+        .filter(
+            (F.coalesce(F.col("rollback_flag"), F.lit(0)) != 1)
+            & (F.coalesce(F.col("_next_rb"), F.lit(0)) != 1)
+        )
         .drop("_next_rb")
     )
 
@@ -108,6 +113,14 @@ def redo_to_envelope(
     # still commit-major, mining-order-minor, and pos stays unique as the
     # OFFSET-ORDER CONTRACT requires.
     seq = F.row_number().over(Window.partitionBy("commit_scn").orderBy("scn", "tx_id"))
+    # The TRANSACTION block counts per transaction, not per commit group
+    # (TransactionMonitor: total_order is the event's 1..N rank within its
+    # own tx, data_collection_order within (tx, table)) — under group
+    # commit the commit-SCN seq above would interleave two transactions'
+    # counters (review r5). The tx_id window runs first so the (tx_id, tbl)
+    # window reuses its exchange (subset clustering).
+    tx_total = F.row_number().over(Window.partitionBy("tx_id").orderBy("scn"))
+    tx_coll = F.row_number().over(Window.partitionBy("tx_id", "tbl").orderBy("scn"))
     op = (
         F.when(F.col("event_type") == OP_INSERT, "c")
         .when(F.col("event_type") == OP_DELETE, "d")
@@ -134,8 +147,8 @@ def redo_to_envelope(
         # LogMiner is the one new source with real per-event tx metadata
         F.struct(
             F.col("tx_id").alias("id"),
-            seq.cast("bigint").alias("total_order"),
-            seq.cast("bigint").alias("data_collection_order"),
+            tx_total.cast("bigint").alias("total_order"),
+            tx_coll.cast("bigint").alias("data_collection_order"),
         ).alias("transaction"),
         F.col("scn"),
         F.col("commit_scn"),

@@ -106,7 +106,11 @@ def cdc_table_to_envelope(
         & (F.col("min_op") == OP_UPDATE_BEFORE)
         & (F.col("max_op") == OP_UPDATE_AFTER)
     )
-    ok = singleton | update_pair
+    # null-safe (review r5): a null operation code makes both predicates
+    # three-value to null, and a null `ok` would drop the group from BOTH
+    # sides of the pair_error split — coalesce pins it to a quarantine row
+    # whose offset still advances the fence, as documented.
+    ok = F.coalesce(singleton | update_pair, F.lit(False))
 
     op = (
         F.when(F.col("min_op") == OP_DELETE, F.lit("d"))

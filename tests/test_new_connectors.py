@@ -664,3 +664,191 @@ def test_write_change_records_partitions_by_destination(spark, tmp_path):
     assert [r["destination"] for r in back.select("destination").distinct().collect()] == [
         "dbserver1.db1.t_all"
     ]
+
+
+# ---- review-r5 regression tests: three-valued logic, identity, contracts ----
+
+
+def test_mongodb_key_distinguishes_id_types(spark):
+    """{_id: 1} and {_id: "1"} are DISTINCT MongoDB documents; the key must
+    keep the _id's JSON type (JsonSerialization canonical form — review r5:
+    get_json_object strips string quoting and collapsed them)."""
+    from debezium_spark.sources.mongodb import change_stream_to_envelope
+
+    rows = [
+        ("insert", '{"_id": 1}', '{"_id": 1}', None, None, 1, 100),
+        ("insert", '{"_id": "1"}', '{"_id": "1"}', None, None, 2, 200),
+        ("insert", None, "{}", None, None, 3, 300),  # absent documentKey
+        ("insert", '{"_id": {"n": 1, "t": "x"}}', "{}", None, None, 4, 400),
+    ]
+    cs = spark.createDataFrame(
+        rows,
+        "op_type string, doc_key string, full_doc string, updated_fields string,"
+        " removed_fields array<string>, ord long, ts_ms long",
+    )
+    ids = [r["id"] for r in change_stream_to_envelope(cs).orderBy("source.pos").collect()]
+    assert ids[0] == "1" and ids[1] == '"1"' and ids[0] != ids[1]
+    assert ids[2] is None  # null/malformed documentKey → null key, no error
+    assert ids[3] == '{"n":1,"t":"x"}'  # composite _id stays canonical JSON
+
+
+def test_sqlserver_null_operation_is_pair_error_not_dropped(spark):
+    """A null __$operation code must land in quarantine (pair_error=TRUE),
+    not three-value out of BOTH sides of the pair_error split (review r5)."""
+    from debezium_spark.sources.sqlserver import cdc_table_to_envelope
+
+    extra = spark.createDataFrame(
+        [(50, 1, None, 5000, "z", "z0")],
+        "start_lsn long, seqval long, operation int, commit_ts_ms long, k string, v string",
+    )
+    env = cdc_table_to_envelope(_ct(spark).unionByName(extra), ["k", "v"])
+    good = env.filter(~F.col("pair_error"))
+    bad = env.filter(F.col("pair_error"))
+    assert good.count() + bad.count() == env.count()  # nothing vanishes
+    null_op = bad.filter(F.col("source.pos") == (50 << 20) + 1).collect()
+    assert len(null_op) == 1 and null_op[0]["op"] is None
+
+
+def test_logminer_null_rollback_flag_is_normal_row(spark):
+    """A nullable rollback_flag (null = normal DML) must not three-value a
+    committed event away (review r5 — the _next_rb side was already
+    coalesced; the row's own flag was not)."""
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    rows = [
+        (1, "tx1", 1, "t", "r1", None, 10, None, None, "k1", "v1"),
+        (2, "tx1", 7, None, None, None, 11, None, None, None, None),
+    ]
+    redo = spark.createDataFrame(
+        rows,
+        "scn long, tx_id string, event_type int, tbl string, row_id string,"
+        " rollback_flag int, ts_ms long, before_k string, before_v string,"
+        " after_k string, after_v string",
+    )
+    env = redo_to_envelope(redo, ["k", "v"])
+    assert env.count() == 1 and env.first()["op"] == "c"
+
+
+def test_logminer_transaction_orders_are_per_transaction(spark):
+    """transaction.total_order counts 1..N within the TRANSACTION, not the
+    commit group (TransactionMonitor contract) — under group commit the
+    commit-SCN sequence would interleave two transactions' counters
+    (review r5). source.pos keeps the commit-group sequence for uniqueness."""
+    from debezium_spark.sources.oracle_logminer import redo_to_envelope
+
+    rows = [
+        (1, "txA", 1, "t", "a1", 0, 10, None, None, "ka", "va"),
+        (2, "txB", 1, "t", "b1", 0, 10, None, None, "kb", "vb"),
+        (3, "txA", 1, "u", "a2", 0, 10, None, None, "ka2", "va2"),
+        (500, "txA", 7, None, None, 0, 11, None, None, None, None),
+        (500, "txB", 7, None, None, 0, 11, None, None, None, None),
+    ]
+    redo = spark.createDataFrame(
+        rows,
+        "scn long, tx_id string, event_type int, tbl string, row_id string,"
+        " rollback_flag int, ts_ms long, before_k string, before_v string,"
+        " after_k string, after_v string",
+    )
+    env = redo_to_envelope(redo, ["k", "v"])
+    got = {
+        (r["transaction"]["id"], r["scn"]): (
+            r["transaction"]["total_order"],
+            r["transaction"]["data_collection_order"],
+        )
+        for r in env.collect()
+    }
+    # txA's two events (different tables) count 1,2 in tx order, each table 1
+    assert got[("txA", 1)] == (1, 1) and got[("txA", 3)] == (2, 1)
+    assert got[("txB", 2)] == (1, 1)  # txB starts at 1, not 2
+    # pos stays unique across the shared commit SCN
+    pos = [r["source"]["pos"] for r in env.collect()]
+    assert len(set(pos)) == 3
+
+
+def test_tracing_skips_engine_tombstones(spark):
+    """Engine tombstones carry op='d' + the _tombstone marker; the SMT must
+    pass them through untraced (ActivateTracingSpan.java:118) instead of
+    duplicating their delete's span ids (review r5)."""
+    from debezium_spark.operators.tombstones import with_tombstones
+    from debezium_spark.operators.tracing import activate_tracing_span
+
+    env = with_tombstones(_sink_env(spark).filter(F.col("op").isNotNull()))
+    out = activate_tracing_span(env)
+    tombs = out.filter(F.coalesce(F.col("_tombstone"), F.lit(False))).collect()
+    assert len(tombs) == 1 and tombs[0]["spans"] is None and tombs[0]["headers"] is None
+    live = out.filter(~F.coalesce(F.col("_tombstone"), F.lit(False)))
+    assert all(r["spans"] is not None for r in live.filter(F.col("op").isNotNull()).collect())
+
+
+def test_tracing_sub_records_get_distinct_span_ids(spark):
+    """PK-change splits share one source.pos distinguished by _sub; their
+    spans must not collapse into one identity (review r5)."""
+    from debezium_spark.operators.tracing import activate_tracing_span
+
+    base = _sink_env(spark).filter(F.col("op").isNotNull()).limit(1)
+    env = base.withColumn("_sub", F.lit(0)).unionByName(
+        base.withColumn("_sub", F.lit(1))
+    )
+    out = activate_tracing_span(env).collect()
+    ids = {(s["trace_id"], s["span_id"]) for r in out for s in r["spans"]}
+    assert len(ids) == 4  # 2 records × 2 spans, all distinct
+
+
+def test_change_records_null_marker_is_live(spark):
+    """A null _tombstone marker (marker-less stream unioned into a marked
+    one) is a LIVE record — a bare F.col three-values its value to null,
+    shipping it as a deletion to compacting sinks (review r5)."""
+    from debezium_spark.operators.tombstones import with_tombstones
+    from debezium_spark.sink.server import to_change_records
+
+    marked = with_tombstones(_sink_env(spark).filter(F.col("op") == "d"))
+    plain = _sink_env(spark).filter(F.col("op") == "c")
+    env = marked.unionByName(plain, allowMissingColumns=True)
+    rec = to_change_records(env, n_partitions=1)
+    live = rec.filter(F.col("value").isNotNull()).count()
+    assert live == 3  # 1 delete + 2 creates; only the tombstone has null value
+    assert rec.count() == 4
+
+
+def test_change_records_consumes_document_envelope(spark):
+    """debezium-server sinks consume the MongoDB connector too: the document
+    envelope (no before/after structs, canonical-JSON id key) must flow
+    through to_change_records (review r5 — it previously threw on the
+    missing 'before' column)."""
+    from debezium_spark.sink.server import to_change_records
+    from debezium_spark.sources.mongodb import change_stream_to_envelope
+
+    import json
+
+    env = change_stream_to_envelope(_cs(spark))
+    rec = to_change_records(env)
+    # key struct {"id": <canonical json>}; the drop control event keys on
+    # its own documentKey (_id 0)
+    keys = {r["key"] for r in rec.collect()}
+    assert keys == {'{"id":"1"}', '{"id":"0"}'}
+    # all four _id=1 events share the key → one partition, offsets 0..3
+    recs = sorted(
+        rec.filter(F.col("key") == '{"id":"1"}').collect(), key=lambda r: r["offset"]
+    )
+    assert [r["offset"] for r in recs] == [0, 1, 2, 3]
+    val = json.loads(recs[0]["value"])
+    assert val["op"] == "c" and json.loads(val["after"])["name"] == "n1"
+    assert "id" not in val  # the key rides the key, not the value
+    # the control event (op=null) still ships with a non-null value
+    ctrl = rec.filter(F.col("key") == '{"id":"0"}').collect()
+    assert len(ctrl) == 1 and ctrl[0]["value"] is not None
+    # a null documentKey takes the null-key sentinel
+    nk = to_change_records(
+        env.withColumn("id", F.lit(None).cast("string"))
+    ).select("key").distinct().collect()
+    assert [r["key"] for r in nk] == ["default"]
+
+
+def test_sink_dialect_kwarg_guards(spark):
+    from debezium_spark.sink.server import to_kinesis_records, to_redis_stream_entries
+
+    env = _sink_env(spark)
+    with pytest.raises(ValueError, match="stream_prefix"):
+        to_kinesis_records(env, topic_prefix="x")
+    with pytest.raises(ValueError, match="single shard"):
+        to_redis_stream_entries(env, n_partitions=2)
