@@ -142,7 +142,12 @@ def c4_clean(
     dropped docs so a pipeline can audit what the filter saw. Stateless
     per-row Catalyst (split → filter → re-join): a map over the corpus
     scan, no shuffle, no UDF."""
-    lines = F.split(F.col(text_col), "\n")
+    # NULL text pins to '' so every rule stays two-valued: a NULL riding
+    # through lower()/contains() would make keep NULL — dropped by the
+    # pipeline's where(keep) but with EMPTY reasons, vanishing without an
+    # audit trail (same class line_dedup fixed; final review r5)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(txt, "\n")
     kept = F.filter(
         lines,
         lambda l: F.trim(l).rlike('[.!?"]$')
@@ -152,8 +157,8 @@ def c4_clean(
     clean = F.array_join(kept, "\n")
     n_sent = F.length(clean) - F.length(F.regexp_replace(clean, r"[.!?]", ""))
     rules = [
-        ("lorem_ipsum", ~F.lower(F.col(text_col)).contains("lorem ipsum")),
-        ("curly_brace", ~F.col(text_col).contains("{")),
+        ("lorem_ipsum", ~F.lower(txt).contains("lorem ipsum")),
+        ("curly_brace", ~txt.contains("{")),
         ("too_few_sentences", n_sent >= min_sentences),
     ]
     reasons = F.concat_ws(",", *[F.when(~ok, F.lit(name)) for name, ok in rules])
@@ -203,7 +208,10 @@ def gopher_doc_filter(
     — stateless map over a corpus scan, no shuffle, no UDF; ratios are
     emitted rounded to 4 for engine-agnostic comparison. ``reasons`` is a
     comma-joined string in fixed rule order (empty = keep)."""
-    trimmed = F.trim(F.col(text_col))
+    # NULL text pins to '' — see c4_clean: NULL must fail rules with their
+    # names in reasons, not three-value its way to keep=NULL/reasons=''
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(txt)
     words = F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
         F.split(trimmed, r"\s+")
     )
@@ -212,12 +220,9 @@ def gopher_doc_filter(
         words, F.lit(0), lambda acc, w: acc + F.length(w)
     )
     mean_wl = F.when(wc > 0, word_chars / wc).otherwise(F.lit(0.0))
-    n_hash = F.length(F.col(text_col)) - F.length(
-        F.regexp_replace(F.col(text_col), "#", "")
-    )
+    n_hash = F.length(txt) - F.length(F.regexp_replace(txt, "#", ""))
     n_ellipsis = (
-        F.length(F.col(text_col))
-        - F.length(F.regexp_replace(F.col(text_col), r"\.\.\.", ""))
+        F.length(txt) - F.length(F.regexp_replace(txt, r"\.\.\.", ""))
     ) / F.lit(3)
     sym_ratio = F.when(wc > 0, (n_hash + n_ellipsis) / wc).otherwise(F.lit(0.0))
     alpha_frac = F.when(

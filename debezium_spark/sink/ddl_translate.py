@@ -79,38 +79,51 @@ def _mask_quoted(low: str) -> str:
 def _rectify_foreign_rely(
     ddl: str, source_schema: str, schema_mapping: Mapping[str, str]
 ) -> str | None:
-    """``ReplayTask.rectifyForeignRelyDdl:330-370`` — remap the REFERENCES
-    target. Returns None when the referenced schema has no mapping (the
-    reference skips the DDL)."""
+    """``ReplayTask.rectifyForeignRelyDdl:330-370`` — remap EVERY
+    ``FOREIGN KEY … REFERENCES`` target through the schema mapping (a
+    CREATE TABLE may declare several foreign keys; rewriting only the
+    first ships later clauses with the unmapped source schema — final
+    review r5). Returns None when any referenced schema has no mapping
+    (the reference skips the DDL)."""
     low = ddl.lower()
-    # keyword matches run against a quote-masked copy (same length, same
-    # positions) so an identifier or literal containing "references" or
-    # "foreign key" can never anchor the clause; the REFERENCES keyword is
-    # whole-word and must follow a FOREIGN KEY that is itself unquoted
-    masked = _mask_quoted(low)
-    kw = re.search(r"\breferences\b", masked)
-    if not (
-        (low.startswith("alter table") or low.startswith("create table"))
-        and kw is not None
-        and masked.rfind("foreign key", 0, kw.start()) != -1
-    ):
+    if not (low.startswith("alter table") or low.startswith("create table")):
         return ddl
-    prefix, suffix = ddl[: kw.start()], ddl[kw.end():]
-    m = _REF_TABLE.match(suffix)
-    if m is None:  # nothing identifier-like follows REFERENCES: pass through
-        return ddl
-    rest = suffix[m.end():]
-    if m.group("second") is not None:
-        old_schema = _strip_backquote(m.group("first"))
-        if old_schema not in schema_mapping:
-            return None
-        head = (
-            f'"{schema_mapping[old_schema]}"'
-            f'."{_strip_backquote(m.group("second"))}"'
-        )
-    else:
-        head = f'"{_strip_backquote(m.group("first"))}"'
-    return f"{prefix}references {head}{rest}"
+    parts: list[str] = []
+    cur = ddl
+    while True:
+        # keyword matches run against a quote-masked copy (same length,
+        # same positions) so an identifier or literal containing
+        # "references" or "foreign key" can never anchor the clause; the
+        # REFERENCES keyword is whole-word and must follow a FOREIGN KEY
+        # that is itself unquoted (a column-level REFERENCES with no
+        # preceding FOREIGN KEY passes through, as before)
+        masked = _mask_quoted(cur.lower())
+        kw = None
+        for cand in re.finditer(r"\breferences\b", masked):
+            if masked.rfind("foreign key", 0, cand.start()) != -1:
+                kw = cand
+                break
+        if kw is None:
+            parts.append(cur)
+            return "".join(parts)
+        suffix = cur[kw.end():]
+        m = _REF_TABLE.match(suffix)
+        if m is None:  # nothing identifier-like follows REFERENCES
+            parts.append(cur[: kw.end()])
+            cur = suffix
+            continue
+        if m.group("second") is not None:
+            old_schema = _strip_backquote(m.group("first"))
+            if old_schema not in schema_mapping:
+                return None
+            head = (
+                f'"{schema_mapping[old_schema]}"'
+                f'."{_strip_backquote(m.group("second"))}"'
+            )
+        else:
+            head = f'"{_strip_backquote(m.group("first"))}"'
+        parts.append(f"{cur[: kw.start()]}references {head}")
+        cur = suffix[m.end():]
 
 
 def _ignore_schema_name(ddl: str, schema: str, table: str) -> str:
@@ -151,10 +164,16 @@ def translate_ddl(
         return []
     ddl = rectified
     low = ddl.lower()
-    if low.startswith("alter table") and "rename to" in low and "`rename to" not in low:
-        pre = low.index("table")
-        post = low.index("rename")
-        old_full = ddl[pre + 6: post].strip()
+    # RENAME TO anchors on the quote-masked whole-word keyword, not a
+    # substring scan — a schema/table name CONTAINING "rename" (quoted or
+    # not, e.g. `alter table renamedb.t rename to t2`) must not truncate
+    # the old-name span (final review r5: low.index("rename") hit the
+    # identifier and left the schema qualifier unstripped)
+    _masked = _mask_quoted(low)
+    _rn = re.search(r"\brename\s+to\b", _masked)
+    if low.startswith("alter table") and _rn is not None:
+        pre = _masked.index("table")
+        old_full = ddl[pre + 6: _rn.start()].strip()
         if len(old_full.split(".")) == 2:
             ddl = ddl.replace(old_full, old_full.split(".")[1], 1)
     elif low.startswith("drop table"):

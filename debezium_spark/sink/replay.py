@@ -485,6 +485,21 @@ def write_statement_streams(
             "part-file lines — NO channel is committed (_done withheld)"
         )
     import shutil as _shutil
+    from urllib.parse import unquote as _unquote
+
+    # Spark percent-escapes special characters in dynamic-partition path
+    # values (Hive escapePathName: a channel 'db:1.t' lands as
+    # 'channel=db%3A1.t'), so the output dir CANNOT be looked up by the
+    # raw channel string — an escaped channel would be misread as empty,
+    # its receipt written with the nonzero observed count, and the real
+    # part files deleted with tmp_root (final review r5). List the actual
+    # dirs and decode: Spark's escaping is %XX per escaped byte with '%'
+    # itself escaped, so unquote is a faithful inverse.
+    part_dirs: dict[str, str] = {}
+    if os.path.isdir(tmp_root):
+        for name in os.listdir(tmp_root):
+            if name.startswith("channel="):
+                part_dirs[_unquote(name[len("channel="):])] = name
 
     for i, k in enumerate(pending):
         counts[k] = int(vals[f"n_{i}"] or 0)
@@ -492,9 +507,20 @@ def write_statement_streams(
         if os.path.exists(dst):  # partial leftovers from a crashed write
             _shutil.rmtree(dst)
         os.makedirs(os.path.dirname(dst), exist_ok=True)
-        src = os.path.join(tmp_root, f"channel={cids[k]}")
-        if os.path.exists(src):
-            os.replace(src, dst)
+        src_name = part_dirs.get(cids[k])
+        if src_name is not None:
+            os.replace(os.path.join(tmp_root, src_name), dst)
+        elif counts[k]:
+            # statements were observed but no partition dir exists — a
+            # receipt here would lie and the statements would be lost;
+            # withhold _done so the batch is retried, and keep tmp_root
+            # for inspection
+            raise RuntimeError(
+                f"statement stream batch {batch_id}: channel {cids[k]!r} "
+                f"observed {counts[k]} statement(s) but no partition "
+                f"directory was written under {tmp_root!r} — receipt "
+                "withheld"
+            )
         else:  # empty channel: no rows, still a committed (empty) batch
             os.makedirs(dst)
         tmp = os.path.join(dst, "_done.tmp")

@@ -218,6 +218,17 @@ def dml_statements(
     ``wrap_symbol`` is the identifier quote: openGauss targets default to
     ``"`` and switch to a backquote only under B-compatibility + dolphin
     (``SqlTools.getObjectWrapSymbol``); MySQL targets always backquote.
+
+    WHERE images: the row-identifying image is ``coalesce(before, after)``
+    — a source without a full before image (e.g. logical decoding without
+    REPLICA IDENTITY FULL) still identifies the row by the after-image key,
+    which is safe because PK-change updates are split into d+c upstream
+    (``pk_change_split``) so an update's key columns are invariant. A u/d
+    event with BOTH images null has no identifying image at all; emitting
+    its template would render every WHERE term as ``"col" is null`` and
+    silently target unrelated rows (final review r5), so those rows are
+    EXCLUDED here — the engine path already quarantines them as
+    ``null_payload`` before they reach statement generation.
     """
     if wrap_symbol is None:
         wrap_symbol = "`" if dialect == "mysql" else '"'
@@ -242,7 +253,8 @@ def dml_statements(
             for m in table.columns
         ],
     )
-    where = _where_condition(before, table, wrap_symbol, dialect)
+    img = F.coalesce(before, after)
+    where = _where_condition(img, table, wrap_symbol, dialect)
     update = F.concat(
         F.lit(f"update {full} set "), set_list, F.lit(" where "), where, F.lit(";")
     )
@@ -250,10 +262,10 @@ def dml_statements(
 
     sql = (
         F.when(F.col("op") == "c", insert)
-        .when(F.col("op") == "u", update)
-        .when(F.col("op") == "d", delete)
+        .when((F.col("op") == "u") & img.isNotNull(), update)
+        .when((F.col("op") == "d") & img.isNotNull(), delete)
     )
     extras = [c.alias(a) for a, c in (extra or {}).items()]
-    return env_df.where(F.col("op").isin("c", "u", "d")).select(
-        "source", "op", sql.alias("sql"), *extras
-    )
+    return env_df.where(
+        F.col("op").isin("c", "u", "d") & sql.isNotNull()
+    ).select("source", "op", sql.alias("sql"), *extras)

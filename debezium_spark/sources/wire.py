@@ -70,25 +70,37 @@ _COLUMNS = list(_I64_FIELDS) + list(_STR_FIELDS) + ["before_json", "after_json"]
 _POISON = (None,) * len(_COLUMNS)
 
 
+#: string slots whose value is metadata, not identity: a ≥64 KiB value here
+#: (a GTID set from a many-UUID topology can legitimately blow the u16 cap)
+#: drops ONLY that field to null, preserving the event. op/file/db/table
+#: are structural — an oversized value there IS corruption and the frame
+#: degrades to poison (final review r5: the old contract poisoned the whole
+#: frame for any oversized slot, silently losing valid change events).
+_DROPPABLE_STR = frozenset({"gtid", "snapshot", "tx_id"})
+
+
 def _pack_one(longs: tuple, strs: tuple, before: str | None,
               after: str | None) -> bytes:
-    """One event → one frame. An identifier field that exceeds the u16
-    length cap (≥64 KiB in an op/file/db/table/gtid/snapshot/tx_id slot is
-    upstream corruption, not data) encodes as the ALL-NULL poison frame —
-    the row rides into quarantine as unknown_op, same as a decode-side
-    corrupt frame; raising here would abort the Arrow task and crash-loop
-    the batch on retry (final sweep r5 — the poison contract applies to
-    both codec halves)."""
+    """One event → one frame. A structural identifier field (op/file/db/
+    table) that exceeds the u16 length cap is upstream corruption and
+    encodes as the ALL-NULL poison frame — the row rides into quarantine as
+    unknown_op, same as a decode-side corrupt frame; raising here would
+    abort the Arrow task and crash-loop the batch on retry. An oversized
+    METADATA field (gtid/snapshot/tx_id — see ``_DROPPABLE_STR``) nulls
+    only itself: the change event survives intact minus that annotation."""
     out = [struct.pack(
         ">BB5q", MAGIC, VERSION,
         *[_NULL_I64 if v is None else v for v in longs],
     )]
-    for s in strs:
+    for name, s in zip(_STR_FIELDS, strs):
         if s is None:
             out.append(struct.pack(">H", _NULL_STR))
             continue
         b = s.encode("utf-8")
         if len(b) >= _NULL_STR:
+            if name in _DROPPABLE_STR:
+                out.append(struct.pack(">H", _NULL_STR))
+                continue
             return _pack_one((None,) * len(_I64_FIELDS),
                              (None,) * len(_STR_FIELDS), None, None)
         out.append(struct.pack(">H", len(b)))

@@ -181,3 +181,26 @@ def test_pipeline_resume_reuses_completed_stages(spark, tmp_path):
     # resume without a checkpoint dir is a contract violation
     with pytest.raises(ValueError):
         training_corpus_pipeline(docs, resume=True)
+
+
+def test_null_text_fails_gates_with_audited_reasons(spark):
+    """Final review r5: NULL text three-valued every rule to keep=NULL
+    with EMPTY reasons — the doc vanished from the pipeline with no audit
+    trail (the exact class line_dedup pins by coalescing to ''). Both gate
+    stages must drop NULL text as an ordinary False with rule names."""
+    from debezium_spark.dataops.text import c4_clean, gopher_doc_filter
+
+    docs = spark.createDataFrame(
+        [("d1", None), ("d2", "A real sentence ends here.")],
+        "doc_id string, text string",
+    )
+
+    c4 = {r.doc_id: r for r in c4_clean(docs, min_sentences=1).collect()}
+    assert c4["d1"].keep is False
+    assert "too_few_sentences" in c4["d1"].reasons
+
+    gop = {r.doc_id: r for r in gopher_doc_filter(docs, min_words=2).collect()}
+    assert gop["d1"].keep is False
+    assert "word_count" in gop["d1"].reasons
+    # non-null rows unaffected
+    assert c4["d2"].keep is True and gop["d2"].reasons.startswith("")

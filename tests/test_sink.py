@@ -1741,3 +1741,114 @@ class TestApplyStatementStream:
             batch, con.execute, require_receipt=False
         ) == (1, 0)
         assert con.execute("select count(*) from t").fetchone() == (1,)
+
+
+class TestFinalReviewRegressions:
+    """Final review r5: destructive-WHERE on a missing before image,
+    multi-FK REFERENCES remap, identifier-embedded RENAME anchor, and the
+    Spark partition-value escaping of statement-stream channel dirs."""
+
+    MAP = {"db1": "sink1", "src1": "tgt1"}
+
+    def test_update_without_before_image_keys_on_after(self, spark):
+        # logical decoding without REPLICA IDENTITY FULL: before is null.
+        # WHERE must come from the after image (PK invariant — PK-change
+        # updates split into d+c upstream), NOT render '"id" is null and …'
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"])
+        row = (
+            "u", None, (1, "y", None, None, None, None),
+            ("f1", 1, "db1", "widgets"),
+        )
+        assert _sqls(dml_statements(_env(spark, [row]), meta)) == [
+            'update "src"."widgets" set "id" = 1, "name" = \'y\','
+            ' "blob" = null, "amt" = null, "d" = null, "ts" = null'
+            ' where "id" = 1;'
+        ]
+
+    def test_update_and_delete_with_no_image_at_all_are_excluded(self, spark):
+        # both images null: no identifying image exists — emitting the
+        # template would target unrelated rows ('"id" is null and …');
+        # such rows are excluded (the engine path quarantines them as
+        # null_payload before statement generation)
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"])
+        rows = [
+            ("u", None, None, ("f1", 1, "db1", "widgets")),
+            ("d", None, None, ("f1", 2, "db1", "widgets")),
+            ROW_C,
+        ]
+        got = _sqls(dml_statements(_env(spark, rows), meta))
+        assert len(got) == 1 and got[0].startswith("insert into")
+
+    def test_delete_without_before_image_keys_on_after(self, spark):
+        meta = table_meta_from_schema("src", "widgets", PAYLOAD, ["id"])
+        row = (
+            "d", None, (3, None, None, None, None, None),
+            ("f1", 1, "db1", "widgets"),
+        )
+        assert _sqls(dml_statements(_env(spark, [row]), meta)) == [
+            'delete from "src"."widgets" where "id" = 3;'
+        ]
+
+    def test_every_foreign_key_clause_remaps(self):
+        ddl = (
+            "create table t (a int, b int, "
+            "foreign key (a) references src1.p1(id), "
+            "foreign key (b) references src1.p2(id))"
+        )
+        got = translate_ddl(ddl, "src1", "t", self.MAP)
+        assert got == [
+            "set current_schema to tgt1;",
+            'create table t (a int, b int, '
+            'foreign key (a) references "tgt1"."p1"(id), '
+            'foreign key (b) references "tgt1"."p2"(id))',
+        ]
+
+    def test_second_foreign_key_unmapped_schema_skips_statement(self):
+        ddl = (
+            "create table t (a int, b int, "
+            "foreign key (a) references src1.p1(id), "
+            "foreign key (b) references nowhere.p2(id))"
+        )
+        assert translate_ddl(ddl, "src1", "t", self.MAP) == []
+
+    def test_rename_with_schema_name_containing_rename(self):
+        # low.index("rename") used to hit the identifier, leaving the
+        # schema qualifier unstripped
+        got = translate_ddl(
+            "alter table renamedb.t rename to t2", "renamedb", "t",
+            {"renamedb": "tgt"},
+        )
+        assert got == ["set current_schema to tgt;", "alter table t rename to t2"]
+
+    def test_escaped_channel_name_survives_stream_writer(self, spark, tmp_path):
+        # Spark percent-escapes partition-path values ('db:1' →
+        # 'channel=db%3A1.…'); the writer must find the escaped dir, not
+        # misread the channel as empty and delete the statements
+        import os as _os
+
+        from debezium_spark.sink import (
+            apply_statement_stream,
+            write_statement_streams,
+        )
+        from debezium_spark.streaming.multi import WIRE_SCHEMA, TableSpec
+
+        rows = [
+            (None, '{"id":1,"label":"x"}', "c", 10,
+             ("f1", 1, None, None, "db:1", "tags", 10), None),
+        ]
+        wire = spark.createDataFrame(rows, WIRE_SCHEMA)
+        schema = StructType(
+            [StructField("id", IntegerType()), StructField("label", StringType())]
+        )
+        specs = [TableSpec("db:1", "tags", schema, ["id"])]
+        root = str(tmp_path / "out")
+        counts = write_statement_streams(
+            wire, specs, root, batch_id=0, schema_mapping={"db:1": "sink1"}
+        )
+        assert counts[("db:1", "tags")] == 1
+        batch = _os.path.join(root, "db:1.tags", "batch-000000")
+        executed = []
+        assert apply_statement_stream(batch, executed.append) == (1, 0)
+        assert executed == [
+            'insert into "sink1"."tags" values (1, \'x\');'
+        ]

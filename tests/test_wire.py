@@ -190,3 +190,36 @@ def test_wire_preserves_source_ts_gtid_snapshot_transaction(spark):
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
     nulltx = env.filter(F.col("transaction").isNull()).count()
     assert back.filter(F.col("transaction").isNull()).count() == nulltx
+
+
+def test_oversized_metadata_field_drops_only_itself(spark):
+    """Final review r5: a legitimate-but-huge metadata value (a GTID set
+    from a many-UUID topology can exceed the u16 length cap) used to poison
+    the WHOLE frame — payload, offsets and op all nulled, a valid change
+    event lost to quarantine. Now only the oversized metadata slot
+    (gtid/snapshot/tx_id) nulls; the event rides the wire intact. A
+    structural identifier (db) at that size is genuine corruption and
+    still degrades to the all-null poison frame."""
+    from debezium_spark import ChangeLogGenerator
+
+    gen = ChangeLogGenerator(spark, seed=41, n_repos=3)
+    env = gen.events(6)
+    payload = env.schema["after"].dataType
+    big = "a" * 70_000
+
+    huge_gtid = env.withColumn(
+        "source", F.col("source").withField("gtid", F.lit(big))
+    )
+    back = decode_binary_wire(encode_binary_wire(huge_gtid), payload)
+    assert back.where(F.col("op").isNull()).count() == 0
+    assert back.where(F.col("source.gtid").isNotNull()).count() == 0
+    # payload and offsets intact
+    want = env.select(F.col("source.pos").alias("p"), F.col("op").alias("o"))
+    got = back.select(F.col("source.pos").alias("p"), F.col("op").alias("o"))
+    assert want.exceptAll(got).count() == 0 and got.exceptAll(want).count() == 0
+
+    huge_db = env.withColumn(
+        "source", F.col("source").withField("db", F.lit(big))
+    )
+    back = decode_binary_wire(encode_binary_wire(huge_db), payload)
+    assert back.where(F.col("op").isNull()).count() == env.count()
