@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import subprocess
 import sys
@@ -70,6 +71,20 @@ HEADLINE = [
     "windowed_event_agg",
     "broadcast_dim_join",
 ]
+
+
+def dir_bytes(path: str) -> int:
+    """Recursive on-disk size of a directory — the shared byte-evidence
+    helper for the curve tools (one definition so the MoR and corpus
+    experiments can never measure bytes differently)."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def make_spark(cpus: int, app: str):
@@ -242,7 +257,11 @@ def run_paired_scaling(batch_dir: str, n_events: int, lo: int, hi: int) -> tuple
 def main() -> None:
     import __spark_entry__ as entry_mod
 
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.0
+    # only a literal trailing sf<number> component is a scale factor — an
+    # 'sf' elsewhere in the path (e.g. /mnt/sf_data/run1) is not, and must
+    # not crash the bench at startup
+    _m = re.search(r"sf([0-9]*\.?[0-9]+)/?$", SF_DIR)
+    sf = float(_m.group(1)) if _m else 0.0
     spark = make_spark(CPUS, "cdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
     # headline set spans both registries (driver gate + extras)
@@ -386,14 +405,23 @@ def main() -> None:
             meta = table_meta_from_schema(
                 "sink", "repo_files", REPO_PAYLOAD_SCHEMA, list(REPO_KEY_COLS)
             )
+            from pyspark.sql import Observation
+            from pyspark.sql import functions as _F
+
             env = spark.read.parquet(os.path.join(binlog_dir, "*"))
             t0 = time.perf_counter()
-            statement_stream(env, meta).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # count REAL statement rows on the same action: the stream
+            # also carries begin;/commit; wrappers, so dividing N_EVENTS
+            # by the wall time would mislabel events/s as statements/s
+            _obs = Observation("sink-gen")
+            statement_stream(env, meta).observe(
+                _obs, _F.count(_F.lit(1)).alias("n")
+            ).write.format("noop").mode("overwrite").save()
             g_sec = time.perf_counter() - t0
+            n_stmts = int(_obs.get["n"] or 0)
             replay_info["sink_stmt_sec"] = round(g_sec, 3)
-            replay_info["sink_stmts_per_sec"] = round(N_EVENTS / g_sec, 1)
+            replay_info["sink_stmts_per_sec"] = round(n_stmts / g_sec, 1)
+            replay_info["sink_events_per_sec"] = round(N_EVENTS / g_sec, 1)
             timings["sink_statement_gen"] = round(g_sec, 3)
             total += g_sec
     finally:

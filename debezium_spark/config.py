@@ -52,6 +52,21 @@ def _split_scoped(entry: str) -> tuple[str | None, str]:
     return scope, col
 
 
+def parse_properties(path: str) -> dict[str, str]:
+    """A Debezium ``.properties`` file → ``{key: value}``, ready for
+    :meth:`EngineConfig.from_properties` / ``SinkConfig.from_properties``.
+    One place for the transport parse (strip, ``#`` comments, first ``=``
+    splits) so the source- and sink-side job drivers cannot drift."""
+    props: dict[str, str] = {}
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line and not line.startswith("#") and "=" in line:
+                k, v = line.split("=", 1)
+                props[k.strip()] = v.strip()
+    return props
+
+
 def _scope_pred(scope: str):
     """Row predicate for a scope regex: full-match on source db.table
     (Selectors full-matches the qualified name)."""

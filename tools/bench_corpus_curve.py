@@ -41,15 +41,7 @@ import bench
 from pyspark.sql import functions as F
 
 
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            try:
-                total += os.path.getsize(os.path.join(root, f))
-            except OSError:
-                pass
-    return total
+_dir_bytes = bench.dir_bytes
 
 
 _WORDS = 80
@@ -236,6 +228,7 @@ def main() -> None:
             flush=True,
         )
     finally:
+        spark.stop()
         shutil.rmtree(work, ignore_errors=True)
 
 

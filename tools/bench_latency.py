@@ -111,6 +111,7 @@ def main() -> None:
             flush=True,
         )
     finally:
+        spark.stop()
         shutil.rmtree(work, ignore_errors=True)
 
 

@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import bench
 
 
-def make_wire(spark, n_events: int, n_tables: int, touched: int):
+def make_wire(spark, n_events: int, touched: int):
     """Deterministic mixed wire stream: generator envelope → wire rows,
     table identity = pos % touched (so `touched` of the registered
     `n_tables` specs see traffic)."""
@@ -132,7 +132,7 @@ def main() -> None:
         for pi, (n_tables, touched) in enumerate(phases):
             wdir = os.path.join(work, f"wire_{touched}")
             if not os.path.exists(wdir):
-                wire = make_wire(spark, args.events, n_tables, touched)
+                wire = make_wire(spark, args.events, touched)
                 per = args.events // args.batches
                 for b in range(args.batches):
                     lo = b * per
@@ -156,15 +156,24 @@ def main() -> None:
         full, sp, sp4x = results
         # steady-state jobs (first batch pays one-off planning)
         steady = lambda r: r["jobs_per_batch"][-1]  # noqa: E731
-        slope = (steady(full) - steady(sp)) / (args.tables - sparse)
+        # --tables 1 makes sparse == tables: no second width to fit a
+        # slope through — report null rather than dividing by zero after
+        # the whole benchmark has run
+        denom = args.tables - sparse
+        slope = (steady(full) - steady(sp)) / denom if denom else None
         print(json.dumps({
             "summary": "multi50",
             "events_per_sec_50_tables": full["events_per_sec"],
             "jobs_per_batch_50_touched": full["jobs_per_batch"],
             "jobs_per_batch_sparse": sp["jobs_per_batch"],
             "jobs_per_batch_sparse_4x_specs": sp4x["jobs_per_batch"],
-            "jobs_fixed_overhead": round(steady(sp) - slope * sparse, 1),
-            "jobs_per_touched_table": round(slope, 2),
+            "jobs_fixed_overhead": (
+                round(steady(sp) - slope * sparse, 1)
+                if slope is not None else None
+            ),
+            "jobs_per_touched_table": (
+                round(slope, 2) if slope is not None else None
+            ),
             "jobs_independent_of_spec_count": (
                 abs(steady(sp4x) - steady(sp)) <= 1
             ),

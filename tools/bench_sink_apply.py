@@ -46,7 +46,7 @@ def write_channels(spark, work: str, n_events: int, n_tables: int) -> dict:
     # materialize the wire batch once, then ONE write action emits every
     # channel (job count O(1) in the table width — write_statement_streams)
     wire_dir = os.path.join(work, "wire.parquet")
-    make_wire(spark, n_events, n_tables, n_tables).write.mode(
+    make_wire(spark, n_events, n_tables).write.mode(
         "overwrite"
     ).parquet(wire_dir)
     wire = spark.read.parquet(wire_dir)

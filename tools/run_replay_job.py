@@ -57,14 +57,9 @@ def main() -> None:
 
     cfg = EngineConfig()
     if args.properties:
-        props = {}
-        with open(args.properties) as f:
-            for line in f:
-                line = line.strip()
-                if line and not line.startswith("#") and "=" in line:
-                    k, v = line.split("=", 1)
-                    props[k.strip()] = v.strip()
-        cfg = EngineConfig.from_properties(props)
+        from debezium_spark.config import parse_properties
+
+        cfg = EngineConfig.from_properties(parse_properties(args.properties))
 
     if args.gen_events:
         ChangeLogGenerator(spark, seed=42).write_batches(

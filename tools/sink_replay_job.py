@@ -44,7 +44,9 @@ def main() -> None:
     ap.add_argument("--out", required=True, help="statement-stream root")
     ap.add_argument("--properties", default=None,
                     help="sink property file (key=value lines)")
-    ap.add_argument("--db", default="app")
+    ap.add_argument("--db", default=None,
+                    help="restrict to one source db (default: discovered "
+                         "from the wire batches' source.db)")
     ap.add_argument("--tables", default=None,
                     help="comma-separated table names (default: discovered "
                          "from the wire batches' source.table)")
@@ -67,32 +69,47 @@ def main() -> None:
 
     cfg = SinkConfig()
     if args.properties:
-        props = {}
-        with open(args.properties) as f:
-            for line in f:
-                line = line.strip()
-                if line and not line.startswith("#") and "=" in line:
-                    k, v = line.split("=", 1)
-                    props[k.strip()] = v.strip()
-        cfg = SinkConfig.from_properties(props)
+        from debezium_spark.config import parse_properties
+
+        cfg = SinkConfig.from_properties(parse_properties(args.properties))
 
     batches = sorted(
         p for p in os.listdir(args.wire_dir) if p.endswith(".parquet")
     )
-    if args.tables:
-        tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+    # include-list discovery from the stream itself (one narrow scan) —
+    # the spec db MUST come from the stream too: the routing filter
+    # matches on (source.db, source.table), so a pinned default db
+    # silently drops every row of a stream written under another db name
+    # (final review r5). --db / --tables narrow the discovered set; both
+    # together skip the scan entirely.
+    if args.db and args.tables:
+        pairs = [
+            (args.db, t.strip())
+            for t in args.tables.split(",") if t.strip()
+        ]
     else:
-        # include-list discovery from the stream itself (one narrow scan)
         wire_all = spark.read.parquet(
             *(os.path.join(args.wire_dir, b) for b in batches)
         )
-        tables = sorted(
-            r[0] for r in wire_all.select("source.table").distinct().collect()
-            if r[0] is not None
+        pairs = sorted(
+            (r[0], r[1])
+            for r in wire_all.select("source.db", "source.table")
+            .distinct().collect()
+            if r[0] is not None and r[1] is not None
+        )
+        if args.db:
+            pairs = [p for p in pairs if p[0] == args.db]
+        if args.tables:
+            want = {t.strip() for t in args.tables.split(",") if t.strip()}
+            pairs = [p for p in pairs if p[1] in want]
+    if not pairs:
+        raise SystemExit(
+            "no (db, table) pairs to replay — the wire stream is empty or "
+            "the --db/--tables filters matched nothing"
         )
     specs = [
-        TableSpec(args.db, t, REPO_PAYLOAD_SCHEMA, list(REPO_KEY_COLS))
-        for t in tables
+        TableSpec(db, t, REPO_PAYLOAD_SCHEMA, list(REPO_KEY_COLS))
+        for db, t in pairs
     ]
 
     total_stmts = 0
@@ -116,12 +133,23 @@ def main() -> None:
             )
     gen_sec = time.perf_counter() - t0
 
+    # keyed on Spark simpleString() names: LongType → "bigint",
+    # IntegerType → "int" (NOT "long"/"integer", which never occur — a
+    # miss here silently bootstraps the column as varchar); decimal(p,s)
+    # passes through verbatim (valid DuckDB syntax)
     _DUCK_TYPES = {
-        "string": "varchar", "long": "bigint", "integer": "integer",
-        "int": "integer", "double": "double", "float": "float",
+        "string": "varchar", "bigint": "bigint", "int": "integer",
+        "smallint": "smallint", "tinyint": "tinyint",
+        "double": "double", "float": "float",
         "boolean": "boolean", "timestamp": "timestamp", "date": "date",
         "binary": "blob",
     }
+
+    def _duck_type(dt) -> str:
+        s = dt.simpleString()
+        if s.startswith("decimal"):
+            return s
+        return _DUCK_TYPES.get(s, "varchar")
 
     def bootstrap_target(con) -> None:
         # the reference presumes full migration created the target objects
@@ -132,7 +160,7 @@ def main() -> None:
             con.execute(f'create schema if not exists "{tgt}"')
             cols = ", ".join(
                 f'"{f.name}" '
-                f"{_DUCK_TYPES.get(f.dataType.simpleString(), 'varchar')}"
+                f"{_duck_type(f.dataType)}"
                 for f in spec.payload_schema.fields
             )
             con.execute(
@@ -149,8 +177,16 @@ def main() -> None:
         for channel in sorted(os.listdir(args.out)):
             if channel.startswith("_"):  # a crashed writer's _tmp-* scratch
                 continue
+            # DuckDB names the attached catalog after the file basename's
+            # first dot-component, so 'inventory.repo_files.db' creates a
+            # catalog 'inventory' that collides with the target schema of
+            # the same name ("ambiguous reference"); underscore the
+            # channel separator in the file name to keep catalog and
+            # schema namespaces disjoint
             con = duckdb.connect(
-                os.path.join(args.apply_duckdb, f"{channel}.db")
+                os.path.join(
+                    args.apply_duckdb, f"{channel.replace('.', '_')}.db"
+                )
             )
             try:
                 bootstrap_target(con)
