@@ -826,8 +826,16 @@ def apply_ddl(
         elif op[0] == "rename":
             table.alter_rename_column(op[1], op[2])
         elif op[0] == "widen":
-            # CHANGE/MODIFY to the same type is a no-op inside alter_widen
-            table.alter_widen_column(op[1], op[2])
+            # CHANGE/MODIFY to the same type is a no-op inside alter_widen;
+            # an INCOMPATIBLE retype (int → string) or a retype of an
+            # unknown/dropped column raises from the alter's safety guards
+            # BEFORE the ledger write — degrade to history-only instead of
+            # crash-looping the stream on one DDL event (the same wedge
+            # class _type_or_none bans for unmapped types; final review r5)
+            try:
+                table.alter_widen_column(op[1], op[2])
+            except ValueError:
+                continue  # raw text still ledgers below; op itself is not
         elif op[0] == "reorder":
             # FIRST/AFTER placement is cosmetic in a name-resolved lake
             # (only SELECT-* order changes); a missing column/anchor must

@@ -292,8 +292,11 @@ class CdcEngine:
         to the table's quarantine area instead of merging garbage or
         failing the batch — the reference's fail-SQL ledger
         (TableReplayTask.java:61,98,612). The fence still advances past
-        quarantined offsets. False = strict mode (malformed rows flow into
-        the merge and surface as nulls/errors).
+        quarantined offsets. False = strict mode: a malformed row FAILS
+        the batch with a ValueError naming the validity reason (Kafka
+        Connect ``errors.tolerance=none`` semantics — letting the row
+        continue would silently drop it in the three-valued segment
+        filters, not merge it).
 
         ``tombstones_on_delete``: emit the wire-format tombstone between the
         DELETE and CREATE of a PK-change split (tombstones.on.delete config;
@@ -456,11 +459,19 @@ class CdcEngine:
                 # the file-major key — file): there is nothing to fence,
                 # but the rows themselves are poison records, not silence:
                 # route them through quarantine before declaring the batch
-                # a no-op (one bad row never wedges OR vanishes).
-                if self.quarantine:
-                    _, bad = split_valid(env, self.table.key_cols)
-                    if bad.limit(1).count() > 0:
+                # a no-op — or, in strict mode, fail loudly (one bad row
+                # never wedges OR vanishes; final review r5 closed the
+                # strict-mode vanish on this path too).
+                _, bad = split_valid(env, self.table.key_cols)
+                if bad.limit(1).count() > 0:
+                    if self.quarantine:
                         write_quarantine(bad, self.table.root, batch_id)
+                    else:
+                        raise ValueError(
+                            f"batch {batch_id}: offset-less malformed "
+                            "records in strict mode — construct the engine "
+                            "with quarantine=True to divert such rows"
+                        )
                 return None
             fence = (mm["f"], mm["p"])
 
@@ -477,6 +488,25 @@ class CdcEngine:
             if has_bad:
                 write_quarantine(bad, self.table.root, batch_id)
             env = good
+        else:
+            # strict mode: a malformed row FAILS the batch loudly (Kafka
+            # Connect errors.tolerance=none — the reference's default when
+            # no fail-SQL ledger is configured). Letting it continue would
+            # not "flow into the merge": the three-valued segment and
+            # control-op filters below silently DROP a null-offset or
+            # null-op row, losing data with no trace (final review r5).
+            good, bad = split_valid(env, self.table.key_cols)
+            if has_bad is None:
+                has_bad = bad.limit(1).count() > 0
+            if has_bad:
+                reason = bad.select(
+                    _reason_col(bad, list(self.table.key_cols)).alias("r")
+                ).first()["r"]
+                raise ValueError(
+                    f"batch {batch_id}: malformed record ({reason}) in "
+                    "strict mode — construct the engine with "
+                    "quarantine=True to divert such rows instead"
+                )
 
         # Barrier segmentation: DDL ('l') and TRUNCATE ('t') rows split the
         # batch — events before a barrier merge under the old table state,
@@ -860,37 +890,52 @@ class CdcEngine:
         """Apply schema-history ledger entries per-op onto ``table`` —
         the shared tail-replay used by ``recover_schema`` both directly
         (no checkpoint) and against the scratch manifest (checkpointed
-        ledgers)."""
+        ledgers).
+
+        Replay tolerance: every op recorded here was applied ONCE by
+        ``apply_ddl``, so when a replay raises from an alter's strictness
+        guard the only possible cause is that the table already carries
+        the op's effect in a later-evolved form — e.g. replaying
+        ``add x`` after ``x`` was renamed to ``y`` hits the burned-name
+        guard, and the first hop of a rename chain ``a→b→c`` finds
+        neither name (final review r5: the raise wedged no-checkpoint
+        recovery on a healthy table, where the docstring promised
+        convergence). Those ops skip; recovery converges to the evolved
+        state. The checkpoint path replays from the exact pinned state,
+        so the tolerance never engages there."""
         for e in entries:
             for op in e.get("ops", []):
                 kind = op[0]
-                if kind == "add":
-                    # 4-element ops carry a DEFAULT literal (r4+ ledgers)
-                    table.alter_add_columns([tuple(op[1:4])])
-                elif kind == "drop":
-                    table.alter_drop_columns([op[1]])
-                elif kind == "rename":
-                    table.alter_rename_column(op[1], op[2])
-                elif kind == "widen":
-                    table.alter_widen_column(op[1], op[2])
-                elif kind == "reorder":
-                    # cosmetic placement: a replay onto a schema whose
-                    # anchor was later dropped must not wedge recovery
-                    try:
-                        table.alter_reorder_column(op[1], op[2])
-                    except ValueError:
-                        pass
-                elif kind == "set_default":
-                    from debezium_spark.operators.schema_evolution import (
-                        CURRENT_TS_MARKER,
-                    )
+                try:
+                    CdcEngine._replay_one_history_op(table, kind, op)
+                except ValueError:
+                    continue
 
-                    # an unresolved now-function marker is history-only
-                    # (apply_ddl had no barrier ts); replaying it would set
-                    # CURRENT_DEFAULT to the raw sentinel
-                    if op[2] != CURRENT_TS_MARKER:
-                        table.alter_set_default(op[1], op[2])
-                # table-level ops are catalog history, not column state
+    @staticmethod
+    def _replay_one_history_op(table: LakeTable, kind: str, op) -> None:
+        if kind == "add":
+            # 4-element ops carry a DEFAULT literal (r4+ ledgers)
+            table.alter_add_columns([tuple(op[1:4])])
+        elif kind == "drop":
+            table.alter_drop_columns([op[1]])
+        elif kind == "rename":
+            table.alter_rename_column(op[1], op[2])
+        elif kind == "widen":
+            table.alter_widen_column(op[1], op[2])
+        elif kind == "reorder":
+            # cosmetic placement only — tolerance in the caller
+            table.alter_reorder_column(op[1], op[2])
+        elif kind == "set_default":
+            from debezium_spark.operators.schema_evolution import (
+                CURRENT_TS_MARKER,
+            )
+
+            # an unresolved now-function marker is history-only
+            # (apply_ddl had no barrier ts); replaying it would set
+            # CURRENT_DEFAULT to the raw sentinel
+            if op[2] != CURRENT_TS_MARKER:
+                table.alter_set_default(op[1], op[2])
+        # table-level ops are catalog history, not column state
 
     # ---- replay loop -------------------------------------------------------
 

@@ -803,6 +803,13 @@ class MultiTableEngine:
                             self._ledgered.discard(key)
                             self._ledgered.add(new_key)
                             new_keys.add(new_key)
+                            # a rename INTO a new database extends the
+                            # capture there — a same-batch CREATE in that
+                            # db must register, not fall to the stale
+                            # include-list snapshot (final review r5: the
+                            # frozen known_dbs dropped it forever, since
+                            # the DDL event is consumed with the batch)
+                            known_dbs.add(new_key[0])
                             batch_aliases.setdefault(new_key, set()).add(key)
                             # chained renames: rows under even older names
                             # follow the capture to its newest identity

@@ -799,3 +799,52 @@ def test_vector_payload_replicates_through_wire_path(spark, tmp_path):
     assert got[1]["embedding"] == [9.0, 8.0]
     assert got[1]["meta"] == {"model": "m2"}
     assert got[2]["embedding"] == [2.0, 3.5] and got[2]["meta"] is None
+
+
+def test_same_batch_rename_into_new_db_then_create(spark, tmp_path):
+    """Final review r5: known_dbs was frozen before the catalog-DDL walk,
+    so RENAME app.users → newdb.accounts followed by CREATE TABLE
+    newdb.orders IN THE SAME BATCH skipped the create as
+    outside-the-include-list — and since the DDL event is consumed with
+    the batch, newdb.orders never registered and all its DML vanished.
+    The rename must extend the capture to the new db immediately."""
+    import json
+    from debezium_spark.streaming.multi import WIRE_SCHEMA
+
+    users = TableSpec("app", "users", StructType.fromDDL("uid long, name string"),
+                      ["uid"], n_buckets=2)
+    lake = str(tmp_path / "lake")
+    mte = MultiTableEngine(spark, lake, [users])
+
+    def row(pos, db, table, op, after, before=None):
+        return {"before_json": before, "after_json": after, "op": op,
+                "ts_ms": 1000 + pos,
+                "source": {"file": "binlog.000001", "pos": pos, "gtid": None,
+                           "snapshot": None, "db": db, "table": table,
+                           "ts_ms": 1000 + pos},
+                "transaction": None}
+
+    mte.apply_wire_batch(spark.createDataFrame([
+        row(1, "app", "users", "c", '{"uid": 1, "name": "ada"}'),
+        row(2, "app", "users", "l", json.dumps(
+            {"content": "RENAME TABLE app.users TO newdb.accounts"})),
+        row(3, "newdb", "orders", "l", json.dumps(
+            {"content": "CREATE TABLE newdb.orders (order_no BIGINT,"
+                        " PRIMARY KEY (order_no))"})),
+        row(4, "newdb", "orders", "c", '{"order_no": 7}'),
+    ], WIRE_SCHEMA), "b0")
+
+    assert ("newdb", "accounts") in mte.specs
+    assert ("newdb", "orders") in mte.specs, \
+        "same-batch CREATE in the renamed-into db must register"
+    assert [r["order_no"] for r in
+            mte.table("newdb", "orders").read().collect()] == [7]
+
+    # the registration survives a restart (catalog ledger replay)
+    mte2 = MultiTableEngine(spark, lake, [users])
+    assert ("newdb", "orders") in mte2.specs
+    mte2.apply_wire_batch(spark.createDataFrame([
+        row(5, "newdb", "orders", "c", '{"order_no": 8}'),
+    ], WIRE_SCHEMA), "b1")
+    assert {r["order_no"] for r in
+            mte2.table("newdb", "orders").read().collect()} == {7, 8}

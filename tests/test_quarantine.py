@@ -174,3 +174,44 @@ def test_all_null_file_batch_quarantines_not_skips(spark, tmp_path):
     assert table.read().count() == n0  # nothing applied…
     q = engine.read_quarantine()
     assert q.filter(F.col("reason") == "null_offset").count() == 30  # …nothing lost
+
+
+def test_strict_mode_fails_batch_instead_of_dropping(spark, tmp_path):
+    """Final review r5: with quarantine=False a null-offset or unknown-op
+    row was silently DROPPED by the three-valued segment/control filters —
+    neither merged, nor errored, nor quarantined, while the fence advanced
+    past it. Strict mode now fails the batch loudly (Kafka Connect
+    errors.tolerance=none semantics), naming the validity reason."""
+    import pytest
+
+    gen = ChangeLogGenerator(spark, seed=53, n_repos=4)
+    env = gen.events(100)
+    bad = env.withColumn(
+        "source",
+        F.when(
+            F.col("source.pos") == 42,
+            F.col("source").withField("pos", F.lit(None).cast("long")),
+        ).otherwise(F.col("source")),
+    )
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=4)
+    strict = CdcEngine(spark, table, quarantine=False)
+    with pytest.raises(ValueError, match="null_offset"):
+        strict.apply_envelope_batch(bad, batch_id="b0")
+    # the batch did NOT commit — no fence, no partial data
+    assert table.fence() is None
+
+    # a clean batch applies normally in strict mode
+    v = strict.apply_envelope_batch(env, batch_id="b0")
+    max_pos = env.agg(F.max("source.pos")).first()[0]
+    assert v is not None and table.fence()[1] == max_pos
+
+    # the offset-less-batch path fails loudly too (it used to return None
+    # after silently discarding the poison rows)
+    allbad = env.limit(3).withColumn(
+        "source", F.col("source").withField("pos", F.lit(None).cast("long"))
+    )
+    t2 = LakeTable(spark, str(tmp_path / "t2"), ["repo", "path"], n_buckets=4)
+    with pytest.raises(ValueError, match="strict mode"):
+        CdcEngine(spark, t2, quarantine=False).apply_envelope_batch(
+            allbad, batch_id="b0"
+        )

@@ -1052,3 +1052,61 @@ def test_parse_schema_neutral_dialect_surface_is_inert():
     assert parse_ddl_sql(
         "ALTER TABLE t MODIFY c BIGINT AFTER b, CONVERT TO CHARACTER SET latin1"
     ) == [("widen", "c", "long"), ("reorder", "c", "b")]
+
+
+def test_apply_ddl_degrades_incompatible_retype(spark, tmp_path):
+    """Final review r5: a MAPPED-but-incompatible MODIFY/CHANGE retype
+    (int → string is not a safe widening) raised from alter_widen_column
+    BEFORE the ledger write — one DDL event crash-looped the stream
+    forever, the exact class _type_or_none bans for unmapped types. It
+    must degrade to history-only: column keeps its type, raw ledgered,
+    stream continues. Direct alter_widen_column callers still get the
+    loud ValueError."""
+    import pytest
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import apply_ddl, schema_history
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, c int"))
+    apply_ddl(t, "ALTER TABLE t MODIFY c TEXT", ("f", 1))  # must not raise
+    assert t.schema()["c"].dataType.typeName() == "integer"
+    hist = schema_history(t)
+    assert "TEXT" in hist[-1]["raw"] and hist[-1]["ops"] == []
+    # retype of a column that never existed degrades the same way
+    apply_ddl(t, "ALTER TABLE t MODIFY ghost BIGINT", ("f", 2))
+    assert schema_history(t)[-1]["ops"] == []
+    # direct callers keep the loud failure
+    with pytest.raises(ValueError, match="safe widenings"):
+        t.alter_widen_column("c", "string")
+
+
+def test_recover_schema_converges_on_add_then_rename(spark, tmp_path):
+    """Final review r5: the NO-checkpoint recovery path replays per-op
+    onto the live table, and replaying 'add x' after x was renamed to y
+    hit the burned-name guard (and a rename chain a→b→c wedged on its
+    first hop) — recovery crashed on a healthy table where the contract
+    is convergence. Ledgered ops were each applied once, so a replay
+    raise can only mean already-applied-in-evolved-form: skip."""
+    from pyspark.sql.types import StructType
+    from debezium_spark.operators.schema_evolution import apply_ddl
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    t.create(StructType.fromDDL("k string, a int"))
+    apply_ddl(t, "ALTER TABLE t ADD COLUMN x INT", ("f", 1))
+    apply_ddl(t, "ALTER TABLE t RENAME COLUMN x TO y", ("f", 2))
+    apply_ddl(t, "ALTER TABLE t RENAME COLUMN y TO z", ("f", 3))
+    want = [f.name for f in t.schema().fields]
+
+    # recovery on the CURRENT table (healthy restart) must no-op cleanly
+    assert CdcEngine(spark, t).recover_schema() == 3
+    assert [f.name for f in t.schema().fields] == want
+
+    # recovery onto a fresh table from the copied ledger converges too
+    import shutil as _sh
+
+    rest = LakeTable(spark, str(tmp_path / "rest"), ["k"], n_buckets=2)
+    rest.create(StructType.fromDDL("k string, a int"))
+    _sh.copy(str(tmp_path / "t" / "_schema_history.jsonl"),
+             str(tmp_path / "rest" / "_schema_history.jsonl"))
+    assert CdcEngine(spark, rest).recover_schema() == 3
+    assert [f.name for f in rest.schema().fields] == want
