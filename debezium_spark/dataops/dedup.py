@@ -477,12 +477,21 @@ def dedup_survivors(
     band collisions inside identical-doc clusters.
     Output: (doc_id, survivor_id, is_duplicate)."""
     exact = exact_dedup(docs, id_col=id_col, text_col=text_col)
-    # exact groups become pairs (member, survivor) — already transitive
+    # exact groups become pairs (member, survivor) — already transitive.
+    # The digest join must be NULL-safe: sha2(NULL text) is NULL, and
+    # exact_dedup groups all NULL-text docs together, but a plain
+    # equi-join on the digest never matches the NULL group — those dups
+    # came back is_duplicate=False here while dedup_against_corpus marked
+    # them, so the full and incremental paths disagreed (final review r5)
     ids = docs.select(F.col(id_col))
     h = F.sha2(F.col(text_col), 256)
     exact_pairs = (
         docs.select(F.col(id_col).alias("doc_b"), h.alias("content_sha"))
-        .join(exact.filter(F.col("dup_count") > 1), "content_sha")
+        .join(
+            exact.filter(F.col("dup_count") > 1)
+            .withColumnRenamed("content_sha", "_ex_sha"),
+            F.col("content_sha").eqNullSafe(F.col("_ex_sha")),
+        )
         .filter(F.col("doc_b") != F.col("survivor_id"))
         .select(F.col("survivor_id").alias("doc_a"), "doc_b")
     )

@@ -96,8 +96,18 @@ def pack_sequences(
     )
     out = within.join(F.broadcast(offsets), "_b")
     start = F.col("_base") + F.col("_within")
-    first = F.floor(start / seq_len)
-    last = F.floor((start + F.col("n_tokens") - 1) / seq_len)
+
+    # exact integer division via decimal — `long / int` in Spark is a
+    # DOUBLE divide, losing exactness above 2^53 total tokens and
+    # assigning boundary documents to the wrong sequence id at the
+    # module's advertised 100 TB scale (the same rule transactions.py
+    # implements for tx ids; final review r5)
+    def _idiv(col, d):
+        c = col.cast("decimal(38,0)")
+        return ((c - F.pmod(c, F.lit(d))) / F.lit(d)).cast("long")
+
+    first = _idiv(start, seq_len)
+    last = _idiv(start + F.col("n_tokens") - 1, seq_len)
     return out.select(
         id_col,
         "n_tokens",

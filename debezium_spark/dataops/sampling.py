@@ -98,13 +98,18 @@ def temperature_mix(
     counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
     min_n = counts.agg(F.min("_n").alias("_min_n"))
     rates = counts.crossJoin(F.broadcast(min_n)).select(
-        group_col,
+        F.col(group_col).alias("_mix_g"),
         F.pow(F.col("_n") / F.col("_min_n"), F.lit(alpha - 1.0)).alias("_rate"),
     )
+    # null-safe join: groupBy counts the NULL group and computes its rate,
+    # so the join back must match it too — a plain equi-join would drop
+    # every NULL-group doc entirely instead of sampling it (final review r5)
     return (
-        docs.join(F.broadcast(rates), group_col)
+        docs.join(
+            F.broadcast(rates), F.col(group_col).eqNullSafe(F.col("_mix_g"))
+        )
         .where(hash_fraction(F.col(id_col)) < F.col("_rate"))
-        .drop("_rate")
+        .drop("_mix_g", "_rate")
     )
 
 
@@ -183,14 +188,21 @@ def cap_per_group(
     decisions = counts.withColumn(
         "_before", F.sum("_cnt").over(w_cum) - F.col("_cnt")
     ).select(
-        group_col,
-        "_b",
+        F.col(group_col).alias("_cap_g"),
+        F.col("_b").alias("_cap_b"),
         F.when(F.col("_before") + F.col("_cnt") <= n, F.lit(None).cast("long"))
         .when(F.col("_before") >= n, F.lit(0).cast("long"))
         .otherwise((F.lit(n) - F.col("_before")).cast("long"))
         .alias("_quota"),  # NULL = keep whole slice (no sort), 0 = drop slice
     )
-    joined = tagged.join(F.broadcast(decisions), on=[group_col, "_b"])
+    # null-safe join: a NULL group (or NULL id → NULL bucket) is counted
+    # by the groupBy and must be CAPPED like any other slice — a plain
+    # equi-join silently deleted the whole NULL group (final review r5)
+    joined = tagged.join(
+        F.broadcast(decisions),
+        F.col(group_col).eqNullSafe(F.col("_cap_g"))
+        & F.col("_b").eqNullSafe(F.col("_cap_b")),
+    ).drop("_cap_g", "_cap_b")
     whole = joined.where(F.col("_quota").isNull())
     partial = joined.where(F.col("_quota") > 0)
     w_rank = Window.partitionBy(group_col, "_b").orderBy("_h", id_col)

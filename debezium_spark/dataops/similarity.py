@@ -66,7 +66,11 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("n_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # a NULL score is a zero-norm candidate the cosine guard excluded
+        # from ranking — it must not re-enter as a trailing "neighbor"
+        # when the candidate pool is smaller than k (final review r5)
+        scored.filter(F.col("cos_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "n_id", "cos_sim", "rank")
     )

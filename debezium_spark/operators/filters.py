@@ -11,18 +11,27 @@ from pyspark.sql import functions as F
 
 
 def table_include(env: DataFrame, include_regex: str | None = None, exclude_regex: str | None = None) -> DataFrame:
-    """Regex allow/deny on fully-qualified ``db.table``."""
+    """Regex allow/deny on fully-qualified ``db.table``. Patterns match
+    the FULL name (Debezium ``Selectors`` semantics — anchored here, so
+    ``inventory.orders`` cannot also keep ``inventory.orders_audit`` or
+    ``myinventory.orders`` the way a bare substring ``rlike`` would;
+    final review r5). Already-anchored patterns stay equivalent under
+    the extra wrap."""
     fq = F.concat_ws(".", F.col("source.db"), F.col("source.table"))
     if include_regex:
-        env = env.filter(fq.rlike(include_regex))
+        env = env.filter(fq.rlike(f"^(?:{include_regex})$"))
     if exclude_regex:
-        env = env.filter(~fq.rlike(exclude_regex))
+        env = env.filter(~fq.rlike(f"^(?:{exclude_regex})$"))
     return env
 
 
 def skipped_operations(env: DataFrame, skipped: list[str]) -> DataFrame:
-    """Drop configured op types (e.g. no deletes)."""
-    return env.filter(~F.col("op").isin(skipped))
+    """Drop configured op types (e.g. no deletes). NULL-op rows are NOT
+    "configured to skip" — three-valued ``isin`` would silently drop them
+    here, BEFORE the engine's quarantine probe, violating 'one bad row
+    never wedges OR vanishes' (final review r5); they pass through and
+    quarantine downstream as ``unknown_op``."""
+    return env.filter(~F.coalesce(F.col("op").isin(skipped), F.lit(False)))
 
 
 def column_exclude(env: DataFrame, cols: list[str], scope_pred=None) -> DataFrame:

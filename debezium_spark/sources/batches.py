@@ -17,10 +17,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def list_batches(batch_dir: str) -> list[str]:
-    """Enumerate batch files in replay order."""
+    """Enumerate batch files in replay order.
+
+    Order is NUMERIC on the batch index, not lexicographic: the writer
+    pads to 5 digits, so at batch 100000 a byte sort would replay
+    ``batch_100000`` before ``batch_99999`` — the later fence then
+    silently exactly-once-skips every earlier batch (final review r5).
+    Non-numeric names fall back to name order after all numbered ones."""
+    import re as _re
+
+    def key(n: str):
+        m = _re.search(r"(\d+)", n)
+        return (0, int(m.group(1)), n) if m else (1, 0, n)
+
     return [
         os.path.join(batch_dir, n)
-        for n in sorted(os.listdir(batch_dir))
+        for n in sorted(os.listdir(batch_dir), key=key)
         if n.startswith("batch_")
     ]
 

@@ -1043,9 +1043,9 @@ class CdcEngine:
             # post-SMT probe in that case
             has_bad: bool | None = bool(mm["nb"]) if not self.smt_chain else None
             tail_tx = mm["tt"]
-            tx_engaged = tx_aligned and (carry is not None or tail_tx is not None)
+            had_carry = carry is not None
+            tx_engaged = tx_aligned and (had_carry or tail_tx is not None)
             if tx_engaged:
-                had_carry = carry is not None
                 fused = not had_carry or cm is not None  # legacy carry: probe
                 if had_carry:
                     env = carry.unionByName(env)
@@ -1136,6 +1136,11 @@ class CdcEngine:
                         if tx_engaged and carry is not None
                         else 0
                     ),
+                    # a closed batch prepends the WHOLE persisted carry, so
+                    # the parked pool drains here — explicit, not inferred
+                    # from the residual (final review r5: the inference
+                    # confounded carry-drain with last-wins collapse)
+                    drained_carry=tx_engaged and had_carry,
                 )
             if tx_engaged:
                 # materialize AFTER the closed part committed: the closed

@@ -213,7 +213,7 @@ class ProcessCommitter:
 
     def record_sink_batch(
         self, extracted: int, success: int, failed: int = 0,
-        skipped: int = 0, deferred: int = 0,
+        skipped: int = 0, deferred: int = 0, drained_carry: bool = False,
     ) -> None:
         """One replayed (or skipped) batch. ``extracted`` rows arrived;
         ``success`` reached the table (the commit's lineage events),
@@ -225,22 +225,35 @@ class ProcessCommitter:
 
         Parked rows stay in ``extractCount`` and nowhere else, so the
         reference's ``rest`` formula reports them as in-the-pipe — its
-        exact meaning. When they finally apply, ``success`` exceeds this
-        batch's extraction: the negative residual drains the parked pool
-        first (their extraction already happened), and any remainder is
-        PK-change delete+create expansion (the reference's SOURCE emits
-        those pre-split, so its extract counter sees both records) —
-        ``extractCount`` adjusts to the post-split count. A positive
-        residual is exclude-filtering/last-wins collapse."""
+        exact meaning. ``drained_carry=True`` says this batch consumed the
+        WHOLE parked pool as carried-in input (the replay loop prepends
+        the entire persisted carry to the next closed batch), which makes
+        the attribution exact: residual counts over ``extracted +
+        carried_in``, a positive residual is exclude-filtering/last-wins
+        collapse, a negative one is PK-change delete+create expansion
+        (the reference's SOURCE emits those pre-split, so its extract
+        counter sees both records) and ``extractCount`` adjusts to the
+        post-split count. Deriving the drain from a negative residual
+        alone — the pre-r5-final behavior, kept as the fallback for
+        callers without carry knowledge — confounds the two when one
+        batch both drains a carry AND collapses events: the parked pool
+        stays inflated and the collapse never reaches
+        ``skippedExcludeEventCount`` (final review r5)."""
+        carried_in = 0
+        if drained_carry:
+            carried_in = self._parked
+            self._parked = 0
         self._parked += deferred
-        residual = extracted - success - failed - skipped - deferred
+        residual = extracted + carried_in - success - failed - skipped - deferred
         if residual >= 0:
             self.sink.skippedExcludeEventCount += residual
         else:
             need = -residual
-            take = min(self._parked, need)
-            self._parked -= take
-            extracted += need - take
+            if not drained_carry:
+                take = min(self._parked, need)
+                self._parked -= take
+                need -= take
+            extracted += need
         self.sink.extractCount += extracted
         self.sink.successCount += success
         self.sink.failCount += failed
@@ -249,9 +262,12 @@ class ProcessCommitter:
 
     def record_sink_flush(self, success: int, failed: int = 0) -> None:
         """Settle a deferred-transaction flush: the parked rows apply now.
-        Pure delegation — flush is a batch that extracts nothing new, so
-        the drain logic lives in ONE place (review r5 duplication)."""
-        self.record_sink_batch(extracted=0, success=success, failed=failed)
+        Pure delegation — flush is a batch that extracts nothing new and
+        drains the carry, so the drain logic lives in ONE place (review
+        r5 duplication)."""
+        self.record_sink_batch(
+            extracted=0, success=success, failed=failed, drained_carry=True
+        )
 
     # -- the reference's file mechanics ------------------------------------
 

@@ -995,3 +995,41 @@ def test_exact_substring_dedup_census_is_partial_agg_no_python(spark):
     plan = exact_substring_dedup(docs, k=10)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_min" in plan and "partial_count" in plan
+
+
+def test_zero_norm_candidate_never_pads_topk(spark):
+    """Final review r5: the zero-norm guard nulls the score so the zero
+    vector cannot rank FIRST, but with k larger than the real candidate
+    pool the NULL row re-entered as a trailing "neighbor". NULL scores
+    must not appear in the output at all."""
+    from debezium_spark.dataops.similarity import brute_force_topk
+
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.6, 0.8])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    top = brute_force_topk(emb, query_ids=[1], k=10).collect()
+    assert [r["n_id"] for r in top] == [2], "only the one real neighbor"
+    assert all(r["cos_sim"] is not None for r in top)
+
+
+def test_dedup_survivors_marks_null_text_duplicates(spark):
+    """Final review r5: sha2(NULL)=NULL, and the exact-pairs digest join
+    was a plain equi-join that never matched the NULL group — three
+    NULL-text docs all came back is_duplicate=False while the incremental
+    path (dedup_against_corpus) marked them, so full-corpus and
+    incremental runs disagreed on deletions."""
+    from debezium_spark.dataops.dedup import dedup_against_corpus, dedup_survivors
+
+    rows = [(1, None), (2, None), (3, None), (4, "real text here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_survivors(docs, k=2).collect()}
+    assert out[1]["is_duplicate"] is False and out[1]["survivor_id"] == 1
+    assert out[2]["is_duplicate"] is True and out[2]["survivor_id"] == 1
+    assert out[3]["is_duplicate"] is True and out[3]["survivor_id"] == 1
+    assert out[4]["is_duplicate"] is False
+
+    # consistency with the incremental path on the same rows
+    inc = dedup_against_corpus(
+        spark.createDataFrame([(2, None)], "doc_id long, text string"),
+        spark.createDataFrame([(1, None)], "doc_id long, text string"),
+    ).collect()
+    assert len(inc) == 1 and inc[0]["is_duplicate"] is True

@@ -85,3 +85,20 @@ def test_pack_validates_args(spark, docs):
         pack_sequences(docs, 0, "toks")
     with pytest.raises(ValueError, match="n_buckets"):
         pack_sequences(docs, SEQ, "toks", n_buckets=0)
+
+
+def test_pack_sequence_ids_exact_above_2_53(spark):
+    """Final review r5: first_seq/last_seq used double division, so a
+    token stream past 2^53 assigned boundary docs to the wrong sequence.
+    With seq_len=1 every doc must satisfy first_seq == global_start
+    EXACTLY — the double path floors 2^53+1 to 2^53."""
+    big = (1 << 53) + 1
+    docs = spark.createDataFrame(
+        [(1, big), (2, 5)], "doc_id long, n long"
+    )
+    out = pack_sequences(docs, seq_len=1, tokens_col="n").collect()
+    for r in out:
+        assert r["first_seq"] == r["global_start"], r
+        assert r["last_seq"] == r["global_start"] + r["n_tokens"] - 1, r
+    assert {r["global_start"] for r in out} == {0, big} or \
+           {r["global_start"] for r in out} == {0, 5}

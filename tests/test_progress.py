@@ -566,3 +566,31 @@ def test_replay_counts_quarantined_rows_as_failed(spark, tmp_path):
     assert c.sink.extractCount == c.sink.successCount + 1  # books balance
     assert c.sink.rest == 0
     assert engine.read_quarantine().count() == 1
+
+
+def test_carry_drain_and_collapse_attribute_separately(tmp_path):
+    """Final review r5: a batch that BOTH drains the previous parked carry
+    AND collapses same-key events confounded the two in one residual —
+    the parked pool stayed inflated forever and the collapse never hit
+    skippedExcludeEventCount. With drained_carry explicit, each batch's
+    attribution is exact."""
+    c = ProcessCommitter(
+        str(tmp_path), "sink", commit_time_interval=0, file_size_limit=0,
+    )
+    # batch 1: 10 extracted, 6 applied, 4-event open tail parks
+    c.record_sink_batch(extracted=10, success=6, deferred=4)
+    assert c._parked == 4
+    # batch 2: 10 extracted, 2 defer; closed part = 4 carry + 8 new = 12
+    # rows of which 3 collapse last-wins → 9 lineage rows
+    c.record_sink_batch(
+        extracted=10, success=9, deferred=2, drained_carry=True
+    )
+    assert c._parked == 2, "true open tail is 2 (was 5 under the residual heuristic)"
+    assert c.sink.skippedExcludeEventCount == 3, "collapse must be attributed"
+    # flush settles the remaining carry exactly
+    c.record_sink_flush(success=2)
+    assert c._parked == 0
+    assert c.sink.extractCount == 20
+    assert c.sink.successCount == 17
+    # reference rest formula closes to zero: nothing left in the pipe
+    assert c.sink.rest == 20 - 17 - 3 - 0

@@ -273,3 +273,21 @@ def test_stamp_transaction_exact_above_2_53(spark):
            for r in stamp_transaction(env, 10).collect()}
     assert out[big] == f"tx-{big // 10}"
     assert out[big + 1] == f"tx-{(big + 1) // 10}"
+
+
+def test_list_batches_orders_numerically_past_padding(tmp_path):
+    """Final review r5: lexicographic listing replays batch_100000 BEFORE
+    batch_99999 once the writer's 5-digit padding overflows — the later
+    fence then exactly-once-skips every earlier batch, silently losing
+    their events. Order must be numeric on the batch index."""
+    import os
+
+    from debezium_spark.sources.batches import list_batches
+
+    names = ["batch_99998.parquet", "batch_100000.parquet",
+             "batch_99999.parquet", "batch_00001.parquet"]
+    for n in names:
+        open(os.path.join(tmp_path, n), "w").close()
+    got = [os.path.basename(p) for p in list_batches(str(tmp_path))]
+    assert got == ["batch_00001.parquet", "batch_99998.parquet",
+                   "batch_99999.parquet", "batch_100000.parquet"]

@@ -179,3 +179,31 @@ def test_cap_per_group_decision_join_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_null_group_is_sampled_not_deleted(spark):
+    """Final review r5: the join back from the per-group decisions used a
+    plain equi-join, so NULL-group rows (counted by the groupBy!) never
+    matched and the whole NULL group vanished — in cap_per_group AND
+    temperature_mix. NULL groups must be capped/sampled like any other."""
+    from debezium_spark.dataops.sampling import cap_per_group, temperature_mix
+
+    rows = [(i, None if i < 20 else "en") for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    capped = cap_per_group(docs, 10, group_col="lang").collect()
+    by_g = {}
+    for r in capped:
+        by_g.setdefault(r["lang"], set()).add(r["doc_id"])
+    assert len(by_g[None]) == 10, "NULL group must be capped to n, not deleted"
+    assert len(by_g["en"]) == 10
+    # NULL-id rows survive too (their bucket hash is NULL)
+    docs2 = spark.createDataFrame(
+        [(None, "en"), (1, "en"), (2, "en")], "doc_id long, lang string"
+    )
+    assert cap_per_group(docs2, 10, group_col="lang").count() == 3
+
+    mixed = temperature_mix(docs, alpha=1.0, group_col="lang")
+    got = {r["lang"] for r in mixed.select("lang").distinct().collect()}
+    assert None in got, "alpha=1 keeps everything — including the NULL group"
+    assert mixed.count() == 120

@@ -50,3 +50,40 @@ def test_language_id_tie_goes_to_earlier_language_and_zero_is_unknown(spark):
     assert got[4] == "es"
     # doc 2: de hits der+und=2, fr hits le+la+et=3 → fr outright (no tie)
     assert got[2] == "fr"
+
+
+def test_skipped_operations_passes_null_op_to_quarantine(spark):
+    """Final review r5: ~op.isin(skipped) is NULL for a NULL op and the
+    filter dropped the row BEFORE the engine's quarantine probe — the
+    'one bad row never wedges OR vanishes' invariant. NULL-op rows pass
+    through the SMT and quarantine downstream as unknown_op."""
+    from debezium_spark.operators.filters import skipped_operations
+
+    env = spark.createDataFrame(
+        [("c",), ("d",), (None,)], "op string"
+    )
+    got = {r["op"] for r in skipped_operations(env, ["d"]).collect()}
+    assert got == {"c", None}
+
+
+def test_table_include_matches_full_name_not_substring(spark):
+    """Final review r5: unanchored rlike over-matched —
+    include 'inventory.orders' also kept 'inventory.orders_audit' and
+    'myinventory.orders' (and the unescaped '.' matched any char).
+    Patterns now match the FULL db.table (Debezium Selectors)."""
+    from debezium_spark.operators.filters import table_include
+
+    rows = [
+        (("inventory", "orders"),),
+        (("inventory", "orders_audit"),),
+        (("myinventory", "orders"),),
+    ]
+    env = spark.createDataFrame(rows, "source struct<db:string,`table`:string>")
+    kept = table_include(env, include_regex=r"inventory\.orders")
+    assert [r["source"]["table"] for r in kept.collect()] == ["orders"]
+    # already-anchored patterns (the config path) stay equivalent
+    kept2 = table_include(env, include_regex=r"^(?:inventory\.orders)$")
+    assert kept2.count() == 1
+    dropped = table_include(env, exclude_regex=r"inventory\.orders")
+    assert {r["source"]["table"] + "@" + r["source"]["db"] for r in dropped.collect()} == \
+        {"orders_audit@inventory", "orders@myinventory"}
