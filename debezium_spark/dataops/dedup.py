@@ -547,6 +547,16 @@ def dedup_against_corpus(
     return out.withColumn("is_duplicate", F.col(id_col) != F.col("survivor_id"))
 
 
+def content_digest(text_col: str = "text") -> "F.Column":
+    """THE census identity digest — sha256 of the raw text column. One
+    definition, because the census's correctness rests on the bootstrap
+    census, incremental admission, and the persisted census rows all
+    hashing the SAME function of text (final review r5: the expression
+    was inlined at three pipeline sites, where one drifting edit would
+    silently desynchronize admission from census state)."""
+    return F.sha2(F.col(text_col), 256)
+
+
 def survivors_by_digest(
     batch: DataFrame,
     corpus_digests: DataFrame,

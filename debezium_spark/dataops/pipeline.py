@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from debezium_spark.dataops.dedup import (
+    content_digest,
     decontaminate,
     dedup_survivors,
     exact_substring_dedup,
@@ -277,7 +278,7 @@ def corpus_census(
     ``incremental_corpus_update`` maintains it per delta without ever
     rescanning corpus text."""
     return corpus.select(
-        F.sha2(F.col(text_col), 256).alias("content_sha"), F.col(id_col)
+        content_digest(text_col).alias("content_sha"), F.col(id_col)
     )
 
 
@@ -381,7 +382,7 @@ def incremental_corpus_update(
 
     census_rest = census.join(touched, on=id_col, how="left_anti")
     cand = work.select(
-        F.col(id_col), F.col(text_col), F.sha2(F.col(text_col), 256).alias("content_sha")
+        F.col(id_col), F.col(text_col), content_digest(text_col).alias("content_sha")
     )
     admitted = (
         survivors_by_digest(
@@ -464,7 +465,7 @@ def apply_corpus_delta(
     v_corpus = merge_changes(corpus_table, corpus_changes, fence, batch_id)
 
     census_up = d.upserts.select(
-        F.col(id_col), F.sha2(F.col(text_col), 256).alias("content_sha")
+        F.col(id_col), content_digest(text_col).alias("content_sha")
     ).withColumn(OP_COL, F.lit("u"))
     census_changes = census_up.unionByName(dl, allowMissingColumns=True).withColumn(
         "_pos", pos

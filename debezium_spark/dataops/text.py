@@ -34,7 +34,9 @@ def language_id(
     stateless annotators CHAIN into one collapsed projection instead of
     each forcing an id-equi join (the composed pipeline's annotate
     step)."""
-    toks = tokens_col(text_col)
+    # NULL text pins to zero tokens (module convention — see c4_clean):
+    # a NULL array would ripple NULL scores where empty text scores 0
+    toks = F.coalesce(tokens_col(text_col), F.array().cast("array<string>"))
     scores = []
     for lang, words in _LANG_MARKERS.items():
         hits = F.size(F.filter(toks, lambda t: t.isin(words)))
@@ -68,10 +70,14 @@ def quality_score(
     """Heuristic quality features + composite score:
     token count, mean token length, stopword ratio, non-alnum ratio.
     ``keep_input_cols`` as on ``language_id``."""
-    toks = tokens_col(text_col)
+    # NULL text pins to zero-signal: F.least() SKIPS a NULL token-count
+    # term and returned 1.0, so a contentless doc scored 0.4 — above a
+    # real short-prose doc (final review r5); with the pin it scores 0.0
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.coalesce(tokens_col(text_col), F.array().cast("array<string>"))
     n_tok = F.size(toks)
-    n_char = F.length(F.col(text_col))
-    alnum_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    n_char = F.length(txt)
+    alnum_chars = F.length(F.regexp_replace(txt, "[^a-zA-Z0-9]", ""))
     stop = F.size(F.filter(toks, lambda t: t.isin(["the", "a", "of", "and", "to", "is", "in"])))
     mean_tok_len = F.when(n_tok > 0, F.round(alnum_chars / n_tok, 4)).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, F.round(stop / n_tok, 4)).otherwise(F.lit(0.0))
@@ -101,13 +107,16 @@ def token_stats(
     BPE-ish subword proxy (ceil of alnum chars / 4 — the classic chars/4
     token estimate). ``keep_input_cols`` as on ``language_id``."""
     # split('') yields [""] — an empty/whitespace-only doc must report 0
-    # whitespace tokens, not 1 (review r4)
-    trimmed = F.trim(F.col(text_col))
+    # whitespace tokens, not 1 (review r4); NULL text is the same class
+    # and pins to '' so every count is 0, never NULL (final review r5:
+    # NULL counts vanish from SUMs and fail both sides of thresholds)
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    trimmed = F.trim(txt)
     ws = F.when(trimmed == "", F.lit(0)).otherwise(
         F.size(F.split(trimmed, "\\s+"))
     )
-    words = F.size(tokens_col(text_col))
-    alnum_chars = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z0-9]", ""))
+    words = F.size(F.coalesce(tokens_col(text_col), F.array().cast("array<string>")))
+    alnum_chars = F.length(F.regexp_replace(txt, "[^a-zA-Z0-9]", ""))
     bpe_est = F.ceil(alnum_chars / F.lit(4.0)).cast("long")
     return docs.select(
         F.col(id_col),
@@ -272,8 +281,14 @@ def repetition_stats(
     "Scaling Language Models", table A1 — the published quality-filter
     family): per document,
 
-    - ``dup_line_frac`` / ``dup_line_char_frac`` — fraction of non-empty
-      lines that are repeats of another line, by count and by characters;
+    - ``dup_line_frac`` — fraction of non-empty lines that are repeats of
+      an earlier line (first occurrence NOT counted: n_lines − n_distinct
+      over n_lines); ``dup_line_char_frac`` — fraction of characters
+      contained in duplicated lines counting ALL their occurrences,
+      including the first (the paper's "characters within duplicate
+      lines" reading — deliberately a different convention from the count
+      metric, pinned by the test suite and the SQL oracle; final review
+      r5 flagged the docstring for lumping them under one rule);
     - ``top{n}_char_frac`` for each n in ``top_ns`` — characters covered
       by the single most frequent word n-gram (occurrences × gram length
       over the space-joined token-stream length, overlaps counted as the
@@ -470,7 +485,7 @@ def chunk_documents(
     )
 
 
-def vocab_topk(docs, k: int = 100, text_col: str = "text"):
+def vocab_topk(docs, k: int = 100, text_col: str = "text", id_col: str = "doc_id"):
     """Corpus vocabulary: top-k terms by document frequency (the stop-word /
     tokenizer-vocab pass). explode → two partial-aggregable groupBys; ties
     broken lexicographically so results are total-ordered and reproducible."""
@@ -478,9 +493,9 @@ def vocab_topk(docs, k: int = 100, text_col: str = "text"):
     from pyspark.sql.window import Window
 
     tok = docs.select(
-        F.col("doc_id"), F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("term")
     )
-    df_counts = tok.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    df_counts = tok.groupBy("term").agg(F.countDistinct(id_col).cast("long").alias("df"))
     # Top-k pushdown: orderBy().limit(k) plans TakeOrderedAndProject — each
     # partition keeps its local top-k, the driver merges k·p rows. The old
     # unpartitioned row_number window sorted the ENTIRE vocabulary in one

@@ -16,14 +16,31 @@ from pyspark.sql import functions as F
 
 
 def with_tombstones(env: DataFrame) -> DataFrame:
-    """Append a tombstone row after every delete (ordering via _sub)."""
+    """Append a tombstone row after every delete (ordering via _sub).
+
+    Composes with ``split_pk_changes``: when the input already carries
+    ``_sub`` (a prior split), existing rows re-space to ``_sub × 2`` and
+    each tombstone takes ``delete._sub × 2 + 1``, so a sink ordering by
+    ``(pos, _sub)`` still emits delete → tombstone → insert
+    (``MySqlConnectorIT.java:1530-1546``; final review r5: the old ``+1``
+    collided the tombstone with the split's insert at ``_sub = 1``,
+    making the order nondeterministic). Without a prior ``_sub`` the
+    emitted values stay 0/1 exactly as before. Rows already marked
+    ``_tombstone`` never spawn a second tombstone (idempotent
+    re-application)."""
     if "_sub" not in env.columns:
         env = env.withColumn("_sub", F.lit(0))
+    env = env.withColumn("_sub", F.col("_sub") * 2)
+    already = (
+        F.col("_tombstone") if "_tombstone" in env.columns else F.lit(False)
+    )
     null_payload = F.lit(None).cast(env.schema["after"].dataType)
     tomb = (
-        env.filter(F.col("op") == "d")
+        env.filter((F.col("op") == "d") & ~F.coalesce(already, F.lit(False)))
         .withColumn("after", null_payload)
         .withColumn("_sub", F.col("_sub") + F.lit(1))
         .withColumn("_tombstone", F.lit(True))
     )
-    return env.withColumn("_tombstone", F.lit(False)).unionByName(tomb)
+    if "_tombstone" not in env.columns:
+        env = env.withColumn("_tombstone", F.lit(False))
+    return env.unionByName(tomb)

@@ -87,3 +87,68 @@ def test_table_include_matches_full_name_not_substring(spark):
     dropped = table_include(env, exclude_regex=r"inventory\.orders")
     assert {r["source"]["table"] + "@" + r["source"]["db"] for r in dropped.collect()} == \
         {"orders_audit@inventory", "orders@myinventory"}
+
+
+def test_null_text_annotators_pin_to_zero_signal(spark):
+    """Final review r5: F.least() SKIPS null terms, so a NULL-text doc
+    scored quality 0.4 — above real short prose — and token_stats
+    reported NULL counts that vanish from SUMs and fail thresholds
+    bidirectionally. NULL text is the same class as empty text: every
+    count 0, quality 0.0, language unknown."""
+    from debezium_spark.dataops.text import language_id, quality_score, token_stats
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "")], "doc_id long, text string"
+    )
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[1]["quality"] == 0.0 and q[1]["n_tokens"] == 0
+    assert q[1]["quality"] == q[2]["quality"]
+
+    t = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert (t[1]["ws_tokens"], t[1]["word_tokens"], t[1]["bpe_est_tokens"]) == (0, 0, 0)
+
+    l = {r["doc_id"]: r for r in language_id(docs).collect()}
+    assert l[1]["predicted_lang"] == "unknown" and l[1]["score_en"] == 0
+
+
+def test_vocab_topk_honors_custom_id_col(spark):
+    from debezium_spark.dataops.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "alpha")], "my_id long, text string"
+    )
+    top = vocab_topk(docs, k=1, id_col="my_id").collect()
+    assert [(r["term"], r["df"]) for r in top] == [("alpha", 2)]
+
+
+def test_tombstone_composes_with_pk_change_split(spark):
+    """Final review r5: composing with_tombstones over split_pk_changes
+    gave the tombstone the same (pos, _sub) sort key as the split's
+    insert, so the reference-asserted delete → tombstone → insert order
+    (MySqlConnectorIT.java:1530-1546) was nondeterministic. _sub
+    re-spacing slots the tombstone strictly between them; re-application
+    never double-tombstones."""
+    from debezium_spark.operators.apply import split_pk_changes
+    from debezium_spark.operators.tombstones import with_tombstones
+
+    payload = "struct<id:long,v:string>"
+    env = spark.createDataFrame(
+        [("u", (1, "a"), (2, "a"), 5, ("f", 7), None)],
+        f"op string, before {payload}, after {payload}, ts_ms long, "
+        "source struct<file:string,pos:long>, "
+        "transaction struct<id:string,total_order:long>",
+    )
+    out = with_tombstones(split_pk_changes(env, ["id"]))
+    rows = out.orderBy("source.pos", "_sub").collect()
+    kinds = [
+        "tombstone" if r["_tombstone"] else r["op"] for r in rows
+    ]
+    assert kinds == ["d", "tombstone", "c"], kinds
+    subs = [r["_sub"] for r in rows]
+    assert len(set(subs)) == 3, f"sort keys must be distinct: {subs}"
+
+    # re-application never tombstones a tombstone: the delete row gains a
+    # (redundant) second tombstone, but the tombstone row itself (op='d'
+    # with the marker set) must not spawn a third
+    again = with_tombstones(out)
+    assert again.filter("_tombstone").count() == 2
