@@ -301,10 +301,16 @@ def main() -> None:
             # for one; the third only runs when the first two hit a
             # contended window (observed once: trials 0.708/0.744 while the
             # co-resident headline replay measured 3.3x its own best).
+            # Cooldowns ESCALATE after a failing trial (20 s → 2 min →
+            # 10 min cap): run-14 adjudication showed a burst-credit-
+            # depleted host fails ALL trials at a 20 s refill (0.699-0.735)
+            # yet passes first-try at 0.804 after a ~10-minute rest — the
+            # throttle starves the 8-pinned-core side asymmetrically, so
+            # waiting out the depletion is the only honest instrument.
             n_trials = max(1, int(os.environ.get("SPARK_GRAFT_SCALE_TRIALS", "3")))
             best_eff, best_pair, trials = None, None, []
             for _t in range(n_trials):
-                time.sleep(cooldown)  # host burst-credit refill
+                time.sleep(min(cooldown * 6 ** _t, 600))  # burst-credit refill
                 w_lo, w_hi = run_paired_scaling(scale_dir, n_scale, lo, hi)
                 eff = (w_hi["events_per_sec"] / w_lo["events_per_sec"]) / (hi / lo)
                 trials.append(round(eff, 3))
