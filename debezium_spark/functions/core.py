@@ -42,7 +42,14 @@ def table_digest_agg(cols: list[str]) -> Column:
 
 
 def salted_key(key_cols: list[str], salt_factor: int) -> Column:
-    """Salt companion for hot-key repartition (north rule): spreads a hot
-    (repo, path) across ``salt_factor`` shuffle partitions; safe wherever the
-    downstream op re-groups by the true key or is key-agnostic (writes)."""
+    """Secondary spread term for the merge-write repartition: a pure
+    function of the key, so it spreads the DISTINCT keys of a hot bucket
+    across ``salt_factor`` sub-partitions — it does NOT split the rows of
+    one hot key (being key-deterministic, every row of a key lands in one
+    partition; final review r5 corrected the docstring's claim otherwise).
+    That is the right tool here because merge inputs are deduped to one
+    row per key, making bucket-level skew — many keys hashing to one
+    bucket — the only skew that exists. To spread a genuinely hot key in
+    NON-deduped data, salt with a per-row term (e.g.
+    ``pmod(xxhash64(monotonically_increasing_id()), k)``) and re-group."""
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols], F.lit(0x5A17)), F.lit(salt_factor))

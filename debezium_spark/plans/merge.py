@@ -37,7 +37,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from debezium_spark.functions.core import salted_key
-from debezium_spark.plans.table import LakeTable, bucket_expr
+from debezium_spark.plans.table import LakeTable, bucket_expr, iter_bucket_subdirs
+
+
+def _align_to_schema(df: DataFrame, schema) -> DataFrame:
+    """Null-fill payload columns the change-set lacks (schema evolution:
+    the table gained columns after these events were written) — shared by
+    both merge modes so the alignment rule cannot drift (final review r5)."""
+    for f in schema.fields:
+        if f.name not in df.columns:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return df
 from debezium_spark.schema import offset_key
 
 OP_COL = "_op"  # change-row operation: 'd' delete, anything else upsert
@@ -93,10 +103,9 @@ def _merge_mor(
     schema = table.schema()  # one manifest read; reused by the null-fill loop
     payload_cols = [f.name for f in schema.fields]
 
-    out = changes.withColumn("_bucket", bucket_expr(keys, table.n_buckets))
-    for name in payload_cols:
-        if name not in out.columns:
-            out = out.withColumn(name, F.lit(None).cast(schema[name].dataType))
+    out = _align_to_schema(
+        changes.withColumn("_bucket", bucket_expr(keys, table.n_buckets)), schema
+    )
     out = out.select(*payload_cols, F.col(OP_COL).alias("_op"), F.col("_pos"), F.col("_bucket"))
 
     # per-bucket lineage counters ride the WRITE job as an Observation —
@@ -120,9 +129,11 @@ def _merge_mor(
             F.sum(F.when(in_b(b) & (F.col("_op") == "d"), 1).otherwise(0))
             .cast("long").alias(f"d{b}")
         )
-        # upserts counted directly, not events-deletes: a null-op row (the
-        # quarantine-off path) belongs to NEITHER bucket counter, exactly
-        # as the old groupBy stats had it
+        # upserts counted directly, not events-deletes — keeps the counter
+        # pair independent of op-domain changes (compute_changes's
+        # otherwise('u') means no in-repo producer emits a null _op, and
+        # strict mode now fails malformed rows upstream; final review r5
+        # corrected an earlier comment that claimed a null-op path here)
         aggs.append(
             F.sum(F.when(in_b(b) & (F.col("_op") != "d"), 1).otherwise(0))
             .cast("long").alias(f"u{b}")
@@ -152,8 +163,9 @@ def _merge_mor(
     ]
     if not touched:
         shutil.rmtree(out_dir, ignore_errors=True)  # _SUCCESS-only dir
-        table.commit_buckets({}, [], fence, _heartbeat_lineage(batch_id, fence))
-        return table.manifest()["version"]
+        return table.commit_buckets(
+            {}, [], fence, _heartbeat_lineage(batch_id, fence)
+        )
     lineage = [
         {
             "batch": batch_id,
@@ -168,12 +180,9 @@ def _merge_mor(
 
     man = table.manifest()
     new_vals: dict[int, dict] = {}
-    if os.path.exists(out_dir):
-        for sub in os.listdir(out_dir):
-            if sub.startswith("_bucket="):
-                b = int(sub.split("=")[1])
-                base, delta = table._bucket_dirs(man["buckets"].get(str(b), []))
-                new_vals[b] = {"base": base, "delta": delta + [os.path.join(out_dir, sub)]}
+    for b, path in iter_bucket_subdirs(out_dir):
+        base, delta = table._bucket_dirs(man["buckets"].get(str(b), []))
+        new_vals[b] = {"base": base, "delta": delta + [path]}
     return table.commit_buckets(new_vals, touched, fence, lineage)
 
 
@@ -190,65 +199,64 @@ def _merge_cow(
 
     b = bucket_expr(keys, table.n_buckets)
     # cache the deduped change-set: it feeds the lineage agg, the anti-join
-    # and the upsert union — without this the dedupe shuffle reruns 3×
+    # and the upsert union — without this the dedupe shuffle reruns 3×.
+    # try/finally so a mid-merge failure (executor loss, disk full) cannot
+    # leak the cached blocks across retries for the session's life
+    # (final review r5)
     changes = changes.withColumn("_bucket", b).persist()
-
-    # lineage: per-bucket apply metrics, committed with the data
-    # (reference analog: BaseSinkProcessInfo extract/replay counters);
-    # the same one aggregation also yields the touched-bucket set
-    lin = (
-        changes.groupBy("_bucket")
-        .agg(
-            F.count("*").alias("events"),
-            F.sum(F.when(F.col(OP_COL) == "d", 1).otherwise(0)).alias("deletes"),
-            F.sum(F.when(F.col(OP_COL) != "d", 1).otherwise(0)).alias("upserts"),
+    try:
+        # lineage: per-bucket apply metrics, committed with the data
+        # (reference analog: BaseSinkProcessInfo extract/replay counters);
+        # the same one aggregation also yields the touched-bucket set
+        lin = (
+            changes.groupBy("_bucket")
+            .agg(
+                F.count("*").alias("events"),
+                F.sum(F.when(F.col(OP_COL) == "d", 1).otherwise(0)).alias("deletes"),
+                F.sum(F.when(F.col(OP_COL) != "d", 1).otherwise(0)).alias("upserts"),
+            )
+            .collect()
         )
-        .collect()
-    )
-    touched = sorted(int(r["_bucket"]) for r in lin)
-    if not touched:
+        touched = sorted(int(r["_bucket"]) for r in lin)
+        if not touched:
+            return table.commit_buckets(
+                {}, [], fence, _heartbeat_lineage(batch_id, fence)
+            )
+
+        lineage = [
+            {
+                "batch": batch_id,
+                "bucket": int(r["_bucket"]),
+                "events": r["events"],
+                "deletes": r["deletes"],
+                "upserts": r["upserts"],
+                "fence_pos": fence[1],
+            }
+            for r in lin
+        ]
+
+        base = table.read(buckets=touched)
+
+        # align change payload to the (possibly evolved) table schema
+        upserts = _align_to_schema(
+            changes.filter(F.col(OP_COL) != "d"), schema
+        ).select(*out_cols)
+
+        survivors = base.join(changes.select(*keys), on=keys, how="left_anti").select(*out_cols)
+        new_state = survivors.unionByName(upserts).withColumn("_bucket", bucket_expr(keys, table.n_buckets))
+
+        out_dir = os.path.join(table.root, "data", f"v-{uuid.uuid4().hex}")
+        (
+            new_state.repartition(F.col("_bucket"), salted_key(keys, salt_factor))
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+    finally:
         changes.unpersist()
-        table.commit_buckets({}, [], fence, _heartbeat_lineage(batch_id, fence))
-        return table.manifest()["version"]
-
-    lineage = [
-        {
-            "batch": batch_id,
-            "bucket": int(r["_bucket"]),
-            "events": r["events"],
-            "deletes": r["deletes"],
-            "upserts": r["upserts"],
-            "fence_pos": fence[1],
-        }
-        for r in lin
-    ]
-
-    base = table.read(buckets=touched)
-
-    # align change payload to the (possibly evolved) table schema
-    upserts = changes.filter(F.col(OP_COL) != "d")
-    for name in out_cols:
-        if name not in upserts.columns:
-            upserts = upserts.withColumn(name, F.lit(None).cast(schema[name].dataType))
-    upserts = upserts.select(*out_cols)
-
-    survivors = base.join(changes.select(*keys), on=keys, how="left_anti").select(*out_cols)
-    new_state = survivors.unionByName(upserts).withColumn("_bucket", bucket_expr(keys, table.n_buckets))
-
-    out_dir = os.path.join(table.root, "data", f"v-{uuid.uuid4().hex}")
-    (
-        new_state.repartition(F.col("_bucket"), salted_key(keys, salt_factor))
-        .write.partitionBy("_bucket")
-        .mode("overwrite")
-        .parquet(out_dir)
-    )
-
-    changes.unpersist()
 
     new_dirs: dict[int, list[str]] = {}
-    if os.path.exists(out_dir):
-        for sub in os.listdir(out_dir):
-            if sub.startswith("_bucket="):
-                new_dirs[int(sub.split("=")[1])] = [os.path.join(out_dir, sub)]
+    for b_, path in iter_bucket_subdirs(out_dir):
+        new_dirs[b_] = [path]
 
     return table.commit_buckets(new_dirs, touched, fence, lineage)

@@ -48,6 +48,48 @@ def bucket_expr(key_cols: list[str], n_buckets: int) -> "F.Column":
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets))
 
 
+#: column names the engine synthesizes alongside the payload — a payload
+#: field with one of these names would duplicate the internal column in
+#: the merge projection and crash the batch mid-stream (final review r5);
+#: ``create`` rejects them up front with a clear error instead
+RESERVED_COLS = frozenset({"_op", "_pos", "_bucket", "_sub", "_tombstone"})
+
+
+def _tie_hash_inputs(payload: StructType, cols: list[str]):
+    """Hash inputs for the deterministic resolve tie-break: raw columns,
+    except fields whose type CONTAINS a map anywhere — ``xxhash64``
+    prohibits hashing maps (same map, different hashcodes), so those
+    render through ``to_json`` first (deterministic per stored row). ONE
+    definition, used by both ``_resolve`` and ``compact`` so the two
+    cannot elect different tie winners."""
+    from pyspark.sql.types import ArrayType, MapType
+
+    def has_map(dt) -> bool:
+        if isinstance(dt, MapType):
+            return True
+        if isinstance(dt, ArrayType):
+            return has_map(dt.elementType)
+        if isinstance(dt, StructType):
+            return any(has_map(f.dataType) for f in dt.fields)
+        return False
+
+    return [
+        F.to_json(F.col(c)) if has_map(payload[c].dataType) else F.col(c)
+        for c in cols
+    ] + [F.col("_op")]
+
+
+def iter_bucket_subdirs(out_dir: str):
+    """Yield ``(bucket, path)`` for every ``_bucket=N`` partition dir a
+    write produced — the ONE place the output-dir parse lives (it was
+    inlined at three merge/compact sites; final review r5)."""
+    if not os.path.exists(out_dir):
+        return
+    for sub in os.listdir(out_dir):
+        if sub.startswith("_bucket="):
+            yield int(sub.split("=")[1]), os.path.join(out_dir, sub)
+
+
 class DefaultEvaluationError(ValueError):
     """A DDL DEFAULT literal failed Spark evaluation against its declared
     type. Distinct from the structural ValueErrors (burned name, re-key)
@@ -111,6 +153,13 @@ class LakeTable:
         return os.path.exists(os.path.join(self._mdir, LATEST))
 
     def create(self, schema: StructType) -> None:
+        bad = RESERVED_COLS.intersection(f.name for f in schema.fields)
+        if bad:
+            raise ValueError(
+                f"payload schema uses engine-reserved column name(s) "
+                f"{sorted(bad)} — rename the source column(s); the merge "
+                "pipeline synthesizes these alongside the payload"
+            )
         os.makedirs(self._mdir, exist_ok=True)
         os.makedirs(os.path.join(self.root, "data"), exist_ok=True)
         self._publish(
@@ -267,12 +316,24 @@ class LakeTable:
         return self._resolve(raw, payload)
 
     def _resolve(self, raw: DataFrame, payload: StructType) -> DataFrame:
-        """Last-wins per key over base+delta rows; drop deletes."""
+        """Last-wins per key over base+delta rows; drop deletes.
+
+        The ``max_by`` order is ``(_pos, row-hash)``: rows with EQUAL
+        ``_pos`` but different payloads exist when two incremental-snapshot
+        runs at an unadvanced fence observed different source states (both
+        chunk rows encode ``2·fence+1`` — ``resolution_pos``); a bare
+        ``max_by(_pos)`` resolves that tie nondeterministically per read
+        (final review r5). The hash tiebreak picks an arbitrary but
+        DETERMINISTIC winner — the next real stream event (strictly higher
+        ``_pos``) supersedes it either way."""
         cols = [f.name for f in payload.fields]
         row = F.struct(*[F.col(c) for c in cols], F.col("_op"))
+        ord_ = F.struct(
+            F.col("_pos"), F.xxhash64(*_tie_hash_inputs(payload, cols))
+        )
         latest = (
             raw.groupBy(*self.key_cols)
-            .agg(F.max_by(row, F.col("_pos")).alias("_r"))
+            .agg(F.max_by(row, ord_).alias("_r"))
             .filter(F.col("_r._op") != "d")
         )
         non_key = [c for c in cols if c not in self.key_cols]
@@ -358,9 +419,22 @@ class LakeTable:
         raw = self._read_with_aliases(dirs, payload, man, with_delta_cols=True)
         cols = [f.name for f in payload.fields]
         row = F.struct(*[F.col(c) for c in cols], F.col("_op"), F.col("_pos"))
+        # same deterministic (_pos, hash) tie-break as _resolve — compaction
+        # PERSISTS the winner, so it must hash the SAME (payload, _op)
+        # inputs _resolve hashes, or the two would elect different tie
+        # winners and a compaction would flip the visible row
+        # (final review r5)
         resolved = (
             raw.groupBy(*self.key_cols)
-            .agg(F.max_by(row, F.col("_pos")).alias("_r"))
+            .agg(
+                F.max_by(
+                    row,
+                    F.struct(
+                        F.col("_pos"),
+                        F.xxhash64(*_tie_hash_inputs(payload, cols)),
+                    ),
+                ).alias("_r")
+            )
             .filter(F.col("_r._op") != "d")
             .select(
                 *[F.col(f"_r.{c}").alias(c) for c in cols],
@@ -376,13 +450,8 @@ class LakeTable:
         ).parquet(out_dir)
 
         new_vals: dict[int, dict] = {b: {"base": [], "delta": []} for b in todo}
-        if os.path.exists(out_dir):
-            for sub in os.listdir(out_dir):
-                if sub.startswith("_bucket="):
-                    new_vals[int(sub.split("=")[1])] = {
-                        "base": [os.path.join(out_dir, sub)],
-                        "delta": [],
-                    }
+        for b, path in iter_bucket_subdirs(out_dir):
+            new_vals[b] = {"base": [path], "delta": []}
         lineage = [
             {"batch": batch_id, "bucket": b, "events": 0, "deletes": 0,
              "upserts": 0, "compacted_deltas": len(todo[b][1])}

@@ -196,3 +196,82 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     plan = plan_of(entry.q_decontaminate(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
+
+
+def test_reserved_payload_column_names_rejected_at_create(spark, tmp_path):
+    """Final review r5: a payload column literally named _op/_pos/_bucket
+    would duplicate the engine's synthesized columns in the merge
+    projection and crash the batch MID-STREAM with an ambiguous-column
+    error; create() rejects the schema up front instead."""
+    import pytest
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.plans.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2)
+    with pytest.raises(ValueError, match="_op"):
+        t.create(StructType.fromDDL("k string, _op string"))
+    t2 = LakeTable(spark, str(tmp_path / "t2"), ["k"], n_buckets=2)
+    with pytest.raises(ValueError, match="reserved"):
+        t2.create(StructType.fromDDL("k string, _pos long"))
+
+
+def test_resolution_tie_is_deterministic(spark, tmp_path):
+    """Final review r5: two incremental-snapshot runs at an unadvanced
+    fence both stamp their chunk rows 2·fence+1, so a key they observed
+    in DIFFERENT states produced a max_by tie resolved arbitrarily per
+    read (and compaction persisted an arbitrary winner). The (pos, hash)
+    order makes the winner deterministic across reads and compaction."""
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.plans.merge import merge_changes
+    from debezium_spark.plans.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2, mode="mor")
+    t.create(StructType.fromDDL("k string, v string"))
+    # two snapshot-chunk commits at the SAME _pos, different observed state
+    c1 = spark.createDataFrame([("a", "v1", "u", 15)],
+                               "k string, v string, _op string, _pos long")
+    c2 = spark.createDataFrame([("a", "v2", "u", 15)],
+                               "k string, v string, _op string, _pos long")
+    merge_changes(t, c1, ("f", 7), "s0", fence_check=False)
+    merge_changes(t, c2, ("f", 7), "s1", fence_check=False)
+
+    reads = {tuple(r) for _ in range(4) for r in t.read().collect()}
+    assert len(reads) == 1, f"read must be deterministic, got {reads}"
+    winner = next(iter(reads))
+
+    t.compact()
+    after = {tuple(r) for r in t.read().collect()}
+    assert after == {winner}, "compaction must persist the same winner"
+
+    # a later real event strictly supersedes the tie either way
+    c3 = spark.createDataFrame([("a", "v3", "u", 16)],
+                               "k string, v string, _op string, _pos long")
+    merge_changes(t, c3, ("f", 8), "b0")
+    assert [tuple(r) for r in t.read().collect()] == [("a", "v3")]
+
+
+def test_resolution_tie_deterministic_with_map_payload(spark, tmp_path):
+    """xxhash64 prohibits MAP inputs, so the tie-break hash must JSON-render
+    map-bearing fields (identically in _resolve and compact) — a map column
+    in the payload must neither crash the read nor flip winners across
+    read/compaction."""
+    from pyspark.sql.types import StructType
+
+    from debezium_spark.plans.merge import merge_changes
+    from debezium_spark.plans.table import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), ["k"], n_buckets=2, mode="mor")
+    t.create(StructType.fromDDL("k string, m map<string,string>"))
+    c1 = spark.createDataFrame([("a", {"x": "1"}, "u", 15)],
+                               "k string, m map<string,string>, _op string, _pos long")
+    c2 = spark.createDataFrame([("a", {"x": "2"}, "u", 15)],
+                               "k string, m map<string,string>, _op string, _pos long")
+    merge_changes(t, c1, ("f", 7), "s0", fence_check=False)
+    merge_changes(t, c2, ("f", 7), "s1", fence_check=False)
+    reads = {r["m"]["x"] for _ in range(3) for r in t.read().collect()}
+    assert len(reads) == 1
+    winner = next(iter(reads))
+    t.compact()
+    assert {r["m"]["x"] for r in t.read().collect()} == {winner}
