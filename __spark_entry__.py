@@ -117,12 +117,14 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # read split — so however many cores the session has, every scan (and
     # all per-row work Catalyst fuses into it: shingling, sha256, envelope
     # building) runs in ONE task. Spread rows across the executor cores
-    # immediately after the read. Hash-partition on the table's atomic
-    # columns (deterministic — no sort-before-repartition, and safe under
-    # task retry per SPARK-38388); round-robin only when no atomic column
-    # exists. Scale-adaptive: the target is defaultParallelism, never a
-    # constant, and already-splittable inputs (row_groups >= cores) or
-    # tiny tables pass through untouched.
+    # immediately after the read with a ROUND-ROBIN repartition: it reads
+    # no extra columns (hash-partitioning on data columns would force them
+    # into every ReadSchema, breaking scan pruning — caught by
+    # test_column_pruning_on_wide_scan), Catalyst still pushes projections
+    # below it, and Spark's sort-before-repartition keeps the row→partition
+    # assignment deterministic under task retry (SPARK-23207).
+    # Scale-adaptive: the target is defaultParallelism, never a constant,
+    # and tiny tables pass through untouched.
     try:
         groups, rows = _parquet_layout(path)
     except Exception:
@@ -134,16 +136,6 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # more in shuffle than the 6→32-way scan gained on the TPC-H scans
     if groups > max(1, par // 8) or rows < 2000:
         return df
-    from pyspark.sql.types import AtomicType, MapType
-
-    atomic = [
-        f.name
-        for f in df.schema.fields
-        if isinstance(f.dataType, AtomicType)
-        and not isinstance(f.dataType, MapType)
-    ]
-    if atomic:
-        return df.repartition(par, *[F.col(c) for c in atomic])
     return df.repartition(par)
 
 

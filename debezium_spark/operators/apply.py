@@ -109,7 +109,15 @@ def compute_changes(env: DataFrame, key_cols: list[str]) -> DataFrame:
     """Envelope batch → one change row per key: key cols + payload + _op.
 
     Input must already be PK-split. Output feeds ``plans.merge``.
-    """
+
+    Shape note (round 6): fusing this dedupe exchange with the merge's
+    write-layout repartition (repartition on (bucket, salt) first, then
+    groupBy(bucket, salt, keys) — a single exchange) was measured at only
+    ~0.25 s/2M-event batch faster, because the second exchange moves
+    already-deduped rows; it was rejected because pre-repartitioning by a
+    pure key function ships EVERY duplicate of a hot key to one task,
+    losing the map-side partial-agg collapse that makes hot keys safe
+    (test_skew property 1, guide §2.5)."""
     if "_sub" not in env.columns:
         env = env.withColumn("_sub", F.lit(0))
 

@@ -115,7 +115,10 @@ def _sql_string(col: Column, dialect: str) -> Column:
     esc = F.replace(esc, F.lit("\n"), F.lit("\\n"))
     esc = F.replace(esc, F.lit("\r"), F.lit("\\r"))
     e_form = F.concat(F.lit("E'"), esc, F.lit("'"))
-    return F.when(s.rlike("[\\n\\r]"), e_form).otherwise(plain)
+    # contains() twice beats a per-row regex engine call (rlike "[\n\r]")
+    # on long payload strings — same predicate, JVM substring search
+    has_nl = F.contains(s, F.lit("\n")) | F.contains(s, F.lit("\r"))
+    return F.when(has_nl, e_form).otherwise(plain)
 
 
 def render_literal(col: Column, meta: ColumnMeta, dialect: str) -> Column:
@@ -266,6 +269,16 @@ def dml_statements(
         .when((F.col("op") == "d") & img.isNotNull(), delete)
     )
     extras = [c.alias(a) for a, c in (extra or {}).items()]
-    return env_df.where(
-        F.col("op").isin("c", "u", "d") & sql.isNotNull()
-    ).select("source", "op", sql.alias("sql"), *extras)
+    # The row filter must not reference ``sql``: downstream consumers that
+    # only need offsets (e.g. the tx-wrap bounds aggregation) could then
+    # never prune the full statement-text build out of their branch, and
+    # the 4M-row string rendering ran TWICE per batch (measured +7 s at 4M
+    # events — guide §2.3 project-before-the-exchange). ``sql`` is null
+    # exactly when no WHEN branch fires: op outside c/u/d, or a u/d row
+    # with both images null (INSERT text is never null — concat over
+    # never-null concat_ws parts; UPDATE/DELETE are null iff ``img`` is).
+    # The explicit predicate below states that condition directly.
+    emit = (F.col("op") == "c") | (
+        F.col("op").isin("u", "d") & img.isNotNull()
+    )
+    return env_df.where(emit).select("source", "op", sql.alias("sql"), *extras)
