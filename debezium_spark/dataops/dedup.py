@@ -127,26 +127,65 @@ def ngram_jaccard_pairs(
     the pruned shingles, so pairs that overlap ONLY on ultra-common
     shingles stop matching — which is the point: such overlap is not
     evidence of duplication. None disables the cap."""
+    # Round-6 shape (guide §2.3/§2.4): ONE exchange over the exploded
+    # (doc, shingle) pairs builds per-shingle posting lists; the df cap is
+    # the list-size filter, and candidate pairs are generated in place from
+    # each (sorted) list — the classic inverted-index pair walk, but
+    # without a self-join, so the explode/shingle computation runs once
+    # instead of once per join side, and no ``.distinct()`` shuffle
+    # (``shingles_col`` is already array_distinct per doc, so (did, s)
+    # pairs are unique by construction). Set sizes come from a map-only
+    # ``size(shingles)`` projection (no second explode). Semantics are
+    # bit-identical to the join formulation: same df counts (distinct docs
+    # per shingle), same pair set (i<j over sorted posting lists ≡
+    # a.did < b.did), same integer threshold. The per-list pair array is
+    # bounded by C(max_df, 2), so the walk is safe at any corpus size;
+    # ONLY the uncapped max_df=None mode keeps the old streaming self-join
+    # (a posting array of an unbounded hot shingle would materialize its
+    # whole pair set in one row).
     sh = docs.select(
         F.col(id_col).alias("did"), F.explode(shingles_col(k, text_col)).alias("s")
-    ).distinct()
-    sizes = sh.groupBy("did").agg(F.count("*").alias("n"))
-    joinable = sh
-    if max_df is not None:
-        rare = (
-            sh.groupBy("s")
-            .agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("s")
-        )
-        joinable = sh.join(rare, on="s")  # shuffle on shingle hash, no explosion
-    a, b = joinable.alias("a"), joinable.alias("b")
-    inter = (
-        a.join(b, on="s")
-        .filter(F.col("a.did") < F.col("b.did"))
-        .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
-        .agg(F.count("*").alias("inter"))
     )
+    sizes = docs.select(
+        F.col(id_col).alias("did"),
+        F.size(shingles_col(k, text_col)).cast("long").alias("n"),
+    )
+    if max_df is None:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            a.join(b, on="s")
+            .filter(F.col("a.did") < F.col("b.did"))
+            .groupBy(F.col("a.did").alias("doc_a"), F.col("b.did").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        posting = (
+            sh.groupBy("s")
+            .agg(F.array_sort(F.collect_list("did")).alias("dids"))
+            .filter((F.size("dids") >= 2) & (F.size("dids") <= max_df))
+        )
+        dids = F.col("dids")
+        n = F.size(dids)
+        # all ordered pairs (dids[i], dids[j]) with i<j over the sorted list
+        pair_arr = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(1)),
+                lambda i: F.transform(
+                    F.slice(dids, i + F.lit(1), n),
+                    lambda x: F.struct(
+                        F.element_at(dids, i).alias("doc_a"), x.alias("doc_b")
+                    ),
+                ),
+            )
+        )
+        inter = (
+            posting.select(F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+            .agg(F.count("*").alias("inter"))
+        )
+    # a plain join: the planner broadcasts the map-only sizes projection at
+    # bench scale (parquet size estimate) and falls back to a shuffle at
+    # corpus sizes where a billion-doc broadcast would be fatal
     sa = sizes.select(F.col("did").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("did").alias("doc_b"), F.col("n").alias("nb"))
     return (

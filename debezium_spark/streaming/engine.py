@@ -1210,13 +1210,47 @@ class CdcEngine:
         had_carry = carry is not None
         if had_carry:
             env = carry.unionByName(env)
-        closed, carry, _ = split_open_tail_tx(env)
+        # ONE fused probe per epoch (same job the replay loop runs): fence
+        # offsets, tail-transaction id + run start, barrier/malformed flags.
+        # Previously the stream path paid 4 separate narrow jobs per epoch —
+        # the split's two aggregations plus apply_envelope_batch's fence and
+        # has_bad/has_ddl probes; at 4M-event epochs each is a full-batch
+        # column scan. The carry (if any) is already unioned in, so the
+        # no-carry boundary derivation applies.
+        mm = fused_tail_probe(
+            env,
+            flags={
+                "nd": F.col("op").isin(BARRIER_OPS),
+                "nb": _reason_col(env, self.table.key_cols).isNotNull(),
+            },
+            with_file=True,
+        )
         self._carry_meta = None  # stream-path carries have no fused meta
+        boundary = derive_tx_boundary(mm, None, False)
+        closed, carry, boundary = split_open_tail_tx(
+            env, probe={"p": mm["p"], "tt": mm["tt"], "boundary": boundary}
+        )
         engaged = had_carry or carry is not None
         if closed is None:
             self._tx_carry = persist_tx_carry(self.spark, carry, self.table.root)
             return None
-        v = self.apply_envelope_batch(closed, batch_id=batch_id)
+        kwargs = {}
+        if mm["p"] is not None and mm["f"] is not None:
+            # the closed part's fence: the tail-run boundary when a tail
+            # defers, else the epoch max — in the epoch's max file, exactly
+            # as the replay loop fences a deferred tail
+            kwargs["fence"] = (
+                mm["f"], boundary if carry is not None else mm["p"]
+            )
+        v = self.apply_envelope_batch(
+            closed,
+            batch_id=batch_id,
+            has_ddl=bool(mm["nd"]),
+            # pre-SMT probe: with SMTs installed a transform could corrupt
+            # a row after the probe — fall back to the post-SMT probe then
+            has_bad=(bool(mm["nb"]) if not self.smt_chain else None),
+            **kwargs,
+        )
         self._report_apply(v_before, batch_id, since=t0)
         if engaged:
             carry = persist_tx_carry(self.spark, carry, self.table.root)
