@@ -1017,7 +1017,13 @@ def q_ddl_drop_rename(spark, sf_dir):
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
     table.create(schema)
     engine = CdcEngine(spark, table, compact_depth=0)
-    engine.apply_envelope_batch(env_a, batch_id="a")
+    # batch facts (fence, barrier/malformed presence) are known to this
+    # constructing caller — passing them skips the engine's per-batch
+    # probe job over the derived envelopes (guide §1.2 serial driver cost)
+    engine.apply_envelope_batch(
+        env_a, batch_id="a",
+        fence=("binlog.000001", split - 1), has_ddl=False, has_bad=False,
+    )
     engine.apply_envelope_batch(
         ddl_batch(split, "ALTER TABLE app.repo_files RENAME COLUMN val TO score", env_a)
         .unionByName(
@@ -1025,7 +1031,10 @@ def q_ddl_drop_rename(spark, sf_dir):
         ),
         batch_id="ddl1",
     )
-    engine.apply_envelope_batch(env_b, batch_id="b")
+    engine.apply_envelope_batch(
+        env_b, batch_id="b",
+        fence=("binlog.000001", max_pos), has_ddl=False, has_bad=False,
+    )
     engine.apply_envelope_batch(
         ddl_batch(max_pos + 1, "ALTER TABLE app.repo_files DROP COLUMN tag", env_b),
         batch_id="ddl2",
@@ -1094,12 +1103,19 @@ def q_ddl_add_default(spark, sf_dir):
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
     table.create(schema)
     engine = CdcEngine(spark, table, compact_depth=0)
-    engine.apply_envelope_batch(env_a, batch_id="a")
+    # known batch facts passed through — see q_ddl_drop_rename
+    engine.apply_envelope_batch(
+        env_a, batch_id="a",
+        fence=("binlog.000001", split - 1), has_ddl=False, has_bad=False,
+    )
     engine.apply_envelope_batch(
         ddl_batch(split, "ALTER TABLE app.repo_files ADD COLUMN score BIGINT DEFAULT 42", env_a),
         batch_id="ddl",
     )
-    engine.apply_envelope_batch(env_b, batch_id="b")
+    engine.apply_envelope_batch(
+        env_b, batch_id="b",
+        fence=("binlog.000001", max_pos), has_ddl=False, has_bad=False,
+    )
     return table.read().select(
         "repo", "path", F.sha2(F.col("content"), 256).alias("content_sha"), "score"
     )
@@ -1210,9 +1226,18 @@ def q_typed_payload_roundtrip(spark, sf_dir):
     step = (max_pos + n_batches) // n_batches
     for b in range(n_batches):
         lo, hi = b * step, (b + 1) * step
+        # this caller constructs the envelopes, so the per-batch facts the
+        # engine would otherwise probe (fence offset, no barriers, no
+        # malformed rows) are known here — passing them skips one
+        # full-batch probe job per batch, and on THIS env the probe is
+        # expensive: the validity check references the payload structs,
+        # which are built from the typeconv expressions per row
         engine.apply_envelope_batch(
             env.filter((F.col("source.pos") >= lo) & (F.col("source.pos") < hi)),
             batch_id=f"b{b}",
+            fence=("binlog.000001", min(hi - 1, max_pos)),
+            has_ddl=False,
+            has_bad=False,
         )
     return table.read().select(
         "repo",

@@ -451,9 +451,33 @@ class CdcEngine:
         # heartbeat, reference heartbeat/Heartbeat.java:27-79; without this
         # a quiet table's fence goes stale, the slot-retention failure).
         if fence is None:
-            mm = env.select(
+            # Direct (non-replay-loop) callers land here without the loop's
+            # fused probe, and previously paid up to THREE narrow jobs per
+            # batch: this fence aggregation plus the has_bad and has_ddl
+            # probes below. When no SMT chain separates the pre-SMT fence
+            # view from the post-SMT validity view, ONE flat aggregation
+            # answers all of them (guide §1.2 — per-batch serial driver
+            # time is the scaling bottleneck; same move as fused_tail_probe
+            # on the replay/stream paths).
+            aggs = [
                 F.max("source.pos").alias("p"), F.max("source.file").alias("f")
-            ).first()
+            ]
+            fuse_flags = not self.smt_chain and (has_bad is None or has_ddl is None)
+            if fuse_flags:
+                aggs.append(
+                    F.max(F.col("op").isin(BARRIER_OPS).cast("int")).alias("nd")
+                )
+                aggs.append(
+                    F.max(
+                        _reason_col(env, self.table.key_cols).isNotNull().cast("int")
+                    ).alias("nb")
+                )
+            mm = env.select(*aggs).first()
+            if fuse_flags:
+                if has_bad is None:
+                    has_bad = bool(mm["nb"])
+                if has_ddl is None:
+                    has_ddl = bool(mm["nd"])
             if mm["p"] is None or mm["f"] is None:
                 # Every row is missing part of its offset (pos, or — under
                 # the file-major key — file): there is nothing to fence,
@@ -463,7 +487,7 @@ class CdcEngine:
                 # never wedges OR vanishes; final review r5 closed the
                 # strict-mode vanish on this path too).
                 _, bad = split_valid(env, self.table.key_cols)
-                if bad.limit(1).count() > 0:
+                if has_bad if has_bad is not None else bad.limit(1).count() > 0:
                     if self.quarantine:
                         write_quarantine(bad, self.table.root, batch_id)
                     else:
@@ -499,9 +523,18 @@ class CdcEngine:
             if has_bad is None:
                 has_bad = bad.limit(1).count() > 0
             if has_bad:
-                reason = bad.select(
+                # ADVICE r5: a fused probe's has_bad covers the whole batch,
+                # but after a tail-transaction carve the malformed row may
+                # sit in the deferred carry — `bad` over the closed part is
+                # then empty and first() returns None; keep the intended
+                # ValueError (the row still fails when its carry applies)
+                row = bad.select(
                     _reason_col(bad, list(self.table.key_cols)).alias("r")
-                ).first()["r"]
+                ).first()
+                reason = (
+                    row["r"] if row is not None
+                    else "deferred with the open-transaction carry"
+                )
                 raise ValueError(
                     f"batch {batch_id}: malformed record ({reason}) in "
                     "strict mode — construct the engine with "
