@@ -106,12 +106,17 @@ def _parquet_layout(path: str) -> tuple[int, int]:
     return groups, rows
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _read(spark: SparkSession, sf_dir: str, name: str, split: bool = True) -> DataFrame:
     # Pin UTC so NTZ→LTZ casts are tz-independent (parquet ts is naive µs;
     # DuckDB's epoch_ms is naive too — UTC makes both agree).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
+    if not split:
+        # opt-out for queries whose first operation is itself a shuffle
+        # (aggregation/stateful grouping): the spread would only add an
+        # exchange in front of theirs — measured net-negative for those
+        return df
     # Unsplittable-input fix (guide §2.5): the testdata tables are written
     # as one parquet row group per file, and a row group is the minimum
     # read split — so however many cores the session has, every scan (and
@@ -125,6 +130,8 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # assignment deterministic under task retry (SPARK-23207).
     # Scale-adaptive: the target is defaultParallelism, never a constant,
     # and tiny tables pass through untouched.
+    if os.environ.get("SPARK_GRAFT_SPLIT_INPUT", "1") != "1":
+        return df  # ops/measurement escape hatch; default on
     try:
         groups, rows = _parquet_layout(path)
     except Exception:
@@ -1688,7 +1695,8 @@ FROM documents WHERE doc_id % 2 = 0 AND n_chars > 100"""
 
 
 def q_dedup_exact(spark, sf_dir):
-    return exact_dedup(_read(spark, sf_dir, "documents"))
+    # split=False: first op is the digest groupBy shuffle (see _read)
+    return exact_dedup(_read(spark, sf_dir, "documents", split=False))
 
 
 SQL_dedup_exact = """SELECT sha256(text) AS content_sha,
@@ -2560,7 +2568,8 @@ GROUP BY l_returnflag"""
 def q_windowed_event_agg(spark, sf_dir):
     """Tumbling-window aggregation over the event stream (Structured-
     Streaming-shaped; batch-equivalent here)."""
-    ev = _read(spark, sf_dir, "events")
+    # split=False: first op is the groupBy shuffle (see _read)
+    ev = _read(spark, sf_dir, "events", split=False)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     hour = _epoch_ms(F.date_trunc("hour", F.col("ts").cast("timestamp")))
     return (
@@ -2600,7 +2609,8 @@ def q_sessionize_events(spark, sf_dir):
     running session id → aggregate, all Catalyst."""
     from debezium_spark.streaming.stateful import sessionize_batch
 
-    ev = _read(spark, sf_dir, "events")
+    # split=False: the stateful operator repartitions by its group key anyway
+    ev = _read(spark, sf_dir, "events", split=False)
     prepared = ev.select(
         "event_id",
         "user_id",

@@ -384,12 +384,19 @@ class LakeTable:
         """Buckets whose delta depth reached ``min_depth`` — the selective
         compaction target set (compacting shallow buckets rewrites their
         base for nothing; at 10^10 events only the hot buckets are deep)."""
+        return sorted(self.bucket_depths(min_depth))
+
+    def bucket_depths(self, min_depth: int = 1) -> dict[int, int]:
+        """{bucket: delta depth} for buckets at ``min_depth`` or deeper —
+        lets the engine's compaction cadence rank buckets deepest-first
+        (one manifest read, driver-side)."""
         man = self.manifest()
-        return sorted(
-            int(b)
-            for b, val in man["buckets"].items()
-            if len(self._bucket_dirs(val)[1]) >= min_depth
-        )
+        out: dict[int, int] = {}
+        for b, val in man["buckets"].items():
+            d = len(self._bucket_dirs(val)[1])
+            if d >= min_depth:
+                out[int(b)] = d
+        return out
 
     def compact(self, buckets: list[int] | None = None, batch_id: str = "compact") -> int | None:
         """MoR compaction: fold each bucket's deltas into a new base

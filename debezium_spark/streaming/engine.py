@@ -748,11 +748,23 @@ class CdcEngine:
             salt_factor=self.salt_factor, fence_check=fence_check,
         )
         if self.table.mode == "mor" and self.compact_depth:
-            # selective: fold only the buckets that actually got deep —
-            # compacting a shallow bucket rewrites its base for nothing
-            deep = self.table.deep_buckets(self.compact_depth)
-            if deep:
-                v = self.table.compact(buckets=deep, batch_id=f"{batch_id}/compact") or v
+            # Selective AND spread (VERDICT r5 #2): fold only buckets that
+            # actually got deep, and at most K of them per batch, deepest
+            # first. Under uniform traffic every bucket crosses the depth
+            # threshold in the SAME batch — the r5 sf1 run paid a 123.7 s
+            # end-of-log batch when all 64 buckets compacted at once. With
+            # K = ceil(n_buckets / compact_depth) the steady-state cadence
+            # compacts the whole table once per compact_depth batches (same
+            # amortized work) while bounding any one batch's compaction to
+            # K bucket rewrites; transient depth stays <= ~2x the threshold
+            # during the first cycle, then buckets stagger naturally.
+            depths = self.table.bucket_depths(self.compact_depth)
+            if depths:
+                k = max(1, -(-self.table.n_buckets // self.compact_depth))
+                deep = sorted(depths, key=lambda b: (-depths[b], b))[:k]
+                v = self.table.compact(
+                    buckets=sorted(deep), batch_id=f"{batch_id}/compact"
+                ) or v
         return v
 
     #: auto-sizing floor/shape for incremental-snapshot chunks: each chunk is

@@ -128,3 +128,34 @@ def test_time_travel_reads(spark, tmp_path):
     assert old == state_v1
     now = {(r["repo"], r["path"]): r["content"] for r in table.read().collect()}
     assert now != state_v1
+
+
+def test_compaction_cadence_spreads_across_batches(spark, tmp_path):
+    """Round-6 cadence: under uniform traffic every bucket crosses the
+    depth threshold in the same batch; auto-compaction must fold at most
+    K = ceil(n_buckets / compact_depth) buckets per batch (deepest first)
+    instead of cliffing on all of them at once, while depth stays bounded
+    and the final state still matches the sequential oracle."""
+    gen = ChangeLogGenerator(spark, seed=9, n_repos=12)
+    batch_dir = str(tmp_path / "b")
+    n_batches = 10
+    gen.write_batches(batch_dir, 5000, n_batches=n_batches)
+
+    table = LakeTable(spark, str(tmp_path / "t"), ["repo", "path"], n_buckets=8, mode="mor")
+    compact_depth = 2
+    engine = CdcEngine(spark, table, compact_depth=compact_depth)
+    engine.replay(batch_dir)
+
+    k = -(-table.n_buckets // compact_depth)  # ceil
+    per_batch: dict[str, set[int]] = {}
+    for e in table.lineage():
+        if "compacted_deltas" in e:
+            per_batch.setdefault(e["batch"], set()).add(e["bucket"])
+    assert per_batch, "auto-compaction never ran"
+    for batch, buckets in per_batch.items():
+        assert len(buckets) <= k, (
+            f"batch {batch} compacted {len(buckets)} buckets > cap {k}"
+        )
+    # cadence keeps depth bounded near the threshold (<= ~2x transient)
+    assert table.delta_depth() <= 2 * compact_depth + 1
+    assert _state(table) == _oracle(gen, 5000)
