@@ -176,8 +176,8 @@ env AS (
 """
 
 
-def _env(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _read(spark, sf_dir, "events")
+def _env(spark: SparkSession, sf_dir: str, split: bool = True) -> DataFrame:
+    ev = _read(spark, sf_dir, "events", split=split)
     cents = F.round(F.col("value") * 100, 0).cast("long")
     return ev.select(
         F.col("event_id").alias("pos"),
@@ -201,10 +201,10 @@ def _env(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAYLOAD_DDL = "struct<repo:string,path:string,content:string>"
 
 
-def _env_struct(spark: SparkSession, sf_dir: str, pkc_expr=None) -> DataFrame:
+def _env_struct(spark: SparkSession, sf_dir: str, pkc_expr=None, split: bool = True) -> DataFrame:
     """Flat derived env → real envelope-struct DataFrame (before/after/op/
     ts_ms/source/transaction), for running the package operators."""
-    e = _env(spark, sf_dir)
+    e = _env(spark, sf_dir, split=split)
     payload = F.struct(F.col("repo"), F.col("path"), F.col("content"))
     if pkc_expr is None:
         before_payload = payload
@@ -257,7 +257,9 @@ def q_extract_new_record_state(spark, sf_dir):
     """ExtractNewRecordState SMT (§2.6), rewrite mode — flatten + __deleted."""
     from debezium_spark.operators.flatten import extract_new_record_state
 
-    env = _env_struct(spark, sf_dir)
+    # split=False: pure per-row map with no downstream shuffle — the
+    # input spread only adds an exchange (measured; see _read)
+    env = _env_struct(spark, sf_dir, split=False)
     flat = extract_new_record_state(env, delete_mode="rewrite", add_source_fields=["pos"])
     return flat.select(
         F.col("__source_pos").alias("pos"),
@@ -2638,7 +2640,9 @@ FROM s GROUP BY user_id, sid"""
 def q_broadcast_dim_join(spark, sf_dir):
     """Broadcast hash join of the event stream against a small dim (nation):
     the shape every enrich step should take at 100 TB."""
-    ev = _read(spark, sf_dir, "events")
+    # split=False: broadcast join + partial agg fuse into the scan; the
+    # per-row work (pmod + hash probe) is too light to pay an exchange for
+    ev = _read(spark, sf_dir, "events", split=False)
     nat = _read(spark, sf_dir, "nation")
     keyed = ev.withColumn("nk", F.pmod(F.col("user_id"), F.lit(25)))
     return (
