@@ -556,7 +556,8 @@ def q_transaction_metadata(spark, sf_dir):
     operators.transactions.transaction_summary."""
     from debezium_spark.operators.transactions import transaction_summary
 
-    out = transaction_summary(_env_struct(spark, sf_dir))
+    # split=False: first op is the per-tx aggregation shuffle (see _read)
+    out = transaction_summary(_env_struct(spark, sf_dir, split=False))
     return out.select(
         "tx_id",
         "event_count",
