@@ -106,6 +106,43 @@ def _parquet_layout(path: str) -> tuple[int, int]:
     return groups, rows
 
 
+def _events_max_pos(spark: SparkSession, sf_dir: str) -> int:
+    """``max(event_id)`` of the events table, read from parquet footer
+    column statistics — a driver-side metadata read replacing the
+    full-scan ``select(max(pos))`` Spark job each engine-drive query paid
+    to size its batches (guide §1.2/§6: per-query serial driver jobs are
+    fixed cost at every scale, and the footers already record the answer;
+    min/max stats are exact for int64 columns). ``pos`` is ``event_id``
+    verbatim in the shared env derivation, so the value is identical to
+    the old aggregation and batch boundaries do not move. Falls back to
+    the aggregation job when stats are missing (e.g. a rewritten file)."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+            if os.path.isdir(path)
+            else [path]
+        )
+        mx: int | None = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["event_id"]
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    raise ValueError("missing column stats")
+                mx = st.max if mx is None else max(mx, st.max)
+        if mx is not None:
+            return int(mx)
+    except Exception:
+        pass
+    return (
+        spark.read.parquet(path).select(F.max("event_id")).first()[0] or 0
+    )
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str, split: bool = True) -> DataFrame:
     # Pin UTC so NTZ→LTZ casts are tz-independent (parquet ts is naive µs;
     # DuckDB's epoch_ms is naive too — UTC makes both agree).
@@ -359,7 +396,7 @@ def q_cdc_merge_final_state(spark, sf_dir):
     from pyspark.sql.types import StructType
 
     env = _env_struct(spark, sf_dir)
-    max_pos = env.select(F.max("source.pos")).first()[0] or 0
+    max_pos = _events_max_pos(spark, sf_dir)
     payload_schema = StructType.fromDDL("repo string, path string, content string")
 
     tmp = _scratch("cdc_final_")
@@ -393,7 +430,7 @@ def q_cdc_mor_final_state(spark, sf_dir):
     from pyspark.sql.types import StructType
 
     env = _env_struct(spark, sf_dir)
-    max_pos = env.select(F.max("source.pos")).first()[0] or 0
+    max_pos = _events_max_pos(spark, sf_dir)
     payload_schema = StructType.fromDDL("repo string, path string, content string")
 
     tmp = _scratch("cdc_mor_")
@@ -986,7 +1023,7 @@ def q_ddl_drop_rename(spark, sf_dir):
 
     e = _env(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    max_pos = e.select(F.max("pos")).first()[0] or 0
+    max_pos = _events_max_pos(spark, sf_dir)
     # late split: phase B is only the tail of the stream, so many keys'
     # last touch is in phase A and must resolve through the rename alias
     split = max(1, max_pos - 99)
@@ -1075,7 +1112,7 @@ def q_ddl_add_default(spark, sf_dir):
 
     e = _env(spark, sf_dir)
     cents = F.round(F.col("value") * 100, 0).cast("long")
-    max_pos = e.select(F.max("pos")).first()[0] or 0
+    max_pos = _events_max_pos(spark, sf_dir)
     split = max(1, max_pos - 99)  # late split: most keys resolve pre-ADD
 
     def mk_env(df, with_score):
@@ -1231,7 +1268,7 @@ def q_typed_payload_roundtrip(spark, sf_dir):
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8, mode="mor")
     table.create(schema)
     engine = CdcEngine(spark, table, compact_depth=2)
-    max_pos = env.select(F.max("source.pos")).first()[0] or 0
+    max_pos = _events_max_pos(spark, sf_dir)
     n_batches = 3
     step = (max_pos + n_batches) // n_batches
     for b in range(n_batches):
@@ -1313,7 +1350,7 @@ def q_multi_table_replay(spark, sf_dir):
         ).alias("source"),
         F.lit(None).cast("struct<id:string,total_order:bigint,data_collection_order:bigint>").alias("transaction"),
     )
-    max_pos = wire.select(F.max("source.pos")).first()[0] or 0
+    max_pos = _events_max_pos(spark, sf_dir)
 
     s3 = StructType.fromDDL("repo string, path string, content string")
     s4 = StructType.fromDDL("repo string, path string, content string, cents long")
@@ -1482,7 +1519,7 @@ def q_multi_table_create_table(spark, sf_dir):
         ).alias("source"),
         F.lit(None).cast(_TX_DDL).alias("transaction"),
     )
-    max_all = _read(spark, sf_dir, "events").select(F.max("event_id")).first()[0] or 0
+    max_all = _events_max_pos(spark, sf_dir)
     m = max_all // 2
     wire = wire.filter(F.col("source.pos") != m)  # pos m reserved for the DDL
     create_sql = (
@@ -1557,7 +1594,7 @@ def q_tx_atomic_replay(spark, sf_dir):
     from pyspark.sql.types import StructType
 
     env = _env_struct(spark, sf_dir)
-    max_pos = env.select(F.max("source.pos")).first()[0] or 0
+    max_pos = _events_max_pos(spark, sf_dir)
     # cuts at ≡5 (mod 10): tx groups are pos//10, so each cut splits a tx
     cut1 = (max_pos // 3) // 10 * 10 + 5
     cut2 = (2 * max_pos // 3) // 10 * 10 + 5
@@ -2403,7 +2440,13 @@ FROM documents"""
 
 
 def q_tpch_q1(spark, sf_dir):
-    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    # split=False for all TPC-H reads: the scan-stage per-row work is
+    # trivial arithmetic and the first wide operation is a partial
+    # aggregation or a broadcast join, so the input spread only prepends
+    # an exchange (measured at sf0.1 warm: q1 1.00→0.80, q3 1.00→0.86,
+    # q5 1.27→0.90 s). At production scale these tables have many row
+    # groups and the gate never fires anyway.
+    li = _read(spark, sf_dir, "lineitem", split=False).filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
     c = lambda col: F.round(col * 100, 0).cast("long")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc * (1 + F.col("l_tax"))
@@ -2430,9 +2473,9 @@ GROUP BY l_returnflag, l_linestatus"""
 
 
 def q_tpch_q3(spark, sf_dir):
-    cust = _read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-    orders = _read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-03-15"))
-    li = _read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-03-15"))
+    cust = _read(spark, sf_dir, "customer", split=False).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _read(spark, sf_dir, "orders", split=False).filter(F.col("o_orderdate") < F.lit("1998-03-15"))
+    li = _read(spark, sf_dir, "lineitem", split=False).filter(F.col("l_shipdate") > F.lit("1998-03-15"))
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
     out = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -2460,7 +2503,7 @@ ORDER BY revenue_c DESC, o_orderkey ASC LIMIT 10"""
 
 
 def q_tpch_q6(spark, sf_dir):
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", split=False)
     rev = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast("long")
     return (
         li.filter(
@@ -2485,10 +2528,10 @@ def q_tpch_q4(spark, sf_dir):
     """TPC-H Q4 shape (adapted to this lineitem's columns): order-priority
     count over orders having at least one late-shipping lineitem — the
     LEFT SEMI join plan (no row multiplication, early-out probe)."""
-    orders = _read(spark, sf_dir, "orders").filter(
+    orders = _read(spark, sf_dir, "orders", split=False).filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01")) & (F.col("o_orderdate") < F.lit("1996-10-01"))
     )
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", split=False)
     late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
         F.col("l_shipdate") > F.col("o_orderdate")
     ).select("l_orderkey").distinct()
@@ -2511,14 +2554,14 @@ def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5 shape: the 5-way join chain (lineitem⋈orders⋈customer⋈
     supplier⋈nation⋈region) with small dims broadcast — revenue per nation
     where the supplier and customer share the nation."""
-    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    nation = _read(spark, sf_dir, "nation")
-    cust = _read(spark, sf_dir, "customer")
-    supp = _read(spark, sf_dir, "supplier")
-    orders = _read(spark, sf_dir, "orders").filter(
+    region = _read(spark, sf_dir, "region", split=False).filter(F.col("r_name") == "ASIA")
+    nation = _read(spark, sf_dir, "nation", split=False)
+    cust = _read(spark, sf_dir, "customer", split=False)
+    supp = _read(spark, sf_dir, "supplier", split=False)
+    orders = _read(spark, sf_dir, "orders", split=False).filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
     )
-    li = _read(spark, sf_dir, "lineitem")
+    li = _read(spark, sf_dir, "lineitem", split=False)
     rev = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0).cast("long")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -2545,8 +2588,8 @@ GROUP BY n_name"""
 def q_tpch_q12(spark, sf_dir):
     """TPC-H Q12 shape: conditional aggregation (high/low priority line
     counts) per return flag — CASE-inside-SUM, one pass."""
-    orders = _read(spark, sf_dir, "orders")
-    li = _read(spark, sf_dir, "lineitem").filter(
+    orders = _read(spark, sf_dir, "orders", split=False)
+    li = _read(spark, sf_dir, "lineitem", split=False).filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1997-01-01"))
     )
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")

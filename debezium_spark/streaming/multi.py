@@ -639,14 +639,24 @@ class MultiTableEngine:
 
         # materialize the two parses as named columns so the plan carries
         # exactly two from_json nodes however many tables are registered
-        # (asserted by tests/test_plans.py)
+        # (asserted by tests/test_plans.py). The before-side parse is
+        # CONDITIONAL (guide §2.3 — don't compute bytes the probe won't
+        # read): every consumer probes the after map first (``coalesce(
+        # am[k], bm[k])``; ``null_payload`` = both sides null), so the
+        # before doc only needs parsing when the after map is null or
+        # lacks one of this table's key columns — on an insert/update-
+        # heavy stream that halves the probe's JSON work. Semantics are
+        # unchanged by construction: whenever ``_bm`` is skipped,
+        # ``_am.isNull()`` is false (kills null_payload regardless of
+        # _bm) and every key resolved from ``_am`` alone (kills key_null
+        # regardless of _bm).
         parsed = wire.select(
             "op",
             "source",
+            "before_json",
             F.from_json("after_json", "map<string,string>").alias("_am"),
-            F.from_json("before_json", "map<string,string>").alias("_bm"),
         )
-        after_m, before_m = F.col("_am"), F.col("_bm")
+        after_m = F.col("_am")
         if self.specs:
             # one flat literal: identity -> array of key column names. The
             # lookup key joins (db, table) with NUL, not '.' — dotted names
@@ -664,6 +674,22 @@ class MultiTableEngine:
                 key_lookup,
                 F.concat_ws("\x00", F.col("source.db"), F.col("source.table")),
             )
+            # parse the before doc only when the after map cannot answer
+            # alone; for unregistered tables (spec_keys null) the need is
+            # null -> parse skipped -> their nb flag sees a null _bm, fine
+            # because no dispatch consumer reads unregistered groups' nb
+            need_bm = after_m.isNull() | F.exists(
+                spec_keys, lambda k: F.try_element_at(after_m, k).isNull()
+            )
+            parsed = parsed.select(
+                "op",
+                "source",
+                "_am",
+                F.when(
+                    need_bm, F.from_json("before_json", "map<string,string>")
+                ).alias("_bm"),
+            )
+            before_m = F.col("_bm")
             # null for unregistered tables -> exists() yields null -> the
             # validity when-clause skips (those rows are dropped anyway)
             key_null = F.exists(
@@ -673,6 +699,11 @@ class MultiTableEngine:
                 ).isNull(),
             )
         else:
+            parsed = parsed.select(
+                "op", "source", "_am",
+                F.from_json("before_json", "map<string,string>").alias("_bm"),
+            )
+            before_m = F.col("_bm")
             key_null = F.lit(False)
         bad = validity_reason(
             F.col("op"), F.col("source.pos"), after_m, before_m, key_null,
