@@ -1601,15 +1601,22 @@ def q_tx_atomic_replay(spark, sf_dir):
     tmp = _scratch("cdc_tx_")
     bdir = os.path.join(tmp, "binlog")
     os.makedirs(bdir)
-    env.filter(F.col("source.pos") < cut1).write.parquet(
-        os.path.join(bdir, "batch_00000.parquet")
-    )
-    env.filter((F.col("source.pos") >= cut1) & (F.col("source.pos") < cut2)).write.parquet(
-        os.path.join(bdir, "batch_00001.parquet")
-    )
-    env.filter(F.col("source.pos") >= cut2).write.parquet(
-        os.path.join(bdir, "batch_00002.parquet")
-    )
+    # ONE partitioned write instead of three filtered writes (guide §1.2):
+    # the old shape derived the envelope over the full events table three
+    # times (one scan+projection per slice); partitionBy splits the same
+    # rows into the same three batch dirs in a single pass, and the dirs
+    # are renamed into the replay loader's batch_NNNNN.parquet contract.
+    sdir = os.path.join(tmp, "slices")
+    env.withColumn(
+        "_b",
+        F.when(F.col("source.pos") < cut1, 0)
+        .when(F.col("source.pos") < cut2, 1)
+        .otherwise(2),
+    ).write.partitionBy("_b").parquet(sdir)
+    for b in range(3):
+        part = os.path.join(sdir, f"_b={b}")
+        if os.path.isdir(part):
+            os.rename(part, os.path.join(bdir, f"batch_{b:05d}.parquet"))
     table = LakeTable(spark, os.path.join(tmp, "t"), ["repo", "path"], n_buckets=8)
     table.create(StructType.fromDDL("repo string, path string, content string"))
     CdcEngine(spark, table).replay(bdir)
