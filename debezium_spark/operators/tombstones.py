@@ -26,8 +26,11 @@ def with_tombstones(env: DataFrame) -> DataFrame:
     collided the tombstone with the split's insert at ``_sub = 1``,
     making the order nondeterministic). Without a prior ``_sub`` the
     emitted values stay 0/1 exactly as before. Rows already marked
-    ``_tombstone`` never spawn a second tombstone (idempotent
-    re-application)."""
+    ``_tombstone`` never spawn a second tombstone — that guard prevents
+    tombstone-of-tombstone spawning only; applying ``with_tombstones``
+    twice still appends a second tombstone for each delete row (ADVICE
+    r5), so the operator is meant to run once per wire stream, not to be
+    idempotently re-applied."""
     if "_sub" not in env.columns:
         env = env.withColumn("_sub", F.lit(0))
     env = env.withColumn("_sub", F.col("_sub") * 2)

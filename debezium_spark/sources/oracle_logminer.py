@@ -55,7 +55,13 @@ OP_ROLLBACK = 36
 _DML = [OP_INSERT, OP_DELETE, OP_UPDATE]
 
 #: intra-transaction sequence occupies the low bits of source.pos; one
-#: transaction holds < 2^20 change rows per mining window.
+#: transaction holds < 2^20 change rows per mining window. High-bit budget
+#: (ADVICE r5): pos is a signed 64-bit long, so commit SCNs must stay
+#: below 2^43 — beyond that pos wraps negative and silently violates the
+#: stream-monotone OFFSET-ORDER CONTRACT. Oracle SCNs are 48-bit
+#: quantities, so a deployment near that ceiling must widen pos to
+#: decimal(38,0) (same exact-arithmetic move as packing.py's prefix sums)
+#: before this source is safe there.
 _SEQ_BITS = 20
 
 

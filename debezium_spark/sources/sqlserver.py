@@ -47,7 +47,11 @@ OP_UPDATE_BEFORE = 3
 OP_UPDATE_AFTER = 4
 
 #: seqval occupies the low bits of the synthetic stream position; one LSN
-#: (= one source transaction) holds < 2^20 statements.
+#: (= one source transaction) holds < 2^20 statements. High-bit budget
+#: (ADVICE r5): pos is a signed 64-bit long, so the numeric start_lsn must
+#: stay below 2^43 — SQL Server's 10-byte LSNs modeled as a long wrap
+#: negative beyond that and break the OFFSET-ORDER CONTRACT; widen pos to
+#: decimal(38,0) before running against LSNs near the ceiling.
 _SEQVAL_BITS = 20
 
 
