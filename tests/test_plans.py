@@ -275,3 +275,17 @@ def test_resolution_tie_deterministic_with_map_payload(spark, tmp_path):
     winner = next(iter(reads))
     t.compact()
     assert {r["m"]["x"] for r in t.read().collect()} == {winner}
+
+
+def test_events_max_pos_footer_equals_aggregation(spark):
+    """The footer-statistics max(pos) (round-6: replaces a full-scan
+    aggregation job in eight engine-drive queries) must equal the
+    aggregation it replaced at every SF — batch boundaries derive from it,
+    so a drift here would silently change what the queries compute."""
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        agg = (
+            spark.read.parquet(f"{sf}/events.parquet")
+            .select(F.max("event_id"))
+            .first()[0]
+        )
+        assert entry._events_max_pos(spark, sf) == agg
